@@ -1,0 +1,287 @@
+"""Extended-surface queries: events windows, text analysis, dedup,
+similarity search (SURVEY.md §7 phases 5-6; BASELINE north star).
+
+These go beyond the reference's operator set — they are the
+training-data-pipeline operations a 100 TB deployment of this engine
+needs. Each is still a declarative DataFrame plan; Python never touches
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import load, query
+
+# --------------------------------------------------------------------------
+# events: time windows (batch twins of the streaming surface)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "e1_tumbling_window",
+    oracle="""
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM ev
+    GROUP BY 1, 2, 3
+    """,
+)
+def e1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregation via ``window()`` — the batch twin of
+    the streaming watermark query in :mod:`..streaming.ops`. The
+    reference's CET/LSET window (``dags/etl/source_to_stage.py:73``) is
+    the degenerate 1-bucket version of this."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "e2_sessionization",
+    oracle="""
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def e2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization with a 30-minute gap via
+    ``session_window`` (batch mode). Spark merges an event into the
+    current session iff ``ts < previous_end`` (= prev ts + gap), so a
+    gap of exactly 30min starts a NEW session — the oracle's
+    gaps-and-islands SQL replicates that boundary with ``>=``."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# documents: text analysis + exact dedup + fingerprinting
+# --------------------------------------------------------------------------
+
+
+@query(
+    "d1_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy on md5(text), keep the lowest
+    doc_id per content group. One shuffle on the hash; at 100 TB,
+    map-side combine collapses most duplicates before the exchange."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "t1_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(length(text) AS DOUBLE)
+             / NULLIF(len(regexp_extract_all(text, '\\S+')), 0) AS chars_per_token
+    FROM documents
+    """,
+)
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + length stats, all JVM-side regex —
+    the quality-scoring primitives of a data-curation pipeline."""
+    df = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    n_chars = F.length("text")
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        (n_chars.cast("double") / F.nullif(n_tokens, F.lit(0))).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@query(
+    "t2_lang_stopword_score",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|to|and)\\b'))
+                AS INTEGER) AS en_stopword_hits,
+           CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|to|and)\\b')) AS DOUBLE)
+             / NULLIF(len(regexp_extract_all(text, '\\S+')), 0) AS stopword_ratio,
+           CASE WHEN CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|to|and)\\b')) AS DOUBLE)
+                     / NULLIF(len(regexp_extract_all(text, '\\S+')), 0) >= 0.05
+                THEN 'en' ELSE 'other' END AS predicted_lang
+    FROM documents
+    """,
+)
+def t2_lang_stopword_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English stopword density. A real deployment
+    swaps the stopword list per language; the plan shape (pure column
+    expressions, no UDF) is the point."""
+    df = load(spark, sf_dir, "documents")
+    hits = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\b(the|a|of|to|and)\b"), 0)
+    )
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    ratio = hits.cast("double") / F.nullif(n_tokens, F.lit(0))
+    return df.select(
+        "doc_id",
+        "lang",
+        hits.alias("en_stopword_hits"),
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias(
+            "predicted_lang"
+        ),
+    )
+
+
+@query(
+    "t3_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def t3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (lowercase, collapse whitespace,
+    md5) — the key for near-exact dedup across formatting variants."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(norm.cast("binary")).alias("fingerprint")
+    )
+
+
+# --------------------------------------------------------------------------
+# embeddings: similarity search
+# --------------------------------------------------------------------------
+
+def _dot(a, b):
+    """Exact order-independent dot product: per-element double products
+    (IEEE-identical in any engine) rounded once to DECIMAL(28,14), then
+    summed in decimal — exact under any association order, unlike a
+    double fold. The accumulator is re-cast inside the merge lambda
+    because Spark demotes decimal-addition scale and requires the merge
+    result type to equal the zero type; the cast is exact (values stay
+    far below the 16 integer digits)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(28,14)"),
+        ),
+        F.lit(0).cast("decimal(30,14)"),
+        lambda acc, x: (acc + x).cast("decimal(30,14)"),
+    )
+
+
+@query(
+    "sim_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    pairs AS (
+      SELECT e.vec_id,
+             unnest(e.embedding) AS x,
+             unnest(q.qv) AS y
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    ),
+    dots AS (
+      SELECT vec_id,
+             SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,14))) AS dot,
+             SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14))) AS na,
+             SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,14))) AS nb
+      FROM pairs
+      GROUP BY vec_id
+    )
+    SELECT vec_id,
+           round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cosine_sim
+    FROM dots
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 50
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a broadcast query vector
+    (vec_id=0) — the exact baseline for ANN. Array-native ``zip_with``/
+    ``aggregate``: no explode, no shuffle except the final top-k, which
+    is a TakeOrdered (per-partition heap + driver merge), not a global
+    sort. The decimal-summed dot product makes the score reproducible
+    bit-for-bit at any parallelism."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("qv")).cast("double")
+                / (
+                    F.sqrt(_dot(F.col("embedding"), F.col("embedding")).cast("double"))
+                    * F.sqrt(_dot(F.col("qv"), F.col("qv")).cast("double"))
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), "vec_id").limit(50)

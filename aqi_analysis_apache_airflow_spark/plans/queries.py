@@ -1,0 +1,565 @@
+"""The t2 query matrix: one registered query per SURVEY.md §2 operator row.
+
+Each function is the Spark-first implementation; the ``oracle=`` string
+is the ANSI-SQL twin DuckDB runs on the same parquet. Reference
+citations in each docstring point at the pandas/SQL site whose
+semantics the query re-expresses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import aqi_category, aqi_category_sql
+from ..operators.dedupe import keep_first
+from ..operators.filters import anti_join, cdc_window, not_in
+from ..operators.joins import dim_join, full_outer_union_keys
+from ..operators.merge import merge_upsert
+from .registry import load, query
+
+# --------------------------------------------------------------------------
+# §2.1 scans + §2.2 projections
+# --------------------------------------------------------------------------
+
+
+@query(
+    "s4_scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+    """,
+)
+def s4_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/P3: projected scan with a pushed-down predicate.
+
+    The reference prunes columns by hand in every ORM query
+    (``dags/etl/stage_to_nds.py:38-39,87-100,182-200``); here Catalyst
+    prunes to ReadSchema and pushes the range filter into the parquet
+    scan (row-group min/max skipping) — verified in tests via
+    ``PushedFilters`` in the formatted plan.
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+        .filter(F.col("l_shipdate") < "1996-01-01 00:00:00")
+    )
+
+
+@query(
+    "p1_rename_trim",
+    oracle="""
+    SELECT c_custkey AS customer_key,
+           trim(c_name) AS customer_name,
+           c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def p1_rename_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 bulk rename + X1 trim (``dags/etl/source_to_stage.py:55-68,75``)."""
+    return load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_key"),
+        F.trim(F.col("c_name")).alias("customer_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@query(
+    "p4_derived_columns",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS measured_date,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           1 AS source_id
+    FROM orders
+    """,
+)
+def p4_derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 date-from-timestamp + P6 constant source_id
+    (``dags/etl/source_to_stage.py:70``, ``dags/etl/stage_to_nds.py:27``).
+
+    Surfaced as a midnight timestamp rather than DATE: DuckDB/pandas
+    render DATE as datetime64 anyway, so a timestamp keeps the driver's
+    value comparison representation-identical on both sides.
+    """
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_trunc("day", F.col("o_orderdate")).alias("measured_date"),
+        F.year("o_orderdate").alias("order_year"),
+        F.lit(1).alias("source_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 filters
+# --------------------------------------------------------------------------
+
+
+@query(
+    "f1_cdc_window",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <= TIMESTAMP '1997-06-30 23:59:59'
+    """,
+)
+def f1_cdc_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: the CDC window ``lset <= ts <= cet``, inclusive both ends
+    (``dags/etl/source_to_stage.py:73``)."""
+    df = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    return cdc_window(df, "l_shipdate", "1997-01-01 00:00:00", "1997-06-30 23:59:59")
+
+
+@query(
+    "f4_not_in",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def f4_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: NOT IN with faithful three-valued null semantics
+    (``dags/etl/stage_to_nds.py:120``)."""
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load(spark, sf_dir, "orders")
+    return not_in(customer, "c_custkey", orders, "o_custkey")
+
+
+@query(
+    "f5_not_exists",
+    oracle="""
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events)
+    SELECT DISTINCT user_id, event_type
+    FROM ev e
+    WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+      AND NOT EXISTS (
+        SELECT 1 FROM ev e2
+        WHERE e2.ts >= TIMESTAMP '2024-01-15 00:00:00'
+          AND e2.user_id = e.user_id AND e2.event_type = e.event_type
+      )
+    """,
+)
+def f5_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: composite-key NOT EXISTS anti-join
+    (``dags/etl/stage_to_nds.py:132-135``)."""
+    events = load(spark, sf_dir, "events")
+    early = (
+        events.filter(F.col("ts") < "2024-01-15 00:00:00")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    late = events.filter(F.col("ts") >= "2024-01-15 00:00:00")
+    return anti_join(early, late, ["user_id", "event_type"])
+
+
+# --------------------------------------------------------------------------
+# §2.4 joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "j1_full_outer",
+    oracle="""
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           c.n_customers, s.n_suppliers
+    FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+          FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+          FROM supplier GROUP BY 1) s
+    USING (nationkey)
+    """,
+)
+def j1_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: full-outer key-universe merge, the Spark shape of the
+    reference's state-sets outer merge (``dags/etl/stage_to_nds.py:44``)."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return full_outer_union_keys(c, s, "nationkey")
+
+
+@query(
+    "j2_star_join_agg",
+    oracle="""
+    SELECT n_name,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def j2_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3/J5: fact ⋈ broadcast dims (``dags/etl/stage_to_nds.py:105,119,209``).
+
+    customer/nation/region are the dimension sides — explicitly
+    broadcast, so the orders fact never shuffles for the join (the only
+    shuffle is the final group-by). The double sum goes through DECIMAL
+    so the result is exact and partitioning-independent.
+    """
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@query(
+    "j4_composite_join",
+    oracle="""
+    WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+                FROM events)
+    SELECT e.event_id, e.user_id, e.event_type, f.first_ts
+    FROM ev e
+    JOIN (SELECT user_id, event_type, min(ts) AS first_ts
+          FROM ev GROUP BY 1, 2) f
+      ON e.user_id = f.user_id AND e.event_type = f.event_type
+    """,
+)
+def j4_composite_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: composite-key equi-join (``dags/etl/stage_to_nds.py:210``)."""
+    events = load(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts")
+    )
+    return dim_join(
+        events.select("event_id", "user_id", "event_type"),
+        first_seen,
+        ["user_id", "event_type"],
+    )
+
+
+@query(
+    "j6_merge_upsert",
+    oracle="""
+    WITH target AS (
+      SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ),
+    source AS (
+      SELECT o_orderkey, o_custkey,
+             'U' AS o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-06-01 00:00:00'
+    )
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_custkey ELSE s.o_custkey END AS o_custkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderdate ELSE s.o_orderdate END AS o_orderdate,
+           CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderpriority ELSE s.o_orderpriority END AS o_orderpriority
+    FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def j6_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: the reference's row-at-a-time upsert
+    (``dags/etl/stage_to_nds.py:141-176``) as ONE full-outer-join MERGE:
+    matched keys take the source's updated status/price, unmatched
+    target rows survive, source-only keys insert."""
+    orders = load(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderdate") < "1998-01-01 00:00:00")
+    source = orders.filter(
+        (F.col("o_orderdate") >= "1997-06-01 00:00:00")
+        & (F.col("o_orderdate") < "1998-06-01 00:00:00")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    return merge_upsert(
+        target, source, keys=["o_orderkey"], update_cols=["o_orderstatus", "o_totalprice"]
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 dedup / distinct + set ops
+# --------------------------------------------------------------------------
+
+
+@query(
+    "a1_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def a1_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: projected DISTINCT (``dags/etl/stage_to_nds.py:38-39,117``)."""
+    return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "a3_keepfirst_dedup",
+    oracle="""
+    SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber, l_shipdate
+    FROM lineitem
+    QUALIFY row_number() OVER (
+      PARTITION BY l_partkey, l_suppkey
+      ORDER BY l_shipdate, l_orderkey, l_linenumber) = 1
+    """,
+)
+def a3_keepfirst_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: deterministic keep-first dedup on a composite natural key —
+    the reference relies on pandas row order (``dags/etl/stage_to_nds.py:211``);
+    we make the order explicit (earliest shipdate, tiebroken fully)."""
+    df = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    return keep_first(
+        df,
+        keys=["l_partkey", "l_suppkey"],
+        order_by=["l_shipdate", "l_orderkey", "l_linenumber"],
+    )
+
+
+@query(
+    "u1_set_ops",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def u1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation surface (beyond the reference, SURVEY.md §2.5 notes
+    none exist there): INTERSECT of two filtered key sets."""
+    orders = load(spark, sf_dir, "orders")
+    y95 = orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1996-01-01 00:00:00")
+    ).select("o_custkey")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1997-01-01 00:00:00")
+    ).select("o_custkey")
+    return y95.intersect(y96)
+
+
+# --------------------------------------------------------------------------
+# §2.6 scalar functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "x4_aqi_categorize",
+    oracle=f"""
+    WITH synth AS (
+      SELECT CAST((l_orderkey * 7 + l_linenumber * 13) % 420 - 10 AS INTEGER)
+             AS aqi_value
+      FROM lineitem
+    )
+    SELECT {aqi_category_sql("aqi_value")} AS aqi_category,
+           count(*) AS n,
+           min(aqi_value) AS min_aqi,
+           max(aqi_value) AS max_aqi
+    FROM synth
+    GROUP BY 1
+    """,
+)
+def x4_aqi_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: the 6-bucket AQI CASE (``dags/etl/source_to_stage.py:110-125``)
+    as a codegen'd when-chain — no Python UDF. The synthetic aqi_value
+    covers every bucket plus negatives (→ Unknown), exercising the
+    reference's exact gap/else contract."""
+    df = load(spark, sf_dir, "lineitem").select(
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 420 - 10)
+        .cast("int")
+        .alias("aqi_value")
+    )
+    return (
+        df.withColumn("aqi_category", aqi_category(F.col("aqi_value")))
+        .groupBy("aqi_category")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("aqi_value").alias("min_aqi"),
+            F.max("aqi_value").alias("max_aqi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# aggregation / window surface (beyond the reference; engine completeness)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary — the flagship scan-heavy
+    aggregate. All money sums in DECIMAL (exact, order-independent),
+    surfaced as DOUBLE."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02 00:00:00"
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+        .cast("double")
+        .alias("sum_charge"),
+        (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "g1_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def g1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (engine surface; none in reference)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "g2_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def g2_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on l_linestatus with explicit value list (bounded output
+    columns — required for a deterministic schema at any scale)."""
+    out = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+    )
+    return out.withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+
+
+@query(
+    "w1_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+    FROM orders
+    QUALIFY rn <= 3
+    """,
+)
+def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group: window + row_number, fully tiebroken. Scales as
+    one shuffle on the group key — never a global sort."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "w2_running_sum",
+    oracle="""
+    WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+                FROM events)
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value
+    FROM ev
+    """,
+)
+def w2_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user sum in DECIMAL surfaced as DOUBLE — windowed
+    double sums are NOT portable (DuckDB's windowed SUM uses segment
+    trees, Spark accumulates in frame order; last-ulp drift either way),
+    decimal addition is exact in any association order."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .withColumn(
+            "running_value",
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"),
+        )
+        .drop("value")
+    )
