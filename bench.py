@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "total_headline_seconds", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced through the noop writer so every column/aggregate
+is actually computed (a bare count() would let Catalyst prune the
+projections being benchmarked).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from aqi_analysis_apache_airflow_spark.plans import REGISTRY
+from aqi_analysis_apache_airflow_spark.plans import extended as _extended  # noqa: F401
+from aqi_analysis_apache_airflow_spark.plans import queries as _queries  # noqa: F401
+from aqi_analysis_apache_airflow_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j2_star_join_agg",
+    "j6_merge_upsert",
+    "a3_keepfirst_dedup",
+    "w1_topk_per_group",
+    "f4_not_in",
+    "e1_tumbling_window",
+    "e2_sessionization",
+    "d1_exact_dedup",
+    "t1_token_stats",
+    "sim_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="bench")
+
+    # Uncounted warmup: JIT the write path and codegen once so the first
+    # measured query isn't charged for JVM warmup.
+    spark.range(1_000_000).selectExpr("sum(id) AS s").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
