@@ -24,8 +24,12 @@ plan — one key-partitioned join — is the same.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _as_col(v: object) -> Column:
+    return v if isinstance(v, Column) else F.lit(v)
 
 
 def merge_upsert(
@@ -34,12 +38,17 @@ def merge_upsert(
     keys: list[str],
     update_cols: list[str] | None = None,
     insert_only_cols: dict[str, object] | None = None,
+    set_on_match: dict[str, object] | None = None,
 ) -> DataFrame:
     """Return the merged table: target upserted with source.
 
     ``update_cols`` — columns the source overwrites on match (default:
     every non-key column present in both sides). ``insert_only_cols`` —
     constants applied only to inserted rows (e.g. ``created_date_nds``).
+    ``set_on_match`` — constants applied only to matched rows (the
+    reference stamps ``last_updated_nds``/``last_updated`` to *now* on
+    update — ``dags/etl/stage_to_nds.py:151-154`` — rather than taking
+    the source's value).
 
     The source must be unique per key (callers dedupe first, as the
     reference does via ``drop_duplicates`` at ``stage_to_nds.py:211``);
@@ -56,35 +65,50 @@ def merge_upsert(
             for c in source.columns
             if c not in keys
         ],
+        F.lit(1).alias("__src_present"),
     )
-    cond = [target[k].eqNullSafe(src[f"__src_{k}"]) for k in keys]
-    joined = target.join(src, on=cond, how="full_outer")
+    # presence markers, NOT key-null checks: keys may legitimately be
+    # NULL (e.g. backfilled county rows without a fips), and a null key
+    # must read as "row exists with a null key", not "no row".
+    tgt = target.withColumn("__tgt_present", F.lit(1))
+    cond = [tgt[k].eqNullSafe(src[f"__src_{k}"]) for k in keys]
+    joined = tgt.join(src, on=cond, how="full_outer")
 
-    matched_src = F.col(f"__src_{keys[0]}").isNotNull()
-    in_target = target[keys[0]].isNotNull()
+    matched_src = F.col("__src_present").isNotNull()
+    in_target = F.col("__tgt_present").isNotNull()
 
     out = []
-    src_cols = {c[6:] for c in src.columns if c.startswith("__src_")}
+    src_cols = {
+        c[6:] for c in src.columns if c.startswith("__src_") and c != "__src_present"
+    }
     for c in target.columns:
         if c in keys:
-            out.append(F.coalesce(target[c], F.col(f"__src_{c}")).alias(c))
+            out.append(F.coalesce(tgt[c], F.col(f"__src_{c}")).alias(c))
         elif c in update_cols and c in src_cols:
             # matched or insert → source value; target-only → target value
             out.append(
-                F.when(matched_src, F.col(f"__src_{c}")).otherwise(target[c]).alias(c)
+                F.when(matched_src, F.col(f"__src_{c}")).otherwise(tgt[c]).alias(c)
             )
         elif c in src_cols:
             # non-updatable column (e.g. created): keep target on match,
             # take source only for brand-new keys
             out.append(
-                F.when(in_target, target[c]).otherwise(F.col(f"__src_{c}")).alias(c)
+                F.when(in_target, tgt[c]).otherwise(F.col(f"__src_{c}")).alias(c)
             )
         else:
-            out.append(target[c])
-    merged = joined.select(*out, (~in_target).alias("__is_insert"))
+            out.append(tgt[c])
+    merged = joined.select(
+        *out,
+        (~in_target).alias("__is_insert"),
+        (in_target & matched_src).alias("__is_match"),
+    )
 
     for c, v in (insert_only_cols or {}).items():
         merged = merged.withColumn(
-            c, F.when(F.col("__is_insert"), F.lit(v)).otherwise(F.col(c))
+            c, F.when(F.col("__is_insert"), _as_col(v)).otherwise(F.col(c))
         )
-    return merged.drop("__is_insert")
+    for c, v in (set_on_match or {}).items():
+        merged = merged.withColumn(
+            c, F.when(F.col("__is_match"), _as_col(v)).otherwise(F.col(c))
+        )
+    return merged.drop("__is_insert", "__is_match")

@@ -1,0 +1,79 @@
+"""Operator unit tests (SURVEY.md §5.3): the semantics that are easy to
+get silently wrong."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aqi_analysis_apache_airflow_spark.functions.scalar import aqi_category
+from aqi_analysis_apache_airflow_spark.operators.dedupe import keep_first
+from aqi_analysis_apache_airflow_spark.operators.filters import not_in
+from aqi_analysis_apache_airflow_spark.operators.merge import merge_upsert
+
+
+def test_aqi_buckets_float_gaps(spark):
+    """The reference contract (``dags/etl/source_to_stage.py:110-125``):
+    integer-bounded closed buckets leave GAPS for non-integer values —
+    50.5 is Unknown, not Good/Moderate. Negatives are Unknown too."""
+    df = spark.createDataFrame(
+        [(0.0,), (50.0,), (50.5,), (51.0,), (300.5,), (301.0,), (-1.0,), (1e9,)],
+        "aqi double",
+    ).withColumn("cat", aqi_category(F.col("aqi")))
+    got = {r["aqi"]: r["cat"] for r in df.collect()}
+    assert got[0.0] == "Good"
+    assert got[50.0] == "Good"
+    assert got[50.5] == "Unknown"
+    assert got[51.0] == "Moderate"
+    assert got[300.5] == "Hazardous"  # > 300 catches the gap above 300
+    assert got[301.0] == "Hazardous"
+    assert got[-1.0] == "Unknown"
+    assert got[1e9] == "Hazardous"
+
+
+def test_not_in_null_subquery_empties_result(spark):
+    """SQL three-valued logic (``dags/etl/stage_to_nds.py:120``): any
+    NULL in the subquery → NOT IN yields ZERO rows. A bare anti-join
+    would wrongly return a/c."""
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    sub_with_null = spark.createDataFrame([("b",), (None,)], "k2 string")
+    assert not_in(df, "k", sub_with_null, "k2").count() == 0
+    sub_clean = spark.createDataFrame([("b",)], "k2 string")
+    got = {r["k"] for r in not_in(df, "k", sub_clean, "k2").collect()}
+    assert got == {"a", "c"}
+
+
+def test_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [("k1", 2, "second"), ("k1", 1, "first"), ("k2", 9, "only")],
+        "k string, ord int, val string",
+    )
+    got = {
+        r["k"]: r["val"]
+        for r in keep_first(df, keys=["k"], order_by=["ord"]).collect()
+    }
+    assert got == {"k1": "first", "k2": "only"}
+
+
+def test_merge_upsert_matrix(spark):
+    """Update / keep / insert paths plus null-key safety in one merge."""
+    target = spark.createDataFrame(
+        [(1, "old-1", "keep-1"), (2, "old-2", "keep-2"), (None, "null-key", "keep-n")],
+        "id int, upd string, other string",
+    )
+    source = spark.createDataFrame(
+        [(2, "new-2", "src-2"), (3, "new-3", "src-3")],
+        "id int, upd string, other string",
+    )
+    out = {
+        r["id"]: (r["upd"], r["other"])
+        for r in merge_upsert(target, source, keys=["id"], update_cols=["upd"]).collect()
+    }
+    assert out[1] == ("old-1", "keep-1")          # untouched
+    assert out[2] == ("new-2", "keep-2")          # upd updated, other kept
+    assert out[3] == ("new-3", "src-3")           # inserted
+    assert out[None] == ("null-key", "keep-n")    # null key survives intact
+    # idempotent: merging the same source again changes nothing
+    merged = merge_upsert(target, source, keys=["id"], update_cols=["upd"])
+    again = merge_upsert(merged, source, keys=["id"], update_cols=["upd"])
+    canon = lambda df: sorted(tuple(map(str, r)) for r in df.collect())
+    assert canon(merged) == canon(again)
