@@ -1,0 +1,245 @@
+"""Near-duplicate detection over the documents table (SURVEY.md §7
+phase 5; the training-data-pipeline surface the 100 TB deployment
+needs).
+
+Three families, all shuffle-conscious:
+
+- **n-gram Jaccard** (exact): explode distinct word shingles, self-join
+  on the shingle, count intersections. One shuffle on the shingle key;
+  a hot shingle fans out quadratically, so callers cap per-shingle
+  document frequency (stop-shingle pruning — standard practice, and at
+  100 TB non-negotiable).
+- **MinHash + LSH** (approximate): k independent min-hashes per doc
+  from one xxhash64 per (shingle, seed); band the signature and
+  self-join on (band, band-hash). Collisions are candidates; the
+  signature-agreement rate estimates Jaccard. Shuffle is on band
+  buckets — bounded by design, no quadratic blowup.
+- **SimHash** (approximate, Hamming space): 64-bit sign-aggregated
+  token hashes; near-dups collide on 16-bit bands (Hamming ≤ 3 within
+  64 bits ⇒ at least one of 4 bands equal, by pigeonhole).
+
+Everything is pure column expressions — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\S+"
+
+
+def tokens(text: Column) -> Column:
+    return F.regexp_extract_all(text, F.lit(TOKEN_RE), 0)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles; fewer than k tokens → empty array
+    (guarded: Spark's ``sequence`` would happily count backwards)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    shingle_at = lambda i: F.concat_ws(
+        " ", *[F.get(toks, i + F.lit(j)) for j in range(k)]
+    )
+    return F.when(
+        n >= k,
+        F.array_distinct(F.transform(F.sequence(F.lit(0), n - k), shingle_at)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exploded_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    max_doc_freq: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard over k-word shingle sets for every candidate pair.
+
+    ``max_doc_freq`` drops shingles shared by more than that many docs
+    (stop-shingles): they contribute little discrimination but dominate
+    the self-join cost. Output: doc_a < doc_b, jaccard.
+    """
+    sh = exploded_shingles(docs, id_col, text_col, k)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 32,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per doc with ``sig: array<bigint>`` of length n_hashes.
+
+    Hash family: ``xxhash64(shingle, seed=i)`` via a per-seed literal —
+    deterministic across runs and partitionings. Aggregation is a
+    groupBy(doc) of per-shingle minima: map-side combine collapses most
+    of the data before the single shuffle.
+    """
+    sh = exploded_shingles(docs, id_col, text_col, k)
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    return mins.select(
+        id_col, F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signature and self-join on (band_id, band_hash).
+
+    Output: doc_a < doc_b, est_jaccard (fraction of agreeing signature
+    components). The join key is the band bucket, so work scales with
+    bucket occupancy, not the corpus square.
+    """
+    n_hashes = len(signatures.first()["sig"])
+    rows_per_band = n_hashes // bands
+    banded = signatures.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.hash(
+                            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                        ).alias("band_hash"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "sig", "b.band_id", "b.band_hash")
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), "band_id", "band_hash"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), "band_id", "band_hash"
+    )
+    pairs = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    n = F.size(F.col("sig_a"))
+    return pairs.select(
+        "doc_a", "doc_b", (agree.cast("double") / n).alias("est_jaccard")
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash: per-token xxhash64, each bit votes ±1, the sign
+    of the per-bit sum becomes the fingerprint bit. Array-native fold —
+    no explode, no shuffle."""
+    toks = tokens(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # 1<<63 overflows a signed long literal; shiftleft stays in-type
+    bit = lambda i: F.shiftleft(F.lit(1).cast("long"), i)
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(bit(i)) != 0, 1).otherwise(-1),
+        )
+        for i in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        out = out + F.when(v > 0, bit(i)).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_band_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs by 16-bit SimHash bands (pigeonhole:
+    Hamming ≤ 3 over 64 bits ⇒ ≥1 of 4 bands identical), verified with
+    the exact Hamming distance."""
+    sh = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+    banded = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.band_id", "b.band_val")
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "band_id", "band_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "band_id", "band_val"
+    )
+    pairs = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,68 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: the payload is an opaque
+``binary`` column (or a (path, offset, length) pointer into object
+storage), metadata is typed columns, and decode/feature-extraction is
+an Arrow-batched ``mapInPandas`` stage so the heavy Python work sees
+whole record batches, never single rows.
+
+The decode libraries (PIL/ffmpeg/etc.) are NOT in this image, so the
+actual decode is stubbed: ``decode_stub=True`` (default) computes
+deterministic features from the raw bytes (size + md5) so the Spark
+plumbing — schema, Arrow batch shape, partition-parallel execution —
+is real and testable; ``decode_stub=False`` raises NotImplementedError
+at the point a real decoder would plug in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = "doc_id bigint, n_bytes int, content_id string"
+
+
+def extract_binary_features(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Per-record features from a binary column via mapInPandas.
+
+    Each Arrow batch arrives as a pandas DataFrame; features are
+    computed vectorized per batch. Partition-parallel, no shuffle.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        if not decode_stub:
+            raise NotImplementedError(
+                "real decode needs an image/audio library not present in "
+                "this environment; plug it in here"
+            )
+        for pdf in batches:
+            payload = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": payload.str.len().astype("int32"),
+                    "content_id": payload.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat documents.text bytes as an opaque payload so the
+    multimodal plumbing is exercised against the driver corpus."""
+    return docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )

@@ -285,3 +285,126 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("cosine_sim").desc(), "vec_id").limit(50)
+
+
+# --------------------------------------------------------------------------
+# near-duplicate detection + multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+@query(
+    "d2_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM shingles a JOIN shingles b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.5
+    """,
+)
+def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard near-dup pairs (threshold 0.5).
+    One shuffle on the shingle key; at corpus scale the stop-shingle
+    cap in :func:`...functions.dedup.ngram_jaccard_pairs` bounds the
+    self-join fan-out (uncapped here to stay oracle-comparable)."""
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.5, k=3, max_doc_freq=None
+    )
+
+
+@query("d3_minhash_lsh", oracle=None)
+def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + 8-band LSH candidate pairs with estimated Jaccard
+    ≥ 0.5. No SQL oracle (xxhash64 has no DuckDB twin); correctness is
+    unit-tested against exact Jaccard on planted near-duplicates."""
+    from ..functions.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(load(spark, sf_dir, "documents"), n_hashes=32)
+    return lsh_candidate_pairs(sigs, bands=8).filter(F.col("est_jaccard") >= 0.5)
+
+
+@query("d4_simhash_neardup", oracle=None)
+def d4_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 banded near-dup pairs (Hamming ≤ 3). No SQL oracle
+    (xxhash64); unit-tested on planted duplicates."""
+    from ..functions.dedup import simhash_band_pairs
+
+    return simhash_band_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@query(
+    "d5_embedding_near_dup",
+    oracle="""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             unnest(a.embedding) AS x, unnest(b.embedding) AS y
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT id_a, id_b,
+             SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,14))) AS dot,
+             SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14))) AS na,
+             SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,14))) AS nb
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cosine_sim
+    FROM dots
+    WHERE round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) >= 0.2
+    """,
+)
+def d5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact, on a deterministic 1/50
+    subsample (the oracle's all-pairs SQL is quadratic; the subsample
+    keeps it honest at any sf). The production path for the full corpus
+    is :func:`...functions.similarity.lsh_near_pairs`."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 50 == 0)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    from ..functions.similarity import cosine
+
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.2)
+    )
+
+
+@query(
+    "m1_binary_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           md5(text) AS content_id
+    FROM documents
+    """,
+)
+def m1_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, end-to-end: text bytes stand in for an
+    opaque media payload; features flow through an Arrow-batched
+    mapInPandas stage (the real decode hook) and are checked against a
+    plain SQL oracle."""
+    from ..functions.multimodal import documents_as_media, extract_binary_features
+
+    return extract_binary_features(documents_as_media(load(spark, sf_dir, "documents")))

@@ -1,0 +1,104 @@
+"""Near-dup + similarity correctness on planted duplicates (the
+rows-only queries' substitute for a SQL oracle)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqi_analysis_apache_airflow_spark.functions.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_band_pairs,
+)
+from aqi_analysis_apache_airflow_spark.functions.multimodal import (
+    documents_as_media,
+    extract_binary_features,
+)
+from aqi_analysis_apache_airflow_spark.functions.similarity import (
+    brute_force_topk,
+    lsh_near_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the merge join "
+    "shuffles partitions across the cluster and the optimizer prunes "
+    "columns before the scan starts reading row groups from parquet"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate
+        (3, BASE.replace("lazy dog", "sleepy cat")),  # near duplicate
+        (4, "completely different text about airflow dags and postgres tables"),
+        (5, "short text"),
+        (6, ""),  # empty: must not crash shingling
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_jaccard_finds_planted_pairs(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.3 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_agrees_with_exact(docs):
+    sigs = minhash_signatures(docs, n_hashes=32)
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in lsh_candidate_pairs(sigs, bands=8).collect()
+    }
+    assert est[(1, 2)] == 1.0          # identical docs always collide
+    assert (1, 3) in est               # near-dups land in ≥1 shared band
+    assert est[(1, 3)] > 0.3
+    assert est.get((1, 4), 0.0) < 0.3  # unrelated docs don't score high
+
+
+def test_simhash_bands(docs):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_band_pairs(docs, max_hamming=10).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert 0 < got[(1, 3)] <= 10
+    assert (1, 4) not in got
+
+
+def test_embedding_topk_and_lsh(spark):
+    # deterministic synthetic embeddings: vec 0's near-twin is 100
+    import math
+
+    def vec(seed, dim=16):
+        return [math.sin(seed * 7.1 + i) for i in range(dim)]
+
+    rows = [(i, vec(i)) for i in range(1, 60)]
+    rows.append((100, [v + 0.01 for v in vec(0)]))
+    emb = spark.createDataFrame(
+        [(0, vec(0))] + rows, "vec_id bigint, embedding array<double>"
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    top = brute_force_topk(emb.filter("vec_id != 0"), q, k=3).collect()
+    assert top[0]["vec_id"] == 100 and top[0]["cosine_sim"] > 0.999
+
+    near = lsh_near_pairs(emb, threshold=0.99, n_planes=8).collect()
+    assert any({r["id_a"], r["id_b"]} == {0, 100} for r in near)
+
+
+def test_multimodal_stub_plumbing(spark, docs):
+    feats = {
+        r["doc_id"]: (r["n_bytes"], r["content_id"])
+        for r in extract_binary_features(documents_as_media(docs)).collect()
+    }
+    assert feats[1][0] == len(BASE.encode())
+    assert feats[1][1] == feats[2][1]      # same bytes → same content id
+    assert feats[1][1] != feats[3][1]
+    assert feats[6][0] == 0                # empty payload handled
