@@ -1,0 +1,137 @@
+"""Structured Streaming surface over the events table (SURVEY.md §2.8,
+§7 phase 6).
+
+The reference has no streaming: its CET/LSET bookkeeping + CDC filter
+(``dags/etl/source_to_stage.py:73``) is a hand-rolled batch watermark
+that SILENTLY DROPS late rows. This module is the principled version:
+
+- ``withWatermark`` bounds state and defines lateness explicitly;
+- tumbling/sliding windows replace the one-shot [lset, cet] bucket;
+- ``session_window`` and ``dropDuplicatesWithinWatermark`` are the
+  stateful operators the batch twins in plans/extended.py mirror
+  (e1_tumbling_window / e2_sessionization — same logical results on
+  the same data, verified in tests).
+
+All builders take/return streaming DataFrames and never start queries
+themselves; sinks are the caller's business (tests use the memory sink
+with an availableNow trigger so a parquet batch drives the stream to
+completion deterministically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events schema with ts already normalized to microsecond NTZ — the
+#: streaming reader cannot flip the nanos legacy conf per-batch, so the
+#: stream reads the raw nanos LONG and converts, exactly like the batch
+#: loader in sources/readers.py.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path_dir: str) -> DataFrame:
+    """File-source stream over events parquet (swap for Kafka in prod;
+    the downstream plans are source-agnostic)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(path_dir)
+    )
+    # TIMESTAMP (not NTZ): EventTimeWatermark only accepts TIMESTAMP.
+    # Session timezone is pinned UTC, so values line up with the batch
+    # loader's NTZ microseconds.
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling (or sliding, if ``slide``) aggregation —
+    the streaming twin of e1_tumbling_window. Late rows inside the
+    watermark still update their window; rows later than the watermark
+    are dropped WITH accounting (observable via
+    ``query.lastProgress['stateOperators'][0]['numRowsDroppedByWatermark']``)
+    — unlike the reference's silent CDC drop."""
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stateful per-user sessionization — the streaming twin of
+    e2_sessionization (same gap semantics: a gap of exactly ``gap``
+    starts a new session)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon: state is
+    bounded (old keys age out with the watermark), unlike a global
+    ``dropDuplicates`` whose state grows forever on an unbounded
+    stream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Drive a streaming DataFrame to completion against the memory
+    sink (availableNow trigger): deterministic, synchronous, test-grade.
+    ``mode``: 'complete' for aggregations (append would hold back
+    windows the final watermark hasn't passed), 'append' for stateless
+    / dedup streams. Returns the materialized batch result."""
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
