@@ -268,7 +268,14 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort. The decimal-summed dot product makes the score reproducible
     bit-for-bit at any parallelism."""
     emb = load(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    # query norm is a constant: compute it ONCE in the broadcast side
+    # instead of re-folding the query vector for every corpus row
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")).cast("double")).alias(
+            "qnorm"
+        ),
+    )
     scored = (
         emb.filter(F.col("vec_id") != 0)
         .join(F.broadcast(qvec))
@@ -278,7 +285,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _dot(F.col("embedding"), F.col("qv")).cast("double")
                 / (
                     F.sqrt(_dot(F.col("embedding"), F.col("embedding")).cast("double"))
-                    * F.sqrt(_dot(F.col("qv"), F.col("qv")).cast("double"))
+                    * F.col("qnorm")
                 ),
                 6,
             ).alias("cosine_sim"),

@@ -340,6 +340,7 @@ def a3_keepfirst_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         df,
         keys=["l_partkey", "l_suppkey"],
         order_by=["l_shipdate", "l_orderkey", "l_linenumber"],
+        pre_partition=True,  # mostly-unique keys + single-split input
     )
 
 

@@ -46,11 +46,17 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark(app_name="bench")
 
-    # Uncounted warmup: JIT the write path and codegen once so the first
-    # measured query isn't charged for JVM warmup.
+    # Uncounted warmup: JIT the write path/codegen once, and fault the
+    # input files into the OS page cache so per-query numbers reflect
+    # steady state instead of charging the first query for cold disk.
     spark.range(1_000_000).selectExpr("sum(id) AS s").write.format("noop").mode(
         "overwrite"
     ).save()
+    from aqi_analysis_apache_airflow_spark.schemas import CORPUS_TABLES
+    from aqi_analysis_apache_airflow_spark.sources.readers import load_table
+
+    for t in CORPUS_TABLES:
+        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
