@@ -415,3 +415,82 @@ def m1_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import documents_as_media, extract_binary_features
 
     return extract_binary_features(documents_as_media(load(spark, sf_dir, "documents")))
+
+
+@query(
+    "e3_sliding_window",
+    oracle="""
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+    slotted AS (
+      SELECT
+        -- each event belongs to 2 overlapping 1h windows on a 30min slide:
+        -- starts at the two 30-min marks in (ts-1h, ts]
+        CAST(to_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - u.i) * 1800)
+             AS TIMESTAMP) AS window_start,
+        event_type, value
+      FROM ev, UNNEST([0, 1]) AS u(i)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM slotted
+    GROUP BY 1, 2, 3
+    """,
+)
+def e3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 30-minute slide: every event lands in two
+    windows. The oracle enumerates the two slots per event explicitly;
+    Spark's ``window(ts, '1 hour', '30 minutes')`` does the same
+    expansion inside the operator."""
+    out = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return out
+
+
+@query(
+    "g3_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def g3_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (percentile ≡ quantile_cont: both
+    use lower + (upper-lower)*fraction on the sorted values, rounded to
+    absorb engine-side arithmetic-order ulps). percentile_approx is the
+    sketch variant for 100 TB — same plan shape, not oracle-exact, so
+    the exact form is registered."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+                "median_price"
+            ),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias(
+                "p95_price"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
