@@ -1,0 +1,69 @@
+"""Physical-plan regression tests: the optimizations the engine's scale
+story depends on must be visible in the plan, not assumed (SURVEY.md §4).
+A refactor that silently turns a broadcast join into a sort-merge join
+or un-pushes a filter should fail here, at sf-independent cost."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqi_analysis_apache_airflow_spark.operators.filters import null_normalize
+from aqi_analysis_apache_airflow_spark.plans import REGISTRY
+from aqi_analysis_apache_airflow_spark.plans import extended as _extended  # noqa: F401
+from aqi_analysis_apache_airflow_spark.plans import queries as _queries  # noqa: F401
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark):
+    p = plan_of(spark, "s4_scan_project")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in p
+    # projection reaches the scan: only the 4 selected columns are read
+    assert "l_quantity" not in p and "l_discount" not in p
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    p = plan_of(spark, "j2_star_join_agg")
+    # 3 joins, each named once in the tree and once in the details
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+    # the region literal filter pushed into the region scan
+    assert "EqualTo(r_name,ASIA)" in p
+
+
+def test_q5_single_shuffle_pair(spark):
+    p = plan_of(spark, "q5_supplier_volume")
+    # lineitem⋈orders may be sort-merge or shuffled-hash; dims broadcast
+    assert p.count("BroadcastHashJoin") >= 4
+
+
+def test_global_topk_never_global_sorts(spark):
+    p = plan_of(spark, "o1_global_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_q1_partial_aggregation(spark):
+    p = plan_of(spark, "q1_pricing_summary")
+    # partial agg before the exchange, final after: map-side combine
+    first_agg = p.index("HashAggregate")
+    exchange = p.index("Exchange")
+    assert first_agg < exchange or p.count("HashAggregate") >= 2
+
+
+def test_null_normalize(spark):
+    df = spark.createDataFrame([(1.0,), (float("nan"),), (None,)], "x double")
+    out = [r["y"] for r in df.select(null_normalize(F.col("x")).alias("y")).collect()]
+    assert out.count(None) == 2 and 1.0 in out
