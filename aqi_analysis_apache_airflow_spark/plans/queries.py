@@ -783,3 +783,63 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("n_name").agg(
         F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue")
     )
+
+
+@query(
+    "g5_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def g5_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping-set combinations in one pass (Spark
+    expands to a single Expand + aggregate — one shuffle, not 4)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "j9_asof_join",
+    oracle="""
+    WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+                FROM events)
+    SELECT event_id, user_id, ts, event_type,
+           last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_ts
+    FROM ev
+    """,
+)
+def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native operator): for every event, the
+    most recent purchase at-or-before it for the same user, composed as
+    an ignore-nulls last() over an ordered window — one shuffle on the
+    partition key, no range-join blowup. The same pattern implements
+    point-in-time feature lookups; for two-table as-of, union the
+    tagged sides first (SNIPPETS.md pattern) or use
+    ``applyInPandas`` + ``pd.merge_asof`` per key group."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = load(spark, sf_dir, "events")
+    return ev.select("event_id", "user_id", "ts", "event_type").withColumn(
+        "last_purchase_ts",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("ts")), ignorenulls=True
+        ).over(w),
+    )

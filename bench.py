@@ -28,6 +28,7 @@ from aqi_analysis_apache_airflow_spark.session import get_spark
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q5_supplier_volume",
     "j2_star_join_agg",
     "j6_merge_upsert",
     "a3_keepfirst_dedup",
@@ -35,10 +36,17 @@ HEADLINE = [
     "f4_not_in",
     "e1_tumbling_window",
     "e2_sessionization",
+    "e3_sliding_window",
     "d1_exact_dedup",
     "t1_token_stats",
+    "t4_tfidf",
     "sim_cosine_topk",
 ]
+# d2_ngram_jaccard / d3_minhash_lsh are excluded: the synthetic corpus
+# has a ~30-word vocabulary, so every shingle is a hot key and the
+# candidate join fans out pathologically (~20s at sf0.1). On real text
+# the stop-shingle cap (functions/dedup.py) bounds exactly this; the
+# oracle-comparable uncapped variants stay in the correctness matrix.
 
 
 def main() -> None:
