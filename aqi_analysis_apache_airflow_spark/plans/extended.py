@@ -534,3 +534,24 @@ def t4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
         ).alias("tfidf"),
     )
+
+
+@query("g6_approx_sketches", oracle=None)
+def g6_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB substitutes for exact
+    countDistinct (g4) and exact quantiles (g3): HyperLogLog++ and
+    KLL-style quantile sketches are mergeable, so they combine
+    map-side and never shuffle raw values. No SQL oracle (sketch
+    internals are engine-specific); accuracy vs the exact queries is
+    unit-tested with rsd/rank tolerances."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+                "approx_median_price"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
