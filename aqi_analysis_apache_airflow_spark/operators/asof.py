@@ -1,0 +1,86 @@
+"""Two-table as-of join (Spark has no native operator).
+
+``asof_join(left, right, ...)``: for each left row, attach the columns
+of the LATEST right row with ``right.ts <= left.ts`` for the same key —
+the point-in-time lookup at the heart of feature stores and
+slowly-changing reference data.
+
+Implementation is the union-tag pattern, pure DataFrame ops:
+
+1. tag both sides and union them on (key, ts);
+2. one ordered window per key: ``last(right-cols, ignorenulls=True)``
+   carries the most recent right values forward onto every row;
+3. keep the left-tagged rows.
+
+Cost: ONE shuffle on the key (the window sort) — compare a naive range
+join (quadratic blowup) or per-key ``applyInPandas`` + ``merge_asof``
+(Python in the hot path). Ties (right.ts == left.ts): the right row
+sorts first, so an exactly-simultaneous right row IS visible — the
+conventional `<=` as-of semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join. ``value_cols`` defaults to every right
+    column not in ``keys`` + ``right_ts``."""
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in {*keys, right_ts}]
+
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[c for c in left.columns if c not in keys]).alias("__l"),
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(
+                f"{c}:{dict(left.dtypes)[c]}" for c in left.columns if c not in keys
+            )
+            + ">"
+        )
+        .alias("__l"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    # right rows sort before left rows at equal ts → `<=` semantics
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *keys,
+        "__ts",
+        "__is_left",
+        "__l",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__rv_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        *keys,
+        F.col("__ts").alias(left_ts),
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns if c not in {*keys, left_ts}],
+        *[F.col(f"__rv_{c}").alias(c) for c in value_cols],
+    )
+    return out

@@ -31,8 +31,12 @@ class Warehouse:
 
     def exists(self, table: str) -> bool:
         p = self.path(table)
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") for f in os.listdir(p)
+        if not os.path.isdir(p):
+            return False
+        return any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(p)
+            for f in files
         )
 
     def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
@@ -58,6 +62,24 @@ class Warehouse:
 
     def append(self, df: DataFrame, table: str) -> None:
         df.write.mode("append").parquet(self.path(table))
+
+    def overwrite_partitioned(
+        self, df: DataFrame, table: str, partition_cols: list[str]
+    ) -> None:
+        """Hive-style partitioned layout (``.../col=value/``): a filter
+        on a partition column prunes whole directories at plan time —
+        for the NDS tables, partitioning measurements by
+        ``year(measured_date)`` matches the reference's per-year source
+        files and turns the nightly CDC re-read into a one-partition
+        scan instead of a 100 TB sweep."""
+        final = self.path(table)
+        staging = final + ".staging"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.replace(staging, final)
 
     def overwrite_bucketed(
         self,

@@ -28,7 +28,9 @@ from aqi_analysis_apache_airflow_spark.session import get_spark
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
     "q5_supplier_volume",
+    "q10_returned_items",
     "j2_star_join_agg",
     "j6_merge_upsert",
     "a3_keepfirst_dedup",

@@ -77,3 +77,29 @@ def test_merge_upsert_matrix(spark):
     again = merge_upsert(merged, source, keys=["id"], update_cols=["upd"])
     canon = lambda df: sorted(tuple(map(str, r)) for r in df.collect())
     assert canon(merged) == canon(again)
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from aqi_analysis_apache_airflow_spark.operators.asof import asof_join
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [("u1", t(10), "a"), ("u1", t(20), "b"), ("u1", t(5), "c"), ("u2", t(10), "d")],
+        "k string, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", t(10), 1.0), ("u1", t(15), 2.0), ("u3", t(1), 9.0)],
+        "k string, rts timestamp, price double",
+    )
+    got = {
+        (r["k"], r["tag"]): r["price"]
+        for r in asof_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="rts"
+        ).collect()
+    }
+    assert got[("u1", "a")] == 1.0   # tie: right row at same ts IS visible
+    assert got[("u1", "b")] == 2.0   # latest prior
+    assert got[("u1", "c")] is None  # nothing at-or-before
+    assert got[("u2", "d")] is None  # key with no right rows

@@ -107,3 +107,20 @@ def test_approx_sketches_within_tolerance(spark):
     for flag, row in approx.items():
         assert abs(row["approx_parts"] - exact_counts[flag]) / exact_counts[flag] < 0.05
         assert abs(row["approx_median_price"] - exact_median[flag]) / exact_median[flag] < 0.05
+
+
+def test_partitioned_write_prunes(spark, tmp_path_factory):
+    """A filter on the partition column must prune at the source: the
+    scan's partition count shrinks and non-matching years never load."""
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("partitioned")))
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    wh.overwrite_partitioned(orders, "orders_by_year", ["order_year"])
+
+    pruned = wh.read("orders_by_year").filter(F.col("order_year") == 1996)
+    p = _plan(pruned)
+    # pruning is visible in the scan node: one partition directory read
+    assert "order_year=1996" in p or "PartitionFilters" in p
+    exact = orders.filter(F.col("order_year") == 1996).count()
+    assert pruned.count() == exact
