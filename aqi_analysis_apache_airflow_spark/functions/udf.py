@@ -1,0 +1,36 @@
+"""The sanctioned UDF escape hatch (SURVEY.md §2.7).
+
+The reference's only "UDF mechanism" is pandas row-wise ``apply``
+(``dags/etl/source_to_stage.py:74``, ``dags/etl/stage_to_nds.py:45,106``).
+In this engine the rules are:
+
+1. If it can be a column expression, it MUST be (see
+   ``functions/scalar.py`` — the AQI CASE became a when-chain).
+2. If Python is genuinely required, it is an Arrow-vectorized
+   ``pandas_udf`` over batches — never a row-at-a-time ``F.udf``
+   (10-100× slower: per-row pickle + Python call).
+3. Per-group/partition shapes use ``applyInPandas``/``mapInPandas``
+   (see ``functions/multimodal.py``).
+
+``vectorized_zscore`` is the reference implementation of rule 2 —
+a numerical kernel that composes awkwardly as column expressions but
+is one numpy expression per batch.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@F.pandas_udf(T.DoubleType())
+def _zscore_kernel(v: pd.Series, mean: pd.Series, std: pd.Series) -> pd.Series:
+    # one Arrow batch per call; numpy-vectorized, zero per-row Python
+    return (v - mean) / std.where(std != 0, other=pd.NA)
+
+
+def vectorized_zscore(value: Column, mean: Column, std: Column) -> Column:
+    """(value - mean) / std over Arrow batches; NULL where std == 0."""
+    return _zscore_kernel(value, mean, std)

@@ -103,3 +103,58 @@ def test_asof_join_semantics(spark):
     assert got[("u1", "b")] == 2.0   # latest prior
     assert got[("u1", "c")] is None  # nothing at-or-before
     assert got[("u2", "d")] is None  # key with no right rows
+
+
+def test_scd2_upsert_history(spark):
+    from datetime import datetime
+
+    from aqi_analysis_apache_airflow_spark.operators.scd2 import (
+        scd2_init,
+        scd2_upsert,
+    )
+
+    t1, t2, t3 = (datetime(2024, 1, d) for d in (1, 2, 3))
+    src1 = spark.createDataFrame(
+        [("k1", "v1"), ("k2", "x")], "k string, val string"
+    )
+    tgt = scd2_init(src1, t1)
+
+    # day 2: k1 changes, k2 unchanged, k3 appears
+    src2 = spark.createDataFrame(
+        [("k1", "v2"), ("k2", "x"), ("k3", "new")], "k string, val string"
+    )
+    tgt2 = scd2_upsert(tgt, src2, keys=["k"], tracked_cols=["val"], effective_ts=t2)
+    rows = {(r["k"], r["val"]): r for r in tgt2.collect()}
+    assert len(rows) == 4
+    old = rows[("k1", "v1")]
+    assert old["is_current"] is False and old["valid_to"] == t2
+    assert rows[("k1", "v2")]["is_current"] is True
+    assert rows[("k2", "x")]["is_current"] is True and rows[("k2", "x")]["valid_from"] == t1
+    assert rows[("k3", "new")]["valid_from"] == t2
+
+    # idempotent: same source again is a no-op
+    tgt3 = scd2_upsert(tgt2, src2, keys=["k"], tracked_cols=["val"], effective_ts=t3)
+    canon = lambda df: sorted(tuple(map(str, r)) for r in df.collect())
+    assert canon(tgt3) == canon(tgt2)
+
+    # point-in-time reconstruction: state as of t1
+    at_t1 = tgt3.filter(
+        (F.col("valid_from") <= t1)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t1))
+    )
+    assert {(r["k"], r["val"]) for r in at_t1.collect()} == {("k1", "v1"), ("k2", "x")}
+
+
+def test_vectorized_zscore(spark):
+    from aqi_analysis_apache_airflow_spark.functions.udf import vectorized_zscore
+
+    df = spark.createDataFrame(
+        [(10.0, 5.0, 5.0), (5.0, 5.0, 0.0)], "v double, m double, s double"
+    )
+    out = [
+        r["z"]
+        for r in df.select(
+            vectorized_zscore(F.col("v"), F.col("m"), F.col("s")).alias("z")
+        ).collect()
+    ]
+    assert out[0] == 1.0 and out[1] is None
