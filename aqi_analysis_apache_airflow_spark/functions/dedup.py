@@ -35,12 +35,15 @@ def tokens(text: Column) -> Column:
 
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles; fewer than k tokens → empty array
-    (guarded: Spark's ``sequence`` would happily count backwards)."""
+    (guarded: Spark's ``sequence`` would happily count backwards).
+
+    ``slice`` + ``array_join`` instead of per-element ``get`` lambdas:
+    higher-order lambdas run interpreted, and the nested-get version
+    measured ~4× slower on the bench corpus.
+    """
     toks = tokens(text)
     n = F.size(toks)
-    shingle_at = lambda i: F.concat_ws(
-        " ", *[F.get(toks, i + F.lit(j)) for j in range(k)]
-    )
+    shingle_at = lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
     return F.when(
         n >= k,
         F.array_distinct(F.transform(F.sequence(F.lit(0), n - k), shingle_at)),
@@ -50,8 +53,18 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 def exploded_shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    return docs.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    """(id, shingle) pairs. The shingle transform is the CPU-heavy part
+    of every near-dup pipeline, so parallelize it across cores even
+    when the input arrives as one split (the bench corpus is a single
+    row group — without this the whole explode runs on one task)."""
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select(id_col, text_col)
+        .repartition(n_part)
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+        )
     )
 
 
@@ -68,20 +81,47 @@ def ngram_jaccard_pairs(
     ``max_doc_freq`` drops shingles shared by more than that many docs
     (stop-shingles): they contribute little discrimination but dominate
     the self-join cost. Output: doc_a < doc_b, jaccard.
+
+    Two physical strategies for the same logical result:
+
+    - capped: aggregate ONCE to (shingle → sorted doc set), filter by
+      set size, and enumerate pairs from the bounded array (≤ C(cap,2)
+      per shingle). The expensive shingle explode runs exactly once.
+    - uncapped: shingle-keyed self-join — a hot shingle's pair list
+      may not fit in one array, so fan-out must stream through the
+      join. (Pathological on low-entropy corpora; that's what the cap
+      is for.)
     """
     sh = exploded_shingles(docs, id_col, text_col, k)
     if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
+        grouped = (
+            sh.groupBy("shingle")
+            .agg(F.array_sort(F.collect_set(id_col)).alias("docs"))
+            .filter(F.size("docs") <= max_doc_freq)
+        )
+        capped = grouped.select(F.explode("docs").alias(id_col))
+        sizes = capped.groupBy(id_col).agg(F.count("*").alias("set_size"))
+        pair_structs = F.expr(
+            "flatten(transform(docs, (x, i) -> "
+            "transform(slice(docs, i + 2, size(docs)), "
+            "y -> struct(x AS doc_a, y AS doc_b))))"
+        )
+        inter = (
+            grouped.select(F.explode(pair_structs).alias("p"))
+            .select("p.doc_a", "p.doc_b")
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+        a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
     return (
