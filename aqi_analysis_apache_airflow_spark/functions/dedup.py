@@ -195,17 +195,27 @@ def lsh_candidate_pairs(
             )
         ).alias("b"),
     ).select(id_col, "sig", "b.band_id", "b.band_hash")
-    a = banded.select(
-        F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), "band_id", "band_hash"
-    )
-    b = banded.select(
-        F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), "band_id", "band_hash"
-    )
+    # candidate pairs are deduped as BARE id pairs — carrying the
+    # signature arrays through the band join + dropDuplicates shuffle
+    # multiplies shuffle volume ~30× (measured 17s → 4s at sf0.1).
+    # Signatures re-attach afterwards; the signature table is small
+    # relative to the pair fan-out, so broadcast it.
+    a = banded.select(F.col(id_col).alias("doc_a"), "band_id", "band_hash")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band_id", "band_hash")
     pairs = (
         a.join(b, ["band_id", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sig_a = signatures.select(
+        F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a")
+    )
+    sig_b = signatures.select(
+        F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b")
+    )
+    pairs = pairs.join(F.broadcast(sig_a), "doc_a").join(
+        F.broadcast(sig_b), "doc_b"
     )
     agree = F.size(
         F.filter(

@@ -40,15 +40,12 @@ HEADLINE = [
     "e2_sessionization",
     "e3_sliding_window",
     "d1_exact_dedup",
+    "d2_ngram_jaccard",
+    "d3_minhash_lsh",
     "t1_token_stats",
     "t4_tfidf",
     "sim_cosine_topk",
 ]
-# d2_ngram_jaccard / d3_minhash_lsh are excluded: the synthetic corpus
-# has a ~30-word vocabulary, so every shingle is a hot key and the
-# candidate join fans out pathologically (~20s at sf0.1). On real text
-# the stop-shingle cap (functions/dedup.py) bounds exactly this; the
-# oracle-comparable uncapped variants stay in the correctness matrix.
 
 
 def main() -> None:
