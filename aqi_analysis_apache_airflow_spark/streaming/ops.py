@@ -135,3 +135,80 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> Da
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def running_user_stats(
+    events: DataFrame, watermark: str = "2 hours", timeout_ms: int | None = None
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum, max) maintained in explicit group state across
+    micro-batches — the pattern for metrics Spark's built-in stateful
+    aggregations can't express (conditional resets, custom eviction,
+    model state...). Each invocation receives the user's accumulated
+    state + the new batch as pandas, emits one updated row.
+
+    ``timeout_ms`` is the state-eviction knob that keeps 100 TB of
+    keys from living in state forever: a user idle past it is evicted
+    (``state.hasTimedOut``) and re-created on next activity. It is
+    opt-in because a registered processing-time timer keeps an
+    ``availableNow`` (run-to-completion) query alive firing
+    cleanup-only batches — set it on continuous deployments, leave it
+    None for bounded replays.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("mx", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "max_value": [mx],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )

@@ -80,3 +80,27 @@ def test_late_rows_accounted_not_silently_dropped(spark, events_stream):
     ops = q.lastProgress["stateOperators"]
     assert ops and "numRowsDroppedByWatermark" in ops[0]
     assert ops[0]["numRowsDroppedByWatermark"] == 0
+
+
+def test_running_user_stats_stateful(spark, events_stream):
+    from aqi_analysis_apache_airflow_spark.streaming.ops import running_user_stats
+
+    got = run_to_memory(running_user_stats(events_stream), "user_stats", mode="update")
+    # update mode + availableNow: the LAST emitted row per user carries
+    # the final accumulated state; compare against the batch aggregate
+    final = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6), r["max_value"])
+        for r in got.collect()
+    }
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {
+        r["user_id"]: (r["n"], round(r["t"], 6), r["m"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("t"),
+            F.max("value").alias("m"),
+        )
+        .collect()
+    }
+    assert final == want
