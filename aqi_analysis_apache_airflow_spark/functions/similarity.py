@@ -9,7 +9,7 @@ driver-side randomness to broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -115,3 +115,76 @@ def lsh_near_pairs(
         .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic centroids (every Nth corpus
+    vector by id — reproducible without an iterative k-means fit; swap
+    in trained centroids when quality matters), then each vector is
+    assigned to its max-cosine centroid via a broadcast argmax.
+
+    Returns (centroids, assigned) where assigned = emb + ``cluster``.
+    At scale the assigned table is written partitioned BY cluster, so
+    a probe reads only its clusters' files.
+    """
+    w = Window.orderBy(id_col)
+    ids = emb.select(id_col).withColumn("__rn", F.row_number().over(w))
+    n = ids.count()
+    stride = max(1, n // n_centroids)
+    centroid_ids = ids.filter(
+        ((F.col("__rn") - 1) % stride == 0) & (F.col("__rn") <= stride * n_centroids)
+    ).select(id_col)
+    centroids = emb.join(centroid_ids, id_col).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = emb.join(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        cosine(F.col(vec_col), F.col("cvec")).alias("__sim"),
+    )
+    assigned = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by("centroid_id", "__sim").alias("cluster"),
+            F.first(vec_col).alias(vec_col),
+        )
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 50,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """IVF approximate top-k: rank centroids against the query, probe
+    the best ``n_probe`` clusters, exact-rerank only their members —
+    the corpus fraction touched is ~n_probe/n_centroids instead of 1.
+    Recall is tunable via n_probe (== n_centroids ⇒ exact brute force).
+    """
+    centroids, assigned = ivf_assign(emb, n_centroids, id_col, vec_col)
+    probed = (
+        centroids.join(F.broadcast(query))
+        .select(
+            "centroid_id",
+            cosine(F.col("cvec"), F.col(query_vec_col)).alias("__sim"),
+        )
+        .orderBy(F.col("__sim").desc(), "centroid_id")
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    candidates = assigned.join(
+        F.broadcast(probed), assigned.cluster == probed.centroid_id
+    )
+    return brute_force_topk(candidates, query, k, id_col, vec_col, query_vec_col)

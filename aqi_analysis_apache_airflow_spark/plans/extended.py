@@ -601,3 +601,19 @@ def d2b_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         load(spark, sf_dir, "documents"), threshold=0.5, k=3, max_doc_freq=20
     )
+
+
+@query("sim_ivf_topk", oracle=None)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k against the vec_id=0 query: probe 4 of 16
+    clusters, exact-rerank their members (~1/4 of the corpus touched).
+    No SQL oracle (cluster assignment is engine-internal); recall vs
+    brute force is unit-tested on clustered synthetic data, and the
+    exact twin sim_cosine_topk is the oracle-checked baseline."""
+    from ..functions.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0), qvec, k=50, n_centroids=16, n_probe=4
+    )

@@ -102,3 +102,33 @@ def test_multimodal_stub_plumbing(spark, docs):
     assert feats[1][1] == feats[2][1]      # same bytes → same content id
     assert feats[1][1] != feats[3][1]
     assert feats[6][0] == 0                # empty payload handled
+
+
+def test_ivf_topk_recall(spark):
+    """Clustered synthetic data: IVF with a quarter of the clusters
+    probed must still recover most of the exact top-k."""
+    import math
+
+    rows = []
+    for c in range(8):                      # 8 well-separated clusters
+        base = [10.0 * math.sin(c * 13.7 + i) for i in range(16)]
+        for j in range(40):
+            rows.append(
+                (c * 100 + j, [v + 0.05 * math.cos(j * 3.1 + i) for i, v in enumerate(base)])
+            )
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    corpus = emb.filter(F.col("vec_id") != 0)
+
+    from aqi_analysis_apache_airflow_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    exact = {r["vec_id"] for r in brute_force_topk(corpus, q, k=20).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk(corpus, q, k=20, n_centroids=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall {recall}"
