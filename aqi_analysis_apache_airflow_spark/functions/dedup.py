@@ -169,14 +169,20 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 8,
     id_col: str = "doc_id",
+    n_hashes: int = 32,
 ) -> DataFrame:
     """Band the signature and self-join on (band_id, band_hash).
 
     Output: doc_a < doc_b, est_jaccard (fraction of agreeing signature
     components). The join key is the band bucket, so work scales with
     bucket occupancy, not the corpus square.
+
+    ``n_hashes`` is the signature length and must match what
+    :func:`minhash_signatures` produced — passed as a parameter so plan
+    construction never triggers a Spark action (a ``first()`` here
+    would execute the whole minhash aggregation once just to learn the
+    array length, then recompute it in the main query).
     """
-    n_hashes = len(signatures.first()["sig"])
     rows_per_band = n_hashes // bands
     banded = signatures.select(
         id_col,
@@ -198,8 +204,10 @@ def lsh_candidate_pairs(
     # candidate pairs are deduped as BARE id pairs — carrying the
     # signature arrays through the band join + dropDuplicates shuffle
     # multiplies shuffle volume ~30× (measured 17s → 4s at sf0.1).
-    # Signatures re-attach afterwards; the signature table is small
-    # relative to the pair fan-out, so broadcast it.
+    # Signatures re-attach afterwards WITHOUT a broadcast hint: the
+    # signature table is O(corpus) and would not fit in executor
+    # memory at 100 TB — AQE broadcasts it when it is actually small
+    # and falls back to a shuffle join when it isn't.
     a = banded.select(F.col(id_col).alias("doc_a"), "band_id", "band_hash")
     b = banded.select(F.col(id_col).alias("doc_b"), "band_id", "band_hash")
     pairs = (
@@ -214,9 +222,7 @@ def lsh_candidate_pairs(
     sig_b = signatures.select(
         F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b")
     )
-    pairs = pairs.join(F.broadcast(sig_a), "doc_a").join(
-        F.broadcast(sig_b), "doc_b"
-    )
+    pairs = pairs.join(sig_a, "doc_a").join(sig_b, "doc_b")
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq

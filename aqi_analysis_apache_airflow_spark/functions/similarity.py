@@ -9,7 +9,7 @@ driver-side randomness to broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -123,23 +123,30 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantizer: deterministic centroids (every Nth corpus
-    vector by id — reproducible without an iterative k-means fit; swap
-    in trained centroids when quality matters), then each vector is
-    assigned to its max-cosine centroid via a broadcast argmax.
+    """IVF coarse quantizer: deterministic centroids — hash each id
+    into one of ``n_centroids`` buckets and take, per bucket, the id
+    that minimizes an independent second hash (``min_by`` on
+    ``xxhash64(id, 1)``). The double hash matters: min over the RAW id
+    would bias every centroid toward globally small ids, while the
+    hash-ordered pick is a uniform random representative. Reproducible
+    without an iterative k-means fit (swap in trained centroids when
+    quality matters), and scale-safe: the selection is one
+    map-side-combined groupBy over bare ids — no global ordering, no
+    row_number window, no driver-side count. Each vector is then
+    assigned to its max-cosine centroid via a broadcast argmax (the
+    centroid table is n_centroids rows — genuinely broadcast-sized).
 
     Returns (centroids, assigned) where assigned = emb + ``cluster``.
     At scale the assigned table is written partitioned BY cluster, so
     a probe reads only its clusters' files.
     """
-    w = Window.orderBy(id_col)
-    ids = emb.select(id_col).withColumn("__rn", F.row_number().over(w))
-    n = ids.count()
-    stride = max(1, n // n_centroids)
-    centroid_ids = ids.filter(
-        ((F.col("__rn") - 1) % stride == 0) & (F.col("__rn") <= stride * n_centroids)
-    ).select(id_col)
-    centroids = emb.join(centroid_ids, id_col).select(
+    centroid_ids = (
+        emb.select(id_col)
+        .groupBy(F.pmod(F.xxhash64(id_col), F.lit(n_centroids)).alias("__bucket"))
+        .agg(F.min_by(id_col, F.xxhash64(id_col, F.lit(1))).alias(id_col))
+        .select(id_col)
+    )
+    centroids = emb.join(F.broadcast(centroid_ids), id_col).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
     )
     scored = emb.join(F.broadcast(centroids)).select(

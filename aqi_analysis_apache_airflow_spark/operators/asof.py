@@ -34,9 +34,18 @@ def asof_join(
     value_cols: list[str] | None = None,
 ) -> DataFrame:
     """Backward as-of join. ``value_cols`` defaults to every right
-    column not in ``keys`` + ``right_ts``."""
+    column not in ``keys`` + ``right_ts``. A value_col that collides
+    with a non-key left column would silently produce a duplicate
+    output column name (ambiguous downstream) — refused up front."""
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in {*keys, right_ts}]
+    collisions = {c for c in value_cols if c in left.columns and c not in keys}
+    if collisions:
+        raise ValueError(
+            f"asof_join: right value_cols {sorted(collisions)} collide with "
+            "left column names — rename one side (e.g. "
+            "right.withColumnRenamed) or pass an explicit value_cols list"
+        )
 
     l_tagged = left.select(
         *keys,

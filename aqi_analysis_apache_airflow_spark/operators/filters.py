@@ -31,25 +31,33 @@ def not_in(df: DataFrame, col: str, sub: DataFrame, sub_col: str) -> DataFrame:
     """F4: SQL ``NOT IN`` with faithful null semantics.
 
     The reference's ``NOT IN`` subquery (``dags/etl/stage_to_nds.py:120``)
-    has SQL three-valued logic: if the subquery yields ANY null, the
-    whole predicate is never true and ZERO rows survive. A bare
-    ``left_anti`` join is ``NOT EXISTS`` semantics and differs exactly
-    there. We keep NOT IN faithful: anti-join + a guard that empties
-    the result when the subquery contains a null. The guard is a
-    broadcast of a 1-row aggregate — no extra shuffle.
+    has SQL three-valued logic, which differs from a bare ``left_anti``
+    join (``NOT EXISTS`` semantics) in two places:
+
+    - if the subquery yields ANY null, the predicate is never true and
+      ZERO rows survive;
+    - a probe row whose ``col`` IS NULL survives the anti join (null
+      matches nothing) but SQL evaluates ``NULL NOT IN (non-empty
+      set)`` to unknown — the row is kept only when the subquery is
+      EMPTY (``NULL NOT IN ()`` is vacuously true).
+
+    Both guards come from the same 1-row aggregate, broadcast onto the
+    anti-join output — no extra shuffle.
     """
-    has_null = sub.select(
-        F.max(F.col(sub_col).isNull().cast("int")).alias("has_null")
+    flags = sub.select(
+        F.max(F.col(sub_col).isNull().cast("int")).alias("__has_null"),
+        F.count(F.lit(1)).alias("__sub_count"),
     )
     anti = df.join(
         sub.select(F.col(sub_col).alias(col)).distinct(), on=col, how="left_anti"
     )
-    # cross-join the 1-row flag (broadcast, no shuffle) and keep rows only
-    # when the subquery was null-free — NOT IN three-valued logic.
     return (
-        anti.join(F.broadcast(has_null))
-        .filter((F.col("has_null").isNull()) | (F.col("has_null") == 0))
-        .drop("has_null")
+        anti.join(F.broadcast(flags))
+        .filter(
+            ((F.col("__has_null").isNull()) | (F.col("__has_null") == 0))
+            & (F.col(col).isNotNull() | (F.col("__sub_count") == 0))
+        )
+        .drop("__has_null", "__sub_count")
     )
 
 

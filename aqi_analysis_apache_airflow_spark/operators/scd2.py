@@ -47,9 +47,22 @@ def scd2_upsert(
       open version appended;
     - new key: open version appended;
     - unchanged / absent-from-source keys: untouched.
+
+    Presence on either side of the full-outer join is detected with
+    explicit literal marker columns (as :func:`..merge.merge_upsert`
+    does), never by key-null checks — a source row whose key IS NULL
+    still matches via ``eqNullSafe`` and must not be silently dropped.
     """
+    if not tracked_cols:
+        raise ValueError(
+            "scd2_upsert: tracked_cols must be non-empty — with nothing "
+            "tracked no change can ever be detected; use a plain append "
+            "for insert-only loads"
+        )
     history = target.filter(~F.col("is_current"))
-    current = target.filter(F.col("is_current"))
+    current = target.filter(F.col("is_current")).withColumn(
+        "__tgt_present", F.lit(True)
+    )
 
     src = source.select(
         *[F.col(k).alias(f"__s_{k}") for k in keys],
@@ -58,13 +71,17 @@ def scd2_upsert(
             for c in source.columns
             if c not in keys
         ],
+        F.lit(True).alias("__src_present"),
     )
     cond = [current[k].eqNullSafe(src[f"__s_{k}"]) for k in keys]
     joined = current.join(src, on=cond, how="full_outer")
 
+    src_present = F.col("__src_present").isNotNull()
+    tgt_present = F.col("__tgt_present").isNotNull()
+
     # "matched" when both sides present; "changed" when any tracked
     # column differs (null-safe compare)
-    matched = F.col(f"__s_{keys[0]}").isNotNull() & current["is_current"].isNotNull()
+    matched = src_present & tgt_present
     diff = None
     for c in tracked_cols:
         neq = ~current[c].eqNullSafe(F.col(f"__s_{c}"))
@@ -72,7 +89,7 @@ def scd2_upsert(
     changed = matched & diff
 
     # 1) surviving current rows: closed if changed, else untouched
-    kept_current = joined.filter(current["is_current"].isNotNull()).select(
+    kept_current = joined.filter(tgt_present).select(
         *[current[c] for c in target.columns if c not in ("valid_to", "is_current")],
         F.when(changed, F.lit(effective_ts)).otherwise(current["valid_to"]).alias(
             "valid_to"
@@ -83,9 +100,7 @@ def scd2_upsert(
     )
 
     # 2) new open versions: changed keys + brand-new keys
-    is_new_key = current["is_current"].isNull() & F.col(
-        f"__s_{keys[0]}"
-    ).isNotNull()
+    is_new_key = ~tgt_present & src_present
     new_versions = joined.filter(changed | is_new_key).select(
         *[F.col(f"__s_{k}").alias(k) for k in keys],
         *[

@@ -30,7 +30,30 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the left side salted and the right side
     replicated across ``n_salts`` salt values. Result is identical to
-    ``left.join(right, keys, how)`` for inner/left joins."""
+    ``left.join(right, keys, how)`` for inner/left-shaped joins ONLY:
+    a right or full outer join would emit each unmatched right key
+    once per salt replica — refuse those instead of silently
+    multiplying rows."""
+    allowed = {
+        "inner",
+        "cross",
+        "left",
+        "leftouter",
+        "left_outer",
+        "semi",
+        "leftsemi",
+        "left_semi",
+        "anti",
+        "leftanti",
+        "left_anti",
+    }
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not supported — right-side "
+            "replication is only correct for inner/left-shaped joins "
+            f"({sorted(allowed)}); for a skewed right/full outer join, "
+            "salt the other side or isolate hot keys explicitly"
+        )
     # salt must vary WITHIN a key (that's the whole point — scatter the
     # hot key), so derive it per-row, never from the key columns
     salted_left = left.withColumn(

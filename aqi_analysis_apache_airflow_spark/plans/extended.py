@@ -345,7 +345,9 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import lsh_candidate_pairs, minhash_signatures
 
     sigs = minhash_signatures(load(spark, sf_dir, "documents"), n_hashes=32)
-    return lsh_candidate_pairs(sigs, bands=8).filter(F.col("est_jaccard") >= 0.5)
+    return lsh_candidate_pairs(sigs, bands=8, n_hashes=32).filter(
+        F.col("est_jaccard") >= 0.5
+    )
 
 
 @query("d4_simhash_neardup", oracle=None)
@@ -513,9 +515,15 @@ def g3_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF over whitespace tokens: tf × ln((N+1)/(df+1)), smoothed.
-    Two aggregations share the exploded-token shuffle key; the tiny
-    df table broadcasts back onto tf. ln() rounded to 6 — libm
-    implementations may differ in the last ulp across engines."""
+    Two aggregations share the exploded-token shuffle key. The df→tf
+    join carries NO broadcast hint: at web-corpus scale the vocabulary
+    table can exceed broadcast limits, and both sides are already
+    hash-partitioned on ``token`` from their aggregations — AQE
+    broadcasts it only when it is actually small. N folds in as a
+    1-row aggregate cross join (always broadcast-sized) instead of a
+    driver-side ``count()`` action during plan construction. ln()
+    rounded to 6 — libm implementations may differ in the last ulp
+    across engines."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -525,14 +533,20 @@ def t4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
-    return tf.join(F.broadcast(df), "token").select(
-        "doc_id",
-        "token",
-        "tf",
-        F.round(
-            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
-        ).alias("tfidf"),
+    n = docs.agg(F.count("*").alias("__n_docs"))
+    return (
+        tf.join(df, "token")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("__n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
     )
 
 

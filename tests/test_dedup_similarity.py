@@ -63,6 +63,21 @@ def test_minhash_lsh_agrees_with_exact(docs):
     assert est.get((1, 4), 0.0) < 0.3  # unrelated docs don't score high
 
 
+def test_lsh_plan_construction_is_lazy(spark, docs):
+    """Building the LSH plan must trigger NO Spark job (the old code
+    ran the whole minhash aggregation via ``first()`` just to learn
+    the signature length) — so it also works on an empty corpus."""
+    empty = docs.filter(F.lit(False))
+    sigs = minhash_signatures(empty, n_hashes=32)
+    out = lsh_candidate_pairs(sigs, bands=8, n_hashes=32)  # no action, no crash
+    assert out.count() == 0
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    lsh_candidate_pairs(minhash_signatures(docs, n_hashes=32), bands=8, n_hashes=32)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "plan construction launched a Spark job"
+
+
 def test_simhash_bands(docs):
     got = {
         (r["doc_a"], r["doc_b"]): r["hamming"]

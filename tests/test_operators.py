@@ -42,6 +42,20 @@ def test_not_in_null_subquery_empties_result(spark):
     assert got == {"a", "c"}
 
 
+def test_not_in_null_probe_value(spark):
+    """A probe row whose column IS NULL: SQL evaluates
+    ``NULL NOT IN (non-empty set)`` to unknown → dropped; against an
+    EMPTY subquery the predicate is vacuously true → kept. A bare
+    anti-join keeps the NULL row in both cases."""
+    df = spark.createDataFrame([("a",), (None,)], "k string")
+    sub_nonempty = spark.createDataFrame([("b",)], "k2 string")
+    got = {r["k"] for r in not_in(df, "k", sub_nonempty, "k2").collect()}
+    assert got == {"a"}  # NULL probe row excluded
+    sub_empty = sub_nonempty.filter(F.lit(False))
+    got_empty = {r["k"] for r in not_in(df, "k", sub_empty, "k2").collect()}
+    assert got_empty == {"a", None}  # vacuously true for every row
+
+
 def test_keep_first_deterministic(spark):
     df = spark.createDataFrame(
         [("k1", 2, "second"), ("k1", 1, "first"), ("k2", 9, "only")],
@@ -143,6 +157,59 @@ def test_scd2_upsert_history(spark):
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t1))
     )
     assert {(r["k"], r["val"]) for r in at_t1.collect()} == {("k1", "v1"), ("k2", "x")}
+
+
+def test_scd2_null_key_and_empty_tracked(spark):
+    """Null-key source rows flow through the presence markers (not
+    silently dropped), and tracked_cols=[] is refused up front."""
+    from datetime import datetime
+
+    import pytest
+
+    from aqi_analysis_apache_airflow_spark.operators.scd2 import (
+        scd2_init,
+        scd2_upsert,
+    )
+
+    t1, t2 = datetime(2024, 1, 1), datetime(2024, 1, 2)
+    tgt = scd2_init(
+        spark.createDataFrame([("k1", "v1"), (None, "vn")], "k string, val string"),
+        t1,
+    )
+    src = spark.createDataFrame(
+        [(None, "vn2"), ("k2", "new")], "k string, val string"
+    )
+    out = scd2_upsert(tgt, src, keys=["k"], tracked_cols=["val"], effective_ts=t2)
+    rows = {(r["k"], r["val"]): r for r in out.collect()}
+    # null key matched via eqNullSafe: old version closed, new one open
+    assert rows[(None, "vn")]["is_current"] is False
+    assert rows[(None, "vn")]["valid_to"] == t2
+    assert rows[(None, "vn2")]["is_current"] is True
+    assert rows[("k2", "new")]["is_current"] is True
+    assert rows[("k1", "v1")]["is_current"] is True  # absent from source
+
+    with pytest.raises(ValueError, match="tracked_cols"):
+        scd2_upsert(tgt, src, keys=["k"], tracked_cols=[], effective_ts=t2)
+
+
+def test_asof_join_name_collision_raises(spark):
+    import pytest
+
+    from aqi_analysis_apache_airflow_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 1, 9.0)], "k string, ts int, price double")
+    right = spark.createDataFrame([("k", 1, 5.0)], "k string, rts int, price double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, keys=["k"], left_ts="ts", right_ts="rts")
+    # explicit rename resolves it
+    ok = asof_join(
+        left,
+        right.withColumnRenamed("price", "r_price"),
+        keys=["k"],
+        left_ts="ts",
+        right_ts="rts",
+    )
+    assert ok.columns.count("price") == 1 and "r_price" in ok.columns
 
 
 def test_vectorized_zscore(spark):

@@ -63,6 +63,25 @@ def test_q1_partial_aggregation(spark):
     assert first_agg < exchange or p.count("HashAggregate") >= 2
 
 
+def test_ivf_plan_has_no_global_window(spark):
+    """Centroid selection is a hash-bucket groupBy — the plan must not
+    contain a Window (the old every-Nth-by-row_number pick ran a
+    single-task global sort over every corpus id)."""
+    p = plan_of(spark, "sim_ivf_topk")
+    assert "Window" not in p
+    # the only driver-merge step is the final top-k heap
+    assert "TakeOrderedAndProject" in p
+
+
+def test_d3_plan_no_corpus_broadcast(spark):
+    """The signature re-attach joins must not force a broadcast of the
+    O(corpus) signature table; the only build-side hints left in the
+    d3 plan are none at all (AQE decides at runtime)."""
+    df = REGISTRY["d3_minhash_lsh"].fn(spark, SF_DIR)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical and "hints=[broadcast]" not in logical.lower()
+
+
 def test_null_normalize(spark):
     df = spark.createDataFrame([(1.0,), (float("nan"),), (None,)], "x double")
     out = [r["y"] for r in df.select(null_normalize(F.col("x")).alias("y")).collect()]

@@ -87,6 +87,21 @@ def test_salted_join_spreads_hot_key(spark):
     assert n_salts_used > 1
 
 
+def test_salted_join_rejects_right_shaped_joins(spark):
+    """Right/full outer would emit each unmatched right key once per
+    salt replica — refused instead of silently wrong."""
+    import pytest
+
+    left = spark.createDataFrame([(1, "a")], "k int, v string")
+    right = spark.createDataFrame([(2, "b")], "k int, w string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="not supported"):
+            salted_join(left, right, ["k"], n_salts=4, how=how)
+    # left-shaped joins still pass through
+    assert salted_join(left, right, ["k"], n_salts=4, how="left").count() == 1
+    assert salted_join(left, right, ["k"], n_salts=4, how="left_anti").count() == 1
+
+
 def test_approx_sketches_within_tolerance(spark):
     from aqi_analysis_apache_airflow_spark.plans import REGISTRY
     import aqi_analysis_apache_airflow_spark.plans.extended  # noqa: F401
