@@ -33,6 +33,35 @@ def tokens(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(TOKEN_RE), 0)
 
 
+def ce_hash64(col: Column) -> Column:
+    """Cross-engine 64-bit hash: the first 16 hex chars of ``md5``,
+    reinterpreted as a signed 64-bit integer (high and low 32-bit
+    halves assembled with bitwise shift/or — no overflow-checked
+    arithmetic, so it is safe under ANSI mode).
+
+    Slower than ``xxhash64`` but bit-identical in any engine that has
+    ``md5`` (DuckDB, Trino, Postgres): this is the hash family that
+    makes the simhash/minhash surfaces oracle-VERIFIABLE instead of
+    merely unit-tested. Production paths keep xxhash64; the
+    ``*_md5``-family registry queries use this.
+    """
+    hx = F.md5(col)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+# The DuckDB-side twin of ce_hash64, as a format template over a hex-
+# string SQL expression. Signed reinterpretation: DuckDB's << overflow-
+# checks BIGINT, so the high half is re-biased arithmetically instead.
+CE_HASH64_SQL = (
+    "((('0x'||substr({h},1,8))::BIGINT"
+    " - CASE WHEN ('0x'||substr({h},1,8))::BIGINT >= 2147483648"
+    "   THEN 4294967296 ELSE 0 END) * 4294967296"
+    " + ('0x'||substr({h},9,8))::BIGINT)"
+)
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles; fewer than k tokens → empty array
     (guarded: Spark's ``sequence`` would happily count backwards).
@@ -139,26 +168,88 @@ def ngram_jaccard_pairs(
     )
 
 
+def exact_jaccard_for_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact k-word-shingle Jaccard for a GIVEN set of candidate pairs
+    (columns ``doc_a``, ``doc_b``) — the verification stage after an
+    approximate candidate generator (LSH bands, simhash).
+
+    Scale shape: shingles are computed only for docs that appear in
+    some candidate pair (semi-join pushdown), and the intersection is
+    counted by fanning each pair out over doc_a's shingles and probing
+    doc_b's — cost is O(Σ pair shingle sizes), linear in candidate
+    volume, never corpus-quadratic.
+    """
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .union(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = exploded_shingles(
+        docs.join(cand_ids, id_col, "left_semi"), id_col, text_col, k
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        pairs.select("doc_a", "doc_b")
+        .join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     n_hashes: int = 32,
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """One row per doc with ``sig: array<bigint>`` of length n_hashes.
 
-    Hash family: ``xxhash64(shingle, seed=i)`` via a per-seed literal —
-    deterministic across runs and partitionings. Aggregation is a
-    groupBy(doc) of per-shingle minima: map-side combine collapses most
-    of the data before the single shuffle.
+    Hash families (both deterministic across runs and partitionings):
+
+    - ``"xxhash64"`` (default): ``xxhash64(shingle, seed=i)`` — the
+      fast production path.
+    - ``"md5"``: :func:`ce_hash64` over ``"{i}|" || shingle`` — ~3×
+      slower, but reproducible in any md5-equipped engine, which lets
+      the DuckDB oracle recompute the exact signatures (see
+      ``d3m_minhash_md5``).
+
+    Aggregation is a groupBy(doc) of per-shingle minima: map-side
+    combine collapses most of the data before the single shuffle.
     """
+    if hash_family == "xxhash64":
+        hash_i = lambda i: F.xxhash64(F.col("shingle"), F.lit(i))
+    elif hash_family == "md5":
+        hash_i = lambda i: ce_hash64(F.concat(F.lit(f"{i}|"), F.col("shingle")))
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     sh = exploded_shingles(docs, id_col, text_col, k)
     mins = sh.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
+        *[F.min(hash_i(i)).alias(f"h{i}") for i in range(n_hashes)]
     )
     return mins.select(
         id_col, F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig")
@@ -170,20 +261,40 @@ def lsh_candidate_pairs(
     bands: int = 8,
     id_col: str = "doc_id",
     n_hashes: int = 32,
+    band_key: str = "hash",
+    include_estimate: bool = True,
 ) -> DataFrame:
-    """Band the signature and self-join on (band_id, band_hash).
+    """Band the signature and self-join on the band bucket.
 
-    Output: doc_a < doc_b, est_jaccard (fraction of agreeing signature
-    components). The join key is the band bucket, so work scales with
-    bucket occupancy, not the corpus square.
+    Output: doc_a < doc_b [, est_jaccard (fraction of agreeing
+    signature components) unless ``include_estimate=False``]. The join
+    key is the band bucket, so work scales with bucket occupancy, not
+    the corpus square.
 
     ``n_hashes`` is the signature length and must match what
     :func:`minhash_signatures` produced — passed as a parameter so plan
     construction never triggers a Spark action (a ``first()`` here
     would execute the whole minhash aggregation once just to learn the
     array length, then recompute it in the main query).
+
+    ``band_key="hash"`` joins on a 32-bit hash of the band slice —
+    smallest shuffle payload, the production default (a hash collision
+    adds a spurious CANDIDATE, never a wrong result, since candidates
+    are verified downstream). ``band_key="slice"`` joins on the raw
+    slice array — zero collisions, which is what the oracle-verified
+    md5-family query needs for exact parity with DuckDB.
+
+    ``include_estimate=False`` skips re-attaching signatures entirely —
+    the right mode when candidates feed an exact verifier anyway
+    (see :func:`exact_jaccard_for_pairs`), saving two joins.
     """
     rows_per_band = n_hashes // bands
+    if band_key == "hash":
+        key_of = lambda sl: F.hash(sl)
+    elif band_key == "slice":
+        key_of = lambda sl: sl
+    else:
+        raise ValueError(f"unknown band_key {band_key!r}")
     banded = signatures.select(
         id_col,
         "sig",
@@ -192,7 +303,7 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band_id"),
-                        F.hash(
+                        key_of(
                             F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
                         ).alias("band_hash"),
                     )
@@ -216,6 +327,8 @@ def lsh_candidate_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    if not include_estimate:
+        return pairs
     sig_a = signatures.select(
         F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a")
     )
@@ -235,11 +348,17 @@ def lsh_candidate_pairs(
 
 
 def simhash64(text: Column) -> Column:
-    """64-bit SimHash: per-token xxhash64, each bit votes ±1, the sign
-    of the per-bit sum becomes the fingerprint bit. Array-native fold —
-    no explode, no shuffle."""
+    """64-bit SimHash: per-token :func:`ce_hash64`, each bit votes ±1,
+    the sign of the per-bit sum becomes the fingerprint bit.
+    Array-native fold — no explode, no shuffle.
+
+    Token hash is the md5-derived cross-engine family (not xxhash64)
+    so the DuckDB oracle can recompute identical fingerprints — the
+    whole simhash surface is hash-match-verified, not just unit-tested
+    (one md5 per token; simhash is outside the bench hot path).
+    """
     toks = tokens(text)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: ce_hash64(t))
     # 1<<63 overflows a signed long literal; shiftleft stays in-type
     bit = lambda i: F.shiftleft(F.lit(1).cast("long"), i)
     bit_votes = [
@@ -264,8 +383,16 @@ def simhash_band_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs by 16-bit SimHash bands (pigeonhole:
     Hamming ≤ 3 over 64 bits ⇒ ≥1 of 4 bands identical), verified with
-    the exact Hamming distance."""
-    sh = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+    the exact Hamming distance.
+
+    Token-less docs are excluded up front: their fingerprint would be
+    the degenerate all-zeros value (every empty doc "matches" every
+    other), and the exclusion keeps the output identical to the
+    oracle's token-driven SQL, where such docs never produce rows.
+    """
+    sh = docs.filter(F.size(tokens(F.col(text_col))) > 0).select(
+        F.col(id_col), simhash64(F.col(text_col)).alias("simhash")
+    )
     banded = sh.select(
         id_col,
         "simhash",

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.dedup import CE_HASH64_SQL as _CEH
 from .registry import load, query
 
 # --------------------------------------------------------------------------
@@ -299,9 +300,11 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "d2_ngram_jaccard",
-    oracle="""
+#: Exact 3-shingle Jaccard pairs at threshold 0.5 — the oracle for BOTH
+#: the exact query (d2) and the LSH-verified query (d3v): if the
+#: approximate candidate stage loses any true pair, d3v's hash match
+#: fails, so a green d3v row PROVES full LSH recall on the test corpus.
+_D2_EXACT_SQL = """
     WITH toks AS (
       SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
     ),
@@ -323,8 +326,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.5
-    """,
-)
+    """
+
+
+@query("d2_ngram_jaccard", oracle=_D2_EXACT_SQL)
 def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-word-shingle Jaccard near-dup pairs (threshold 0.5).
     One shuffle on the shingle key; at corpus scale the stop-shingle
@@ -350,10 +355,133 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("d4_simhash_neardup", oracle=None)
+@query("d3v_minhash_verified", oracle=_D2_EXACT_SQL)
+def d3v_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup pipeline end-to-end: MinHash(32) LSH
+    candidates (16 bands of 2 — ≥99% recall at jaccard 0.5, ~100% above
+    0.6) exact-verified with true shingle Jaccard, threshold 0.5.
+
+    Oracle is the EXACT all-pairs SQL (same as d2): a hash match means
+    the approximate stage provably lost nothing on this corpus — the
+    self-verifying form of the LSH path, where d3 alone is unverifiable
+    in SQL (xxhash64 has no DuckDB twin). Candidate generation stays
+    banded/bucketed (never corpus-quadratic) and verification cost is
+    linear in candidate volume — the 100 TB shape.
+    """
+    from ..functions.dedup import (
+        exact_jaccard_for_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, n_hashes=32)
+    cands = lsh_candidate_pairs(
+        sigs, bands=16, n_hashes=32, include_estimate=False
+    )
+    return exact_jaccard_for_pairs(docs, cands, k=3).filter(
+        F.col("jaccard") >= 0.5
+    )
+
+
+_CE_SEEDED = _CEH.format(h="md5(s.seed || '|' || shingle)")
+
+
+@query(
+    "d3m_minhash_md5",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    hv AS (
+      SELECT doc_id, s.seed, MIN({_CE_SEEDED}) AS mh
+      FROM shingles, UNNEST(range(0, 32)) s(seed)
+      GROUP BY doc_id, s.seed
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM hv GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, b AS band_id, sig[b*4+1:b*4+4] AS band
+      FROM sig, UNNEST(range(0, 8)) u(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band = b.band
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i]))
+                AS DOUBLE) / 32 AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i]))
+               AS DOUBLE) / 32 >= 0.5
+    """,
+)
+def d3m_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + 8-band LSH under the md5-derived cross-engine hash
+    family — the ALGORITHM of d3, fully ORACLE-BACKED: DuckDB
+    recomputes the identical signatures (min over
+    ``ce_hash64("{seed}|" || shingle)``), the identical band buckets
+    (slice-equality banding, no engine-specific band hash), and the
+    identical agreement-fraction estimate. A hash match verifies the
+    complete LSH pipeline bit-for-bit; d3 keeps xxhash64 for the
+    production fast path (~3× cheaper per shingle)."""
+    from ..functions.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(
+        load(spark, sf_dir, "documents"), n_hashes=32, hash_family="md5"
+    )
+    return lsh_candidate_pairs(
+        sigs, bands=8, n_hashes=32, band_key="slice"
+    ).filter(F.col("est_jaccard") >= 0.5)
+
+
+_CE_TOK = _CEH.format(h="md5(tok)")
+
+
+@query(
+    "d4_simhash_neardup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, {_CE_TOK} AS th FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, i, SUM(CASE WHEN (th >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, UNNEST(range(0, 64)) u(i)
+      GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN
+               CASE WHEN i = 63 THEN -9223372036854775808
+                    ELSE (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) END
+               ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY 1
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def d4_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash64 banded near-dup pairs (Hamming ≤ 3). No SQL oracle
-    (xxhash64); unit-tested on planted duplicates."""
+    """SimHash64 banded near-dup pairs (Hamming ≤ 3), fully
+    ORACLE-BACKED: the fingerprint's token hash is the md5-derived
+    cross-engine family (:func:`...functions.dedup.ce_hash64`), so the
+    DuckDB oracle recomputes the identical 64-bit simhash per doc —
+    with the all-pairs join the banding provably equals (pigeonhole:
+    Hamming ≤ 3 ⇒ some 16-bit band matches, and band equality never
+    drops a pair)."""
     from ..functions.dedup import simhash_band_pairs
 
     return simhash_band_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
@@ -615,6 +743,131 @@ def d2b_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         load(spark, sf_dir, "documents"), threshold=0.5, k=3, max_doc_freq=20
     )
+
+
+_CE_VID = _CEH.format(h="md5(CAST(vec_id AS VARCHAR))")
+_CE_VID_SEEDED = _CEH.format(h="md5('1|' || CAST(vec_id AS VARCHAR))")
+
+#: decimal-summed cosine between positionally co-unnested x/y pairs —
+#: bit-identical to the Spark side's zip_with/aggregate fold
+_COS_SQL = (
+    "round(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE)"
+    " / (sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE))"
+    " * sqrt(CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE))), 6)"
+)
+
+
+@query(
+    "sim_ivfm_topk",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+    cid AS (
+      SELECT min_by(vec_id, {_CE_VID_SEEDED}) AS vec_id
+      FROM emb
+      GROUP BY (({_CE_VID} % 16) + 16) % 16
+    ),
+    cent AS (
+      SELECT e.vec_id AS centroid_id, e.embedding AS cvec
+      FROM emb e JOIN cid USING (vec_id)
+    ),
+    apairs AS (
+      SELECT e.vec_id, c.centroid_id,
+             unnest(e.embedding) AS x, unnest(c.cvec) AS y
+      FROM emb e, cent c
+    ),
+    asim AS (
+      SELECT vec_id, centroid_id, {_COS_SQL} AS sim
+      FROM apairs GROUP BY vec_id, centroid_id
+    ),
+    assigned AS (
+      SELECT vec_id,
+             arg_min(centroid_id,
+                     CAST(round(-sim * 1000000) AS BIGINT) * 16 + centroid_id)
+               AS cluster
+      FROM asim GROUP BY vec_id
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qpairs AS (
+      SELECT c.centroid_id, unnest(c.cvec) AS x, unnest(q.qv) AS y
+      FROM cent c, q
+    ),
+    qsim AS (
+      SELECT centroid_id, {_COS_SQL} AS sim
+      FROM qpairs GROUP BY centroid_id
+    ),
+    probed AS (
+      SELECT centroid_id FROM qsim ORDER BY sim DESC, centroid_id LIMIT 4
+    ),
+    cand AS (
+      SELECT e.vec_id, e.embedding
+      FROM emb e
+      JOIN assigned a USING (vec_id)
+      JOIN probed p ON a.cluster = p.centroid_id
+    ),
+    fpairs AS (
+      SELECT c.vec_id, unnest(c.embedding) AS x, unnest(q.qv) AS y
+      FROM cand c, q
+    )
+    SELECT vec_id, {_COS_SQL} AS cosine_sim
+    FROM fpairs GROUP BY vec_id
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 50
+    """,
+)
+def sim_ivfm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k, fully ORACLE-BACKED: centroid selection
+    uses the md5-derived cross-engine hash (bucket by
+    ``ce_hash64(vec_id) mod 16``, representative = min second hash per
+    bucket), cluster assignment breaks cosine ties by an exact integer
+    encoding of (−sim, centroid_id), and every cosine is the
+    decimal-summed reproducible form — so DuckDB replays the ENTIRE
+    index build + probe + rerank bit-for-bit. The xxhash64 twin
+    (sim_ivf_topk) is the production fast path; recall vs brute force
+    is additionally unit-tested there."""
+    from ..functions.dedup import ce_hash64
+    from ..functions.similarity import brute_force_topk, cosine
+
+    full = load(spark, sf_dir, "embeddings")
+    emb = full.filter(F.col("vec_id") != 0)
+    vid = F.col("vec_id").cast("string")
+    cids = (
+        emb.select("vec_id")
+        .groupBy(F.pmod(ce_hash64(vid), F.lit(16)).alias("__bucket"))
+        .agg(
+            F.min_by("vec_id", ce_hash64(F.concat(F.lit("1|"), vid))).alias("vec_id")
+        )
+        .select("vec_id")
+    )
+    cents = emb.join(F.broadcast(cids), "vec_id").select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    asim = emb.join(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        cosine(F.col("embedding"), F.col("cvec")).alias("__sim"),
+    )
+    ikey = (
+        F.round(-F.col("__sim") * 1000000).cast("long") * 16 + F.col("centroid_id")
+    )
+    assigned = asim.groupBy("vec_id").agg(
+        F.min_by("centroid_id", ikey).alias("cluster"),
+        F.first("embedding").alias("embedding"),
+    )
+    qvec = full.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    probed = (
+        cents.join(F.broadcast(qvec))
+        .select(
+            "centroid_id", cosine(F.col("cvec"), F.col("qv")).alias("__s")
+        )
+        .orderBy(F.col("__s").desc(), "centroid_id")
+        .limit(4)
+        .select("centroid_id")
+    )
+    cand = assigned.join(
+        F.broadcast(probed), assigned.cluster == probed.centroid_id
+    ).select("vec_id", "embedding")
+    return brute_force_topk(cand, qvec, k=50)
 
 
 @query("sim_ivf_topk", oracle=None)
