@@ -1,3 +1,9 @@
 from .registry import REGISTRY, Query, query
 
+# Importing the package fully populates REGISTRY — consumers
+# (__spark_entry__, bench, tests) never see a partial registry.
+from . import queries as _queries  # noqa: E402,F401
+from . import extended as _extended  # noqa: E402,F401
+from . import streaming_q as _streaming_q  # noqa: E402,F401
+
 __all__ = ["REGISTRY", "Query", "query"]

@@ -1,0 +1,100 @@
+"""Oracle-backed registry entries that exercise the REAL Structured
+Streaming operators (not their batch twins): each runs a streaming
+query to completion against the events parquet (file source,
+availableNow trigger, memory sink) and returns the materialized result,
+so the driver's DuckDB comparison gates the streaming path itself.
+
+Determinism notes (why these can hash-match a batch oracle):
+
+- availableNow over the single-row-group test parquet = one
+  micro-batch, so the initial watermark (epoch 0) never evicts state
+  mid-run: ``dropDuplicatesWithinWatermark`` degenerates to exact
+  global dedup and windowed aggregation covers every window.
+- st1 projects the dedup output down to its key columns AFTER the
+  sink: WHICH duplicate row survives is first-arrival
+  (partition-order) nondeterministic, but the keys themselves are not.
+- Streaming event time must be TIMESTAMP (watermarks reject NTZ), so
+  the session timezone is pinned UTC at runtime and results are cast
+  back to NTZ to line up with the batch loader / DuckDB wall times.
+
+At 100 TB these same plans run unbounded (Kafka source, real
+watermarks); the bounded replay here is the correctness harness,
+mirroring `tests/test_streaming.py`'s batch-twin strategy.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query
+
+_SINK_SEQ = itertools.count()
+
+
+def _sink_name(prefix: str) -> str:
+    # memory-sink query names must be unique among ACTIVE queries; a
+    # fresh name per invocation also keeps re-runs from clobbering a
+    # previous run's temp view mid-read
+    return f"{prefix}_{next(_SINK_SEQ)}"
+
+
+@query(
+    "st1_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def st1_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` on a live streaming query:
+    bounded-state exactly-once-per-key dedup (keys age out with the
+    watermark on an unbounded stream — the scale-safe alternative to
+    global dropDuplicates whose state grows forever). Single-batch
+    replay makes it equal exact DISTINCT, which is the oracle."""
+    from ..streaming.ops import (
+        dedup_within_watermark,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_events_stream(spark, sf_dir)
+    deduped = dedup_within_watermark(
+        stream, keys=["user_id", "event_type"], watermark="2 hours"
+    )
+    out = run_to_memory(deduped, _sink_name("st1_stream_dedup_sink"), mode="append")
+    return out.select("user_id", "event_type")
+
+
+@query(
+    "st2_stream_windowed",
+    oracle="""
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM ev
+    GROUP BY 1, 2, 3
+    """,
+)
+def st2_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation on a live streaming
+    query (the streaming twin of e1, which is its oracle): decimal
+    sums keep the totals bit-reproducible at any parallelism, and the
+    complete-output memory sink surfaces every window once the
+    availableNow replay drains."""
+    from ..streaming.ops import read_events_stream, run_to_memory, windowed_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_events_stream(spark, sf_dir)
+    wc = windowed_counts(stream, window="1 hour", watermark="2 hours")
+    out = run_to_memory(wc, _sink_name("st2_stream_windowed_sink"), mode="complete")
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

@@ -225,3 +225,27 @@ def test_vectorized_zscore(spark):
         ).collect()
     ]
     assert out[0] == 1.0 and out[1] is None
+
+
+def test_jdbc_options_validation():
+    import pytest
+
+    from aqi_analysis_apache_airflow_spark.sources.readers import jdbc_options
+
+    opts = jdbc_options(
+        "jdbc:postgresql://db:5432/aqi",
+        "nds.measurements",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=32,
+        extra={"user": "etl"},
+    )
+    assert opts["partitionColumn"] == "id" and opts["numPartitions"] == "32"
+    assert opts["dbtable"] == "nds.measurements" and opts["user"] == "etl"
+    with pytest.raises(ValueError, match="jdbc url"):
+        jdbc_options("postgresql://db/aqi", "t")
+    with pytest.raises(ValueError, match="together"):
+        jdbc_options("jdbc:postgresql://db/aqi", "t", partition_column="id")
+    # all-omitted is the sanctioned 1-task control-table read
+    assert "partitionColumn" not in jdbc_options("jdbc:postgresql://db/aqi", "t")

@@ -49,6 +49,33 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
     assert n == plain
 
 
+def test_bucketed_merge_upsert_no_exchange(spark, tmp_path_factory):
+    """The 100 TB MERGE story: when target and source are bucketed on
+    the merge key, merge_upsert's full-outer join runs with ZERO hash
+    exchanges — the nightly upsert re-reads co-located buckets instead
+    of reshuffling the whole warehouse table every run."""
+    from aqi_analysis_apache_airflow_spark.operators.merge import merge_upsert
+
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("bucketed_merge")))
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    tgt = orders.filter(F.col("o_orderkey") % 3 != 0)
+    src = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    wh.overwrite_bucketed(tgt, "m_tgt", ["o_orderkey"], 8, sort_keys=["o_orderkey"])
+    wh.overwrite_bucketed(src, "m_src", ["o_orderkey"], 8, sort_keys=["o_orderkey"])
+
+    merged = merge_upsert(
+        wh.read_bucketed("m_tgt"), wh.read_bucketed("m_src"), ["o_orderkey"]
+    )
+    assert "Exchange hashpartitioning" not in _plan(merged)
+    # identical values to the unbucketed path
+    canon = lambda df: sorted(tuple(map(str, r)) for r in df.collect())
+    assert canon(merged) == canon(merge_upsert(tgt, src, ["o_orderkey"]))
+
+
 def test_salted_join_matches_plain_join(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
         "l_orderkey", "l_partkey", "l_quantity"
