@@ -39,6 +39,7 @@ def merge_upsert(
     update_cols: list[str] | None = None,
     insert_only_cols: dict[str, object] | None = None,
     set_on_match: dict[str, object] | None = None,
+    assert_unique_source: bool = False,
 ) -> DataFrame:
     """Return the merged table: target upserted with source.
 
@@ -52,8 +53,31 @@ def merge_upsert(
 
     The source must be unique per key (callers dedupe first, as the
     reference does via ``drop_duplicates`` at ``stage_to_nds.py:211``);
-    a duplicate-key source would fan out the join.
+    a duplicate-key source would fan out the join — each target row
+    matching k source rows appears k times in the output.
+    ``assert_unique_source=True`` makes that a loud job failure instead
+    of silent duplication: a window count over the merge keys feeds
+    ``assert_true`` behind a filter (a filter cannot be pruned away,
+    unlike an unused projected column). Opt-in because the check costs
+    one extra shuffle of the source — cheap insurance for a nightly
+    MERGE, wrong as an always-on tax when the caller just deduped.
     """
+    if assert_unique_source:
+        from pyspark.sql import Window
+
+        kn = F.count("*").over(Window.partitionBy(*keys))
+        source = source.withColumn("__kn", kn).filter(
+            F.assert_true(
+                F.col("__kn") == 1,
+                F.concat(
+                    F.lit("merge_upsert: duplicate source key ("),
+                    F.concat_ws(
+                        ", ", *[F.col(k).cast("string") for k in keys]
+                    ),
+                    F.lit(") — dedupe the source first"),
+                ),
+            ).isNull()
+        ).drop("__kn")
     if update_cols is None:
         tcols = set(target.columns)
         update_cols = [c for c in source.columns if c not in keys and c in tcols]

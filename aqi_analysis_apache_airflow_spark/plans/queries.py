@@ -735,6 +735,72 @@ def x6_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x7_array_hof",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(t, x -> length(x) > 4)) AS INTEGER) AS n_long,
+           CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+             AS total_chars,
+           CAST(list_max(list_transform(t, x -> length(x))) AS INTEGER)
+             AS max_token_len,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '^[A-Z]')))
+                AS INTEGER) AS n_capitalized
+    FROM toks
+    """,
+)
+def x7_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — transform / filter / aggregate
+    lambdas over the token array, entirely JVM-side (Catalyst evaluates
+    the lambdas; no Python). The per-document array never leaves its
+    row: zero shuffles, zero explodes — the pattern that replaces
+    explode+groupBy re-aggregation for per-row array metrics at
+    100 TB."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    tok_lens = F.transform(toks, lambda t: F.length(t))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
+        F.aggregate(
+            tok_lens, F.lit(0).cast("bigint"), lambda acc, n: acc + n
+        ).alias("total_chars"),
+        F.array_max(tok_lens).alias("max_token_len"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[A-Z]"))).alias("n_capitalized"),
+    )
+
+
+@query(
+    "x8_map_ops",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_props,
+           list_sort(json_keys(props))[1] AS first_key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CAST(json_extract_string(props, '$.missing') IS NOT NULL
+                AS BOOLEAN) AS has_missing
+    FROM events
+    """,
+)
+def x8_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column surface: parse props into ``map<string,long>``
+    once, then map_keys / cardinality / element_at / contains — the
+    typed alternative to repeated JSON path extraction (one parse per
+    row instead of one per field)."""
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_props"),
+        F.array_sort(F.map_keys(m)).getItem(0).alias("first_key"),
+        F.element_at(m, "k").alias("k_value"),
+        F.element_at(m, "missing").isNotNull().alias("has_missing"),
+    )
+
+
+@query(
     "q5_supplier_volume",
     oracle="""
     SELECT n_name,

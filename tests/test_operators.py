@@ -249,3 +249,16 @@ def test_jdbc_options_validation():
         jdbc_options("jdbc:postgresql://db/aqi", "t", partition_column="id")
     # all-omitted is the sanctioned 1-task control-table read
     assert "partitionColumn" not in jdbc_options("jdbc:postgresql://db/aqi", "t")
+
+
+def test_merge_upsert_unique_source_guard(spark):
+    import pytest
+
+    tgt = spark.createDataFrame([(1, "a")], "k int, v string")
+    dup_src = spark.createDataFrame([(1, "b"), (1, "c")], "k int, v string")
+    ok_src = spark.createDataFrame([(1, "b"), (2, "d")], "k int, v string")
+    # silent fan-out without the guard (documented), loud failure with it
+    with pytest.raises(Exception, match="duplicate source key"):
+        merge_upsert(tgt, dup_src, ["k"], assert_unique_source=True).collect()
+    out = merge_upsert(tgt, ok_src, ["k"], assert_unique_source=True)
+    assert sorted((r.k, r.v) for r in out.collect()) == [(1, "b"), (2, "d")]
