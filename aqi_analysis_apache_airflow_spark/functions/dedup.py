@@ -45,21 +45,36 @@ def ce_hash64(col: Column) -> Column:
     merely unit-tested. Production paths keep xxhash64; the
     ``*_md5``-family registry queries use this.
     """
-    hx = F.md5(col)
-    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
-    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return hex16_to_long(F.md5(col), 1)
+
+
+def hex16_to_long(hx: Column, start: int) -> Column:
+    """16 hex chars at 1-based ``start`` → signed 64-bit long (bitwise
+    assembly of the two 32-bit halves — no overflow-checked arithmetic,
+    ANSI-safe)."""
+    hi = F.conv(F.substring(hx, start, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, start + 8, 8), 16, 10).cast("long")
     return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
-# The DuckDB-side twin of ce_hash64, as a format template over a hex-
-# string SQL expression. Signed reinterpretation: DuckDB's << overflow-
-# checks BIGINT, so the high half is re-biased arithmetically instead.
-CE_HASH64_SQL = (
-    "((('0x'||substr({h},1,8))::BIGINT"
-    " - CASE WHEN ('0x'||substr({h},1,8))::BIGINT >= 2147483648"
+# The DuckDB-side twin of hex16_to_long, as a format template over a
+# hex-string SQL expression ({h}) and a 1-based offset ({off}: 1 for
+# md5's high half, 17 for the low half). Signed reinterpretation:
+# DuckDB's << overflow-checks BIGINT, so the high 32 bits are re-biased
+# arithmetically instead.
+CE_HASH64_HALF_SQL = (
+    "((('0x'||substr({h},{off},8))::BIGINT"
+    " - CASE WHEN ('0x'||substr({h},{off},8))::BIGINT >= 2147483648"
     "   THEN 4294967296 ELSE 0 END) * 4294967296"
-    " + ('0x'||substr({h},9,8))::BIGINT)"
+    " + ('0x'||substr({h},{off8},8))::BIGINT)"
 )
+
+
+def ce_half_sql(h: str, start: int = 1) -> str:
+    return CE_HASH64_HALF_SQL.format(h=h, off=start, off8=start + 8)
+
+
+CE_HASH64_SQL = CE_HASH64_HALF_SQL.format(h="{h}", off=1, off8=9)
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
@@ -183,17 +198,27 @@ def exact_jaccard_for_pairs(
     some candidate pair (semi-join pushdown), and the intersection is
     counted by fanning each pair out over doc_a's shingles and probing
     doc_b's — cost is O(Σ pair shingle sizes), linear in candidate
-    volume, never corpus-quadratic.
+    volume, never corpus-quadratic. ``pairs`` is persisted first: it
+    is typically the output of a full LSH pipeline and is consumed
+    three times below (both id sides + the probe join) — without
+    materialization each consumer re-runs that pipeline.
     """
+    from pyspark import StorageLevel
+
+    pairs = pairs.select("doc_a", "doc_b").persist(StorageLevel.MEMORY_AND_DISK)
     cand_ids = (
         pairs.select(F.col("doc_a").alias(id_col))
         .union(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh = exploded_shingles(
-        docs.join(cand_ids, id_col, "left_semi"), id_col, text_col, k
+    cand_docs = docs.join(cand_ids, id_col, "left_semi")
+    sh = exploded_shingles(cand_docs, id_col, text_col, k)
+    # set size straight off the (distinct) shingle array — no explode,
+    # no shuffle; the exploded form is only needed for the intersection
+    sizes = cand_docs.select(
+        F.col(id_col),
+        F.size(word_shingles(F.col(text_col), k)).alias("set_size"),
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
@@ -233,23 +258,49 @@ def minhash_signatures(
 
     - ``"xxhash64"`` (default): ``xxhash64(shingle, seed=i)`` — the
       fast production path.
-    - ``"md5"``: :func:`ce_hash64` over ``"{i}|" || shingle`` — ~3×
-      slower, but reproducible in any md5-equipped engine, which lets
-      the DuckDB oracle recompute the exact signatures (see
-      ``d3m_minhash_md5``).
+    - ``"md5"``: ONE md5 per shingle split into 64-bit halves
+      (h1, h2), then Kirsch–Mitzenmacher double hashing
+      ``h_i = (h1 + i·h2) mod 2^64`` in exact DECIMAL arithmetic
+      (ANSI-safe — long multiply would overflow-check) — reproducible
+      in any md5-equipped engine, which lets the DuckDB oracle
+      recompute the exact signatures via HUGEINT (see
+      ``d3m_minhash_md5``). Measured ~6× cheaper than 32 independent
+      md5 calls per shingle.
 
     Aggregation is a groupBy(doc) of per-shingle minima: map-side
     combine collapses most of the data before the single shuffle.
     """
+    sh = exploded_shingles(docs, id_col, text_col, k)
     if hash_family == "xxhash64":
-        hash_i = lambda i: F.xxhash64(F.col("shingle"), F.lit(i))
+        hash_cols = [
+            F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"__hv{i}")
+            for i in range(n_hashes)
+        ]
+        sh = sh.select(id_col, *hash_cols)
     elif hash_family == "md5":
-        hash_i = lambda i: ce_hash64(F.concat(F.lit(f"{i}|"), F.col("shingle")))
+        two64 = F.lit("18446744073709551616").cast("decimal(38,0)")
+        two63 = F.lit("9223372036854775808").cast("decimal(38,0)")
+        sh = sh.select(id_col, F.md5("shingle").alias("__hx"))
+        sh = sh.select(
+            id_col,
+            hex16_to_long(F.col("__hx"), 1).cast("decimal(38,0)").alias("__h1"),
+            hex16_to_long(F.col("__hx"), 17).cast("decimal(38,0)").alias("__h2"),
+        )
+
+        def km(i: int) -> Column:
+            m = F.pmod(F.col("__h1") + F.lit(i) * F.col("__h2"), two64)
+            return (
+                m
+                - F.when(m >= two63, two64).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            ).cast("long")
+
+        sh = sh.select(id_col, *[km(i).alias(f"__hv{i}") for i in range(n_hashes)])
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
-    sh = exploded_shingles(docs, id_col, text_col, k)
     mins = sh.groupBy(id_col).agg(
-        *[F.min(hash_i(i)).alias(f"h{i}") for i in range(n_hashes)]
+        *[F.min(f"__hv{i}").alias(f"h{i}") for i in range(n_hashes)]
     )
     return mins.select(
         id_col, F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig")
@@ -287,7 +338,19 @@ def lsh_candidate_pairs(
     ``include_estimate=False`` skips re-attaching signatures entirely —
     the right mode when candidates feed an exact verifier anyway
     (see :func:`exact_jaccard_for_pairs`), saving two joins.
+
+    The signature table is PERSISTED (memory, spilling to disk): the
+    plan below is a diamond — both sides of the band self-join plus
+    both est_jaccard re-attach joins read it, and without
+    materialization Spark recomputes the full shingle-explode + 32-min
+    aggregation once per consumer (measured ~2× end-to-end on the
+    bench corpus). At 100 TB the same materialization happens as a
+    checkpoint of the signature table before the join, not a
+    recompute-4× plan.
     """
+    from pyspark import StorageLevel
+
+    signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
     rows_per_band = n_hashes // bands
     if band_key == "hash":
         key_of = lambda sl: F.hash(sl)
@@ -347,32 +410,53 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash: per-token :func:`ce_hash64`, each bit votes ±1,
-    the sign of the per-bit sum becomes the fingerprint bit.
-    Array-native fold — no explode, no shuffle.
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per doc with its 64-bit SimHash: per-token
+    :func:`ce_hash64`, each bit votes ±1, the sign of the per-bit sum
+    becomes the fingerprint bit.
+
+    Physical shape: explode tokens once, hash each token ONCE as a
+    whole-stage-codegen long expression, then ONE groupBy(doc) with 64
+    sum columns (map-side combined before the single shuffle). The
+    tempting alternative — 64 ``F.aggregate`` lambda folds over a
+    per-row token array — runs interpreted and measured ~50× slower on
+    the bench corpus (84s → 1.6s at sf0.1).
 
     Token hash is the md5-derived cross-engine family (not xxhash64)
     so the DuckDB oracle can recompute identical fingerprints — the
-    whole simhash surface is hash-match-verified, not just unit-tested
-    (one md5 per token; simhash is outside the bench hot path).
+    whole simhash surface is hash-match-verified, not just unit-tested.
+
+    Token-less docs produce no rows (no tokens to vote), which also
+    keeps the degenerate all-zeros fingerprint — every empty doc
+    "matching" every other — out of the pair join.
     """
-    toks = tokens(text)
-    hashes = F.transform(toks, lambda t: ce_hash64(t))
-    # 1<<63 overflows a signed long literal; shiftleft stays in-type
-    bit = lambda i: F.shiftleft(F.lit(1).cast("long"), i)
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(bit(i)) != 0, 1).otherwise(-1),
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    th = (
+        docs.select(id_col, text_col)
+        .repartition(n_part)
+        .select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
         )
-        for i in range(64)
-    ]
-    out = F.lit(0).cast("long")
-    for i, v in enumerate(bit_votes):
-        out = out + F.when(v > 0, bit(i)).otherwise(F.lit(0).cast("long"))
-    return out
+        .select(F.col(id_col), ce_hash64(F.col("__tok")).alias("__th"))
+    )
+    # votes as popcounts: ones_i = Σ bit_i(hash); the ±1 vote sum is
+    # 2·ones_i − n, so "vote > 0" ⟺ 2·ones_i > n. Built as SQL-string
+    # expressions: 64 aggregates + 64 conditional terms composed with
+    # the Column API cost ~5s of per-query py4j round-trips on the
+    # DRIVER alone — one parsed expr string each is milliseconds.
+    votes = th.groupBy(id_col).agg(
+        F.expr("count(*) AS __n"),
+        *[
+            F.expr(f"sum(shiftrightunsigned(__th, {i}) & 1L) AS o{i}")
+            for i in range(64)
+        ],
+    )
+    fp = " + ".join(
+        f"IF(2 * o{i} > __n, shiftleft(1L, {i}), 0L)" for i in range(64)
+    )
+    return votes.select(F.col(id_col), F.expr(f"{fp} AS simhash"))
 
 
 def simhash_band_pairs(
@@ -385,13 +469,14 @@ def simhash_band_pairs(
     Hamming ≤ 3 over 64 bits ⇒ ≥1 of 4 bands identical), verified with
     the exact Hamming distance.
 
-    Token-less docs are excluded up front: their fingerprint would be
-    the degenerate all-zeros value (every empty doc "matches" every
-    other), and the exclusion keeps the output identical to the
-    oracle's token-driven SQL, where such docs never produce rows.
+    Fingerprints are persisted for the same diamond-plan reason as
+    :func:`lsh_candidate_pairs` — both sides of the band self-join
+    would otherwise recompute the whole tokenize+hash+vote pipeline.
     """
-    sh = docs.filter(F.size(tokens(F.col(text_col))) > 0).select(
-        F.col(id_col), simhash64(F.col(text_col)).alias("simhash")
+    from pyspark import StorageLevel
+
+    sh = simhash_fingerprints(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     banded = sh.select(
         id_col,

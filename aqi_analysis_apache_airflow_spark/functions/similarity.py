@@ -37,6 +37,28 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def dot_fast(a: Column, b: Column) -> Column:
+    """Plain double fold over the element products — ~2× cheaper than
+    the decimal route. Still fully deterministic for a FIXED pair of
+    arrays (the fold is left-to-right in array order, independent of
+    partitioning), but its last-ulp bits are not reproducible across
+    engines/summation orders — use for internal ranking (cluster
+    assignment, probe selection), never for surfaced scores."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_fast(a: Column, b: Column) -> Column:
+    """Unrounded double cosine built on :func:`dot_fast` — internal
+    ranking only (see there)."""
+    return dot_fast(a, b) / (
+        F.sqrt(dot_fast(a, a)) * F.sqrt(dot_fast(b, b))
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     query: DataFrame,
@@ -153,7 +175,7 @@ def ivf_assign(
         id_col,
         vec_col,
         "centroid_id",
-        cosine(F.col(vec_col), F.col("cvec")).alias("__sim"),
+        cosine_fast(F.col(vec_col), F.col("cvec")).alias("__sim"),
     )
     assigned = (
         scored.groupBy(id_col)
@@ -185,7 +207,7 @@ def ivf_topk(
         centroids.join(F.broadcast(query))
         .select(
             "centroid_id",
-            cosine(F.col("cvec"), F.col(query_vec_col)).alias("__sim"),
+            cosine_fast(F.col("cvec"), F.col(query_vec_col)).alias("__sim"),
         )
         .orderBy(F.col("__sim").desc(), "centroid_id")
         .limit(n_probe)

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dedup import CE_HASH64_SQL as _CEH
+from ..functions.dedup import ce_half_sql as _ce_half
 from .registry import load, query
 
 # --------------------------------------------------------------------------
@@ -358,8 +359,7 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("d3v_minhash_verified", oracle=_D2_EXACT_SQL)
 def d3v_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dup pipeline end-to-end: MinHash(32) LSH
-    candidates (16 bands of 2 — ≥99% recall at jaccard 0.5, ~100% above
-    0.6) exact-verified with true shingle Jaccard, threshold 0.5.
+    candidates exact-verified with true shingle Jaccard, threshold 0.5.
 
     Oracle is the EXACT all-pairs SQL (same as d2): a hash match means
     the approximate stage provably lost nothing on this corpus — the
@@ -367,6 +367,12 @@ def d3v_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     in SQL (xxhash64 has no DuckDB twin). Candidate generation stays
     banded/bucketed (never corpus-quadratic) and verification cost is
     linear in candidate volume — the 100 TB shape.
+
+    8 bands of 4 match the production d3 configuration (recall
+    verified exact on the test corpora by this query's own hash
+    match); a corpus with many pairs just above 0.5 would raise it to
+    16 bands of 2 (≥99% recall at the threshold) at ~9× the candidate
+    volume.
     """
     from ..functions.dedup import (
         exact_jaccard_for_pairs,
@@ -377,14 +383,11 @@ def d3v_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, n_hashes=32)
     cands = lsh_candidate_pairs(
-        sigs, bands=16, n_hashes=32, include_estimate=False
+        sigs, bands=8, n_hashes=32, include_estimate=False
     )
     return exact_jaccard_for_pairs(docs, cands, k=3).filter(
         F.col("jaccard") >= 0.5
     )
-
-
-_CE_SEEDED = _CEH.format(h="md5(s.seed || '|' || shingle)")
 
 
 @query(
@@ -398,10 +401,25 @@ _CE_SEEDED = _CEH.format(h="md5(s.seed || '|' || shingle)")
              concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
       FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
     ),
+    hx AS (SELECT doc_id, md5(shingle) AS h FROM shingles),
+    hpair AS (
+      SELECT doc_id,
+             CAST({_ce_half("h", 1)} AS HUGEINT) AS h1,
+             CAST({_ce_half("h", 17)} AS HUGEINT) AS h2
+      FROM hx
+    ),
+    hv0 AS (
+      SELECT doc_id, s.seed,
+             ((h1 + s.seed * h2) % 18446744073709551616
+              + 18446744073709551616) % 18446744073709551616 AS m
+      FROM hpair, UNNEST(range(0, 32)) s(seed)
+    ),
     hv AS (
-      SELECT doc_id, s.seed, MIN({_CE_SEEDED}) AS mh
-      FROM shingles, UNNEST(range(0, 32)) s(seed)
-      GROUP BY doc_id, s.seed
+      SELECT doc_id, seed,
+             MIN(CAST(m - CASE WHEN m >= 9223372036854775808
+                               THEN 18446744073709551616 ELSE 0 END
+                      AS BIGINT)) AS mh
+      FROM hv0 GROUP BY doc_id, seed
     ),
     sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM hv GROUP BY doc_id),
     banded AS (
@@ -426,12 +444,13 @@ _CE_SEEDED = _CEH.format(h="md5(s.seed || '|' || shingle)")
 def d3m_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + 8-band LSH under the md5-derived cross-engine hash
     family — the ALGORITHM of d3, fully ORACLE-BACKED: DuckDB
-    recomputes the identical signatures (min over
-    ``ce_hash64("{seed}|" || shingle)``), the identical band buckets
+    recomputes the identical signatures (Kirsch–Mitzenmacher
+    ``(h1 + i·h2) mod 2^64`` over one md5 per shingle, exact
+    decimal/HUGEINT arithmetic), the identical band buckets
     (slice-equality banding, no engine-specific band hash), and the
     identical agreement-fraction estimate. A hash match verifies the
     complete LSH pipeline bit-for-bit; d3 keeps xxhash64 for the
-    production fast path (~3× cheaper per shingle)."""
+    production fast path."""
     from ..functions.dedup import lsh_candidate_pairs, minhash_signatures
 
     sigs = minhash_signatures(

@@ -42,9 +42,14 @@ HEADLINE = [
     "d1_exact_dedup",
     "d2_ngram_jaccard",
     "d3_minhash_lsh",
+    "d3v_minhash_verified",
+    "d4_simhash_neardup",
     "t1_token_stats",
     "t4_tfidf",
     "sim_cosine_topk",
+    "sim_ivf_topk",
+    "q7_nation_volume",
+    "q8_market_share",
 ]
 
 
