@@ -566,6 +566,126 @@ def w2_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "w3_lag_lead_ntile",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(ntile(4) OVER w AS INTEGER) AS price_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def w3_lag_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset window functions (lag/lead) + ntile bucketing in one
+    per-customer window — fully tiebroken order (orderdate, orderkey)
+    so every offset value is deterministic. One shuffle on the
+    partition key serves all three functions."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
+
+
+@query(
+    "w4_range_frame",
+    oracle="""
+    WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+                FROM events)
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS hour_value
+    FROM ev
+    """,
+)
+def w4_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (time-interval) window frame — the trailing-hour rolling
+    sum per user. Unlike a ROWS frame, peers with the same timestamp
+    share a frame, so no tiebreak is needed for determinism; Spark
+    expresses the interval bound as a rangeBetween over epoch
+    seconds."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .withColumn(
+            "hour_value",
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"),
+        )
+        .drop("value")
+    )
+
+
+@query(
+    "ts1_gap_fill",
+    oracle="""
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM ev GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM ev
+    ),
+    calendar AS (
+      SELECT t.hour_ts FROM bounds,
+             UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(hour_ts)
+    ),
+    types AS (SELECT DISTINCT event_type FROM ev)
+    SELECT ty.event_type, c.hour_ts,
+           COALESCE(h.n_events, 0) AS n_events
+    FROM calendar c CROSS JOIN types ty
+    LEFT JOIN hourly h
+      ON h.event_type = ty.event_type AND h.hour_ts = c.hour_ts
+    """,
+)
+def ts1_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling / resampling: hourly counts per event
+    type with EVERY hour in the global span present (missing hours →
+    0) — the dense-calendar shape every downstream window/forecast
+    model needs. The calendar is sequence()-generated from a 1-row
+    bounds aggregate (broadcast cross join), the type dim is a
+    broadcast distinct, and the only real shuffle is the hourly
+    pre-aggregation."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+    )
+    hourly = ev.groupBy("event_type", "hour_ts").agg(
+        F.count("*").alias("n_events")
+    )
+    bounds = ev.agg(
+        F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi")
+    )
+    calendar = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        calendar.join(F.broadcast(types))
+        .join(hourly, ["event_type", "hour_ts"], "left_outer")
+        .select(
+            "event_type",
+            "hour_ts",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # additional relational surface (engine completeness beyond the reference)
 # --------------------------------------------------------------------------

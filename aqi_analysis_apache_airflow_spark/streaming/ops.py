@@ -137,6 +137,44 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> Da
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
+def start_idempotent_parquet_sink(
+    stream_df: DataFrame, path: str, checkpoint: str
+):
+    """Exactly-once-on-retry file sink via ``foreachBatch``: every
+    micro-batch lands in its OWN epoch partition with dynamic partition
+    overwrite, so a replayed epoch (failure between write and
+    checkpoint commit) REPLACES its previous partial output instead of
+    appending a duplicate. This is the vanilla-parquet version of what
+    a transactional table format gives natively; the checkpoint
+    provides the replay, the partition overwrite provides the
+    idempotence.
+
+    Returns the started StreamingQuery (availableNow trigger — caller
+    awaits termination). The batch writer is exposed as
+    ``_write_epoch`` on the returned query object for fault-injection
+    tests (re-invoking it with the same epoch_id must be a no-op in
+    row-count terms).
+    """
+
+    def _write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(path)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write_epoch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q._write_epoch = _write_epoch
+    return q
+
+
 def running_user_stats(
     events: DataFrame, watermark: str = "2 hours", timeout_ms: int | None = None
 ) -> DataFrame:

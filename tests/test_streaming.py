@@ -104,3 +104,33 @@ def test_running_user_stats_stateful(spark, events_stream):
         .collect()
     }
     assert final == want
+
+
+def test_foreach_batch_idempotent_sink(spark, events_stream, tmp_path_factory):
+    """Exactly-once-on-retry: the epoch-partitioned dynamic-overwrite
+    sink absorbs a replayed micro-batch instead of duplicating it."""
+    from aqi_analysis_apache_airflow_spark.streaming.ops import (
+        start_idempotent_parquet_sink,
+    )
+
+    out = str(tmp_path_factory.mktemp("fb_sink") / "out")
+    ckpt = str(tmp_path_factory.mktemp("fb_sink") / "ckpt")
+    q = start_idempotent_parquet_sink(events_stream, out, ckpt)
+    q.awaitTermination()
+
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    first = spark.read.parquet(out)
+    assert first.count() == n_events
+    epochs = [r["__epoch"] for r in first.select("__epoch").distinct().collect()]
+
+    # fault injection: replay the last epoch (failure after write,
+    # before checkpoint commit) — row count must not change
+    replay = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(500)
+    q._write_epoch(replay.drop("__epoch"), max(epochs))
+    after = spark.read.parquet(out)
+    non_replayed = first.filter(F.col("__epoch") != max(epochs)).count()
+    assert after.filter(F.col("__epoch") == max(epochs)).count() == 500
+    assert after.count() == non_replayed + 500
+    # and a SECOND identical replay is a strict no-op
+    q._write_epoch(replay.drop("__epoch"), max(epochs))
+    assert spark.read.parquet(out).count() == non_replayed + 500
