@@ -764,6 +764,97 @@ def d2b_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: GPT-2-style pretokenizer regex, reduced to constructs whose
+#: semantics are identical in Java regex (Spark) and RE2 (DuckDB):
+#: letter runs | single digits | punctuation runs.
+_BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+@query(
+    "t5_bpe_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '{_BPE_RE}') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS INTEGER) AS n_subtokens,
+           CAST(len(list_distinct(t)) AS INTEGER) AS n_unique,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '^[A-Za-z]')))
+                AS INTEGER) AS n_alpha,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '^[0-9]')))
+                AS INTEGER) AS n_digit
+    FROM toks
+    """,
+)
+def t5_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pretokenization counting — the token-budget estimator
+    for an LLM data pipeline (whitespace counts undercount ~30% vs a
+    real BPE; the pretokenizer split is the standard cheap proxy).
+    Pure JVM regex + array ops, zero shuffle, zero Python."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_subtokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]"))).alias("n_alpha"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]"))).alias("n_digit"),
+    )
+
+
+@query(
+    "emb1_quantize",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS scale,
+             embedding
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS INTEGER))
+               AS qv
+      FROM scaled WHERE scale > 0
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS l1_q,
+           CAST(len(list_filter(qv, v -> abs(v) = 127)) AS INTEGER)
+             AS n_saturated
+    FROM q
+    """,
+)
+def emb1_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage/serving compression step of an embedding pipeline
+    (float32 → int8 + per-vector scale = 4× smaller, recall loss
+    <1% for cosine at this bit width). Per-row array math only
+    (max-abs scale, transform-round) — no shuffle; the surfaced
+    checksums (L1 mass, saturation count) are exact integers, so the
+    oracle comparison is bit-exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    absd = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    scaled = emb.select(
+        "vec_id", F.array_max(absd).alias("scale"), "embedding"
+    ).filter(F.col("scale") > 0)
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") / F.col("scale") * 127).cast("int"),
+    )
+    return scaled.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            F.transform(qv, lambda v: F.abs(v).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("l1_q"),
+        F.size(F.filter(qv, lambda v: F.abs(v) == 127)).alias("n_saturated"),
+    )
+
+
 _CE_VID = _CEH.format(h="md5(CAST(vec_id AS VARCHAR))")
 _CE_VID_SEEDED = _CEH.format(h="md5('1|' || CAST(vec_id AS VARCHAR))")
 
