@@ -86,3 +86,44 @@ def test_null_normalize(spark):
     df = spark.createDataFrame([(1.0,), (float("nan"),), (None,)], "x double")
     out = [r["y"] for r in df.select(null_normalize(F.col("x")).alias("y")).collect()]
     assert out.count(None) == 2 and 1.0 in out
+
+
+def test_q6_full_pushdown_and_pruning(spark):
+    """The scan-bound query: every predicate reaches the parquet scan
+    and only the 4 referenced columns are read."""
+    p = plan_of(spark, "q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in p and "LessThan(l_quantity,24.0)" in p
+    assert "GreaterThanOrEqual(l_discount,0.05)" in p
+    assert "l_orderkey" not in p and "l_returnflag" not in p
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark):
+    """Catalyst extracts the common OR-of-AND bounds as pushable
+    conjuncts on BOTH sides of the join (naive plans filter only
+    post-join)."""
+    p = plan_of(spark, "q19_disjunctive_rev")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l and "Or(" in l for l in pushed)
+    assert any("p_brand" in l and "Or(" in l for l in pushed)
+    assert "BroadcastHashJoin" in p
+
+
+def test_q4_exists_is_semi_join(spark):
+    """Correlated EXISTS compiles to ONE LeftSemi join — no distinct,
+    no fan-out, no subquery re-execution."""
+    p = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in p
+    assert "HashAggregate" in p
+
+
+def test_q21_semi_and_anti(spark):
+    p = plan_of(spark, "q21_waiting_supplier")
+    assert "LeftSemi" in p and "LeftAnti" in p
+
+
+def test_sim_ivfm_no_global_window(spark):
+    """The oracle-backed IVF variant must keep the scale-safe centroid
+    selection: no Window, final top-k as TakeOrdered."""
+    p = plan_of(spark, "sim_ivfm_topk")
+    assert "Window" not in p
+    assert "TakeOrderedAndProject" in p
