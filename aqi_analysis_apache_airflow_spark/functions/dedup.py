@@ -410,6 +410,85 @@ def lsh_candidate_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """Connected components over an undirected pair list (columns
+    ``doc_a``, ``doc_b``) by iterative min-label propagation — the
+    stage that turns near-duplicate PAIRS into duplicate CLUSTERS so a
+    pipeline can keep one canonical doc per cluster.
+
+    Returns (doc_id, cluster_id) for every doc in some pair, where
+    cluster_id = the smallest doc_id in the component (deterministic).
+
+    Scale shape: each iteration is one groupBy over the symmetric edge
+    list (map-side combined) plus a label join — the standard
+    large-graph label propagation, converging in O(component diameter)
+    rounds, which for near-dup graphs is tiny (dup clusters are dense
+    cliques, diameter ≲ 3). The driver-side convergence check is one
+    count per round — this is a genuinely iterative algorithm, the
+    sanctioned use of a driver loop. Labels persist per round and the
+    previous round's cache is released eagerly.
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select("doc_a", "doc_b")
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("cluster_id").alias("__nl"),
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("__nl").alias("__nmin"))
+            .select(F.col("doc_a").alias("doc_id"), "__nmin")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left_outer")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("__nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.join(
+                labels.select(
+                    "doc_id", F.col("cluster_id").alias("__old")
+                ),
+                "doc_id",
+            )
+            .filter(F.col("cluster_id") != F.col("__old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

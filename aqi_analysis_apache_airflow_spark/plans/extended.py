@@ -305,8 +305,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the exact query (d2) and the LSH-verified query (d3v): if the
 #: approximate candidate stage loses any true pair, d3v's hash match
 #: fails, so a green d3v row PROVES full LSH recall on the test corpus.
-_D2_EXACT_SQL = """
-    WITH toks AS (
+_D2_CTES = """toks AS (
       SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
     ),
     shingles AS (
@@ -320,13 +319,18 @@ _D2_EXACT_SQL = """
       FROM shingles a JOIN shingles b USING (shingle)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
+    )"""
+
+_D2_SELECT = """SELECT doc_a, doc_b,
            CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.5
+    WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.5"""
+
+_D2_EXACT_SQL = f"""
+    WITH {_D2_CTES}
+    {_D2_SELECT}
     """
 
 
@@ -353,6 +357,64 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(load(spark, sf_dir, "documents"), n_hashes=32)
     return lsh_candidate_pairs(sigs, bands=8, n_hashes=32).filter(
         F.col("est_jaccard") >= 0.5
+    )
+
+
+@query(
+    "d6_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_D2_CTES},
+    pairs AS ({_D2_SELECT}),
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION
+      SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.doc_a, re.r FROM edges e JOIN reach re ON re.doc_id = e.doc_b
+    ),
+    comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    csize AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY 1
+    )
+    SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           c.doc_id = c.cluster_id AS is_canonical
+    FROM comp c JOIN csize s USING (cluster_id)
+    """,
+)
+def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS → canonical doc: connected
+    components over the exact-Jaccard pair graph (min-label
+    propagation, O(diameter) rounds — dup clusters are dense cliques,
+    so 1-3), with cluster_id = smallest member and ``is_canonical``
+    marking the one doc per cluster a dedup pipeline keeps. The oracle
+    recomputes components with a recursive CTE (transitive closure) —
+    feasible exactly because the oracle corpus is small; the Spark
+    side is the 100 TB shape (per-round groupBy + label join, no
+    closure materialization).
+
+    The completion of the dedup story: d2/d3 find the pairs, this op
+    decides what to DROP."""
+    from ..functions.dedup import connected_components, ngram_jaccard_pairs
+    from pyspark import StorageLevel
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.5, k=3, max_doc_freq=None
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    comp = connected_components(pairs)
+    csize = comp.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return comp.join(csize, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
 
 

@@ -147,3 +147,28 @@ def test_ivf_topk_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"recall {recall}"
+
+
+def test_connected_components_multihop(spark):
+    """A 5-node path (needs multiple propagation rounds), a triangle,
+    and an isolated pair all resolve to min-id components."""
+    from aqi_analysis_apache_airflow_spark.functions.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        # path 10-11-12-13-14 given as edges in arbitrary direction
+        [(11, 10), (11, 12), (13, 12), (13, 14),
+         # triangle 20-21-22
+         (20, 21), (21, 22), (20, 22),
+         # pair 30-31
+         (30, 31)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                   20: 20, 21: 20, 22: 20,
+                   30: 30, 31: 30}
