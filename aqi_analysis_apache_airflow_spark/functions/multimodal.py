@@ -60,6 +60,50 @@ def extract_binary_features(
     return media.select(id_col, payload_col).mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+def frame_sample(
+    media: DataFrame,
+    frame_bytes: int = 256,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-sampling plumbing: expand each payload into fixed-stride
+    frames — (doc_id, frame_idx, frame_off, frame) — via posexplode of
+    a computed offset sequence. This is the VIDEO pattern at 100 TB:
+    the expansion is a narrow generate (no shuffle), frames flow to a
+    per-frame decode/feature stage (stubbed here exactly as in
+    :func:`extract_binary_features`), and downstream partitioning is
+    by (doc, frame) for per-frame parallelism.
+
+    Payloads shorter than one frame stride yield no frames (matching a
+    video shorter than one sample interval).
+    """
+    n_frames = F.floor(F.length(F.col(payload_col)) / F.lit(frame_bytes))
+    # sequence(0, -1) counts BACKWARDS in Spark — payloads shorter than
+    # one stride must map to an empty frame list explicitly
+    idx = F.when(
+        n_frames >= 1, F.sequence(F.lit(0).cast("long"), n_frames - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        media.select(id_col, payload_col, idx.alias("__idx"))
+        .filter(F.size("__idx") > 0)
+        .select(
+            id_col,
+            payload_col,
+            F.posexplode("__idx").alias("frame_idx", "__i"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            (F.col("frame_idx") * frame_bytes).cast("long").alias("frame_off"),
+            F.substring(
+                F.col(payload_col),
+                (F.col("frame_idx") * frame_bytes + 1).cast("int"),
+                frame_bytes,
+            ).alias("frame"),
+        )
+    )
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat documents.text bytes as an opaque payload so the
     multimodal plumbing is exercised against the driver corpus."""

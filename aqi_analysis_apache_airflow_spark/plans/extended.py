@@ -629,6 +629,45 @@ def m1_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m2_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+             CAST(i * 256 AS BIGINT) AS frame_off,
+             substr(text, CAST(i * 256 + 1 AS INTEGER), 256) AS frame
+      FROM documents,
+           UNNEST(range(0, CAST(floor(length(text) / 256) AS BIGINT))) u(i)
+    )
+    SELECT doc_id, frame_idx, frame_off,
+           md5(frame) AS frame_sig,
+           CAST(length(frame) AS INTEGER) AS n_frame_bytes
+    FROM f
+    """,
+)
+def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing: each payload expands into
+    fixed-stride frames via posexplode of a computed index sequence
+    (the VIDEO pattern — a narrow generate, no shuffle; the per-frame
+    decode hook is the same stubbed mapInPandas stage as m1). The
+    document text stands in for the byte payload as in m1; per-frame
+    fingerprints + lengths give the oracle an exact row-per-frame
+    comparison."""
+    from ..functions.multimodal import frame_sample
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("payload")
+    )
+    frames = frame_sample(docs, frame_bytes=256)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_off",
+        F.md5("frame").alias("frame_sig"),
+        F.length("frame").alias("n_frame_bytes"),
+    )
+
+
+@query(
     "e3_sliding_window",
     oracle="""
     WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
