@@ -262,3 +262,46 @@ def test_merge_upsert_unique_source_guard(spark):
         merge_upsert(tgt, dup_src, ["k"], assert_unique_source=True).collect()
     out = merge_upsert(tgt, ok_src, ["k"], assert_unique_source=True)
     assert sorted((r.k, r.v) for r in out.collect()) == [(1, "b"), (2, "d")]
+
+
+def test_not_in_matches_sql_semantics_property(spark):
+    """Property check: not_in() equals DuckDB's real NOT IN on random
+    probe/subquery lists with NULLs in every position combination."""
+    import duckdb
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vals = st.lists(st.one_of(st.none(), st.integers(0, 5)), max_size=6)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(probe=vals, sub=vals)
+    def check(probe, sub):
+        df = spark.createDataFrame([(v,) for v in probe] or [(None,)], "k int")
+        if not probe:
+            df = df.limit(0)
+        sdf = spark.createDataFrame([(v,) for v in sub] or [(None,)], "k2 int")
+        if not sub:
+            sdf = sdf.limit(0)
+        got = sorted(
+            (r["k"] for r in not_in(df, "k", sdf, "k2").collect()),
+            key=lambda x: (x is None, x),
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p(k INTEGER); CREATE TABLE s(k2 INTEGER)")
+        if probe:
+            con.executemany("INSERT INTO p VALUES (?)", [(v,) for v in probe])
+        if sub:
+            con.executemany("INSERT INTO s VALUES (?)", [(v,) for v in sub])
+        want = sorted(
+            (r[0] for r in con.execute(
+                "SELECT k FROM p WHERE k NOT IN (SELECT k2 FROM s)"
+            ).fetchall()),
+            key=lambda x: (x is None, x),
+        )
+        assert got == want, f"probe={probe} sub={sub}: {got} != {want}"
+
+    check()
