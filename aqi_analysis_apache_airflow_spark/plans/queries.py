@@ -692,6 +692,82 @@ def ts1_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "u3_set_ops_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def u3_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set op (INTERSECT ALL keeps duplicate
+    multiplicity = min of the two sides) — the multiset twin of u1's
+    distinct set ops."""
+    orders = load(spark, sf_dir, "orders")
+    open_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    urgent_cust = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return open_cust.intersectAll(urgent_cust)
+
+
+@query(
+    "x9_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, CAST(value AS DOUBLE) AS value
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_tax
+          FROM lineitem)
+    UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_tax))
+    """,
+)
+def x9_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: wide measures → long (key, measure, value) form
+    — the inverse of g2's pivot, a narrow per-row expansion with no
+    shuffle."""
+    return load(spark, sf_dir, "lineitem").unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+@query(
+    "split1_train_val",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN (({{ce}} % 100) + 100) % 100 < 90 THEN 'train'
+                ELSE 'val' END AS split
+    FROM documents
+    """.replace(
+        "{ce}",
+        "((('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT"
+        " - CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT"
+        " >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296"
+        " + ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),9,8))::BIGINT)",
+    ),
+)
+def split1_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train-val split by cross-engine hash of the
+    doc id — the reproducible alternative to rand()-based sampling: the
+    assignment is a pure function of the id, so it is stable across
+    runs, engines, partitionings, and corpus growth (a doc never
+    changes split when new docs arrive — the property rand(seed) does
+    NOT give you). Zero shuffle, zero state."""
+    from ..functions.dedup import ce_hash64
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.pmod(ce_hash64(F.col("doc_id").cast("string")), F.lit(100)) < 90,
+            F.lit("train"),
+        )
+        .otherwise(F.lit("val"))
+        .alias("split"),
+    )
+
+
+@query(
     "u2_except",
     oracle="""
     SELECT c_custkey FROM customer
