@@ -629,6 +629,92 @@ def m1_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g8_stats_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+           round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
+           round((sxy - sx * sy / n)
+                 / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)),
+                 6) AS corr_qty_price
+    FROM s
+    """,
+)
+def g8_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (variance / covariance / correlation)
+    computed from EXACT decimal power sums, not the builtin
+    var_samp/corr: the builtins accumulate doubles in partition order,
+    so their last-ulp bits differ run-to-run and engine-to-engine —
+    the decimal-moments form is the reproducible way to ship
+    statistics from a distributed engine. One aggregation pass, all
+    five moments share the shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round((sxx - sx * sx / n) / (n - 1), 6).alias("var_qty"),
+        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_qty_price"),
+        F.round(
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "t7_text_clean",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+                regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                ' +', ' ', 'g')) AS clean_text
+    FROM documents
+    """,
+)
+def t7_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization for dedup/training: lowercase → strip
+    non-alphanumerics → collapse whitespace → trim. Pure JVM regex
+    chain, zero shuffle — the canonical pre-tokenization cleaning
+    stage (t3's fingerprint hashes exactly this form)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        ).alias("clean_text"),
+    )
+
+
+@query(
     "m2_frame_sample",
     oracle="""
     WITH f AS (
