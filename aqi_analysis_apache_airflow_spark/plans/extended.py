@@ -688,6 +688,36 @@ def g8_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g9_mode",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag,
+           arg_min(l_quantity,
+                   -cnt * 128 + CAST(l_quantity AS BIGINT)) AS mode_qty,
+           CAST(max(cnt) AS BIGINT) AS mode_count
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def g9_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value, smallest value wins
+    ties): count per (group, value), then an argmin over the single
+    integer key ``-cnt*128 + value`` — builtin mode() breaks ties
+    arbitrarily in both engines, so it can never hash-match; the
+    encoded-key argmin is exact. Two aggregations sharing one shuffle
+    chain, both map-side combined."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
+    key = -F.col("cnt") * 128 + F.col("l_quantity").cast("bigint")
+    return c.groupBy("l_returnflag").agg(
+        F.min_by("l_quantity", key).alias("mode_qty"),
+        F.max("cnt").alias("mode_count"),
+    )
+
+
+@query(
     "t7_text_clean",
     oracle="""
     SELECT doc_id,
