@@ -34,3 +34,27 @@ def _zscore_kernel(v: pd.Series, mean: pd.Series, std: pd.Series) -> pd.Series:
 def vectorized_zscore(value: Column, mean: Column, std: Column) -> Column:
     """(value - mean) / std over Arrow batches; NULL where std == 0."""
     return _zscore_kernel(value, mean, std)
+
+
+@F.udtf(returnType="chunk_idx int, chunk_off bigint, chunk string")
+class ChunkTextUDTF:
+    """Python UDTF (PySpark 4 table function): overlapping text
+    chunking, the user-extensible twin of the pure-column
+    ``c1_chunk_text`` plan (size 200 / stride 150 — tested equal).
+
+    The expression form is the production path (JVM, no Python); the
+    UDTF is the sanctioned extension point for chunkers that need real
+    Python — sentence-boundary models, tokenizer-aware packing — where
+    a lateral join (``df.lateralJoin(chunk_text_udtf(...))``) keeps the
+    expansion partition-parallel with no shuffle.
+    """
+
+    def eval(self, text: str):  # noqa: D102 — API-mandated name
+        if not text:
+            return
+        start = 0
+        idx = 0
+        while start < len(text):
+            yield idx, start, text[start : start + 200]
+            idx += 1
+            start += 150

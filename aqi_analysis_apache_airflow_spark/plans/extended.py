@@ -745,6 +745,51 @@ def t7_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c1_chunk_text",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+             CAST(i * 150 AS BIGINT) AS chunk_off,
+             substr(text, CAST(i * 150 + 1 AS INTEGER), 200) AS chunk
+      FROM documents,
+           UNNEST(range(0, CAST(floor((length(text) - 1) / 150) + 1 AS BIGINT)))
+             u(i)
+    )
+    SELECT doc_id, chunk_idx, chunk_off, chunk,
+           CAST(length(chunk) AS INTEGER) AS n_chunk_chars
+    FROM c
+    """,
+)
+def c1_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping text chunking (size 200, stride 150 → 50-char
+    overlap) — the chunker in front of every embedding pipeline:
+    overlap keeps sentences that straddle a boundary retrievable from
+    both sides. A narrow posexplode of computed offsets, no shuffle,
+    no Python; every chunk start < doc length, so short docs yield
+    exactly one chunk and empty docs none."""
+    docs = load(spark, sf_dir, "documents")
+    n_chunks = F.floor((F.length("text") - 1) / 150) + 1
+    idx = F.when(
+        F.length("text") > 0,
+        F.sequence(F.lit(0).cast("long"), (n_chunks - 1).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        docs.select("doc_id", "text", idx.alias("__idx"))
+        .filter(F.size("__idx") > 0)
+        .select("doc_id", "text", F.explode("__idx").alias("chunk_idx"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("chunk_idx") * 150).cast("long").alias("chunk_off"),
+            F.substring(
+                F.col("text"), (F.col("chunk_idx") * 150 + 1).cast("int"), 200
+            ).alias("chunk"),
+        )
+        .withColumn("n_chunk_chars", F.length("chunk"))
+    )
+
+
+@query(
     "m2_frame_sample",
     oracle="""
     WITH f AS (

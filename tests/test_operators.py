@@ -305,3 +305,20 @@ def test_not_in_matches_sql_semantics_property(spark):
         assert got == want, f"probe={probe} sub={sub}: {got} != {want}"
 
     check()
+
+
+def test_chunk_udtf_equals_expression_form(spark):
+    """The Python UDTF chunker (lateral join) produces exactly the
+    pure-column c1_chunk_text expansion."""
+    from aqi_analysis_apache_airflow_spark.functions.udf import ChunkTextUDTF
+    from aqi_analysis_apache_airflow_spark.plans import REGISTRY
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    via_udtf = docs.lateralJoin(ChunkTextUDTF(F.col("text").outer())).select(
+        "doc_id", "chunk_idx", "chunk_off", "chunk"
+    )
+    via_expr = REGISTRY["c1_chunk_text"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).select("doc_id", "chunk_idx", "chunk_off", "chunk")
+    canon = lambda df: sorted(tuple(map(str, r)) for r in df.collect())
+    assert canon(via_udtf) == canon(via_expr)
