@@ -58,3 +58,25 @@ class ChunkTextUDTF:
             yield idx, start, text[start : start + 200]
             idx += 1
             start += 150
+
+
+@F.pandas_udf(T.DoubleType())
+def trimmed_mean_10(v: pd.Series) -> float:
+    """Grouped-aggregate pandas UDF (the UDAF surface): 10%-trimmed
+    mean — drop the lowest and highest decile, average the rest. The
+    robust-statistics aggregate Spark has no builtin for; Arrow ships
+    each group's column once, numpy does the math, no per-row Python.
+
+    Trim boundaries use the same nearest-rank convention as
+    ``np.percentile(..., method='lower'/'higher')`` so the result is
+    deterministic for any group ordering.
+    """
+    import numpy as np
+
+    a = np.sort(v.to_numpy(dtype="float64"))
+    n = len(a)
+    if n == 0:
+        return float("nan")
+    k = int(n * 0.1)
+    trimmed = a[k : n - k] if n - 2 * k > 0 else a
+    return float(trimmed.mean())

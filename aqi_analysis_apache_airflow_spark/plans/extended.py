@@ -688,6 +688,58 @@ def g8_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f6_funnel",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                       event_id FROM events),
+    stages AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM ev GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS viewed,
+           CAST(SUM(CASE WHEN first_click > first_view THEN 1 ELSE 0 END)
+                AS BIGINT) AS clicked_after_view,
+           CAST(SUM(CASE WHEN first_purchase > first_click
+                          AND first_click > first_view
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS purchased_after_funnel
+    FROM stages
+    """,
+)
+def f6_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (view → click → purchase, strictly ordered by
+    first occurrence): one conditional-MIN aggregation per user, then
+    1-row stage counting — no self-joins, no per-stage scans; the
+    three-valued NULL comparisons drop users missing a stage exactly
+    as SQL does. One shuffle total."""
+    ev = load(spark, sf_dir, "events")
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    stages = ev.groupBy("user_id").agg(
+        first_of("view").alias("first_view"),
+        first_of("click").alias("first_click"),
+        first_of("purchase").alias("first_purchase"),
+    )
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        flag(F.col("first_view").isNotNull()).alias("viewed"),
+        flag(F.col("first_click") > F.col("first_view")).alias(
+            "clicked_after_view"
+        ),
+        flag(
+            (F.col("first_purchase") > F.col("first_click"))
+            & (F.col("first_click") > F.col("first_view"))
+        ).alias("purchased_after_funnel"),
+    )
+
+
+@query(
     "g9_mode",
     oracle="""
     WITH c AS (

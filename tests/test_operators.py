@@ -322,3 +322,25 @@ def test_chunk_udtf_equals_expression_form(spark):
     ).select("doc_id", "chunk_idx", "chunk_off", "chunk")
     canon = lambda df: sorted(tuple(map(str, r)) for r in df.collect())
     assert canon(via_udtf) == canon(via_expr)
+
+
+def test_trimmed_mean_grouped_agg(spark):
+    """Grouped-agg pandas UDF: 10%-trimmed mean drops outliers that
+    wreck the plain mean, and groups too small to trim fall back to
+    the full mean."""
+    from aqi_analysis_apache_airflow_spark.functions.udf import trimmed_mean_10
+
+    rows = [("g1", float(v)) for v in range(1, 11)] + [
+        ("g1", 1000.0),  # outlier in the top decile of 11 values
+        ("g2", 5.0),
+        ("g2", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: r["tm"]
+        for r in df.groupBy("g").agg(trimmed_mean_10(F.col("v")).alias("tm")).collect()
+    }
+    # g1: 11 values, k=1 -> drop min (1.0) and max (1000.0), mean of 2..10
+    assert got["g1"] == sum(range(2, 11)) / 9
+    # g2: n=2, k=0 -> plain mean
+    assert got["g2"] == 6.0
