@@ -768,6 +768,89 @@ def split1_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j11_salted_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def j11_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salted join in the oracle gate: lineitem salted across
+    8 salt values, orders replicated per salt — result provably equals
+    the plain join (the oracle IS the plain join). On a skew-free
+    corpus this only proves correctness; the hot-key spreading is
+    asserted separately in tests/test_scale_ops.py."""
+    from ..operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, orders, ["l_orderkey"], n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty")
+        )
+    )
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    WITH changed AS (
+      SELECT c_custkey, c_acctbal,
+             (c_custkey % 7 <> 0 AND c_custkey % 2 = 0
+              AND c_acctbal <> c_acctbal * 2) AS chg,
+             (c_custkey % 7 <> 0) AS in_src2
+      FROM customer
+    )
+    SELECT c_custkey, c_acctbal,
+           TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+           CASE WHEN chg THEN TIMESTAMP '2024-02-01 00:00:00' END AS valid_to,
+           NOT chg AS is_current
+    FROM changed
+    UNION ALL
+    SELECT c_custkey, c_acctbal * 2,
+           TIMESTAMP '2024-02-01 00:00:00', NULL, true
+    FROM changed WHERE chg
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 in the oracle gate: init a history table from the
+    customer snapshot at t1, then upsert a second snapshot at t2
+    (balances doubled for even keys; keys divisible by 7 absent —
+    untouched). The oracle reconstructs the exact expected history
+    with set logic: changed keys get a closed old version + open new
+    version, everything else stays a single open row. Doubling is an
+    exact IEEE op, so the tracked-column change detection and the
+    surfaced values are bit-identical across engines."""
+    from datetime import datetime
+
+    from ..operators.scd2 import scd2_init, scd2_upsert
+
+    t1, t2 = datetime(2024, 1, 1), datetime(2024, 2, 1)
+    snap1 = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    snap2 = snap1.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.col("c_acctbal") * 2
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    target = scd2_init(snap1, t1)
+    return scd2_upsert(
+        target, snap2, keys=["c_custkey"], tracked_cols=["c_acctbal"],
+        effective_ts=t2,
+    )
+
+
+@query(
     "u2_except",
     oracle="""
     SELECT c_custkey FROM customer
