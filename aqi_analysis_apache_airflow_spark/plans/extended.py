@@ -688,6 +688,55 @@ def g8_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r1_incremental_rollup",
+    oracle="""
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           max(value) AS max_value
+    FROM ev GROUP BY event_type
+    """,
+)
+def r1_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance: the events table arrives as
+    three month-ish batches; each is aggregated to mergeable partial
+    state and merged into the rollup — history is NEVER re-scanned
+    (per-refresh cost is O(batch + touched groups), the only strategy
+    that survives 100 TB of history). The oracle aggregates the whole
+    table directly: a hash match proves fold(batches) == full
+    recompute, decimal-exact."""
+    from ..operators.rollup import merge_rollup, partial_rollup
+
+    ev = load(spark, sf_dir, "events").select(
+        "ts", "event_type", F.col("value").cast("decimal(18,6)").alias("value")
+    )
+    cuts = ["2024-02-01 00:00:00", "2024-03-01 00:00:00"]
+    batches = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    measures = {
+        "n_events": ("count", "*"),
+        "total_value": ("sum", "value"),
+        "max_value": ("max", "value"),
+    }
+    rollup = None
+    for b in batches:
+        rollup = merge_rollup(
+            rollup, partial_rollup(b, ["event_type"], measures),
+            ["event_type"], measures,
+        )
+    return rollup.select(
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+@query(
     "f6_funnel",
     oracle="""
     WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
