@@ -93,3 +93,72 @@ def asof_join(
         *[F.col(f"__rv_{c}").alias(c) for c in value_cols],
     )
     return out
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """The cogrouped-pandas twin of :func:`asof_join`:
+    ``left.groupBy(keys).cogroup(right.groupBy(keys))`` hands each
+    key's two slices to one ``pd.merge_asof`` call.
+
+    Same semantics (backward, exact-ts match visible, tested equal);
+    different physics — both sides shuffle on the key and the merge
+    runs in Python per group. Use it when the per-group logic outgrows
+    window expressions (interpolation, tolerance bands, multi-column
+    nearest); for the plain backward join the union-tag form above is
+    the faster JVM-only path.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in {*keys, right_ts}]
+    collisions = {c for c in value_cols if c in left.columns and c not in keys}
+    if collisions:
+        raise ValueError(
+            f"asof_join_cogrouped: value_cols {sorted(collisions)} collide "
+            "with left column names"
+        )
+    ldt = dict(left.dtypes)
+    rdt = dict(right.dtypes)
+    schema = ", ".join(
+        [f"{k} {ldt[k]}" for k in keys]
+        + [f"{c} {ldt[c]}" for c in left.columns if c not in keys]
+        + [f"{c} {rdt[c]}" for c in value_cols]
+    )
+
+    def merge(lpdf, rpdf):
+        import pandas as pd
+
+        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        if lpdf.empty:
+            return lpdf.iloc[0:0].reindex(
+                columns=[*lpdf.columns, *value_cols]
+            )
+        if rpdf.empty:
+            out = lpdf.copy()
+            for c in value_cols:
+                out[c] = None
+            return out
+        # avoid a column-name clash when both ts columns share a name
+        # (pandas would suffix them and break the schema contract)
+        rts = right_ts if right_ts != left_ts else "__rts"
+        rsub = rpdf[[right_ts, *value_cols]].rename(columns={right_ts: rts})
+        rsub = rsub.sort_values(rts, kind="mergesort")
+        merged = pd.merge_asof(
+            lpdf,
+            rsub,
+            left_on=left_ts,
+            right_on=rts,
+            direction="backward",
+        )
+        return merged.drop(columns=[rts])
+
+    return (
+        left.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
+        .applyInPandas(merge, schema)
+    )

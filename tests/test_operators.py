@@ -344,3 +344,31 @@ def test_trimmed_mean_grouped_agg(spark):
     assert got["g1"] == sum(range(2, 11)) / 9
     # g2: n=2, k=0 -> plain mean
     assert got["g2"] == 6.0
+
+
+def test_asof_cogrouped_equals_union_tag(spark):
+    """The cogrouped-pandas as-of join (pd.merge_asof per key) is
+    row-identical to the set-based union-tag implementation on real
+    event data, including keys with no right rows."""
+    from aqi_analysis_apache_airflow_spark.operators.asof import (
+        asof_join,
+        asof_join_cogrouped,
+    )
+    from aqi_analysis_apache_airflow_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    left = ev.select("user_id", "ts", "event_id")
+    # sparse right side: every 10th event carries a price; one row per
+    # (user, ts) so the backward pick is unambiguous on ties
+    right = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .select("user_id", F.col("ts").alias("rts"), F.col("value").alias("price"))
+        .dropDuplicates(["user_id", "rts"])
+    )
+    a = asof_join(left, right, ["user_id"], "ts", "rts")
+    b = asof_join_cogrouped(left, right, ["user_id"], "ts", "rts")
+    canon = lambda df: sorted(
+        tuple(map(str, r))
+        for r in df.select("user_id", "ts", "event_id", "price").collect()
+    )
+    assert canon(a) == canon(b)
