@@ -208,10 +208,12 @@ def j1_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j2_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/J3/J5: fact ⋈ broadcast dims (``dags/etl/stage_to_nds.py:105,119,209``).
 
-    customer/nation/region are the dimension sides — explicitly
-    broadcast, so the orders fact never shuffles for the join (the only
-    shuffle is the final group-by). The double sum goes through DECIMAL
-    so the result is exact and partitioning-independent.
+    nation/region are hint-broadcast (bounded at 25/5 rows at any
+    scale); customer carries no forced hint — it is broadcast-sized at
+    test scale but grows with SF, so size statistics/AQE decide. The
+    orders fact never shuffles for the small joins (the only shuffle is
+    the final group-by). The double sum goes through DECIMAL so the
+    result is exact and partitioning-independent.
     """
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
@@ -219,7 +221,7 @@ def j2_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region")
     joined = (
         orders.join(
-            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+            customer, orders.o_custkey == customer.c_custkey
         )
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -1114,9 +1116,9 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
         .join(
-            F.broadcast(supplier),
+            supplier,
             (li.l_suppkey == supplier.s_suppkey)
             & (supplier.s_nationkey == customer.c_nationkey),
         )
@@ -1255,8 +1257,10 @@ def j10_asof_two_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q3 shape: segment filter rides the broadcast customer dim,
-    both date filters push into the scans, top-10 via TakeOrdered."""
+    """TPC-H-Q3 shape: the segment filter rides the customer dim (AQE
+    broadcasts it while it fits; no forced hint — customer grows with
+    SF), both date filters push into the scans, top-10 via
+    TakeOrdered."""
     customer = load(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -1270,7 +1274,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_discount").cast("decimal(4,2)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -1299,7 +1303,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q10 shape: returned-item revenue per customer, one quarter;
-    lineitem⋈orders is the only big pair, customer/nation broadcast."""
+    lineitem⋈orders is the only guaranteed-big pair — nation is
+    hint-broadcast, customer is AQE-sized (it grows with SF)."""
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     orders = load(spark, sf_dir, "orders").filter(
@@ -1311,7 +1316,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_discount").cast("decimal(4,2)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
@@ -1383,7 +1388,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(big_orders, "l_orderkey", "left_semi")
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(qty).cast("double").alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")

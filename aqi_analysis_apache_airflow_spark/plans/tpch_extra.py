@@ -122,9 +122,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q7 shape: bi-directional trade volume between two nations
-    by ship year. lineitem⋈orders is the only shuffle pair; supplier,
-    customer, and both nation aliases broadcast, and the two-nation
-    disjunction prunes most rows at the dim joins."""
+    by ship year. lineitem⋈orders is the only guaranteed shuffle pair;
+    the nation aliases are hint-broadcast (25 rows at any scale), while
+    supplier/customer carry NO forced hint — they are broadcast-sized
+    at test scale but grow with SF, so the engine lets size statistics
+    and AQE choose (a forced hint would OOM a 100 TB run)."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     supplier = load(spark, sf_dir, "supplier")
@@ -141,8 +143,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(pair)
@@ -184,8 +186,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q8 shape: a supplier nation's share of PROMO volume sold
     into one region, per year — conditional aggregation over an
-    8-table star, every dim broadcast, the fact⋈orders pair the only
-    shuffle. The share ratio divides two exact decimal sums cast to
+    8-table star; nation/region hint-broadcast (bounded size),
+    part/customer/supplier left to size statistics and AQE. The share ratio divides two exact decimal sums cast to
     double (deterministic at any parallelism)."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
@@ -204,11 +206,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(22,4)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
         .select(
             F.year("o_orderdate").cast("int").alias("o_year"),
@@ -308,9 +310,9 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q14 shape: PROMO revenue share in one month — broadcast
-    part dim, conditional numerator and unconditional denominator from
-    the SAME aggregation pass (no second scan)."""
+    """TPC-H-Q14 shape: PROMO revenue share in one month — conditional
+    numerator and unconditional denominator from the SAME aggregation
+    pass (no second scan); the part join is AQE-sized, not forced."""
     part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-09-01 00:00:00")
@@ -318,7 +320,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0).cast("decimal(22,4)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select(_rev().alias("volume"), "p_type")
         .agg(
             (
@@ -368,7 +370,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load(spark, sf_dir, "supplier")
     return (
         revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
-        .join(F.broadcast(supplier), F.col("supplier_no") == supplier.s_suppkey)
+        .join(supplier, F.col("supplier_no") == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -396,7 +398,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("l_quantity").alias("__avg_qty")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(per_part, li.l_partkey == F.col("__pk"))
         .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
         .agg(
@@ -446,7 +448,7 @@ def q19_disjunctive_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
         | grp("Brand#23", 35, 20, 30)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(F.sum(_rev()).cast("double").alias("revenue"))
     )
@@ -517,7 +519,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        waiting.join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        waiting.join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
