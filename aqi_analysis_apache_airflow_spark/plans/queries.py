@@ -943,6 +943,38 @@ def o1_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "o2_global_sort",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice,
+           CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS rank_asc
+    FROM orders
+    WHERE o_totalprice > 400000
+    """,
+)
+def o2_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True total ordering (no limit): a RANGE-partitioned sort —
+    Spark samples the key distribution and assigns contiguous key
+    ranges to partitions, so the sort parallelizes instead of
+    collapsing to one task (o1's top-k heap is the LIMIT sibling; this
+    is the shape for full ordered exports). The global rank makes the
+    ordering itself value-checkable: the filter keeps the ranked set
+    small enough that a fully tiebroken row_number is deterministic,
+    while the single-partition window cost is bounded by the
+    pre-filter — the documented pattern for 'rank a small result of a
+    big scan'."""
+    big = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .filter(F.col("o_totalprice") > 400000)
+    )
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    return big.sort("o_orderdate", "o_orderkey").withColumn(
+        "rank_asc", F.row_number().over(w).cast("bigint")
+    )
+
+
+@query(
     "g4_distinct_agg",
     oracle="""
     SELECT l_returnflag,

@@ -127,3 +127,12 @@ def test_sim_ivfm_no_global_window(spark):
     p = plan_of(spark, "sim_ivfm_topk")
     assert "Window" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_o2_sort_is_range_partitioned(spark):
+    """A no-limit global sort must compile to a parallel range-
+    partitioned sort (Exchange rangepartitioning), never a top-k heap
+    (that's o1) and never a single-partition coalesce."""
+    p = plan_of(spark, "o2_global_sort")
+    assert "rangepartitioning" in p
+    assert "Sort" in p
