@@ -891,6 +891,51 @@ def c1_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t8_pii_redact",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g'),
+             '[0-9]{13,19}', '<CARD>', 'g') AS redacted,
+           CAST(length(text) -
+                length(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '', 'g'))
+                > 0 AS BOOLEAN) AS had_email
+    FROM documents
+    """,
+)
+def t8_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance stage of a training-data
+    pipeline: email / phone / long-digit-run (card-like) patterns
+    replaced with typed placeholders, plus a per-doc flag for routing
+    docs that contained PII to quarantine. Pure JVM regex chain
+    (patterns restricted to Java/RE2-identical constructs), zero
+    shuffle; on a clean corpus this is a provable no-op, which the
+    oracle hash-match confirms either way."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+    card = r"[0-9]{13,19}"
+    t = F.col("text")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, email, "<EMAIL>"), phone, "<PHONE>"
+            ),
+            card,
+            "<CARD>",
+        ).alias("redacted"),
+        (
+            F.length(t) - F.length(F.regexp_replace(t, email, "")) > 0
+        ).alias("had_email"),
+    )
+
+
+@query(
     "m2_frame_sample",
     oracle="""
     WITH f AS (

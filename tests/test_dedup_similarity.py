@@ -172,3 +172,31 @@ def test_connected_components_multihop(spark):
     assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
                    20: 20, 21: 20, 22: 20,
                    30: 30, 31: 30}
+
+
+def test_pii_redaction_fires(spark):
+    """Planted PII is actually replaced (the corpus-level oracle match
+    alone could be a no-op on a clean corpus)."""
+    from aqi_analysis_apache_airflow_spark.plans import REGISTRY
+    import aqi_analysis_apache_airflow_spark.plans.extended  # noqa: F401
+
+    # reuse the registered query's exact expressions via a temp table
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at jane.doe+x@example.co or 555-123-4567"),
+            (2, "card 4111111111111111 should be masked"),
+            (3, "clean text stays clean"),
+        ],
+        "doc_id bigint, text string",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        r["doc_id"]: (r["redacted"], r["had_email"])
+        for r in REGISTRY["t8_pii_redact"].fn(spark, d).collect()
+    }
+    assert out[1] == ("contact me at <EMAIL> or <PHONE>", True)
+    assert out[2] == ("card <CARD> should be masked", False)
+    assert out[3] == ("clean text stays clean", False)
