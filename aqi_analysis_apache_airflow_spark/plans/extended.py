@@ -891,6 +891,82 @@ def c1_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g10_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+           CAST(floor(o_totalprice / 50000) * 50000 AS DOUBLE) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS bin_total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def g10_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram by integer bin arithmetic (floor(x/w)) —
+    one map-side-combined aggregation, no sort, and the binning
+    expression is engine-portable where width_bucket semantics are
+    not. The shape behind every distribution dashboard at scale."""
+    orders = load(spark, sf_dir, "orders")
+    bin_ = F.floor(F.col("o_totalprice") / 50000)
+    return (
+        orders.groupBy(
+            bin_.alias("bin"), (bin_ * 50000).cast("double").alias("bin_lo")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bin_total"),
+        )
+    )
+
+
+@query(
+    "r2_cohort_retention",
+    oracle="""
+    WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    cohort AS (
+      SELECT user_id, date_trunc('month', min(ts)) AS cohort_month
+      FROM ev GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('month', ts) AS active_month
+      FROM ev
+    )
+    SELECT c.cohort_month,
+           CAST(datediff('month', c.cohort_month, a.active_month)
+                AS INTEGER) AS months_since,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM cohort c JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def r2_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity month, counted
+    in every later month they return — the (cohort × month-offset)
+    matrix behind every retention dashboard. Two aggregations sharing
+    the user_id shuffle key, then a key join (both sides already
+    hash-partitioned on user_id — no extra exchange) and one final
+    group-by."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("month", "ts").alias("month")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("month").alias("cohort_month"))
+    activity = ev.distinct().withColumnRenamed("month", "active_month")
+    months_since = (
+        (F.year("active_month") - F.year("cohort_month")) * 12
+        + F.month("active_month")
+        - F.month("cohort_month")
+    )
+    return (
+        cohort.join(activity, "user_id")
+        .groupBy("cohort_month", months_since.cast("int").alias("months_since"))
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@query(
     "t8_pii_redact",
     oracle="""
     SELECT doc_id,
