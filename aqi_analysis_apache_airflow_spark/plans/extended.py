@@ -891,6 +891,39 @@ def c1_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t9_vocab_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM toks GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 100
+    """,
+)
+def t9_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: top-100 normalized tokens by corpus
+    frequency — the first step of tokenizer training / stopword
+    derivation. Explode → one map-side-combined count → TakeOrdered
+    heap (never a global sort); frequency ties break on the token so
+    the cut is deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(100)
+    )
+
+
+@query(
     "g10_histogram",
     oracle="""
     SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
