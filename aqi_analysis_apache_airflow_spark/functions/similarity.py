@@ -155,8 +155,13 @@ def ivf_assign(
     quality matters), and scale-safe: the selection is one
     map-side-combined groupBy over bare ids — no global ordering, no
     row_number window, no driver-side count. Each vector is then
-    assigned to its max-cosine centroid via a broadcast argmax (the
-    centroid table is n_centroids rows — genuinely broadcast-sized).
+    assigned to its max-cosine centroid by a PER-ROW argmax over the
+    broadcast centroid array: the n_centroids (centroid_id, cvec,
+    norm) structs are collect_list'ed into one row, broadcast-joined
+    onto the corpus, and ``array_max`` over ``struct(sim, -id)`` picks
+    the winner (ties → smaller centroid_id, deterministically). The
+    corpus is never fanned out ×n_centroids and never shuffled — the
+    assignment is a narrow projection on the embeddings scan.
 
     Returns (centroids, assigned) where assigned = emb + ``cluster``.
     At scale the assigned table is written partitioned BY cluster, so
@@ -171,18 +176,26 @@ def ivf_assign(
     centroids = emb.join(F.broadcast(centroid_ids), id_col).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
     )
-    scored = emb.join(F.broadcast(centroids)).select(
-        id_col,
-        vec_col,
-        "centroid_id",
-        cosine_fast(F.col(vec_col), F.col("cvec")).alias("__sim"),
+    # one row: [(centroid_id, cvec, ||cvec||), ...] — centroid norms
+    # are per-centroid constants, so hoist them out of the per-row loop
+    cents_row = centroids.select(
+        "centroid_id", "cvec", F.sqrt(dot_fast(F.col("cvec"), F.col("cvec"))).alias("cnorm")
+    ).agg(F.collect_list(F.struct("centroid_id", "cvec", "cnorm")).alias("__cents"))
+    vnorm = F.sqrt(dot_fast(F.col(vec_col), F.col(vec_col)))
+    best = F.array_max(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                (dot_fast(F.col(vec_col), c["cvec"]) / (vnorm * c["cnorm"])).alias(
+                    "sim"
+                ),
+                (-c["centroid_id"]).alias("neg_id"),
+            ),
+        )
     )
     assigned = (
-        scored.groupBy(id_col)
-        .agg(
-            F.max_by("centroid_id", "__sim").alias("cluster"),
-            F.first(vec_col).alias(vec_col),
-        )
+        emb.join(F.broadcast(cents_row))
+        .select(id_col, vec_col, (-best["neg_id"]).alias("cluster"))
     )
     return centroids, assigned
 

@@ -1409,7 +1409,8 @@ _COS_SQL = (
     assigned AS (
       SELECT vec_id,
              arg_min(centroid_id,
-                     CAST(round(-sim * 1000000) AS BIGINT) * 16 + centroid_id)
+                     CAST(round(-sim * 1000000) AS BIGINT) * 4294967296
+                       + centroid_id)
                AS cluster
       FROM asim GROUP BY vec_id
     ),
@@ -1445,14 +1446,20 @@ def sim_ivfm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k, fully ORACLE-BACKED: centroid selection
     uses the md5-derived cross-engine hash (bucket by
     ``ce_hash64(vec_id) mod 16``, representative = min second hash per
-    bucket), cluster assignment breaks cosine ties by an exact integer
-    encoding of (−sim, centroid_id), and every cosine is the
-    decimal-summed reproducible form — so DuckDB replays the ENTIRE
-    index build + probe + rerank bit-for-bit. The xxhash64 twin
-    (sim_ivf_topk) is the production fast path; recall vs brute force
-    is additionally unit-tested there."""
+    bucket), cluster assignment breaks cosine ties by an exact ordered
+    key over (round(−sim·1e6), centroid_id) — Spark compares the pair
+    as a struct via ``array_min``, DuckDB as the collision-free integer
+    encoding key·2³² + centroid_id (centroid ids are raw vec_ids, so
+    the multiplier must exceed the id domain, not n_centroids) — and
+    every cosine is the decimal-summed reproducible form, so DuckDB
+    replays the ENTIRE index build + probe + rerank bit-for-bit. Like
+    :func:`~...functions.similarity.ivf_assign`, the assignment is a
+    per-row argmin over the broadcast centroid array: no ×16 fanout, no
+    shuffle of the embedding column. The xxhash64 twin (sim_ivf_topk)
+    is the production fast path; recall vs brute force is additionally
+    unit-tested there."""
     from ..functions.dedup import ce_hash64
-    from ..functions.similarity import brute_force_topk, cosine
+    from ..functions.similarity import brute_force_topk, cosine, dot_decimal
 
     full = load(spark, sf_dir, "embeddings")
     emb = full.filter(F.col("vec_id") != 0)
@@ -1468,18 +1475,39 @@ def sim_ivfm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.join(F.broadcast(cids), "vec_id").select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
-    asim = emb.join(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
+    # per-centroid norms hoisted out of the per-row loop; the surfaced
+    # sim stays the exact decimal-dot form rounded to 6dp, so the value
+    # (and therefore the argmin key) is bit-identical to the oracle's
+    cents_row = cents.select(
         "centroid_id",
-        cosine(F.col("embedding"), F.col("cvec")).alias("__sim"),
+        "cvec",
+        F.sqrt(dot_decimal(F.col("cvec"), F.col("cvec")).cast("double")).alias(
+            "cnorm"
+        ),
+    ).agg(F.collect_list(F.struct("centroid_id", "cvec", "cnorm")).alias("__cents"))
+    enorm = F.sqrt(
+        dot_decimal(F.col("embedding"), F.col("embedding")).cast("double")
     )
-    ikey = (
-        F.round(-F.col("__sim") * 1000000).cast("long") * 16 + F.col("centroid_id")
+    best = F.array_min(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                F.round(
+                    -F.round(
+                        dot_decimal(F.col("embedding"), c["cvec"]).cast("double")
+                        / (enorm * c["cnorm"]),
+                        6,
+                    )
+                    * 1000000
+                )
+                .cast("long")
+                .alias("nk"),
+                c["centroid_id"].alias("centroid_id"),
+            ),
+        )
     )
-    assigned = asim.groupBy("vec_id").agg(
-        F.min_by("centroid_id", ikey).alias("cluster"),
-        F.first("embedding").alias("embedding"),
+    assigned = emb.join(F.broadcast(cents_row)).select(
+        "vec_id", "embedding", best["centroid_id"].alias("cluster")
     )
     qvec = full.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     probed = (

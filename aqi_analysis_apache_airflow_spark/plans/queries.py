@@ -612,11 +612,14 @@ def w4_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum per user. Unlike a ROWS frame, peers with the same timestamp
     share a frame, so no tiebreak is needed for determinism; Spark
     expresses the interval bound as a rangeBetween over epoch
-    seconds."""
+    MICROseconds — full timestamp precision, so same-second events
+    with different sub-second parts are NOT frame peers (matches the
+    oracle's RANGE INTERVAL 1 HOUR at native precision; whole-second
+    ordering diverged at sf0.1)."""
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp(F.col("ts").cast("timestamp")))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return (
         load(spark, sf_dir, "events")

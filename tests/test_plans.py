@@ -71,6 +71,11 @@ def test_ivf_plan_has_no_global_window(spark):
     assert "Window" not in p
     # the only driver-merge step is the final top-k heap
     assert "TakeOrderedAndProject" in p
+    # assignment is a per-row argmax over the broadcast centroid array:
+    # the corpus is never shuffled on vec_id (the old ×16 fanout +
+    # groupBy(vec_id) argmax put an Exchange hashpartitioning(vec_id)
+    # full of embedding vectors here)
+    assert "hashpartitioning(vec_id" not in p
 
 
 def test_d3_plan_no_corpus_broadcast(spark):
@@ -127,6 +132,8 @@ def test_sim_ivfm_no_global_window(spark):
     p = plan_of(spark, "sim_ivfm_topk")
     assert "Window" not in p
     assert "TakeOrderedAndProject" in p
+    # same no-corpus-shuffle property as the xxhash twin
+    assert "hashpartitioning(vec_id" not in p
 
 
 def test_o2_sort_is_range_partitioned(spark):
