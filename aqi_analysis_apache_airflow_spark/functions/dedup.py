@@ -119,6 +119,7 @@ def ngram_jaccard_pairs(
     max_doc_freq: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over k-word shingle sets for every candidate pair.
 
@@ -133,9 +134,18 @@ def ngram_jaccard_pairs(
       per shingle). The expensive shingle explode runs exactly once.
     - uncapped: shingle-keyed self-join — a hot shingle's pair list
       may not fit in one array, so fan-out must stream through the
-      join. (Pathological on low-entropy corpora; that's what the cap
-      is for.)
+      join. Pathological on low-entropy corpora (a shingle shared by
+      m docs emits C(m,2) rows), so the uncapped branch is opt-in:
+      callers must say ``allow_quadratic=True`` to get it — the
+      documented oracle-baseline use — and everything else sets a cap.
     """
+    if max_doc_freq is None and not allow_quadratic:
+        raise ValueError(
+            "ngram_jaccard_pairs without max_doc_freq is quadratic in the "
+            "hottest shingle's document frequency; pass max_doc_freq=<cap> "
+            "(stop-shingle pruning, the scale path) or opt in explicitly "
+            "with allow_quadratic=True (oracle-baseline use only)"
+        )
     sh = exploded_shingles(docs, id_col, text_col, k)
     if max_doc_freq is not None:
         grouped = (
@@ -347,6 +357,13 @@ def lsh_candidate_pairs(
     bench corpus). At 100 TB the same materialization happens as a
     checkpoint of the signature table before the join, not a
     recompute-4× plan.
+
+    PERSIST SCOPE: the cache lives until the session drops it — it
+    cannot be unpersisted here because the returned plan is lazy and
+    still reads it. A process that runs MANY queries on one session
+    (bench, the parity sweep) should ``spark.catalog.clearCache()``
+    between queries so per-query caches don't accumulate; bench.py
+    does exactly that.
     """
     from pyspark import StorageLevel
 
@@ -428,7 +445,14 @@ def connected_components(
     cliques, diameter ≲ 3). The driver-side convergence check is one
     count per round — this is a genuinely iterative algorithm, the
     sanctioned use of a driver loop. Labels persist per round and the
-    previous round's cache is released eagerly.
+    previous round's cache is released eagerly; the edge list is
+    released at convergence (by then the returned labels are fully
+    materialized in their own cache — the convergence check scans
+    every partition — so dropping edges cannot trigger a recompute).
+    The RETURNED DataFrame is persisted (the caller's plan reads the
+    cache): callers that are done with it should ``.unpersist()`` it;
+    lazy registry plans instead rely on the per-query
+    ``spark.catalog.clearCache()`` in bench.py.
     """
     from pyspark import StorageLevel
 
@@ -486,6 +510,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels
 
 

@@ -9,7 +9,7 @@ the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dedup import CE_HASH64_SQL as _CEH
@@ -343,7 +343,11 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), threshold=0.5, k=3, max_doc_freq=None
+        load(spark, sf_dir, "documents"),
+        threshold=0.5,
+        k=3,
+        max_doc_freq=None,
+        allow_quadratic=True,
     )
 
 
@@ -404,7 +408,7 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        docs, threshold=0.5, k=3, max_doc_freq=None
+        docs, threshold=0.5, k=3, max_doc_freq=None, allow_quadratic=True
     ).persist(StorageLevel.MEMORY_AND_DISK)
     comp = connected_components(pairs)
     csize = comp.groupBy("cluster_id").agg(
@@ -808,7 +812,14 @@ def g9_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer key ``-cnt*128 + value`` — builtin mode() breaks ties
     arbitrarily in both engines, so it can never hash-match; the
     encoded-key argmin is exact. Two aggregations sharing one shuffle
-    chain, both map-side combined."""
+    chain, both map-side combined.
+
+    PRECONDITION of the encoding: it is collision-free only while
+    ``0 <= value < 128`` (l_quantity is 1..50 here). Reusing the
+    pattern on a wider or negative-valued column needs a multiplier
+    strictly larger than the value domain — or sidestep the encoding
+    entirely with a struct-ordered key, as sim_ivfm_topk does (DuckDB's
+    arg_min cannot take composite keys, hence the integer form)."""
     li = load(spark, sf_dir, "lineitem")
     c = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
     key = -F.col("cnt") * 128 + F.col("l_quantity").cast("bigint")
@@ -1013,22 +1024,34 @@ def r2_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(text) -
                 length(regexp_replace(text,
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '', 'g'))
-                > 0 AS BOOLEAN) AS had_email
+                > 0 AS BOOLEAN) AS had_email,
+           CAST(length(text) -
+                length(regexp_replace(text,
+                  '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '', 'g'))
+                > 0 AS BOOLEAN) AS had_phone,
+           CAST(length(text) -
+                length(regexp_replace(text, '[0-9]{13,19}', '', 'g'))
+                > 0 AS BOOLEAN) AS had_card
     FROM documents
     """,
 )
 def t8_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction — the compliance stage of a training-data
     pipeline: email / phone / long-digit-run (card-like) patterns
-    replaced with typed placeholders, plus a per-doc flag for routing
-    docs that contained PII to quarantine. Pure JVM regex chain
-    (patterns restricted to Java/RE2-identical constructs), zero
+    replaced with typed placeholders, plus one per-doc flag PER
+    pattern (all computed on the ORIGINAL text, so a phone-only or
+    card-only doc is still routable to quarantine). Pure JVM regex
+    chain (patterns restricted to Java/RE2-identical constructs), zero
     shuffle; on a clean corpus this is a provable no-op, which the
     oracle hash-match confirms either way."""
     email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
     phone = r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
     card = r"[0-9]{13,19}"
     t = F.col("text")
+
+    def had(pat: str) -> Column:
+        return F.length(t) - F.length(F.regexp_replace(t, pat, "")) > 0
+
     return load(spark, sf_dir, "documents").select(
         "doc_id",
         F.regexp_replace(
@@ -1038,9 +1061,9 @@ def t8_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             card,
             "<CARD>",
         ).alias("redacted"),
-        (
-            F.length(t) - F.length(F.regexp_replace(t, email, "")) > 0
-        ).alias("had_email"),
+        had(email).alias("had_email"),
+        had(phone).alias("had_phone"),
+        had(card).alias("had_card"),
     )
 
 
@@ -1214,24 +1237,64 @@ def t4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("g6_approx_sketches", oracle=None)
+@query(
+    "g6_approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           count(*) AS n_rows,
+           TRUE AS hll_ok,
+           TRUE AS approx_median_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def g6_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB substitutes for exact
     countDistinct (g4) and exact quantiles (g3): HyperLogLog++ and
     KLL-style quantile sketches are mergeable, so they combine
-    map-side and never shuffle raw values. No SQL oracle (sketch
-    internals are engine-specific); accuracy vs the exact queries is
-    unit-tested with rsd/rank tolerances."""
-    return (
+    map-side and never shuffle raw values.
+
+    SELF-VERIFYING oracle form: sketch internals are engine-specific
+    (DuckDB cannot replay Spark's HLL/KLL bit-for-bit), so the query
+    joins each sketch to its exact counterpart IN the same aggregation
+    and surfaces bounded-error BOOLEANS next to the exact values; the
+    oracle computes the exact side and literal TRUE for the booleans.
+    A sketch drifting outside its documented bound (HLL beyond 5× rsd,
+    approx-median outside the exact p45–p55 rank band) flips a boolean
+    to false and fails the hash match — the tolerance test is part of
+    the correctness gate, not a separate weaker check."""
+    g = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
-                "approx_median_price"
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("__hll"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+                "median_price"
             ),
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+                "__amed"
+            ),
+            F.percentile("l_extendedprice", F.lit(0.45)).alias("__p45"),
+            F.percentile("l_extendedprice", F.lit(0.55)).alias("__p55"),
             F.count("*").alias("n_rows"),
         )
+    )
+    return g.select(
+        "l_returnflag",
+        "n_parts",
+        "median_price",
+        "n_rows",
+        (
+            F.abs(F.col("__hll") - F.col("n_parts"))
+            <= 0.1 * F.col("n_parts")
+        ).alias("hll_ok"),
+        (
+            (F.col("__amed") >= F.col("__p45"))
+            & (F.col("__amed") <= F.col("__p55"))
+        ).alias("approx_median_ok"),
     )
 
 

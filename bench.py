@@ -8,7 +8,22 @@ Prints ONE JSON line:
 Each query is forced through the noop writer so every column/aggregate
 is actually computed (a bare count() would let Catalyst prune the
 projections being benchmarked).
-"""
+
+Methodology: one UNCOUNTED warmup pass over the full query list (the
+first execution of a query pays whole-stage-codegen compilation and
+JIT — structural cold-start, not plan cost), then
+$SPARK_GRAFT_BENCH_PASSES (default 3) counted INTERLEAVED passes; the
+reported per-query number is the median across counted passes. One
+shared JVM means late queries inherit GC/JIT/cache pressure from
+earlier ones — interleaving spreads that drift over every query
+instead of charging it to whichever query ran last, and the median
+drops one-off hiccups, so round-over-round deltas are attributable to
+plan changes. ``spread_pct`` (max−min over median, per query) is
+emitted so a noisy measurement is visible as such. The session cache
+is cleared between queries: several registry plans persist
+intermediates (LSH signatures, candidate pairs), and without the
+clear a later pass would reuse a prior pass's cache and measure
+nothing."""
 
 from __future__ import annotations
 
@@ -70,13 +85,27 @@ def main() -> None:
     for t in CORPUS_TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = REGISTRY[name]
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for pass_no in range(n_passes + 1):  # pass 0 = uncounted warmup
+        for name in HEADLINE:
+            q = REGISTRY[name]
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            if pass_no > 0:
+                samples[name].append(time.perf_counter() - t0)
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    timings = {name: round(median(xs), 4) for name, xs in samples.items()}
+    spread = {
+        name: round(100 * (max(xs) - min(xs)) / median(xs), 1)
+        for name, xs in samples.items()
+    }
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -86,6 +115,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "passes": n_passes,
+                "spread_pct": spread,
             }
         )
     )

@@ -44,11 +44,22 @@ def docs(spark):
 def test_exact_jaccard_finds_planted_pairs(docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
-        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.3, allow_quadratic=True
+        ).collect()
     }
     assert pairs[(1, 2)] == 1.0
     assert 0.3 <= pairs[(1, 3)] < 1.0
     assert (1, 4) not in pairs
+
+
+def test_uncapped_jaccard_requires_explicit_opt_in(docs):
+    """The quadratic (uncapped) branch must never be reachable by
+    accident: no cap and no opt-in flag raises before any job runs."""
+    import pytest
+
+    with pytest.raises(ValueError, match="quadratic"):
+        ngram_jaccard_pairs(docs, threshold=0.3)
 
 
 def test_minhash_lsh_agrees_with_exact(docs):
@@ -186,6 +197,7 @@ def test_pii_redaction_fires(spark):
             (1, "contact me at jane.doe+x@example.co or 555-123-4567"),
             (2, "card 4111111111111111 should be masked"),
             (3, "clean text stays clean"),
+            (4, "phone only: 555.987.6543"),
         ],
         "doc_id bigint, text string",
     )
@@ -194,9 +206,14 @@ def test_pii_redaction_fires(spark):
     d = tempfile.mkdtemp()
     docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
     out = {
-        r["doc_id"]: (r["redacted"], r["had_email"])
+        r["doc_id"]: (
+            r["redacted"], r["had_email"], r["had_phone"], r["had_card"]
+        )
         for r in REGISTRY["t8_pii_redact"].fn(spark, d).collect()
     }
-    assert out[1] == ("contact me at <EMAIL> or <PHONE>", True)
-    assert out[2] == ("card <CARD> should be masked", False)
-    assert out[3] == ("clean text stays clean", False)
+    # a phone-only or card-only doc must still be flagged for
+    # quarantine even though it contains no email
+    assert out[1] == ("contact me at <EMAIL> or <PHONE>", True, True, False)
+    assert out[2] == ("card <CARD> should be masked", False, False, True)
+    assert out[3] == ("clean text stays clean", False, False, False)
+    assert out[4] == ("phone only: <PHONE>", False, True, False)
