@@ -200,6 +200,65 @@ def ivf_assign(
     return centroids, assigned
 
 
+def ivf_write_index(
+    emb: DataFrame,
+    index_path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index to storage: ``assigned`` written
+    PARTITIONED BY cluster (one directory per centroid — the physical
+    layout that makes a probe read only its clusters' files) plus the
+    tiny ``centroids`` table. This is the warehouse form of
+    :func:`ivf_assign`'s docstring claim; :func:`ivf_probe_index`
+    reads it back with partition pruning."""
+    centroids, assigned = ivf_assign(emb, n_centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{index_path}/assigned"
+    )
+    centroids.write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+
+def ivf_probe_index(
+    spark,
+    index_path: str,
+    query: DataFrame,
+    k: int = 50,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Probe an on-disk IVF index written by :func:`ivf_write_index`:
+    rank the (broadcast-sized) centroid table against the query,
+    ``collect()`` the ``n_probe`` winning cluster ids — a sanctioned
+    control-plane read of n_probe integers, like the CET/LSET metadata
+    lookup, NOT a data collect — and scan ONLY those partitions of the
+    assigned table. The literal ``isin`` filter makes the pruning
+    static: the scan's PartitionFilters clause drops the other
+    n_centroids − n_probe directories before any file is opened, so
+    the probe touches ~n_probe/n_centroids of the index bytes."""
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    probed = [
+        r["centroid_id"]
+        for r in (
+            centroids.join(F.broadcast(query))
+            .select(
+                "centroid_id",
+                cosine_fast(F.col("cvec"), F.col(query_vec_col)).alias("__sim"),
+            )
+            .orderBy(F.col("__sim").desc(), "centroid_id")
+            .limit(n_probe)
+            .collect()
+        )
+    ]
+    cand = spark.read.parquet(f"{index_path}/assigned").filter(
+        F.col("cluster").isin(probed)
+    )
+    return brute_force_topk(cand, query, k, id_col, vec_col, query_vec_col)
+
+
 def ivf_topk(
     emb: DataFrame,
     query: DataFrame,

@@ -134,6 +134,9 @@ def test_approx_sketches_within_tolerance(spark):
     import aqi_analysis_apache_airflow_spark.plans.extended  # noqa: F401
     import aqi_analysis_apache_airflow_spark.plans.queries  # noqa: F401
 
+    # g6 self-verifies in-query now: the booleans ARE the tolerance
+    # check (and the oracle hash-matches them against literal TRUE);
+    # here we additionally pin the exact side to g4/g3's numbers
     approx = {
         r["l_returnflag"]: r
         for r in REGISTRY["g6_approx_sketches"].fn(spark, SF_DIR).collect()
@@ -147,8 +150,42 @@ def test_approx_sketches_within_tolerance(spark):
         for r in REGISTRY["g3_quantiles"].fn(spark, SF_DIR).collect()
     }
     for flag, row in approx.items():
-        assert abs(row["approx_parts"] - exact_counts[flag]) / exact_counts[flag] < 0.05
-        assert abs(row["approx_median_price"] - exact_median[flag]) / exact_median[flag] < 0.05
+        assert row["hll_ok"] and row["approx_median_ok"]
+        assert row["n_parts"] == exact_counts[flag]
+        assert row["median_price"] == exact_median[flag]
+
+
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path_factory):
+    """The on-disk IVF index delivers the scale claim physically: the
+    assigned table is laid out one directory per cluster, and a probe's
+    scan prunes to exactly the n_probe probed clusters — PLUS the
+    pruned probe returns the identical top-k as the in-memory path."""
+    from aqi_analysis_apache_airflow_spark.functions.similarity import (
+        ivf_probe_index,
+        ivf_topk,
+        ivf_write_index,
+    )
+    import os
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    path = str(tmp_path_factory.mktemp("ivf_index"))
+    ivf_write_index(corpus, path, n_centroids=16)
+    # physical layout: one directory per cluster
+    assert sum(
+        d.startswith("cluster=") for d in os.listdir(f"{path}/assigned")
+    ) > 1
+
+    probed = ivf_probe_index(spark, path, query, k=50, n_probe=4)
+    p = _plan(probed)
+    assert "PartitionFilters" in p and "cluster" in p
+    got = [(r["vec_id"], r["cosine_sim"]) for r in probed.collect()]
+    want = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ivf_topk(corpus, query, k=50, n_centroids=16, n_probe=4).collect()
+    ]
+    assert got == want
 
 
 def test_partitioned_write_prunes(spark, tmp_path_factory):
