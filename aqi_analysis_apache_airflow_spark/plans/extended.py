@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.dedup import CE_HASH64_SQL as _CEH
 from ..functions.dedup import ce_half_sql as _ce_half
@@ -1601,4 +1602,202 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return ivf_topk(
         emb.filter(F.col("vec_id") != 0), qvec, k=50, n_centroids=16, n_probe=4
+    )
+
+
+@query(
+    "w5_distribution_ranks",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+    """,
+)
+def w5_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions — percent_rank / cume_dist /
+    dense_rank in one pass. All three are tie-DETERMINISTIC (peers in
+    the ORDER BY share a value), so no row_number-style tiebreak is
+    needed and the doubles hash-match: both engines evaluate
+    (rank−1)/(n−1) and peers/n on identical integers. One shuffle on
+    the partition key, one per-partition sort shared by all three
+    functions."""
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+    )
+
+
+#: irregular cumulative band weights — exact double literals, so
+#: lo/hi = mn + (mx−mn)·w is the identical IEEE arithmetic in both
+#: engines and band edges are bit-equal without any interpolation
+_RJ_WEIGHTS = [0.0, 0.05, 0.15, 0.3, 0.5, 0.65, 0.8, 0.9, 0.97, 1.0]
+
+
+@query(
+    "rj1_interval_lookup",
+    oracle=f"""
+    WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+               FROM orders),
+    bands AS (
+      SELECT k.band_id,
+             b.mn + (b.mx - b.mn) * k.wlo AS lo,
+             b.mn + (b.mx - b.mn) * k.whi AS hi
+      FROM b, (VALUES {", ".join(f"({i}, {_RJ_WEIGHTS[i]!r}::DOUBLE, {_RJ_WEIGHTS[i + 1]!r}::DOUBLE)" for i in range(9))})
+             AS k(band_id, wlo, whi)
+    )
+    SELECT o.o_orderkey, CAST(bands.band_id AS INTEGER) AS band_id,
+           bands.lo AS band_lo, bands.hi AS band_hi
+    FROM orders o
+    JOIN bands ON o.o_totalprice >= bands.lo
+              AND (o.o_totalprice < bands.hi OR bands.band_id = 8)
+    """,
+)
+def rj1_interval_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-lookup (range) join: each row lands in the ONE
+    irregular [lo, hi) band containing its value — the geo-lookup /
+    price-band / SCD-validity shape, where the join has NO equality
+    key. The scale pattern: the band table is bounded (here 9 rows,
+    from a 1-row min/max aggregate), so broadcast it and let the
+    nested-loop join stream the fact side once — O(n·bands) with
+    bands a constant, never a shuffle. For UNBOUNDED interval tables
+    the same query adds an equi bucket key (floor(value/width)) to
+    both sides to regain a hash join; the bounded form is the common
+    dimensional case. Band edges are derived with identical IEEE
+    arithmetic in both engines, so even the double bounds hash-match."""
+    orders = load(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    bands = b.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        (
+                            F.col("mn")
+                            + (F.col("mx") - F.col("mn")) * F.lit(_RJ_WEIGHTS[i])
+                        ).alias("lo"),
+                        (
+                            F.col("mn")
+                            + (F.col("mx") - F.col("mn"))
+                            * F.lit(_RJ_WEIGHTS[i + 1])
+                        ).alias("hi"),
+                    )
+                    for i in range(9)
+                ]
+            )
+        ).alias("band_id", "band")
+    ).select("band_id", "band.lo", "band.hi")
+    joined = orders.join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo"))
+        & ((F.col("o_totalprice") < F.col("hi")) | (F.col("band_id") == 8)),
+    )
+    return joined.select(
+        "o_orderkey",
+        F.col("band_id").cast("int").alias("band_id"),
+        F.col("lo").alias("band_lo"),
+        F.col("hi").alias("band_hi"),
+    )
+
+
+_CM_DEPTH, _CM_WIDTH = 4, 256
+_CM_CE = _CEH.format(h="md5(CAST(d.d AS VARCHAR)||'|'||tok)")
+
+
+@query(
+    "cm1_countmin_heavyhitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+    ),
+    depths AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS d(d)),
+    occ AS (
+      SELECT tok, d.d AS d,
+             ((({_CM_CE}) % {_CM_WIDTH}) + {_CM_WIDTH}) % {_CM_WIDTH} AS bucket
+      FROM toks CROSS JOIN depths d
+    ),
+    counters AS (
+      SELECT d, bucket, count(*) AS cnt FROM occ GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT tok, count(*) AS true_cnt FROM toks GROUP BY 1
+      ORDER BY true_cnt DESC, tok LIMIT 20
+    ),
+    probes AS (
+      SELECT e.tok, e.true_cnt, d.d AS d,
+             ((({_CM_CE}) % {_CM_WIDTH}) + {_CM_WIDTH}) % {_CM_WIDTH} AS bucket
+      FROM exact e CROSS JOIN depths d
+    )
+    SELECT p.tok AS token,
+           CAST(p.true_cnt AS BIGINT) AS true_cnt,
+           CAST(min(c.cnt) AS BIGINT) AS cm_est
+    FROM probes p JOIN counters c ON c.d = p.d AND c.bucket = p.bucket
+    GROUP BY 1, 2
+    """,
+)
+def cm1_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–min sketch heavy hitters, fully cross-engine: a depth×width
+    (4×256) counter matrix from one hash per (depth, token occurrence),
+    then the CM estimate for the exact top-20 tokens = min over depths
+    of their counters. The md5-derived hash makes DuckDB rebuild the
+    IDENTICAL sketch, so the estimates (not just bounds) hash-match —
+    and the output pairs every true count with its estimate, exhibiting
+    the CM guarantee (est ≥ truth, inflated only by collisions).
+
+    Scale shape: the matrix is depth·width = 1024 counters regardless
+    of corpus size (the entire point of the sketch — counters fit in
+    one executor at ANY scale); building it is one map-side-combined
+    groupBy over a ×4 narrow fanout of bare (d, bucket) ints, never
+    the tokens themselves. The exact side exists to exhibit accuracy;
+    a production pipeline ships only the 1024-cell matrix."""
+    from ..functions.dedup import ce_hash64, tokens
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+
+    def bucket_of(d: Column) -> Column:
+        return F.pmod(
+            ce_hash64(F.concat(d.cast("string"), F.lit("|"), F.col("tok"))),
+            F.lit(_CM_WIDTH),
+        )
+
+    occ = toks.select(
+        F.posexplode(
+            F.array(*[bucket_of(F.lit(d)) for d in range(_CM_DEPTH)])
+        ).alias("d", "bucket")
+    )
+    counters = occ.groupBy("d", "bucket").agg(F.count("*").alias("cnt"))
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "tok")
+        .limit(20)
+    )
+    probes = exact.select(
+        "tok",
+        "true_cnt",
+        F.posexplode(
+            F.array(*[bucket_of(F.lit(d)) for d in range(_CM_DEPTH)])
+        ).alias("d", "bucket"),
+    )
+    return (
+        probes.join(counters, ["d", "bucket"])
+        .groupBy("tok", "true_cnt")
+        .agg(F.min("cnt").alias("cm_est"))
+        .select(
+            F.col("tok").alias("token"),
+            "true_cnt",
+            F.col("cm_est").cast("long").alias("cm_est"),
+        )
     )

@@ -98,3 +98,45 @@ def st2_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@query(
+    "st3_stream_stream_join",
+    oracle="""
+    WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                       event_type
+                FROM events)
+    SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM ev v
+    JOIN ev c ON v.user_id = c.user_id
+             AND v.event_type = 'view' AND c.event_type = 'click'
+             AND c.ts >= v.ts
+             AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def st3_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream self-join on a live streaming query:
+    every click attributed to same-user views in the preceding 30
+    minutes. The time-bounded condition is what makes join state
+    expirable on an unbounded stream; the single-batch availableNow
+    replay emits exactly the batch join, which is the oracle. Output
+    keys (view_id, click_id) are unique per match, so the result is
+    fully deterministic."""
+    from ..streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_attribution_join,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_events_stream(spark, sf_dir)
+    joined = stream_stream_attribution_join(stream, within="30 minutes")
+    out = run_to_memory(joined, _sink_name("st3_join_sink"), mode="append")
+    return out.select(
+        "user_id",
+        "view_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        "click_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+    )

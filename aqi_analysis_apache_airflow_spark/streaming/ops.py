@@ -250,3 +250,36 @@ def running_user_stats(
             ),
         )
     )
+
+
+def stream_stream_attribution_join(
+    events: DataFrame,
+    left_type: str = "view",
+    right_type: str = "click",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: attribute each ``click``
+    to every ``view`` by the same user in the preceding ``within``
+    interval — the ad-attribution shape. Both sides carry a watermark
+    AND the join condition bounds event time on both sides, which is
+    what lets Spark expire join state (without the time bound, both
+    sides' state grows forever — the unbounded-state trap this
+    operator exists to avoid). Append-mode output: a match is emitted
+    once both inputs pass the watermark."""
+    v = events.filter(F.col("event_type") == left_type).select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    c = events.filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    return v.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("user_id", "view_id", "view_ts", "click_id", "click_ts")
