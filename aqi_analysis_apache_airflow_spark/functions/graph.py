@@ -1,0 +1,102 @@
+"""Iterative graph algorithms over edge-list DataFrames.
+
+:func:`connected_components` (in :mod:`.dedup`) labels duplicate
+clusters; PageRank here ranks them — e.g. picking the canonical doc of
+a near-dup cluster by link authority instead of smallest-id, or
+scoring crawl frontiers. Same execution contract as components: each
+iteration is one groupBy + one join over the edge list, per-round
+persist with eager release of the previous round, driver loop only for
+the fixed iteration count (the sanctioned iterative-algorithm shape —
+no data ever reaches the driver).
+
+Determinism: the recurrence runs in FIXED-POINT integer arithmetic —
+ranks are BIGINT multiples of 1e-12, every division is integral, and
+the damping factor is a rational (85/100). No float touches any
+intermediate, so there is nothing to round and nothing engine-specific
+to diverge: any engine that replays the integer recurrence (the DuckDB
+oracle unrolls it as chained CTEs) matches bit-for-bit. The earlier
+double-based formulation failed exactly here — Spark rounds a double
+via its shortest decimal representation while DuckDB rounds the binary
+value, and at one-in-a-few-thousand rank values the 12th digit split.
+Floats only appear on the way OUT, if a caller casts for display.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale: ranks are integer multiples of 1e-12
+ONE_E12 = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iterations: int = 5,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list, fixed iteration count.
+
+    Returns (node, rank_e12: bigint) with rank_e12 ≈ rank·1e12. Nodes
+    = every id appearing as src or dst; dangling nodes (no out-edges)
+    contribute nothing per round (the classic simplification — their
+    mass leaves the system, keeping the recurrence local so one
+    groupBy per round suffices at any scale; the normalized variant
+    redistributes a 1-row aggregate and costs one extra broadcast join
+    per round). ``damping_pct`` is an integer percentage so the damp
+    step stays integral.
+    """
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # edge list annotated with its source's out-degree, reused verbatim
+    # every round — persist once
+    ed = e.join(out_deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+
+    n = nodes.count()  # control-plane scalar: the teleport denominator
+    teleport = (ONE_E12 * (100 - damping_pct) // 100) // n
+    init = ONE_E12 // n
+
+    ranks = nodes.select(
+        "node", F.lit(init).cast("long").alias("rank_e12")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(n_iterations):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                # integral divide: the per-edge mass, exact in any engine
+                F.expr("rank_e12 div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("mass"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left_outer")
+            .select(
+                "node",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.expr(
+                        f"({damping_pct} * coalesce(mass, CAST(0 AS BIGINT)))"
+                        " div 100"
+                    )
+                ).alias("rank_e12"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        new_ranks.count()  # materialize before releasing the parent
+        ranks.unpersist()
+        ranks = new_ranks
+    nodes.unpersist()
+    ed.unpersist()
+    return ranks

@@ -181,3 +181,77 @@ def d7_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("source").alias("keep_source"),
         F.count("*").alias("n_copies"),
     )
+
+
+def _pagerank_oracle(n_iter: int = 5) -> str:
+    """Unroll the PageRank recurrence as chained CTEs — DuckDB replays
+    the exact FIXED-POINT integer recurrence of
+    :func:`...functions.graph.pagerank` (integral divides, BIGINT
+    sums, rational damping), so any iteration count stays
+    bit-identical with no float anywhere."""
+    head = """
+    WITH e AS (
+      SELECT DISTINCT 'c'||CAST(o.o_custkey AS VARCHAR) AS src,
+                      's'||CAST(l.l_suppkey AS VARCHAR) AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+    ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)),
+    r0 AS (
+      SELECT node,
+             CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank_e12
+      FROM nodes
+    )"""
+    step = """,
+    r{k1} AS (
+      SELECT n.node,
+             CAST((150000000000 // (SELECT n FROM nn))
+                  + (85 * COALESCE(m.mass, 0)) // 100 AS BIGINT) AS rank_e12
+      FROM nodes n LEFT JOIN (
+        SELECT ed.dst AS node, SUM(r.rank_e12 // ed.deg) AS mass
+        FROM ed JOIN r{k} r ON ed.src = r.node
+        GROUP BY 1
+      ) m USING (node)
+    )"""
+    body = "".join(step.format(k=k, k1=k + 1) for k in range(n_iter))
+    return (
+        head
+        + body
+        + f"\n    SELECT node, rank_e12 FROM r{n_iter}"
+    )
+
+
+@query("gr1_pagerank", oracle=_pagerank_oracle(5))
+def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 iterations, damping 0.85) over the customer→supplier
+    order graph — link-authority scoring, the iterative-algorithm
+    family beyond connected components (rank the canonical doc of a
+    dup cluster, score crawl frontiers, weight sources). Node ids are
+    domain-prefixed ('c…'/'s…') so the two key spaces can't collide.
+
+    Scale shape (see :func:`...functions.graph.pagerank`): per round
+    one groupBy over the persisted degree-annotated edge list + one
+    label join; previous round's cache released eagerly; nothing but
+    two control-plane scalars (node count, convergence none — fixed
+    iterations) ever reaches the driver. The whole recurrence is
+    FIXED-POINT BIGINT arithmetic (ranks in units of 1e-12, integral
+    divides, 85/100 rational damping) — no float ever enters, so the
+    oracle's unrolled-CTE replay hash-matches bit-for-bit at any
+    scale (a double formulation broke at sf0.1 on Spark's
+    shortest-decimal vs DuckDB's binary rounding of the 12th digit)."""
+    from ..functions.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(e, n_iterations=5, damping_pct=85)
+    return ranks.select("node", "rank_e12")
