@@ -29,7 +29,12 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -63,6 +68,21 @@ def _mix(x: int) -> int:
     return x ^ (x >> 31)
 
 
+def _row(i: int, seed: int):
+    """Row ``i`` under ``seed`` — pure function shared by the batch and
+    stream readers, so a streamed prefix equals the batch slice."""
+    h = _mix(i ^ (seed << 32))
+    state = _STATES[h % len(_STATES)]
+    return (
+        i,
+        state,
+        f"{state[:4]}_county_{(h >> 8) % 50}",
+        _EPOCH + timedelta(days=(h >> 16) % 365),
+        float((h >> 24) % 501),
+        _PARAMS[(h >> 40) % len(_PARAMS)],
+    )
+
+
 class _RangePartition(InputPartition):
     def __init__(self, start: int, end: int, seed: int):
         self.start, self.end, self.seed = start, end, seed
@@ -83,20 +103,35 @@ class AQIGenReader(DataSourceReader):
 
     def read(self, partition: _RangePartition):
         for i in range(partition.start, partition.end):
-            h = _mix(i ^ (partition.seed << 32))
-            state = _STATES[h % len(_STATES)]
-            county = f"{state[:4]}_county_{(h >> 8) % 50}"
-            day = (h >> 16) % 365
-            aqi = float((h >> 24) % 501)
-            param = _PARAMS[(h >> 40) % len(_PARAMS)]
-            yield (
-                i,
-                state,
-                county,
-                _EPOCH + timedelta(days=day),
-                aqi,
-                param,
-            )
+            yield _row(i, partition.seed)
+
+
+class AQIGenStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same deterministic generator: the
+    offset IS the row index, so exactly-once replay is trivial —
+    ``readBetweenOffsets`` regenerates any batch bit-identically (the
+    property a real source gets from Kafka offsets / file names, here
+    from the pure row function). The simple-reader API suits bounded
+    per-batch volumes (rows flow through the driver); a
+    partition-parallel ``streamReader`` is the next step up, same
+    offset contract."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rowsPerBatch", "100"))
+        self.seed = int(options.get("seed", "0"))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        lo = start["offset"]
+        hi = lo + self.rows_per_batch
+        # a LIST, not a generator: the runtime pickles the prefetched
+        # batch for possible replay, and generators don't pickle
+        return [_row(i, self.seed) for i in range(lo, hi)], {"offset": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return [_row(i, self.seed) for i in range(start["offset"], end["offset"])]
 
 
 class AQIGenDataSource(DataSource):
@@ -109,3 +144,6 @@ class AQIGenDataSource(DataSource):
 
     def reader(self, schema):
         return AQIGenReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return AQIGenStreamReader(self.options)

@@ -65,6 +65,15 @@ HEADLINE = [
     "sim_ivf_topk",
     "q7_nation_volume",
     "q8_market_share",
+    # round-3 additions (new rows vs r02 — absence in older BENCH_r*
+    # files means "not yet implemented", not a regression)
+    "samp1_stratified_sample",
+    "pack1_sequence_packing",
+    "d7_cross_source_dedup",
+    "cm1_countmin_heavyhitters",
+    "rj1_interval_lookup",
+    "w5_distribution_ranks",
+    "gr1_pagerank",
 ]
 
 

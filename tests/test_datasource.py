@@ -62,3 +62,47 @@ def test_aqi_gen_feeds_engine_ops(spark):
     )
     per_key = one_per_day.groupBy("state_name", "measured_date").count()
     assert per_key.filter(F.col("count") > 1).count() == 0
+
+
+def test_aqi_gen_streaming_prefix_equals_batch(spark):
+    """The streaming reader's first batches are exactly the batch
+    reader's prefix: offset == row index, so replay is bit-identical
+    (the exactly-once contract a real connector gets from Kafka
+    offsets, here from the pure row function)."""
+    import time
+
+    spark.dataSource.register(AQIGenDataSource)
+    q = (
+        spark.readStream.format("aqi_gen")
+        .option("rowsPerBatch", 50)
+        .option("seed", 7)
+        .load()
+        .writeStream.format("memory")
+        .queryName("aqi_gen_stream_sink")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("aqi_gen_stream_sink").count() >= 100:
+                break
+            time.sleep(0.5)
+        got = (
+            spark.table("aqi_gen_stream_sink")
+            .orderBy("measurement_id")
+            .limit(100)
+            .collect()
+        )
+    finally:
+        q.stop()
+    want = (
+        spark.read.format("aqi_gen")
+        .option("numRows", 100)
+        .option("seed", 7)
+        .load()
+        .orderBy("measurement_id")
+        .collect()
+    )
+    assert len(got) == 100
+    assert got == want
