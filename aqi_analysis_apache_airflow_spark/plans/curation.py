@@ -316,3 +316,251 @@ def mix1_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_uniform("mix|") < F.col("keep_rate"))
         .select("doc_id", "source", "keep_rate")
     )
+
+
+# --------------------------------------------------------------------------
+# collocation mining + string-similarity join + graph triangles
+# --------------------------------------------------------------------------
+
+_PMI_MIN_SUPPORT = 5
+_PMI_TOP = 50
+
+
+@query(
+    "pmi1_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM documents
+    ),
+    uc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w
+    ),
+    nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uc),
+    bc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+      FROM (SELECT l[i] AS w1, l[i + 1] AS w2
+            FROM toks, UNNEST(generate_series(1, len(l) - 1)) AS t(i)
+            WHERE len(l) >= 2)
+      GROUP BY w1, w2
+    ),
+    nb AS (SELECT CAST(SUM(c_xy) AS DOUBLE) AS n FROM bc)
+    SELECT bc.w1, bc.w2, bc.c_xy,
+           (CAST(bc.c_xy AS DOUBLE) / nb.n)
+             / ((CAST(x.c AS DOUBLE) / nu.n) * (CAST(y.c AS DOUBLE) / nu.n))
+             AS lift
+    FROM bc
+    JOIN uc x ON bc.w1 = x.w
+    JOIN uc y ON bc.w2 = y.w
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE bc.c_xy >= {_PMI_MIN_SUPPORT}
+    ORDER BY lift DESC, bc.w1, bc.w2
+    LIMIT {_PMI_TOP}
+    """,
+)
+def pmi1_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: corpus-wide bigram association strength.
+    Surfaces LIFT = p(xy)/(p(x)p(y)) rather than PMI = ln(lift): the
+    ranking is identical (ln is monotone) but lift needs only IEEE
+    mul/div — bit-exact across engines — where ln is libm-specific.
+
+    Shape: one narrow bigram explode, two word-keyed groupBys
+    (map-side combined), two equi-joins of bigram counts against the
+    unigram table (vocabulary-sized — orders of magnitude smaller
+    than the corpus, broadcast by AQE at any realistic vocab), two
+    1-row totals cross-joined, TakeOrdered top-50. No quadratic step
+    anywhere; at 100 TB the only real shuffles are the two counting
+    groupBys."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    bigrams = docs.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.struct(
+                        F.get(toks, i).alias("w1"),
+                        F.get(toks, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bc = bigrams.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c_xy"))
+    nu = uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    nb = bc.agg(F.sum("c_xy").cast("double").alias("n_bi"))
+    lift = (F.col("c_xy").cast("double") / F.col("n_bi")) / (
+        (F.col("cx").cast("double") / F.col("n_uni"))
+        * (F.col("cy").cast("double") / F.col("n_uni"))
+    )
+    ucx = uni.select(F.col("w").alias("wx"), F.col("c").alias("cx"))
+    ucy = uni.select(F.col("w").alias("wy"), F.col("c").alias("cy"))
+    return (
+        bc.filter(F.col("c_xy") >= _PMI_MIN_SUPPORT)
+        .join(ucx, F.col("w1") == F.col("wx"))
+        .drop("wx")
+        .join(ucy, F.col("w2") == F.col("wy"))
+        .drop("wy")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select("w1", "w2", "c_xy", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(_PMI_TOP)
+    )
+
+
+@query(
+    "ed1_editdist_join",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT w, CAST(length(w) AS INTEGER) AS ln
+      FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS w
+            FROM documents)
+    ),
+    same_len AS (
+      SELECT a.w AS w1, b.w AS w2
+      FROM vocab a JOIN vocab b ON a.ln = b.ln AND a.w < b.w
+    ),
+    longer AS (
+      SELECT a.w AS w1, b.w AS w2
+      FROM vocab a JOIN vocab b ON b.ln - a.ln BETWEEN 1 AND 2
+    ),
+    cand AS (SELECT * FROM same_len UNION ALL SELECT * FROM longer)
+    SELECT w1, w2, CAST(levenshtein(w1, w2) AS INTEGER) AS dist
+    FROM cand
+    WHERE levenshtein(w1, w2) <= 2
+    """,
+)
+def ed1_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity self-join: all vocabulary pairs within edit
+    distance 2 (the typo/variant-merging step of vocabulary cleanup).
+    Length blocking is a COMPLETE filter for distance ≤ 2 (each edit
+    changes length by at most 1), so the join never goes all-pairs:
+    same-length pairs join on length (ordered lexically to emit each
+    pair once), length-diff 1–2 pairs join shorter→longer (canonical
+    order from the length gap — no lexical constraint needed).
+    Levenshtein runs only on blocked candidates.
+
+    At 100 TB vocab scale the block key gains a prefix/band component
+    (distance ≤ 2 ⇒ some ⌈L/3⌉-char third of one word appears intact
+    in the other), keeping blocks bounded; length-only blocking is
+    the exact baseline."""
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("w"))
+        .distinct()
+        .select("w", F.length("w").cast("int").alias("ln"))
+    )
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    same_len = a.join(
+        b, (F.col("a.ln") == F.col("b.ln")) & (F.col("a.w") < F.col("b.w"))
+    ).select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+    longer = a.join(
+        b, (F.col("b.ln") - F.col("a.ln")).between(1, 2)
+    ).select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+    cand = same_len.unionAll(longer)
+    dist = F.levenshtein("w1", "w2")
+    return cand.filter(dist <= 2).select(
+        "w1", "w2", dist.cast("int").alias("dist")
+    )
+
+
+_TRI_MIN_SUPPORT = 20
+
+
+@query(
+    "tri1_triangle_count",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS l
+      FROM documents
+    ),
+    dw AS (SELECT doc_id, unnest(l) AS w FROM toks),
+    edges AS (
+      SELECT a.w AS u, b.w AS v
+      FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w
+      HAVING count(*) >= {_TRI_MIN_SUPPORT}
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY node
+    ORDER BY n_triangles DESC, node
+    """,
+)
+def tri1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the word co-occurrence graph
+    (words co-appearing in ≥ {min_sup} documents). The classic
+    distributed formulation: orient every edge low→high, join
+    wedges e(a,b)⋈e(b,c) (a<b<c by construction, so each triangle is
+    built exactly once), close them against the edge set, then count
+    each triangle toward all three corners with a 3-way unpivot.
+
+    Scale notes: edge orientation bounds the wedge join by the
+    smaller-degree endpoint (the standard skew guard — high-degree
+    nodes are mostly wedge *middles*, never wedge *sources*, halving
+    worst-case fan-out); the co-occurrence build is per-doc distinct
+    pairs, vocabulary-bounded per doc, with the support filter pushed
+    into the first aggregation. The edge table feeds three joins, so
+    it is persisted rather than recomputed."""
+    from pyspark.storagelevel import StorageLevel
+
+    dw = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("w")
+    )
+    a = dw.alias("a")
+    b = dw.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("u"), F.col("b.w").alias("v"))
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= _TRI_MIN_SUPPORT)
+        .select("u", "v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            "left_semi",
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select("b"))
+        .unionAll(tri.select("c"))
+    )
+    return (
+        corners.groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "node")
+    )
