@@ -564,3 +564,273 @@ def tri1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_triangles"))
         .orderBy(F.col("n_triangles").desc(), "node")
     )
+
+
+# --------------------------------------------------------------------------
+# bloom-filter runtime semi-join + batch KNN join + cluster centroids
+# --------------------------------------------------------------------------
+
+_BF_BITS = 8192  # 2^13 bits = 128 longs; k=3 hashes
+_BF_SEEDS = (0, 1, 2)
+
+
+@query(
+    "bf1_bloom_semi_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM customer
+                  WHERE c_custkey = o_custkey AND c_acctbal < 0)
+    """,
+)
+def bf1_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter semi-join: orders of negative-balance customers,
+    pre-filtered by a hand-built Bloom filter BEFORE the exact join.
+    The build side aggregates k=3 hash positions per key into a
+    128-long bitmap (one groupBy + a 1-row map collect — mergeable
+    partial aggregation, the same shape Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter`` injects); the bitmap
+    broadcasts to the fact side as a map literal and prunes
+    non-matching rows with pure bit arithmetic; a final LEFT SEMI join
+    removes Bloom false positives, so the result is EXACTLY the semi
+    join and the oracle is plain EXISTS.
+
+    At 100 TB this is the difference between shuffling every fact row
+    into the join and shuffling only the ~selectivity fraction that
+    can match; the bloom stage itself never shuffles the fact table
+    (narrow filter against a broadcast bitmap)."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    # shiftleft needs a literal shift in the Column API — the bit ops
+    # go through expr() over a materialized `pos` column instead
+    word = F.expr("CAST(pos DIV 64 AS INT)")
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+    positions = cust.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("c_custkey", F.lit(s)), F.lit(_BF_BITS))
+                    for s in _BF_SEEDS
+                ]
+            )
+        ).alias("pos")
+    )
+    bitmap = (
+        positions.groupBy(word.alias("word"))
+        .agg(F.bit_or(mask).alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("bloom")
+        )
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    probe = orders.crossJoin(F.broadcast(bitmap))
+    hit = None
+    for s in _BF_SEEDS:
+        probe = probe.withColumn(
+            "pos", F.pmod(F.xxhash64("o_custkey", F.lit(s)), F.lit(_BF_BITS))
+        )
+        test = (
+            F.coalesce(F.element_at(F.col("bloom"), word), F.lit(0).cast("long"))
+            .bitwiseAND(mask)
+            != 0
+        )
+        probe = probe.withColumn(f"hit_{s}", test).drop("pos")
+        hit = F.col(f"hit_{s}") if hit is None else (hit & F.col(f"hit_{s}"))
+    candidates = probe.filter(hit).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return candidates.join(
+        F.broadcast(cust),
+        candidates["o_custkey"] == cust["c_custkey"],
+        "left_semi",
+    )
+
+
+_KNN_N_QUERIES = 20
+_KNN_K = 5
+_DEC_PROD = "CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,14))"
+
+
+@query(
+    "knn1_knn_join",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < {_KNN_N_QUERIES}),
+    c AS (SELECT vec_id, embedding AS cv FROM embeddings
+          WHERE vec_id >= {_KNN_N_QUERIES}),
+    pairs AS (
+      SELECT q.qid, c.vec_id, unnest(c.cv) AS x, unnest(q.qv) AS y
+      FROM q, c
+    ),
+    sims AS (
+      SELECT qid, vec_id,
+             round(CAST(SUM({_DEC_PROD}) AS DOUBLE)
+               / (sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        AS DECIMAL(28,14))) AS DOUBLE))
+                  * sqrt(CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                        AS DECIMAL(28,14))) AS DOUBLE))), 6) AS sim
+      FROM pairs GROUP BY qid, vec_id
+    ),
+    r AS (
+      SELECT qid, vec_id, sim,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+      FROM sims
+    )
+    SELECT qid, vec_id, sim, rank FROM r WHERE rank <= {_KNN_K}
+    """,
+)
+def knn1_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KNN JOIN: exact top-k cosine neighbors for a BATCH of
+    query vectors (the retrieval/labeling shape — N queries at once,
+    not the single-vector ``sim_cosine_topk``). The query batch is
+    bounded (a request batch, not a table), so it broadcasts; the dot
+    products run as posexplode + one wide codegen groupBy — the d4
+    lesson: 64 interpreted ``F.aggregate`` lambda folds per pair
+    measured ~25× slower than explode + JVM hash aggregate. Decimal
+    product sums keep every score bit-reproducible at any
+    parallelism; norms are computed once per side and joined back,
+    which the decimal sum makes EXACTLY equal to computing them
+    inside the pair group (order-independent addition).
+
+    Scale: corpus-side explode is narrow; the pair groupBy shuffles
+    pairs×dim rows — the IVF-blocked variant (``sim_ivfm``'s index)
+    bounds that to probed clusters; this is the exact baseline."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_N_QUERIES)
+    corpus = emb.filter(F.col("vec_id") >= _KNN_N_QUERIES)
+    dec_prod = lambda a, b: (a.cast("double") * b.cast("double")).cast(
+        "decimal(28,14)"
+    )
+    cexp = corpus.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    )
+    qexp = queries.select(
+        F.col("vec_id").alias("qid"), F.posexplode("embedding").alias("pos", "y")
+    )
+    qnorm = qexp.groupBy("qid").agg(
+        F.sqrt(
+            F.sum(dec_prod(F.col("y"), F.col("y"))).cast("double")
+        ).alias("qn")
+    )
+    cnorm = cexp.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum(dec_prod(F.col("x"), F.col("x"))).cast("double")
+        ).alias("cn")
+    )
+    dots = (
+        cexp.join(F.broadcast(qexp), "pos")
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(dec_prod(F.col("x"), F.col("y"))).alias("dot"))
+    )
+    sim = F.round(
+        F.col("dot").cast("double") / (F.col("cn") * F.col("qn")), 6
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        dots.join(F.broadcast(qnorm), "qid")
+        .join(cnorm, "vec_id")
+        .select("qid", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_K)
+    )
+
+
+@query(
+    "emb2_cluster_centroids",
+    oracle="""
+    WITH comp AS (
+      SELECT label, CAST(i - 1 AS INTEGER) AS pos, embedding[i] AS x
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT label, pos,
+           round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 9) AS centroid,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM comp
+    GROUP BY label, pos
+    """,
+)
+def emb2_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster embedding centroids (element-wise mean per label) —
+    the reduce step of k-means / topic-cluster summarization. One
+    narrow posexplode then ONE two-key groupBy with map-side combine:
+    at 100 TB each executor pre-sums its local vectors per (label,
+    pos), so the shuffle carries n_labels × dim partial sums per
+    partition, not the vectors. Components are rounded to
+    DECIMAL(38,30) before summing (exact, order-independent
+    addition). The wide scale matters: raw FLOAT components are dyadic
+    rationals with ~26-digit expansions, so a 14-digit scale (the
+    product convention elsewhere) can land on an exact .5 rounding tie
+    where engines disagree — observed once in 320k components at
+    sf0.001; 30 digits puts ties past any float's expansion. 8 integer
+    digits still hold ~10^8 unit-scale components per group. The
+    surfaced mean is rounded to 9 digits — a scale-30 decimal→double
+    cast is not correctly rounded in every engine (ulp-level noise),
+    and float inputs only carry ~7 significant digits anyway."""
+    comp = load(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    return comp.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("x").cast("double").cast("decimal(38,30)")).cast(
+                "double"
+            )
+            / F.count("*").cast("double"),
+            9,
+        ).alias("centroid"),
+        F.count("*").cast("long").alias("n_members"),
+    )
+
+
+_HLL_TOL = 0.05
+
+
+@query(
+    "hll1_sketch_union",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def hll1_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting: per-(event_type, shard)
+    HyperLogLog partials union-merged per event_type — the TWO-PHASE
+    aggregation every 100 TB distinct-count runs as (each executor
+    sketches locally, only the 2^12-register sketches shuffle, never
+    the values). Self-verifying like ``g6``: the query surfaces the
+    EXACT distinct count plus an in-query check that the sketch
+    estimate lands within 5% (HLL lgConfigK=12 has ~1.6% standard
+    error), so the oracle compares the exact side and the sketch
+    correctness is asserted by the query itself — a failed estimate
+    flips ``approx_ok`` and the hash comparison catches it."""
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    partials = ev.groupBy(
+        "event_type", F.pmod(F.col("user_id"), F.lit(8)).alias("shard")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = partials.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_approx")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            / F.col("n_exact").cast("double")
+            <= _HLL_TOL
+        ).alias("approx_ok"),
+    )
