@@ -145,9 +145,15 @@ def qc2_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = tokens(F.col("text"))
     n = F.size(toks)
-    bigram_at = lambda i: F.array_join(F.slice(toks, i + 1, 2), " ")
+    # zip_with over two shifted slices, not transform(sequence, ...) —
+    # the latter re-evaluates the token expression per element (~5×)
     bigrams = F.when(
-        n >= 2, F.transform(F.sequence(F.lit(0), n - 2), bigram_at)
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
     ).otherwise(F.array().cast("array<string>"))
     counts = (
         docs.select("doc_id", F.explode(bigrams).alias("bigram"))
@@ -379,16 +385,16 @@ def pmi1_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("c"))
     )
+    # zip_with over shifted slices (not transform(sequence, get(...)) —
+    # per-element get re-evaluates the token expression, ~5× slower)
     bigrams = docs.select(
         F.explode(
             F.when(
                 n >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), n - 2),
-                    lambda i: F.struct(
-                        F.get(toks, i).alias("w1"),
-                        F.get(toks, i + 1).alias("w2"),
-                    ),
+                F.zip_with(
+                    F.slice(toks, 1, n - 1),
+                    F.slice(toks, 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
                 ),
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("bg")
@@ -463,9 +469,19 @@ def ed1_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     same_len = a.join(
         b, (F.col("a.ln") == F.col("b.ln")) & (F.col("a.w") < F.col("b.w"))
     ).select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
-    longer = a.join(
-        b, (F.col("b.ln") - F.col("a.ln")).between(1, 2)
-    ).select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+    # equi-join, not a range predicate: a `b.ln - a.ln BETWEEN 1 AND 2`
+    # condition compiles to a nested-loop join (all-pairs compare);
+    # exploding the longer word into its two candidate block keys keeps
+    # the join hash-partitioned
+    b_keys = vocab.select(
+        F.col("w").alias("w2"),
+        F.explode(
+            F.array(F.col("ln") - 1, F.col("ln") - 2)
+        ).alias("block_ln"),
+    )
+    longer = a.join(b_keys, F.col("a.ln") == F.col("block_ln")).select(
+        F.col("a.w").alias("w1"), "w2"
+    )
     cand = same_len.unionAll(longer)
     dist = F.levenshtein("w1", "w2")
     return cand.filter(dist <= 2).select(

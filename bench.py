@@ -74,6 +74,17 @@ HEADLINE = [
     "rj1_interval_lookup",
     "w5_distribution_ranks",
     "gr1_pagerank",
+    "qc1_quality_score",
+    "qc2_repetition_filter",
+    "ws1_priority_sample",
+    "mix1_temperature_mix",
+    "pmi1_collocations",
+    "ed1_editdist_join",
+    "tri1_triangle_count",
+    "bf1_bloom_semi_join",
+    "knn1_knn_join",
+    "emb2_cluster_centroids",
+    "hll1_sketch_union",
 ]
 
 

@@ -143,3 +143,64 @@ def test_o2_sort_is_range_partitioned(spark):
     p = plan_of(spark, "o2_global_sort")
     assert "rangepartitioning" in p
     assert "Sort" in p
+
+
+# --------------------------------------------------------------------------
+# round-3 curation operators
+# --------------------------------------------------------------------------
+
+
+def test_qc1_zero_shuffle(spark):
+    """Quality scoring is a pure narrow projection — any Exchange in
+    this plan means someone added an accidental aggregation."""
+    p = plan_of(spark, "qc1_quality_score")
+    assert "Exchange" not in p
+
+
+def test_ed1_blocked_join_is_hash_not_nested_loop(spark):
+    """Length blocking must compile to equi-joins; a BETWEEN length
+    condition silently degrades to a nested-loop (all-pairs) join."""
+    p = plan_of(spark, "ed1_editdist_join")
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_bf1_bloom_prunes_before_semi_join(spark):
+    """The bloom probe must filter the fact side BEFORE the exact semi
+    join, and the fact scan must read only the 3 surfaced columns."""
+    p = plan_of(spark, "bf1_bloom_semi_join")
+    assert "LeftSemi" in p
+    # bitmap test appears as a bitwise-and filter on the probe side
+    assert p.count("&") >= 1 or "bitwise" in p.lower()
+    assert "o_orderdate" not in p and "o_orderpriority" not in p
+
+
+def test_knn1_broadcasts_query_batch(spark):
+    """The bounded query batch broadcasts into the pair join — the
+    corpus explode must never be the shuffled side of a sort-merge."""
+    p = plan_of(spark, "knn1_knn_join")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_emb2_single_aggregation_exchange(spark):
+    """Centroids are one partial+final aggregation: exactly one
+    Exchange (the (label, pos) hash partitioning), with map-side
+    combine visible as two HashAggregate levels."""
+    p = plan_of(spark, "emb2_cluster_centroids")
+    # formatted explain names each node twice (tree + details)
+    assert p.count("Exchange") == 2
+    assert p.count("HashAggregate") >= 2
+
+
+def test_tri1_edges_cached(spark):
+    """The edge table feeds three joins; the plan must read it from
+    cache, not recompute the co-occurrence build per consumer."""
+    p = plan_of(spark, "tri1_triangle_count")
+    assert "InMemoryTableScan" in p
+
+
+def test_hll1_two_phase_sketch(spark):
+    """Sketch partials then union-merge: two aggregation layers (the
+    datasketches aggregate runs as ObjectHashAggregate)."""
+    p = plan_of(spark, "hll1_sketch_union")
+    assert "ObjectHashAggregate" in p
