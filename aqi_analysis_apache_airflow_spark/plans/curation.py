@@ -850,3 +850,220 @@ def hll1_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= _HLL_TOL
         ).alias("approx_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# BFS shortest paths + data-quality audits
+# --------------------------------------------------------------------------
+
+_SP_MAX_DEPTH = 15
+
+_SP_EDGES_CTE = f"""
+    toks AS (
+      SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS l
+      FROM documents
+    ),
+    dw AS (SELECT doc_id, unnest(l) AS w FROM toks),
+    e0 AS (
+      SELECT a.w AS u, b.w AS v
+      FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w
+      HAVING count(*) >= {_TRI_MIN_SUPPORT}
+    ),
+    edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    src AS (SELECT min(u) AS s FROM edges)
+"""
+
+
+@query(
+    "sp1_shortest_path",
+    oracle=f"""
+    WITH RECURSIVE {_SP_EDGES_CTE},
+    r(node, dist) AS (
+      SELECT s, 0 FROM src
+      UNION
+      SELECT e.v, r.dist + 1
+      FROM r JOIN edges e ON e.u = r.node
+      WHERE r.dist < {_SP_MAX_DEPTH}
+    )
+    SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
+    FROM r GROUP BY node
+    """,
+)
+def sp1_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS shortest paths on the (symmetrized) word
+    co-occurrence graph, from the lexicographically smallest node —
+    unweighted distances, all-integer, so cross-engine exact with no
+    numeric care at all. The DuckDB oracle is a recursive CTE whose
+    UNION-dedup keeps the state set at ≤ |V|·depth rows.
+
+    Spark runs frontier BFS: per round, one join of the (shrinking)
+    frontier against the edge list, an anti-join against the visited
+    set, and a persist/unpersist handover — the sanctioned driver-loop
+    shape shared with connected components and PageRank (the loop
+    iterates ROUNDS = graph diameter, never rows; each round's
+    termination check is one count). The source node is a 1-row
+    aggregate cross-joined in, not a driver-side ``first()`` — the
+    plan stays action-free until execution."""
+    from pyspark.storagelevel import StorageLevel
+
+    dw = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("w")
+    )
+    a = dw.alias("a")
+    b = dw.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("u"), F.col("b.w").alias("v"))
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= _TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    edges = (
+        e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    src = edges.agg(F.min("u").alias("node"))
+    visited = src.withColumn("dist", F.lit(0)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    frontier = visited.select("node")
+    for depth in range(1, _SP_MAX_DEPTH + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        nv = visited.unionAll(
+            nxt.withColumn("dist", F.lit(depth))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        nv.count()  # materialize before releasing the parent cache
+        visited.unpersist()
+        visited = nv
+        frontier = nxt.select("node")
+    edges.unpersist()
+    return visited.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+_DQ_RELATIONSHIPS = [
+    # (name, child table, fk, parent table, pk)
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _dq1_oracle() -> str:
+    parts = []
+    for name, child, fk, parent, pk in _DQ_RELATIONSHIPS:
+        parts.append(f"""
+    SELECT '{name}' AS relationship,
+           CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM {child}
+                 WHERE {fk} IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM {parent}
+                                   WHERE {pk} = {child}.{fk})) AS BIGINT)
+             AS n_orphans""")
+    return " UNION ALL ".join(parts)
+
+
+@query("dq1_referential_integrity", oracle=_dq1_oracle())
+def dq1_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the full FK graph: per
+    relationship, total child rows and orphaned child rows (non-null
+    FK with no parent). The data-quality gate a warehouse load runs
+    before publishing a batch — the reference trusts its sources
+    (``dags/etl/stage_to_nds.py`` joins assume clean keys); this makes
+    the assumption checkable.
+
+    Each relationship is a LEFT ANTI join + count — Spark's anti joins
+    broadcast the parent key set when small and shuffle otherwise, and
+    the 7 one-row aggregates union into a single result. At 100 TB the
+    child-side scans read ONLY the FK column (column pruning — the
+    counts need nothing else)."""
+    out = None
+    for name, child, fk, parent, pk in _DQ_RELATIONSHIPS:
+        c = load(spark, sf_dir, child)
+        p = load(spark, sf_dir, parent)
+        n_rows = c.agg(F.count("*").cast("long").alias("n_rows"))
+        n_orphans = (
+            c.select(fk)
+            .filter(F.col(fk).isNotNull())
+            .join(p.select(pk), c[fk] == p[pk], "left_anti")
+            .agg(F.count("*").cast("long").alias("n_orphans"))
+        )
+        row = (
+            n_rows.crossJoin(n_orphans)
+            .select(
+                F.lit(name).alias("relationship"), "n_rows", "n_orphans"
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+_DQ2_COLUMNS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_returnflag",
+    "l_linestatus",
+]
+
+
+def _dq2_oracle() -> str:
+    parts = []
+    for c in _DQ2_COLUMNS:
+        parts.append(f"""
+    SELECT '{c}' AS col_name,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_val,
+           CAST(max({c}) AS VARCHAR) AS max_val
+    FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+@query("dq2_column_profile", oracle=_dq2_oracle())
+def dq2_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the ANALYZE/stats-collection surface): null
+    count, exact distinct count, and typed min/max (surfaced as
+    strings) for the key and flag columns of the fact table — in ONE
+    scan. The multiple exact COUNT(DISTINCT)s compile to Spark's
+    Expand operator (one duplicated stream per distinct aggregate) —
+    the honest distributed shape for multi-column exact profiling; a
+    100 TB profile swaps in approx_count_distinct partials to drop
+    the expansion, trading exactness it no longer needs. min/max are
+    computed on the typed column (semantic order), then cast — a
+    string min of an integer column would order lexically."""
+    li = load(spark, sf_dir, "lineitem").select(*_DQ2_COLUMNS)
+    aggs = []
+    for c in _DQ2_COLUMNS:
+        aggs += [
+            (F.count("*") - F.count(c)).cast("long").alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _DQ2_COLUMNS
+    )
+    return one.selectExpr(
+        f"stack({len(_DQ2_COLUMNS)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_val, max_val)"
+    )
