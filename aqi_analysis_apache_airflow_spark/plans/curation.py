@@ -1075,3 +1075,143 @@ def dq2_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_DQ2_COLUMNS)}, {stack_args}) AS "
         "(col_name, n_nulls, n_distinct, min_val, max_val)"
     )
+
+
+# --------------------------------------------------------------------------
+# anomaly detection + time-weighted rollup
+# --------------------------------------------------------------------------
+
+_AN1_Z = 3.0
+
+
+@query(
+    "an1_zscore_outliers",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS DOUBLE) AS sx,
+             CAST(SUM(v * v) AS DOUBLE) AS sxx
+      FROM ev GROUP BY event_type
+    ),
+    z AS (
+      SELECT ev.event_id, ev.event_type, CAST(ev.v AS DOUBLE) AS value,
+             round((CAST(ev.v AS DOUBLE) - s.sx / s.n)
+                   / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 6) AS zscore
+      FROM ev JOIN s USING (event_type)
+    )
+    SELECT event_id, event_type, value, zscore,
+           abs(zscore) > {_AN1_Z} AS is_outlier
+    FROM z
+    """,
+)
+def an1_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly flags: every event scored against its
+    event_type's mean/σ, computed from EXACT decimal power sums (the
+    g8 convention — builtin stddev accumulates doubles in partition
+    order and drifts run-to-run). Values are rounded to 6 digits
+    before the decimal cast: round-half-away agrees across engines,
+    whereas a raw double→decimal cast can land on a rounding tie.
+
+    Shape: ONE aggregation pass for the group moments (tiny result),
+    broadcast back onto the events — the score join adds no shuffle
+    at any scale. The monitoring query every ingest pipeline runs."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value"), 6).cast("decimal(18,6)").alias("v"),
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("double").alias("sx"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("sxx"),
+    )
+    z = F.round(
+        (F.col("v").cast("double") - F.col("sx") / F.col("n"))
+        / F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ),
+        6,
+    )
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.col("v").cast("double").alias("value"),
+            z.alias("zscore"),
+        )
+        .withColumn("is_outlier", F.abs(F.col("zscore")) > _AN1_Z)
+    )
+
+
+@query(
+    "ts2_time_weighted_avg",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             CAST(round(value, 6) AS DECIMAL(18,6)) AS v,
+             event_id
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, v,
+             lead(t_us) OVER (
+               PARTITION BY user_id ORDER BY t_us, event_id) - t_us AS dt_us
+      FROM ev
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(SUM(dt_us) AS BIGINT) AS total_us,
+           round(CAST(SUM(v * dt_us) AS DOUBLE)
+                 / CAST(SUM(dt_us) AS DOUBLE), 6) AS twa_value
+    FROM seg
+    WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(dt_us) > 0
+    """,
+)
+def ts2_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user — the hypertable-rollup
+    aggregate for irregular samples: each observation is weighted by
+    how long it was current (microseconds to the next event; a
+    sequence's last observation, with nothing to bound it, drops out).
+    All arithmetic is exact: integer microsecond durations × 6-digit
+    decimal values, one IEEE division at the end, rounded on both
+    sides.
+
+    Plan note: the lead() window partitions by user_id and the
+    aggregation groups by user_id — Spark reuses the window's hash
+    partitioning for the groupBy, so the whole query is ONE exchange.
+    The event_id tiebreak in the window order makes same-timestamp
+    sequences deterministic."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.round(F.col("value"), 6).cast("decimal(18,6)").alias("v"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    seg = ev.select(
+        "user_id", "v", (F.lead("t_us").over(w) - F.col("t_us")).alias("dt_us")
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            F.sum("dt_us").cast("long").alias("total_us"),
+            F.round(
+                F.sum(F.col("v") * F.col("dt_us")).cast("double")
+                / F.sum("dt_us").cast("double"),
+                6,
+            ).alias("twa_value"),
+        )
+        .filter(F.col("total_us") > 0)
+    )

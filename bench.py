@@ -85,6 +85,11 @@ HEADLINE = [
     "knn1_knn_join",
     "emb2_cluster_centroids",
     "hll1_sketch_union",
+    "sp1_shortest_path",
+    "dq1_referential_integrity",
+    "dq2_column_profile",
+    "an1_zscore_outliers",
+    "ts2_time_weighted_avg",
 ]
 
 
