@@ -204,3 +204,19 @@ def test_hll1_two_phase_sketch(spark):
     datasketches aggregate runs as ObjectHashAggregate)."""
     p = plan_of(spark, "hll1_sketch_union")
     assert "ObjectHashAggregate" in p
+
+
+def test_ts2_single_exchange(spark):
+    """The lead() window and the per-user aggregation share the
+    user_id hash partitioning — the whole rollup is ONE Exchange."""
+    p = plan_of(spark, "ts2_time_weighted_avg")
+    assert p.count("Exchange (") == 1
+    assert "Window" in p
+
+
+def test_an1_stats_broadcast_back(spark):
+    """Group moments (a tiny aggregate) broadcast back onto the event
+    stream — scoring adds no shuffle of the fact side."""
+    p = plan_of(spark, "an1_zscore_outliers")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
