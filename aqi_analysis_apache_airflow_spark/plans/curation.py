@@ -1215,3 +1215,75 @@ def ts2_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("total_us") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal: overlapping analysis windows
+# --------------------------------------------------------------------------
+
+_M3_WINDOW = 256
+_M3_HOP = 128
+
+
+@query(
+    "m3_overlap_frames",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+             CAST(i * {_M3_HOP} AS BIGINT) AS frame_off,
+             substr(text, CAST(i * {_M3_HOP} + 1 AS INTEGER), {_M3_WINDOW})
+               AS frame
+      FROM documents,
+           UNNEST(range(0,
+             CAST(floor((length(text) - {_M3_WINDOW}) / {_M3_HOP}) + 1
+                  AS BIGINT))) u(i)
+      WHERE length(text) >= {_M3_WINDOW}
+    )
+    SELECT doc_id, frame_idx, frame_off,
+           md5(frame) AS frame_fp,
+           CAST(len(regexp_extract_all(frame, '\\S+')) AS INTEGER)
+             AS n_frame_tokens
+    FROM f
+    """,
+)
+def m3_overlap_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping analysis windows — the STFT/audio framing pattern
+    (window {w}, hop {h}: adjacent frames share half their samples),
+    vs ``m2``'s disjoint fixed-stride video frames. Only complete
+    windows are emitted (a tail shorter than one window is dropped,
+    as an STFT would). Each frame carries a fingerprint and a
+    token-density proxy — the stand-ins for the spectral features a
+    real audio decoder (not present in this container; see
+    ``functions/multimodal.py``) would compute in the mapInPandas
+    stage.
+
+    The expansion is a narrow ``posexplode`` over a computed index
+    range — ~len/hop rows per doc, no shuffle; at 100 TB the frame
+    stream feeds the per-frame decode stage partition-parallel."""
+    docs = load(spark, sf_dir, "documents")
+    n_frames = F.floor(
+        (F.length("text") - _M3_WINDOW) / F.lit(_M3_HOP)
+    ) + 1
+    idx = F.when(
+        F.length("text") >= _M3_WINDOW,
+        F.sequence(F.lit(0).cast("long"), n_frames - 1),
+    ).otherwise(F.array().cast("array<long>"))
+    frame = F.substring(
+        F.col("text"),
+        (F.col("frame_idx") * _M3_HOP + 1).cast("int"),
+        _M3_WINDOW,
+    )
+    return (
+        docs.select("doc_id", "text", idx.alias("__idx"))
+        .filter(F.size("__idx") > 0)
+        .select("doc_id", "text", F.explode("__idx").alias("frame_idx"))
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            (F.col("frame_idx") * _M3_HOP).cast("long").alias("frame_off"),
+            F.md5(frame.cast("binary")).alias("frame_fp"),
+            F.size(
+                F.regexp_extract_all(frame, F.lit(r"\S+"), 0)
+            ).alias("n_frame_tokens"),
+        )
+    )

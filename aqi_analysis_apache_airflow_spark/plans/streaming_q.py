@@ -140,3 +140,67 @@ def st3_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
     )
+
+
+@query(
+    "st4_stream_session_window",
+    oracle="""
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),
+    marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def st4_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` aggregation on a live streaming query
+    — Spark's dynamic-gap session operator (state merges adjacent
+    windows as events arrive, the streaming-native form of e2's
+    batch lag/cumsum sessionization, which is the oracle here: a new
+    session starts at gap ≥ 30min because Spark's window is
+    [first, last+gap) with an exclusive end). Complete-mode memory
+    sink: the availableNow replay drains one batch, so every session
+    is final when read. Session end = last event + gap, matching the
+    oracle's max(ts) + INTERVAL."""
+    from ..streaming.ops import read_events_stream, run_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_events_stream(spark, sf_dir)
+    sessions = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    out = run_to_memory(
+        sessions, _sink_name("st4_session_sink"), mode="complete"
+    )
+    return out.select(
+        F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+        "user_id",
+        "n_events",
+        "total_value",
+    )
