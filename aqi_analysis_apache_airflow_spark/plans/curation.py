@@ -1287,3 +1287,54 @@ def m3_overlap_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_frame_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# native recursive CTE (Spark 4.1 WITH RECURSIVE)
+# --------------------------------------------------------------------------
+
+import itertools as _itertools
+
+_RC_SEQ = _itertools.count()
+
+
+@query(
+    "rc1_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE chain(node, cur, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer
+      UNION ALL
+      SELECT node, cur // 2, depth + 1 FROM chain WHERE cur > 1
+    )
+    SELECT node, CAST(max(depth) AS INTEGER) AS depth,
+           CAST(count(*) AS BIGINT) AS chain_len
+    FROM chain GROUP BY node
+    """,
+)
+def rc1_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``WITH RECURSIVE`` (new engine surface in Spark 4.1):
+    every customer is a node of a heap-shaped hierarchy (parent = key
+    div 2, root = 1) and the recursion walks each node's ancestor
+    chain to the root, yielding per-node depth — the org-chart /
+    category-tree traversal pattern, executed by the engine's own
+    iterative UnionLoop instead of the driver-side loops used for the
+    dense-graph algorithms (sp1/gr1/d6). Linear recursion: each row
+    has exactly ONE successor, so total state is N·log N rows and no
+    UNION-dedup is needed (Spark 4.1 supports only UNION ALL in
+    recursive CTEs — fine here, explosive on cyclic graphs, which is
+    why sp1 keeps the frontier-loop form). Integer-only arithmetic:
+    nothing to round, bit-exact against DuckDB's identical recursion."""
+    view = f"rc1_customer_{next(_RC_SEQ)}"
+    load(spark, sf_dir, "customer").select("c_custkey").createOrReplaceTempView(
+        view
+    )
+    return spark.sql(f"""
+      WITH RECURSIVE chain(node, cur, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM {view}
+        UNION ALL
+        SELECT node, cur div 2, depth + 1 FROM chain WHERE cur > 1
+      )
+      SELECT node, CAST(max(depth) AS INT) AS depth,
+             CAST(count(*) AS BIGINT) AS chain_len
+      FROM chain GROUP BY node
+    """)
