@@ -1338,3 +1338,37 @@ def rc1_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS BIGINT) AS chain_len
       FROM chain GROUP BY node
     """)
+
+
+@query(
+    "x10_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+           CAST(json_extract_string(props, '$.missing') AS INTEGER)
+             AS missing_value,
+           props IS NULL OR json_valid(props) AS parseable
+    FROM events
+    """,
+)
+def x10_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT semi-structured path (Spark 4's columnar JSON
+    encoding — ``parse_json`` once, then typed ``variant_get``
+    extractions that prune into the binary encoding instead of
+    re-parsing text per path, the way ``get_json_object`` in x5
+    does). ``try_variant_get`` of an absent path is NULL, not an
+    error; ``try_parse_json`` returns NULL on malformed input, which
+    the ``parseable`` flag surfaces. At 100 TB the parse cost is paid
+    once per row regardless of how many paths are later extracted —
+    the reason VARIANT exists."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_value"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing_value"),
+        (
+            F.try_parse_json(F.col("props")).isNotNull()
+            | F.col("props").isNull()
+        ).alias("parseable"),
+    )
