@@ -283,3 +283,74 @@ def stream_stream_attribution_join(
         & (F.col("click_ts") >= F.col("view_ts"))
         & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
     ).select("user_id", "view_id", "view_ts", "click_id", "click_ts")
+
+
+def running_user_stats_tws(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """The same per-user running (count, sum, max) on Spark 4's
+    ``transformWithStateInPandas`` — the StatefulProcessor API that
+    succeeds ``applyInPandasWithState`` (:func:`running_user_stats`):
+    state is a TYPED handle-managed ValueState instead of a positional
+    tuple, timers are first-class (``handle.registerTimer``), and one
+    processor can hold several named state variables (value/list/map),
+    which is what multi-metric or model-carrying operators need. Kept
+    side by side with the old API so both stateful surfaces stay
+    covered.
+
+    Runtime gate: the transformWithState state-server protocol needs
+    ``google.protobuf`` on the Python side; environments without it
+    (this container) fail at stream start — the test skips there, the
+    ``applyInPandasWithState`` twin above is the portable fallback."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState(
+                "stats", "n BIGINT, total DOUBLE, mx DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._stats.exists():
+                n, total, mx = self._stats.get()
+            else:
+                n, total, mx = 0, 0.0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                if len(pdf):
+                    mx = max(mx, float(pdf["value"].max()))
+            self._stats.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningStats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

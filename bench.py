@@ -90,6 +90,9 @@ HEADLINE = [
     "dq2_column_profile",
     "an1_zscore_outliers",
     "ts2_time_weighted_avg",
+    "m3_overlap_frames",
+    "rc1_recursive_hierarchy",
+    "x10_variant_extract",
 ]
 
 

@@ -134,3 +134,36 @@ def test_foreach_batch_idempotent_sink(spark, events_stream, tmp_path_factory):
     # and a SECOND identical replay is a strict no-op
     q._write_epoch(replay.drop("__epoch"), max(epochs))
     assert spark.read.parquet(out).count() == non_replayed + 500
+
+
+def test_running_user_stats_transform_with_state(spark, events_stream):
+    """Spark 4 StatefulProcessor path (transformWithStateInPandas):
+    must accumulate exactly like the applyInPandasWithState op and the
+    batch aggregate. The runtime's state-server protocol needs
+    google.protobuf, which this container does not ship — skip (not
+    fail) where the dependency is absent, same policy as the JDBC and
+    image-decode gates."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from aqi_analysis_apache_airflow_spark.streaming.ops import (
+        running_user_stats_tws,
+    )
+
+    got = run_to_memory(
+        running_user_stats_tws(events_stream), "user_stats_tws", mode="update"
+    )
+    final = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6), r["max_value"])
+        for r in got.collect()
+    }
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {
+        r["user_id"]: (r["n"], round(r["t"], 6), r["m"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("t"),
+            F.max("value").alias("m"),
+        )
+        .collect()
+    }
+    assert final == want
