@@ -1391,3 +1391,121 @@ def x10_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             | F.col("props").isNull()
         ).alias("parseable"),
     )
+
+
+# --------------------------------------------------------------------------
+# end-to-end curation pipeline (quality -> dedup -> sample -> pack)
+# --------------------------------------------------------------------------
+
+_CP_CE = CE_HASH64_SQL.format(h="md5('cp|'||CAST(doc_id AS VARCHAR))")
+_CP_KEEP_PERMILLE = 700
+_CP_SHARD_CE = CE_HASH64_SQL.format(h="md5('cpshard|'||CAST(doc_id AS VARCHAR))")
+_CP_N_SHARDS = 4
+_CP_BUDGET = 2048
+
+
+@query(
+    "cp1_curation_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             CAST(len(regexp_extract_all(lower(text), '{_STOPWORD_RE}'))
+               AS INTEGER) AS stop_hits
+      FROM documents
+    ),
+    quality AS (
+      SELECT * FROM scored
+      WHERE n_tokens BETWEEN 50 AND 100000 AND stop_hits >= 2
+    ),
+    dedup AS (
+      SELECT doc_id, n_tokens FROM quality q
+      WHERE doc_id = (SELECT min(doc_id) FROM quality q2 WHERE q2.fp = q.fp)
+    ),
+    sampled AS (
+      SELECT doc_id, n_tokens FROM dedup
+      WHERE ((({_CP_CE}) % 1000) + 1000) % 1000 < {_CP_KEEP_PERMILLE}
+    ),
+    sharded AS (
+      SELECT doc_id, n_tokens,
+             CAST(((({_CP_SHARD_CE}) % {_CP_N_SHARDS}) + {_CP_N_SHARDS})
+                  % {_CP_N_SHARDS} AS BIGINT) AS shard
+      FROM sampled
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens, shard,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS stream_offset
+      FROM sharded
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST(floor(stream_offset / {_CP_BUDGET}.0) AS BIGINT) AS bin_id
+    FROM packed
+    """,
+)
+def cp1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as ONE declarative plan:
+    quality gate (qc1's token/stopword rules) → exact near-format
+    dedup (t3's normalized fingerprint, keep-smallest) → deterministic
+    70% sample (samp1's hash rule) → packing manifest (pack1's
+    per-shard prefix-sum bins). Every stage is individually
+    oracle-proven elsewhere in the registry; this entry proves the
+    COMPOSITION — Catalyst fuses the quality filter and both hash
+    filters into the scan stage, so the full pipeline is: one scan,
+    one dedup aggregation, one packing window. Exactly the plan you
+    want at 100 TB: the narrow stages cost nothing extra, and the two
+    shuffles (fingerprint groupBy, shard window) are the
+    irreducible ones."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens(F.col("text"))).cast("long")
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").cast(
+            "binary"
+        )
+    )
+    stop_hits = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_STOPWORD_RE), 0)
+    )
+    quality = docs.select(
+        "doc_id", n_tokens.alias("n_tokens"), fp.alias("fp")
+    ).filter(n_tokens.between(50, 100000) & (stop_hits >= 2))
+    keeper = Window.partitionBy("fp")
+    dedup = (
+        quality.withColumn("keep_id", F.min("doc_id").over(keeper))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "n_tokens")
+    )
+    sampled = dedup.filter(
+        F.pmod(
+            ce_hash64(F.concat(F.lit("cp|"), F.col("doc_id").cast("string"))),
+            F.lit(1000),
+        )
+        < _CP_KEEP_PERMILLE
+    )
+    sharded = sampled.withColumn(
+        "shard",
+        F.pmod(
+            ce_hash64(
+                F.concat(F.lit("cpshard|"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(_CP_N_SHARDS),
+        ),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return sharded.select(
+        "doc_id",
+        "n_tokens",
+        "shard",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _CP_BUDGET
+        )
+        .cast("long")
+        .alias("bin_id"),
+    )

@@ -93,6 +93,7 @@ HEADLINE = [
     "m3_overlap_frames",
     "rc1_recursive_hierarchy",
     "x10_variant_extract",
+    "cp1_curation_pipeline",
 ]
 
 
