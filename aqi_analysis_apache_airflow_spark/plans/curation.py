@@ -1509,3 +1509,97 @@ def cp1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bin_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (test-set n-gram overlap)
+# --------------------------------------------------------------------------
+
+_DC_K = 8  # shingle width: standard decontamination uses 8-13 word n-grams
+_DC_BENCH_DOCS = 10  # stand-in eval set: first N docs
+_DC_FLAG_RATE = 0.1
+
+
+@query(
+    "dc1_decontamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(l[i:i+{_DC_K}-1], ' ')
+                            for i in range(1, len(l) - {_DC_K} + 2)]) AS s
+      FROM toks WHERE len(l) >= {_DC_K}
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(s) AS shingle FROM sh
+      WHERE doc_id < {_DC_BENCH_DOCS}
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+      WHERE doc_id >= {_DC_BENCH_DOCS}
+    ),
+    tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+      FROM corpus GROUP BY doc_id
+    ),
+    hits AS (
+      SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+      FROM corpus c JOIN bench b ON c.shingle = b.shingle
+      GROUP BY c.doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(h.n_contaminated, 0) AS n_contaminated,
+           CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / t.n_shingles
+             AS contamination_rate,
+           CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / t.n_shingles
+             > {_DC_FLAG_RATE} AS contaminated
+    FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+)
+def dc1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the eval-set overlap check every
+    pretraining corpus must run: each training doc is scored by the
+    fraction of its distinct {k}-word shingles that appear anywhere in
+    the benchmark set (stand-in: the first {n} docs), and flagged past
+    {r:.0%}. Exact-match n-gram overlap is the published method
+    (GPT-3 appendix C, PaLM §7).
+
+    Scale shape: the benchmark shingle set is DISTINCT'd before the
+    join (eval suites are tiny — a few M shingles — so this side
+    broadcasts at any real scale); the corpus side is one narrow
+    shingle explode joined against it, then two per-doc counts. No
+    quadratic step; the shingle width k bounds memory per row."""
+    docs = load(spark, sf_dir, "documents")
+    from ..functions.dedup import word_shingles
+
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), _DC_K)).alias("shingle")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") < _DC_BENCH_DOCS)
+        .select("shingle")
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= _DC_BENCH_DOCS)
+    tot = corpus.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles")
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    rate = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast(
+        "double"
+    ) / F.col("n_shingles")
+    return tot.join(hits, "doc_id", "left_outer").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")).alias(
+            "n_contaminated"
+        ),
+        rate.alias("contamination_rate"),
+        (rate > _DC_FLAG_RATE).alias("contaminated"),
+    )

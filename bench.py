@@ -94,6 +94,7 @@ HEADLINE = [
     "rc1_recursive_hierarchy",
     "x10_variant_extract",
     "cp1_curation_pipeline",
+    "dc1_decontamination",
 ]
 
 
