@@ -1571,12 +1571,16 @@ def dc1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts at any real scale); the corpus side is one narrow
     shingle explode joined against it, then two per-doc counts. No
     quadratic step; the shingle width k bounds memory per row."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = load(spark, sf_dir, "documents")
     from ..functions.dedup import word_shingles
 
+    # three consumers (benchmark set, per-doc totals, hit counts) —
+    # persist the exploded shingles or the build runs three times
     sh = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"), _DC_K)).alias("shingle")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bench = (
         sh.filter(F.col("doc_id") < _DC_BENCH_DOCS)
         .select("shingle")
