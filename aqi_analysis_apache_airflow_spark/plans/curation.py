@@ -1607,3 +1607,127 @@ def dc1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate.alias("contamination_rate"),
         (rate > _DC_FLAG_RATE).alias("contaminated"),
     )
+
+
+# --------------------------------------------------------------------------
+# sliding-window distinct counts + top-p vocabulary truncation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "w6_sliding_distinct",
+    oracle="""
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+    slotted AS (
+      SELECT
+        CAST(to_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) - u.i) * 900)
+             AS TIMESTAMP) AS window_start,
+        user_id
+      FROM ev, UNNEST([0, 1, 2, 3]) AS u(i)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM slotted
+    GROUP BY 1, 2
+    """,
+)
+def w6_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT counting over sliding windows (1 hour, 15-minute
+    slide — every event lands in 4 windows): unique active users per
+    window, the realtime-dashboard aggregate that naive COUNT can't
+    give. Exact two-phase form: first groupBy (window, user) — the
+    partial aggregation collapses a user's duplicate events map-side,
+    so the second (window)-level count shuffles one row per (window,
+    user), never per event. The oracle enumerates the 4 slots per
+    event explicitly (the e3 pattern); Spark's ``window()`` operator
+    does the same expansion internally. At 100 TB the per-user dedup
+    level is also where a sketch (hll1's partials) would slot in when
+    exactness stops being worth the shuffle width."""
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        per_user.groupBy("w")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct_users"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_distinct_users",
+            "n_events",
+        )
+    )
+
+
+_TOPP = 0.8
+
+
+@query(
+    "t10_topp_vocab",
+    oracle=f"""
+    WITH uc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS w
+            FROM documents)
+      GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uc),
+    ranked AS (
+      SELECT w, c,
+             CAST(SUM(c) OVER (ORDER BY c DESC, w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_c
+      FROM uc
+    )
+    SELECT w AS token, c AS cnt,
+           CAST(cum_c AS DOUBLE) / tot.n AS cum_share
+    FROM ranked, tot
+    WHERE (CAST(cum_c AS DOUBLE) - CAST(c AS DOUBLE)) / tot.n < {_TOPP}
+    """,
+)
+def t10_topp_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) vocabulary truncation: keep the smallest
+    count-ordered prefix of the vocabulary covering {p:.0%} of token
+    mass — the probability-mass twin of t9's top-K cut, and the rule
+    BPE/unigram vocab builders actually use. A token is kept iff the
+    mass BEFORE it is under the threshold (so the token crossing the
+    boundary is included and coverage ≥ p is guaranteed). Integer
+    cumulative counts divided once at the end — no accumulated float
+    error, deterministic tie-break (count desc, token asc).
+
+    The running sum is a single global window over VOCABULARY rows
+    (not corpus rows) — bounded at any corpus scale, the documented
+    exception to the no-global-window rule, same class as w1's
+    post-filter rank."""
+    uni = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("n"))
+    w = Window.orderBy(F.col("c").desc(), F.col("w")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = uni.withColumn("cum_c", F.sum("c").over(w).cast("long"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("cum_c").cast("double") - F.col("c").cast("double"))
+            / F.col("n")
+            < _TOPP
+        )
+        .select(
+            F.col("w").alias("token"),
+            F.col("c").alias("cnt"),
+            (F.col("cum_c").cast("double") / F.col("n")).alias("cum_share"),
+        )
+    )

@@ -95,6 +95,8 @@ HEADLINE = [
     "x10_variant_extract",
     "cp1_curation_pipeline",
     "dc1_decontamination",
+    "w6_sliding_distinct",
+    "t10_topp_vocab",
 ]
 
 
