@@ -1731,3 +1731,97 @@ def t10_topp_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum_c").cast("double") / F.col("n")).alias("cum_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# vector normalization + calendar function surface
+# --------------------------------------------------------------------------
+
+
+@query(
+    "emb3_unit_normalize",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    n AS (
+      SELECT vec_id, pos, x,
+             SUM(CAST(round(x * x * 1e14) AS BIGINT))
+               OVER (PARTITION BY vec_id) AS n2
+      FROM comp
+    )
+    SELECT vec_id, pos,
+           round(x * 1e7 / sqrt(CAST(n2 AS DOUBLE)), 6) AS unit
+    FROM n
+    """,
+)
+def emb3_unit_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 unit normalization of every embedding — the preprocessing
+    step before any cosine pipeline (after it, cosine = plain dot).
+    Squared norms accumulate as scaled BIGINTs (the knn1 convention:
+    exact integer sums, whole-stage codegen), and the norm is applied
+    as ``x·1e7 / sqrt(n2)`` — one multiply and one divide, written
+    identically in the oracle so every IEEE rounding step matches.
+
+    Plan: posexplode → ONE window sum partitioned by vec_id → project.
+    The window replaces the groupBy+join-back diamond (which would
+    recompute or shuffle the explode twice) — a single exchange,
+    partitioned by vector id, scale-independent."""
+    comp = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    )
+    x = F.col("x").cast("double")
+    w = Window.partitionBy("vec_id")
+    n2 = F.sum(F.round(x * x * F.lit(1e14)).cast("long")).over(w)
+    return comp.select(
+        "vec_id",
+        "pos",
+        F.round(
+            x * F.lit(1e7) / F.sqrt(n2.cast("double")), 6
+        ).alias("unit"),
+    )
+
+
+@query(
+    "x11_calendar_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) AS order_ts,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+           CAST(o_orderdate + INTERVAL 1 MONTH AS TIMESTAMP) AS next_month,
+           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start
+    FROM orders
+    """,
+)
+def x11_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar/date function surface: year/quarter/month/day parts,
+    day-of-week (Spark numbers Sunday=1; the oracle's Sunday=0
+    convention is shifted to match), day-of-year, month-end,
+    month-arithmetic with end-of-month clamping (add_months), and
+    ISO week start. DATE values are surfaced as midnight TIMESTAMPs
+    on both sides (the cross-engine DATE rendering rule). Pure
+    projection — zero shuffles."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.cast("timestamp").alias("order_ts"),
+        F.year(d).cast("int").alias("yr"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.month(d).cast("int").alias("mo"),
+        F.dayofmonth(d).cast("int").alias("dom"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.add_months(d, 1).cast("timestamp").alias("next_month"),
+        F.date_trunc("week", d).cast("timestamp").alias("week_start"),
+    )
