@@ -77,7 +77,13 @@ def pagerank(
     # uncounted warmup pass.)
     # Only `ed` and `nodes` are reused every round and stay persisted.
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_e12"))
+    zero_mass = nodes.select("node", F.lit(0).cast("long").alias("c"))
     for _ in range(n_iterations):
+        # one join + one groupBy per round: instead of left-outer
+        # joining the node list back to re-admit sink nodes (a second
+        # join per round), every node contributes a zero row into the
+        # same aggregation — the union is narrow and the groupBy was
+        # already there
         contrib = (
             ed.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
@@ -85,17 +91,15 @@ def pagerank(
                 # integral divide: the per-edge mass, exact in any engine
                 F.expr("rank_e12 div deg").alias("c"),
             )
+            .unionAll(zero_mass)
             .groupBy("node")
             .agg(F.sum("c").alias("mass"))
         )
-        ranks = nodes.join(contrib, "node", "left_outer").select(
+        ranks = contrib.select(
             "node",
             (
                 F.lit(teleport).cast("long")
-                + F.expr(
-                    f"({damping_pct} * coalesce(mass, CAST(0 AS BIGINT)))"
-                    " div 100"
-                )
+                + F.expr(f"({damping_pct} * mass) div 100")
             ).alias("rank_e12"),
         )
     # ed/nodes stay cached for the (lazy) returned plan; the session
