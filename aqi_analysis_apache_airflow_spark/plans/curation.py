@@ -1825,3 +1825,101 @@ def x11_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.add_months(d, 1).cast("timestamp").alias("next_month"),
         F.date_trunc("week", d).cast("timestamp").alias("week_start"),
     )
+
+
+# --------------------------------------------------------------------------
+# join/set-op/aggregate surface completeness
+# --------------------------------------------------------------------------
+
+
+@query(
+    "j13_null_safe_join",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey, nullif(o_orderstatus, 'F') AS k FROM orders
+    ),
+    r AS (
+      SELECT DISTINCT nullif(o_orderstatus, 'F') AS k,
+             COALESCE(nullif(o_orderstatus, 'F'), 'UNKNOWN') AS label
+      FROM orders
+    )
+    SELECT l.o_orderkey, r.label
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def j13_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the
+    'unknown matches unknown' dimension lookup — plain equality would
+    silently DROP every NULL-keyed row (NULL = NULL is NULL), the
+    classic SCD-attribute bug that F4 documents for NOT IN. The
+    nullable key is derived (status 'F' → NULL) since the synthetic
+    corpus ships null-free. ``eqNullSafe`` stays a hash join (NULL
+    hashes like any value under null-safe semantics) — no plan
+    penalty vs plain equality."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_orderstatus"), F.lit("F"))
+    left = orders.select("o_orderkey", k.alias("k"))
+    right = (
+        orders.select(k.alias("k"))
+        .distinct()
+        .select("k", F.coalesce(F.col("k"), F.lit("UNKNOWN")).alias("label"))
+    )
+    return left.join(
+        F.broadcast(right), left["k"].eqNullSafe(right["k"])
+    ).select("o_orderkey", "label")
+
+
+@query(
+    "u4_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def u4_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference: multiplicity = max(0, l−r)) —
+    completes the set-op family (u1 distinct ops, u2 EXCEPT, u3
+    INTERSECT ALL). Spark compiles it to one aggregation over tagged
+    counts, not a join per duplicate."""
+    orders = load(spark, sf_dir, "orders")
+    open_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return open_cust.exceptAll(urgent)
+
+
+@query(
+    "g12_conditional_aggs",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE value > 250) AS BIGINT) AS n_high,
+           bool_or(value > 490) AS any_extreme,
+           bool_and(value >= 0) AS all_nonneg,
+           arg_max(event_id,
+                   CAST(round(value * 1000000) AS BIGINT) * 8589934592
+                     + event_id) AS top_event_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def g12_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate surface: count_if, bool_or,
+    bool_and, and a deterministic arg-max. ``max_by`` alone ties
+    nondeterministically when two events share a value, so the
+    ordering key packs (value·1e6, event_id) into one BIGINT — the
+    g9/sim_ivfm encoded-key convention (the 2^33 multiplier keeps
+    event_id below the value stride; value ≤ ~500 keeps the product
+    far under 2^63). One aggregation pass, map-side combined."""
+    ev = load(spark, sf_dir, "events")
+    key = (
+        F.round(F.col("value") * 1_000_000).cast("long") * F.lit(8589934592)
+        + F.col("event_id")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 250).cast("long").alias("n_high"),
+        F.bool_or(F.col("value") > 490).alias("any_extreme"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.max_by(F.col("event_id"), key).alias("top_event_id"),
+    )
