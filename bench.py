@@ -97,6 +97,11 @@ HEADLINE = [
     "dc1_decontamination",
     "w6_sliding_distinct",
     "t10_topp_vocab",
+    "emb3_unit_normalize",
+    "x11_calendar_funcs",
+    "j13_null_safe_join",
+    "u4_except_all",
+    "g12_conditional_aggs",
 ]
 
 
