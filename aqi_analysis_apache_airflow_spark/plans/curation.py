@@ -429,6 +429,7 @@ def pmi1_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT w, CAST(length(w) AS INTEGER) AS ln
       FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS w
             FROM documents)
+      WHERE regexp_matches(w, '^[ -~]+$')
     ),
     same_len AS (
       SELECT a.w AS w1, b.w AS w2
@@ -462,6 +463,12 @@ def ed1_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents")
         .select(F.explode(tokens(F.col("text"))).alias("w"))
         .distinct()
+        # printable-ASCII vocabulary only: edit distance on multi-byte
+        # text is not one metric — Spark counts code-point edits where
+        # byte-based implementations (DuckDB among them) count byte
+        # edits, so the cross-engine contract is pinned to the range
+        # where the two definitions coincide
+        .filter(F.col("w").rlike("^[ -~]+$"))
         .select("w", F.length("w").cast("int").alias("ln"))
     )
     a = vocab.alias("a")

@@ -1,0 +1,100 @@
+"""Oracle parity on an ADVERSARIAL documents corpus: NULL text, empty
+text, whitespace-only, single-token, pathological repetition, unicode.
+The driver corpus is clean prose, so null/empty edge semantics (where
+Spark and DuckDB genuinely differ — e.g. size(NULL), regexp on '')
+never get exercised by the main parity sweep; this fixture forces
+them. Any query over `documents` must either agree with its oracle
+here too, or be listed with a reason."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from aqi_analysis_apache_airflow_spark.plans import REGISTRY
+
+# queries over documents ONLY (no other tables), worth edge-testing
+DOC_QUERIES = [
+    "qc1_quality_score",
+    "qc2_repetition_filter",
+    "t1_token_stats",
+    "t2_lang_stopword_score",
+    "t3_fingerprint",
+    "d1_exact_dedup",
+    "samp1_stratified_sample",
+    "pack1_sequence_packing",
+    "ws1_priority_sample",
+    "mix1_temperature_mix",
+    "pmi1_collocations",
+    "ed1_editdist_join",
+    "cp1_curation_pipeline",
+    "dc1_decontamination",
+    "t10_topp_vocab",
+    "m3_overlap_frames",
+]
+
+_ROWS = [
+    (0, None, "en", "web", 0),
+    (1, "", "en", "web", 0),
+    (2, "   \t  \n ", "en", "web", 8),
+    (3, "single", "en", "web", 6),
+    (4, "two words", "en", "books", 9),
+    (5, "spam spam spam spam spam spam spam spam", "en", "web", 39),
+    (6, "the a of to and the a of to and some other words here", "en", "books", 53),
+    (7, "naïve café über żółć 日本語 emoji 🙂 mixed", "xx", "web", 40),
+    (8, "x " * 300, "en", "web", 600),
+    (9, "the quick brown fox jumps over the lazy dog and keeps running", "en", "news", 61),
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("adversarial_sf")
+    pdf = pd.DataFrame(
+        _ROWS, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    return str(d)
+
+
+def _canon_cell(x):
+    if x is None or (isinstance(x, float) and math.isnan(x)):
+        return "NULL"
+    try:
+        if pd.isna(x):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(x, float):
+        return repr(x)
+    return str(x)
+
+
+def _canon(df: pd.DataFrame):
+    cols = sorted(df.columns)
+    df = df[cols]
+    return cols, sorted(
+        tuple(_canon_cell(v) for v in row) for row in df.itertuples(index=False)
+    )
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_adversarial_parity(spark, adversarial_dir, name):
+    q = REGISTRY[name]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{adversarial_dir}/documents.parquet'"
+    )
+    sdf = q.fn(spark, adversarial_dir).toPandas()
+    odf = con.execute(q.oracle).fetchdf()
+    assert len(sdf) == len(odf), f"{name}: rowcount {len(sdf)} != {len(odf)}"
+    scols, srows = _canon(sdf)
+    ocols, orows = _canon(odf)
+    assert scols == ocols, f"{name}: columns {scols} != {ocols}"
+    diffs = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+    assert srows == orows, f"{name}: first diffs {diffs}"
