@@ -220,3 +220,23 @@ def test_an1_stats_broadcast_back(spark):
     p = plan_of(spark, "an1_zscore_outliers")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_cp1_two_shuffles_no_joins(spark):
+    """The fused curation pipeline is scan → filters → fingerprint
+    window → shard window: exactly two Exchanges and ZERO joins —
+    Catalyst folds the quality gate and both hash samples into the
+    scan stage."""
+    p = plan_of(spark, "cp1_curation_pipeline")
+    assert p.count("Exchange (") == 2
+    assert "Join" not in p
+
+
+def test_dc1_broadcast_bench_and_cached_shingles(spark):
+    """Decontamination must broadcast the benchmark shingle set (never
+    shuffle the corpus for it) and read the persisted shingle explode
+    from cache for all three consumers."""
+    p = plan_of(spark, "dc1_decontamination")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "InMemoryTableScan" in p
