@@ -110,3 +110,45 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
+
+
+RESIZE_SCHEMA = "doc_id bigint, n_bytes_in int, n_bytes_out int, resized binary"
+
+
+def resize_stub(
+    media: DataFrame,
+    factor: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Resize/downsample plumbing for image-like payloads — the third
+    stub of the decode family (features, frames, resize). The real
+    implementation decodes, resamples (e.g. bilinear to W/f × H/f)
+    and re-encodes inside this same Arrow-batched ``mapInPandas``
+    stage; the stand-in is a deterministic nearest-neighbor byte
+    stride (every ``factor``-th byte), which preserves exactly the
+    properties the pipeline around it depends on: output size ≈
+    input/f, pure function of the payload, partition-parallel, no
+    shuffle. ``decode_stub=False`` marks the real-decoder plug point,
+    as in :func:`extract_binary_features`."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not decode_stub:
+            raise NotImplementedError(
+                "real resize needs an image library not present in this "
+                "environment; plug it in here"
+            )
+        for pdf in batches:
+            payload = pdf[payload_col]
+            out = payload.map(lambda b: bytes(b)[::factor])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes_in": payload.str.len().astype("int32"),
+                    "n_bytes_out": out.str.len().astype("int32"),
+                    "resized": out,
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(_resize, RESIZE_SCHEMA)
