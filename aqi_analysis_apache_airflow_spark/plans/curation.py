@@ -1930,3 +1930,140 @@ def g12_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
         F.max_by(F.col("event_id"), key).alias("top_event_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# cumulative distinct users + distribution drift
+# --------------------------------------------------------------------------
+
+
+@query(
+    "r3_new_users_cumulative",
+    oracle="""
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+    first_seen AS (
+      SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS day
+      FROM ev GROUP BY user_id
+    ),
+    daily AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_new
+      FROM first_seen GROUP BY day
+    )
+    SELECT day, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM daily
+    """,
+)
+def r3_new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New users per day + running total distinct users — the growth
+    dashboard. 'Running COUNT DISTINCT' has no windowed form in any
+    engine; the exact scalable rewrite is: min(ts) per user (one
+    groupBy — each user collapses to one row), count per first-seen
+    day, then a running sum over DAYS. The final window is global but
+    over calendar days — bounded at any scale (the t10/w1 documented
+    exception class)."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.withColumn(
+        "cumulative_users", F.sum("n_new").over(w).cast("long")
+    )
+
+
+_DQ3_BIN = 100  # doc-length histogram bin width (chars)
+
+
+@query(
+    "dq3_distribution_drift",
+    oracle=f"""
+    WITH b AS (
+      SELECT source,
+             CAST(n_chars // {_DQ3_BIN} AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS c
+      FROM documents
+      WHERE source IN ('web', 'books')
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(c) AS DOUBLE) AS n FROM b GROUP BY source
+    ),
+    bins AS (SELECT DISTINCT bin FROM b),
+    wide AS (
+      SELECT bins.bin,
+             CAST(COALESCE(w.c, 0) AS DOUBLE)
+               / (SELECT n FROM tot WHERE source = 'web') AS p_ref,
+             CAST(COALESCE(k.c, 0) AS DOUBLE)
+               / (SELECT n FROM tot WHERE source = 'books') AS p_cand
+      FROM bins
+      LEFT JOIN (SELECT bin, c FROM b WHERE source = 'web') w USING (bin)
+      LEFT JOIN (SELECT bin, c FROM b WHERE source = 'books') k USING (bin)
+    )
+    SELECT bin, round(p_ref, 9) AS p_ref, round(p_cand, 9) AS p_cand,
+           round((round(p_cand, 9) - round(p_ref, 9))
+                 * (round(p_cand, 9) - round(p_ref, 9))
+                 / NULLIF(round(p_ref, 9) + round(p_cand, 9), 0.0), 9)
+             AS chi2_term
+    FROM wide
+    """,
+)
+def dq3_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between a reference source ('web') and a
+    candidate ('books'): per-bin share comparison of the doc-length
+    histogram plus the symmetric chi-square term
+    (p_c − p_r)²/(p_r + p_c) — the ingest-monitoring check that a new
+    batch still looks like the corpus. Chi-square is chosen over
+    PSI/KL precisely because it needs NO logarithm: every step is
+    IEEE mul/div with mirrored parenthesization, so the oracle
+    matches bit-for-bit (shares and terms rounded at 9 on both
+    sides).
+
+    Shape: one two-key groupBy builds both histograms in a single
+    pass; the per-source totals and the bin spine are tiny broadcast
+    joins. Bin count is bounded by the length domain, not the corpus."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("source").isin("web", "books")
+    )
+    b = docs.groupBy(
+        "source",
+        F.floor(F.col("n_chars") / _DQ3_BIN).cast("long").alias("bin"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    tot = b.groupBy("source").agg(F.sum("c").cast("double").alias("n"))
+    n_ref = tot.filter(F.col("source") == "web").select(
+        F.col("n").alias("n_ref")
+    )
+    n_cand = tot.filter(F.col("source") == "books").select(
+        F.col("n").alias("n_cand")
+    )
+    bins = b.select("bin").distinct()
+    ref = b.filter(F.col("source") == "web").select("bin", F.col("c").alias("cr"))
+    cand = b.filter(F.col("source") == "books").select(
+        "bin", F.col("c").alias("cc")
+    )
+    p_ref = F.coalesce(F.col("cr"), F.lit(0)).cast("double") / F.col("n_ref")
+    p_cand = F.coalesce(F.col("cc"), F.lit(0)).cast("double") / F.col("n_cand")
+    diff = F.col("p_cand") - F.col("p_ref")
+    return (
+        bins.join(ref, "bin", "left_outer")
+        .join(cand, "bin", "left_outer")
+        .crossJoin(F.broadcast(n_ref))
+        .crossJoin(F.broadcast(n_cand))
+        .select(
+            "bin",
+            F.round(p_ref, 9).alias("p_ref"),
+            F.round(p_cand, 9).alias("p_cand"),
+        )
+        .withColumn(
+            "chi2_term",
+            F.round(
+                diff * diff / F.nullif(F.col("p_ref") + F.col("p_cand"), F.lit(0.0)),
+                9,
+            ),
+        )
+    )

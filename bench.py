@@ -102,6 +102,8 @@ HEADLINE = [
     "j13_null_safe_join",
     "u4_except_all",
     "g12_conditional_aggs",
+    "r3_new_users_cumulative",
+    "dq3_distribution_drift",
 ]
 
 
