@@ -1319,11 +1319,6 @@ def m3_overlap_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # native recursive CTE (Spark 4.1 WITH RECURSIVE)
 # --------------------------------------------------------------------------
 
-import itertools as _itertools
-
-_RC_SEQ = _itertools.count()
-
-
 @query(
     "rc1_recursive_hierarchy",
     oracle="""
@@ -1350,7 +1345,10 @@ def rc1_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTEs — fine here, explosive on cyclic graphs, which is
     why sp1 keeps the frontier-loop form). Integer-only arithmetic:
     nothing to round, bit-exact against DuckDB's identical recursion."""
-    view = f"rc1_customer_{next(_RC_SEQ)}"
+    # Fixed view name: createOrReplaceTempView is idempotent, so repeated
+    # invocations (bench passes, parity sweeps) reuse one catalog entry
+    # instead of leaking rc1_customer_0,1,2,... per call.
+    view = "rc1_customer_src"
     load(spark, sf_dir, "customer").select("c_custkey").createOrReplaceTempView(
         view
     )
@@ -1388,10 +1386,13 @@ def x10_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per row regardless of how many paths are later extracted —
     the reason VARIANT exists."""
     ev = load(spark, sf_dir, "events")
-    v = F.parse_json(F.col("props"))
+    # try_parse_json (not parse_json): a malformed non-NULL props row
+    # degrades to NULL extracts + parseable=false, matching the oracle
+    # and the docstring, instead of failing the whole query.
+    v = F.try_parse_json(F.col("props"))
     return ev.select(
         "event_id",
-        F.variant_get(v, "$.k", "int").alias("k_value"),
+        F.try_variant_get(v, "$.k", "int").alias("k_value"),
         F.try_variant_get(v, "$.missing", "int").alias("missing_value"),
         (
             F.try_parse_json(F.col("props")).isNotNull()
@@ -2034,12 +2035,18 @@ def dq3_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.floor(F.col("n_chars") / _DQ3_BIN).cast("long").alias("bin"),
     ).agg(F.count("*").cast("long").alias("c"))
-    tot = b.groupBy("source").agg(F.sum("c").cast("double").alias("n"))
-    n_ref = tot.filter(F.col("source") == "web").select(
-        F.col("n").alias("n_ref")
-    )
-    n_cand = tot.filter(F.col("source") == "books").select(
-        F.col("n").alias("n_cand")
+    # One GLOBAL aggregate with conditional sums: always exactly one row
+    # (NULL totals when a source has zero rows), so the crossJoin below
+    # never multiplies by an empty relation — mirroring the oracle's
+    # scalar subqueries, which yield NULL rather than zero rows on a
+    # degenerate corpus.
+    tot = b.agg(
+        F.sum(F.when(F.col("source") == "web", F.col("c")))
+        .cast("double")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("source") == "books", F.col("c")))
+        .cast("double")
+        .alias("n_cand"),
     )
     bins = b.select("bin").distinct()
     ref = b.filter(F.col("source") == "web").select("bin", F.col("c").alias("cr"))
@@ -2052,8 +2059,7 @@ def dq3_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bins.join(ref, "bin", "left_outer")
         .join(cand, "bin", "left_outer")
-        .crossJoin(F.broadcast(n_ref))
-        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(tot))
         .select(
             "bin",
             F.round(p_ref, 9).alias("p_ref"),

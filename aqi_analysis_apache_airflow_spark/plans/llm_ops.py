@@ -152,7 +152,8 @@ _NORM_SQL = (
     SELECT content_key,
            arg_min(doc_id, source || '|' || lpad(CAST(doc_id AS VARCHAR), 12, '0'))
              AS keep_doc_id,
-           min(source) AS keep_source,
+           arg_min(source, source || '|' || lpad(CAST(doc_id AS VARCHAR), 12, '0'))
+             AS keep_source,
            CAST(count(*) AS BIGINT) AS n_copies
     FROM n GROUP BY content_key
     """,
@@ -164,10 +165,14 @@ def d7_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs after near-dup detection. Preference = lexicographic source
     order, doc_id tiebreak, encoded as a single string key so both
     engines' arg_min agree (DuckDB's arg_min takes no composite key;
-    the lpad makes the numeric tiebreak sort textually). One hash
-    groupBy on the content key, map-side combined; the md5 content key
-    (not the raw text) is what shuffles — bounded-width rows at any
-    corpus scale."""
+    the lpad makes the numeric tiebreak sort textually). keep_source
+    comes from the SAME arg_min key as keep_doc_id — a separate
+    min(source) could disagree when one source name is a prefix of
+    another ('web2|...' < 'web|...' since '|' sorts above
+    alphanumerics), yielding an inconsistent (doc, source) pair. One
+    hash groupBy on the content key, map-side combined; the md5
+    content key (not the raw text) is what shuffles — bounded-width
+    rows at any corpus scale."""
     n = load(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -178,7 +183,7 @@ def d7_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return n.groupBy("content_key").agg(
         F.min_by("doc_id", pref).alias("keep_doc_id"),
-        F.min("source").alias("keep_source"),
+        F.min_by("source", pref).alias("keep_source"),
         F.count("*").alias("n_copies"),
     )
 

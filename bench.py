@@ -110,6 +110,12 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    if n_passes < 1:
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_PASSES={n_passes}: need >= 1 counted pass "
+            "(pass 0 is always an uncounted warmup)"
+        )
     spark = get_spark(app_name="bench")
 
     # Uncounted warmup: JIT the write path/codegen once, and fault the
@@ -124,7 +130,6 @@ def main() -> None:
     for t in CORPUS_TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for pass_no in range(n_passes + 1):  # pass 0 = uncounted warmup
         for name in HEADLINE:
@@ -146,8 +151,14 @@ def main() -> None:
         for name, xs in samples.items()
     }
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+
+    # Full-precision detail (incl. per-query spread) goes to a side file;
+    # stdout gets ONE compact JSON line. The harness that consumes stdout
+    # keeps only the LAST 2000 CHARACTERS of output, so the line must stay
+    # under that budget or the whole result is unparseable (this bit round
+    # 3: 61 queries + spread_pct = ~4 KB line, recorded as parsed:null).
+    with open(os.path.join(_HERE, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(
             {
                 "metric": "total_headline_seconds",
                 "value": total,
@@ -156,9 +167,35 @@ def main() -> None:
                 "sf": sf,
                 "passes": n_passes,
                 "spread_pct": spread,
-            }
+            },
+            fh,
+            indent=1,
         )
-    )
+
+    budget = 1900
+    shown = {name: round(t, 2) for name, t in timings.items()}
+    line = ""
+    # If every query doesn't fit, fold the fastest ones into one
+    # "zz_others" bucket (slowest queries are the interesting ones).
+    for _ in range(len(shown) + 1):
+        payload = {
+            "metric": "total_headline_seconds",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": shown,
+            "sf": sf,
+            "passes": n_passes,
+            "detail": "BENCH_DETAIL.json",
+        }
+        line = json.dumps(payload, separators=(",", ":"))
+        if len(line) <= budget:
+            break
+        real = [(n, t) for n, t in shown.items() if n != "zz_others"]
+        real.sort(key=lambda nt: nt[1])
+        folded = shown.get("zz_others", 0.0) + real[0][1]
+        shown = dict(real[1:])
+        shown["zz_others"] = round(folded, 2)
+    print(line)
 
 
 if __name__ == "__main__":
