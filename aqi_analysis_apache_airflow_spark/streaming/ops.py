@@ -24,35 +24,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: events schema with ts already normalized to microsecond NTZ — the
-#: streaming reader cannot flip the nanos legacy conf per-batch, so the
-#: stream reads the raw nanos LONG and converts, exactly like the batch
-#: loader in sources/readers.py.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, path_dir: str) -> DataFrame:
     """File-source stream over events parquet (swap for Kafka in prod;
-    the downstream plans are source-agnostic)."""
+    the downstream plans are source-agnostic).
+
+    ``readStream`` needs an explicit schema, and the corpus has shipped
+    ``ts`` both as TIMESTAMP(NANOS) (surfaced as raw-nanos LONG under
+    the legacy conf) and as plain microsecond TIMESTAMP_NTZ — so the
+    schema is taken from a batch scan of the same files (metadata-only,
+    no data read) and the ts conversion branches on the type actually
+    found, exactly like the batch loader in sources/readers.py."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(path_dir)
+        .schema
+    )
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(path_dir)
     )
     # TIMESTAMP (not NTZ): EventTimeWatermark only accepts TIMESTAMP.
     # Session timezone is pinned UTC, so values line up with the batch
     # loader's NTZ microseconds.
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(schema["ts"].dataType, T.LongType):  # raw nanos
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(
