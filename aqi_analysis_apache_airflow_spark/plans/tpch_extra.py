@@ -568,3 +568,285 @@ def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bal).cast("double").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH supply AS (
+      SELECT DISTINCT l_partkey, l_suppkey,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS cost
+      FROM lineitem
+    ),
+    min_cost AS (
+      SELECT l_partkey, min(cost) AS mc FROM supply GROUP BY l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           CAST(cost AS DOUBLE) AS supply_cost
+    FROM part
+    JOIN supply ON p_partkey = l_partkey
+    JOIN min_cost ON supply.l_partkey = min_cost.l_partkey
+                 AND supply.cost = min_cost.mc
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND p_type LIKE '%DARD' AND r_name = 'EUROPE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2 shape (minimum-cost supplier; partsupp re-targeted at
+    the lineitem part-supplier relation this corpus has, unit cost =
+    extended price). The correlated MIN subquery is the classic
+    pre-aggregate-and-join-back: one groupBy builds the per-part
+    minimum, an equi-join on (part, cost) keeps exactly the argmin
+    pairs — no window, no per-row subquery. Dims
+    (supplier/nation/region) broadcast; part's size/type filters push
+    into its scan BEFORE the join, so the supply relation is probed
+    only for qualifying parts. Exact DECIMAL cost keeps argmin ties
+    bit-identical across engines, and the ORDER BY key
+    (acctbal, nation, supplier, part) is a total order on the output,
+    so the LIMIT 100 frontier is deterministic. TakeOrdered: no global
+    sort at any scale."""
+    supply = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("cost"),
+        )
+        .distinct()
+    )
+    min_cost = supply.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("cost").alias("mc")
+    )
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & F.col("p_type").like("%DARD")
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        part.join(supply, part.p_partkey == supply.l_partkey)
+        .join(
+            min_cost,
+            (F.col("l_partkey") == F.col("__pk")) & (F.col("cost") == F.col("mc")),
+        )
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             {_REV} - CAST(p_retailprice AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(0.10 AS DECIMAL(4,2)) AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9 shape (product-type profit; ps_supplycost re-targeted
+    as a retail-price-derived unit cost, this corpus having no
+    partsupp). The LIKE '%red%' part filter cannot push below the scan
+    (unanchored pattern) but DOES prune the join: part is filtered
+    before joining, so only ~1/4 of lineitem survives the first probe.
+    Join order fact→part→supplier→orders→nation lets AQE broadcast
+    every dim; all arithmetic is exact DECIMAL until the final
+    per-group cast to double."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supplier = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = load(spark, sf_dir, "nation")
+    amount = _rev() - (
+        F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+        * F.lit(0.10).cast("decimal(4,2)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey AS partkey,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2)) AS value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+    ),
+    total AS (SELECT SUM(value) AS tv FROM supply)
+    SELECT partkey, CAST(SUM(value) AS DOUBLE) AS part_value
+    FROM supply, total
+    GROUP BY partkey, tv
+    HAVING SUM(value) > tv * CAST(0.001 AS DECIMAL(6,4))
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11 shape (important stock: parts whose supply value from
+    one nation exceeds a fraction of that nation's total). The scalar
+    total is a 1-row aggregate broadcast-crossed onto the per-part
+    aggregate — the HAVING-vs-global-subquery pattern with zero extra
+    shuffles (the per-part groupBy output is reused; the total is a
+    second pass over the SAME shuffled aggregate, not the raw fact).
+    Exact DECIMAL sums on both sides make the > threshold comparison
+    bit-identical — a double-summed total could flip rows at the
+    boundary on a different partitioning."""
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    value = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(18,2)")
+    supply = (
+        li.join(supplier, li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("l_partkey").alias("partkey"), value.alias("value"))
+    )
+    # persist the diamond node: both the output rows and the global
+    # total consume per_part — without it the join+groupBy over the
+    # fact table runs twice (one full extra pass at 100 TB)
+    per_part = (
+        supply.groupBy("partkey").agg(F.sum("value").alias("sv")).persist()
+    )
+    total = per_part.agg(F.sum("sv").alias("tv"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("sv") > F.col("tv") * F.lit(0.001).cast("decimal(6,4)"))
+        .select("partkey", F.col("sv").cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "q16_supplier_relationship",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#9'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 28, 31)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16 shape (supplier-relationship: distinct suppliers per
+    part segment, minus a denylist; the comment-LIKE denylist
+    re-targeted at negative account balance). The NOT IN becomes a
+    LEFT ANTI join against the (tiny, broadcast) excluded-supplier
+    set — s_suppkey is non-null so NOT IN and anti-join agree. The
+    negated brand / NOT LIKE / IN-list predicates all push into the
+    part scan; count(DISTINCT) shuffles only after both filters have
+    pruned the fact."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 28, 31)
+    )
+    excluded = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(excluded, "l_suppkey", "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_excess_supply",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 100
+      )
+    """,
+)
+def q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20 shape (nested IN chain with a correlated HAVING
+    aggregate: suppliers who moved >100 units of any 'small%' part in
+    1997; availqty re-targeted at shipped quantity). Inner query:
+    part-filter semi-prunes lineitem, then ONE groupBy on the
+    composite (supplier, part) key evaluates every correlated
+    aggregate at once — the set-based rewrite of the per-row
+    subquery. The outer IN is a LEFT SEMI join, so suppliers
+    qualifying via many parts still emit once."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+    )
+    qualifying = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 100)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualifying, "s_suppkey", "left_semi")
+        .select("s_name", "s_acctbal")
+    )
