@@ -809,7 +809,7 @@ def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s_name, s_acctbal
     FROM supplier
     JOIN nation ON s_nationkey = n_nationkey
-    WHERE n_name = 'NATION_5'
+    WHERE n_name = 'NATION_9'
       AND s_suppkey IN (
         SELECT l_suppkey
         FROM lineitem
@@ -818,13 +818,13 @@ def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY l_suppkey, l_partkey
-        HAVING SUM(l_quantity) > 100
+        HAVING SUM(l_quantity) > 40
       )
     """,
 )
 def q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q20 shape (nested IN chain with a correlated HAVING
-    aggregate: suppliers who moved >100 units of any 'small%' part in
+    aggregate: suppliers who moved >40 units of any 'small%' part in
     1997; availqty re-targeted at shipped quantity). Inner query:
     part-filter semi-prunes lineitem, then ONE groupBy on the
     composite (supplier, part) key evaluates every correlated
@@ -840,10 +840,10 @@ def q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("__qty"))
-        .filter(F.col("__qty") > 100)
+        .filter(F.col("__qty") > 40)
         .select(F.col("l_suppkey").alias("s_suppkey"))
     )
-    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
     return (
         load(spark, sf_dir, "supplier")
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
