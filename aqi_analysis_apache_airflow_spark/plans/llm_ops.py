@@ -260,3 +260,235 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(e, n_iterations=5, damping_pct=85)
     return ranks.select("node", "rank_e12")
+
+
+# --------------------------------------------------------------------------
+# leakage-safe splitting, duplicated-span detection, df-based quality
+# --------------------------------------------------------------------------
+
+_SPLIT2_CE = CE_HASH64_SQL.format(
+    h="md5('gsplit|'||CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR))"
+)
+
+
+def _split2_oracle() -> str:
+    from .extended import _D2_CTES, _D2_SELECT
+
+    return f"""
+    WITH RECURSIVE {_D2_CTES},
+    pairs AS ({_D2_SELECT}),
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION
+      SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.doc_a, re.r FROM edges e JOIN reach re ON re.doc_id = e.doc_b
+    ),
+    comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS split_group,
+           CASE WHEN (({_SPLIT2_CE} % 100) + 100) % 100 < 90 THEN 'train'
+                ELSE 'val' END AS split
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """
+
+
+@query("split2_cluster_split", oracle=_split2_oracle())
+def split2_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: the unit of assignment is the
+    NEAR-DUP CLUSTER, not the document. A plain per-doc hash split
+    (split1) puts ~10% of near-duplicate pairs across the boundary —
+    the val set then contains paraphrases of training docs and eval
+    numbers are contaminated. Here every doc in a connected component
+    of the exact-Jaccard pair graph (d6's components) hashes on the
+    CLUSTER label, so a cluster lands wholly in train or wholly in
+    val; singleton docs hash on their own id, preserving the 90/10
+    marginal rate.
+
+    Scale: pair graph + min-label propagation are d6's bounded plans;
+    the split itself is a zero-shuffle projection off the (tiny)
+    component map left-joined onto the corpus."""
+    from ..functions.dedup import connected_components, ngram_jaccard_pairs
+    from pyspark import StorageLevel
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.5, k=3, max_doc_freq=None, allow_quadratic=True
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    comp = connected_components(pairs)
+    group = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            group.alias("split_group"),
+            F.when(
+                F.pmod(
+                    ce_hash64(F.concat(F.lit("gsplit|"), group.cast("string"))),
+                    F.lit(100),
+                )
+                < 90,
+                F.lit("train"),
+            )
+            .otherwise(F.lit("val"))
+            .alias("split"),
+        )
+    )
+
+
+@query(
+    "sub1_duplicate_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, i AS pos,
+             md5(concat_ws(' ', t[i], t[i+1], t[i+2])) AS key
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    counts AS (SELECT key, count(DISTINCT doc_id) AS nd FROM sh GROUP BY key),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans
+      FROM sh JOIN counts USING (key) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           ROUND(CAST(n_dup_spans AS DOUBLE) / n_spans, 9) AS dup_frac
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def sub1_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring accounting (the Lee et al. 2022
+    'Deduplicating Training Data Makes Language Models Better'
+    signal): for every 3-token window POSITION in every doc, does the
+    same window occur in any OTHER doc? Per-doc output (total spans,
+    cross-doc duplicated spans, duplicated fraction) is the routing
+    signal for span-level (vs whole-doc) dedup — a doc that is 40%
+    boilerplate shows dup_frac 0.4 here while whole-doc Jaccard (d2)
+    may stay under threshold.
+
+    Scale shape: positions come from one narrow per-row transform (no
+    self-join); only the md5 of each window shuffles (bounded width,
+    never the text); the window-frequency table joins back on that
+    same hash key. Cost is linear in corpus token count — the exact
+    accounting twin of the suffix-array approach, expressed as two
+    hash shuffles."""
+    from ..functions.dedup import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    sh = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 2, 0)),"
+                " i -> struct(i AS pos,"
+                " md5(concat_ws(' ', element_at(t, i),"
+                " element_at(t, i + 1), element_at(t, i + 2))) AS key))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.key").alias("key"))
+    counts = sh.groupBy("key").agg(F.count_distinct("doc_id").alias("nd"))
+    per = (
+        sh.join(counts, "key")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.round(
+                F.col("n_dup_spans").cast("double") / F.col("n_spans"), 9
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@query(
+    "qc3_df_quality",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+      FROM documents
+    ),
+    df AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY token
+    ),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(df) AS BIGINT) AS sum_df,
+             CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM tok JOIN df USING (token) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(n_hapax, 0) AS BIGINT) AS n_hapax,
+           ROUND(CAST(sum_df AS DOUBLE) / n_tokens, 9) AS mean_df
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def qc3_df_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality signal: per doc, the mean document
+    frequency of its tokens and its hapax (df=1) count — the
+    logarithm-free cousin of a unigram-LM perplexity filter. Garbage
+    strings (random ids, binary spill, OCR noise) are wall-to-wall
+    hapaxes and score near-minimal mean_df; template boilerplate
+    scores near-maximal. Both tails get routed out, the same role
+    Gopher's quality rules play in qc1 but learned from the corpus
+    itself instead of fixed thresholds.
+
+    Two hash shuffles (token df, then per-doc regroup); all-integer
+    sums until the single final division, so the oracle matches to
+    the last bit of the round(…, 9)."""
+    from ..functions.dedup import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    per = (
+        tok.join(df, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("df").cast("long").alias("sum_df"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_hapax", F.lit(0)).cast("long").alias("n_hapax"),
+            F.round(
+                F.col("sum_df").cast("double") / F.col("n_tokens"), 9
+            ).alias("mean_df"),
+        )
+    )

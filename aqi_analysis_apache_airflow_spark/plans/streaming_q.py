@@ -204,3 +204,36 @@ def st4_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@query(
+    "st5_stream_static_join",
+    oracle="""
+    SELECT event_id, user_id, c_mktsegment
+    FROM events JOIN customer ON user_id = c_custkey
+    """,
+)
+def st5_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join on a live streaming query — the dimension
+    -enrichment operator class st1-st4 don't cover: the stream side is
+    unbounded, the customer dim is a plain batch DataFrame re-read
+    per micro-batch (which is how Spark picks up dim updates between
+    batches with NO state at all — a stream-stream join would pay
+    watermarked state for a table that isn't moving). Row-level
+    append output, no aggregation: the result is the batch join
+    exactly, which is the oracle. At scale the static side is
+    broadcast when small; no watermark is needed because only
+    stream-stream joins and aggregations hold state."""
+    from ..sources.readers import load_table
+    from ..streaming.ops import read_events_stream, run_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream.join(
+        dim, stream.user_id == dim.c_custkey, "inner"
+    ).select("event_id", "user_id", "c_mktsegment")
+    out = run_to_memory(joined, _sink_name("st5_dim_join_sink"), mode="append")
+    return out

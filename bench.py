@@ -104,6 +104,15 @@ HEADLINE = [
     "g12_conditional_aggs",
     "r3_new_users_cumulative",
     "dq3_distribution_drift",
+    # round-4 additions
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_relationship",
+    "q20_excess_supply",
+    "split2_cluster_split",
+    "sub1_duplicate_spans",
+    "qc3_df_quality",
 ]
 
 

@@ -217,3 +217,34 @@ def test_pii_redaction_fires(spark):
     assert out[2] == ("card <CARD> should be masked", False, False, True)
     assert out[3] == ("clean text stays clean", False, False, False)
     assert out[4] == ("phone only: <PHONE>", False, True, False)
+
+
+def test_cluster_split_no_leakage(spark):
+    """split2's defining property: no near-dup pair straddles the
+    train/val boundary (both members of every exact-Jaccard pair land
+    in the same split), and every doc is assigned exactly once."""
+    from aqi_analysis_apache_airflow_spark.plans import REGISTRY
+
+    sf_dir = "/root/testdata/sf0.001"
+    split = REGISTRY["split2_cluster_split"].fn(spark, sf_dir).persist()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert split.count() == docs.count()
+    assert split.select("doc_id").distinct().count() == docs.count()
+
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.5, k=3, max_doc_freq=None, allow_quadratic=True
+    )
+    a = split.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    b = split.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    crossing = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert crossing == 0
+    split.unpersist()
