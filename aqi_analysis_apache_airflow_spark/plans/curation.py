@@ -2073,3 +2073,185 @@ def dq3_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# physical-layout and CDC operators
+# --------------------------------------------------------------------------
+
+_Z_BITS = 16
+_Z_TOP = (1 << _Z_BITS) - 1
+
+
+def _z_oracle() -> str:
+    """DuckDB replay of operators/layout.py's z_value: floor-based
+    scaling (DuckDB CAST rounds where Spark's cast truncates, so the
+    floor is explicit) and a generated 32-term bit interleave."""
+
+    def scaled(c: str, lo: str, hi: str) -> str:
+        return (
+            f"CASE WHEN ({hi} - {lo}) > 0 THEN least({_Z_TOP}, "
+            f"CAST(floor((CAST({c} AS DOUBLE) - {lo}) / ({hi} - {lo})"
+            f" * {_Z_TOP}) AS BIGINT)) ELSE 0 END"
+        )
+
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(((sa >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((sb >> {i}) & 1) << {2 * i + 1})")
+    interleave = " | ".join(terms)
+    return f"""
+    WITH bounds AS (
+      SELECT CAST(min(o_custkey) AS DOUBLE) AS amin,
+             CAST(max(o_custkey) AS DOUBLE) AS amax,
+             CAST(min(o_totalprice) AS DOUBLE) AS bmin,
+             CAST(max(o_totalprice) AS DOUBLE) AS bmax
+      FROM orders
+    ),
+    scl AS (
+      SELECT o_orderkey,
+             {scaled('o_custkey', 'amin', 'amax')} AS sa,
+             {scaled('o_totalprice', 'bmin', 'bmax')} AS sb
+      FROM orders, bounds
+    )
+    SELECT o_orderkey, CAST({interleave} AS BIGINT) AS zval,
+           CAST(({interleave}) >> {2 * _Z_BITS - 4} AS BIGINT) AS zbucket
+    FROM scl
+    """
+
+
+@query("zorder1_morton_layout", oracle=_z_oracle())
+def zorder1_morton_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order (Morton-curve) clustering key behind
+    ``operators/layout.py:write_zordered`` as a driver-verified
+    query: scale (o_custkey, o_totalprice) to 16-bit ranks by their
+    global bounds (broadcast 1-row aggregate — no sampling pass, no
+    global sort) and interleave the bits; zbucket is the top 4 bits =
+    the 16 contiguous curve segments a range-partitioned write would
+    produce. Contiguous z ranges are small RECTANGLES in both
+    dimensions, so every written file carries narrow min/max footers
+    on BOTH columns and a reader filtering on either skips most files
+    — the public technique behind Delta/Iceberg OPTIMIZE ZORDER.
+    Whole plan is one broadcast join + 2*16 shift/mask JVM ops per
+    row; the write itself is exercised (with footer-stat assertions)
+    in tests/test_quality_layout.py."""
+    from ..operators.layout import z_value
+
+    orders = load(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_custkey").alias("__amin"),
+        F.max("o_custkey").alias("__amax"),
+        F.min("o_totalprice").alias("__bmin"),
+        F.max("o_totalprice").alias("__bmax"),
+    )
+    z = z_value(
+        F.col("o_custkey"),
+        F.col("o_totalprice"),
+        F.col("__amin"),
+        F.col("__amax"),
+        F.col("__bmin"),
+        F.col("__bmax"),
+        _Z_BITS,
+    )
+    return (
+        orders.join(F.broadcast(bounds))
+        .select("o_orderkey", z.alias("zval"))
+        .withColumn(
+            "zbucket", F.shiftright(F.col("zval"), 2 * _Z_BITS - 4).cast("long")
+        )
+    )
+
+
+_CDC_CE = CE_HASH64_SQL.format(
+    h="md5('cdc|'||CAST(l_orderkey AS VARCHAR)||'|'"
+    "||CAST(l_linenumber AS VARCHAR))"
+)
+
+
+@query(
+    "cdc1_changelog_compact",
+    oracle=f"""
+    WITH log AS (
+      SELECT l_orderkey AS key,
+             lpad(CAST(l_linenumber AS VARCHAR), 4, '0') || '|'
+               || lpad(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR),
+                       12, '0') || '|'
+               || lpad(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+                       12, '0') AS seq,
+             CASE WHEN ((({_CDC_CE}) % 17) + 17) % 17 = 0
+                  THEN 'D' ELSE 'U' END AS op,
+             l_quantity, l_extendedprice
+      FROM lineitem
+    ),
+    latest AS (
+      SELECT key,
+             arg_max(op, seq) AS op,
+             arg_max(l_quantity, seq) AS quantity,
+             arg_max(l_extendedprice, seq) AS price,
+             CAST(count(*) AS BIGINT) AS n_versions
+      FROM log GROUP BY key
+    )
+    SELECT key, quantity, price, n_versions
+    FROM latest WHERE op <> 'D'
+    """,
+)
+def cdc1_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction — the Debezium/Delta-CDF consumer
+    pattern: a stream of keyed upsert/delete versions collapses to
+    final table state by keeping each key's HIGHEST-sequence version
+    and dropping keys whose last op is a delete. The changelog is
+    synthesized deterministically from lineitem (key = order, seq =
+    a total-order (line number, payload) string — the corpus reuses
+    line numbers, ~1/17 of version events hash-marked as deletes), so
+    DuckDB replays the identical log. ONE hash groupBy with
+    ``max_by`` (map-side combinable — partial argmax per input
+    partition, merged at reduce: state per key is one row, not the
+    version history) — the scale-correct form; a row_number window
+    would sort every key's history instead."""
+    li = load(spark, sf_dir, "lineitem")
+    op = F.when(
+        F.pmod(
+            ce_hash64(
+                F.concat(
+                    F.lit("cdc|"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("|"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            F.lit(17),
+        )
+        == 0,
+        F.lit("D"),
+    ).otherwise(F.lit("U"))
+    # (key, linenumber) is not unique in the synthetic corpus, so the
+    # version order is the total-order string (linenumber, payload) —
+    # deterministic in both engines; rows tying on the FULL key are
+    # indistinguishable, so either choice is the same row.
+    seq = F.concat(
+        F.lpad(F.col("l_linenumber").cast("string"), 4, "0"),
+        F.lit("|"),
+        F.lpad(F.col("l_quantity").cast("decimal(18,2)").cast("string"), 12, "0"),
+        F.lit("|"),
+        F.lpad(
+            F.col("l_extendedprice").cast("decimal(18,2)").cast("string"), 12, "0"
+        ),
+    )
+    log = li.select(
+        F.col("l_orderkey").alias("key"),
+        seq.alias("seq"),
+        op.alias("op"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    return (
+        log.groupBy("key")
+        .agg(
+            F.max_by("op", "seq").alias("op"),
+            F.max_by("l_quantity", "seq").alias("quantity"),
+            F.max_by("l_extendedprice", "seq").alias("price"),
+            F.count("*").alias("n_versions"),
+        )
+        .filter(F.col("op") != "D")
+        .select("key", "quantity", "price", "n_versions")
+    )

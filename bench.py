@@ -113,6 +113,8 @@ HEADLINE = [
     "split2_cluster_split",
     "sub1_duplicate_spans",
     "qc3_df_quality",
+    "zorder1_morton_layout",
+    "cdc1_changelog_compact",
 ]
 
 
