@@ -2255,3 +2255,254 @@ def cdc1_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("op") != "D")
         .select("key", "quantity", "price", "n_versions")
     )
+
+
+@query(
+    "ts3_linear_interpolate",
+    oracle="""
+    WITH ev AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+             event_type, value
+      FROM events
+    ),
+    hourly AS (
+      SELECT event_type, hour_ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM ev GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(hour_ts) AS lo, max(hour_ts) AS hi FROM ev),
+    calendar AS (
+      SELECT t.hour_ts FROM bounds,
+             UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(hour_ts)
+    ),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    spine AS (
+      SELECT ty.event_type, c.hour_ts, h.v
+      FROM calendar c CROSS JOIN types ty
+      LEFT JOIN hourly h USING (event_type, hour_ts)
+    ),
+    aug AS (
+      SELECT event_type, hour_ts, v,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN hour_ts END IGNORE NULLS)
+               OVER wp AS pt,
+             first_value(v IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN hour_ts END IGNORE NULLS)
+               OVER wn AS nt
+      FROM spine
+      WINDOW wp AS (PARTITION BY event_type ORDER BY hour_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wn AS (PARTITION BY event_type ORDER BY hour_ts
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hour_ts,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  round(pv + (nv - pv)
+                        * (CAST(date_diff('hour', pt, hour_ts) AS DOUBLE)
+                           / CAST(date_diff('hour', pt, nt) AS DOUBLE)), 9)
+                ELSE NULL END AS hourly_value,
+           v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL AS interpolated
+    FROM aug
+    """,
+)
+def ts3_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling by LINEAR INTERPOLATION (ts1 fills with zeros —
+    right for counts, wrong for level metrics like sensor readings or
+    hourly revenue): missing hours get
+    prev + (next − prev) · Δt/span, leading/trailing gaps stay NULL
+    and are flagged. The neighbor scan is two IGNORE-NULLS window
+    passes over the dense spine (last non-null value/timestamp
+    backward, first forward) — one shuffle on the type key, state
+    O(1) per row, no self-join against the sparse actuals. The time
+    fraction uses integer hour differences (exact in both engines);
+    sums are decimal-exact before the one rounded float expression,
+    parenthesized identically in the oracle."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour_ts"), "event_type", "value"
+    )
+    hourly = ev.groupBy("event_type", "hour_ts").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v")
+    )
+    bounds = ev.agg(F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi"))
+    calendar = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts")
+    )
+    types = ev.select("event_type").distinct()
+    spine = calendar.join(F.broadcast(types)).join(
+        hourly, ["event_type", "hour_ts"], "left_outer"
+    )
+    base = Window.partitionBy("event_type").orderBy("hour_ts")
+    wp = base.rowsBetween(Window.unboundedPreceding, -1)
+    wn = base.rowsBetween(1, Window.unboundedFollowing)
+    present_ts = F.when(F.col("v").isNotNull(), F.col("hour_ts"))
+    aug = spine.select(
+        "event_type",
+        "hour_ts",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(present_ts, ignorenulls=True).over(wp).alias("pt"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(present_ts, ignorenulls=True).over(wn).alias("nt"),
+    )
+    frac = F.expr("timestampdiff(HOUR, pt, hour_ts)").cast("double") / F.expr(
+        "timestampdiff(HOUR, pt, nt)"
+    ).cast("double")
+    interp = F.round(
+        F.col("pv") + (F.col("nv") - F.col("pv")) * frac, 9
+    )
+    return aug.select(
+        "event_type",
+        "hour_ts",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .alias("hourly_value"),
+        (
+            F.col("v").isNull()
+            & F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+        ).alias("interpolated"),
+    )
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ) codes
+# --------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_DIM = 16  # dims per subspace (embeddings are 64-d)
+_PQ_K = 8  # centroids per subspace
+
+#: decimal-summed squared-L2 between positionally co-unnested x/y pairs
+_L2SQ_SQL = (
+    "CAST(SUM(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS DECIMAL(28,14)))"
+    " AS DOUBLE)"
+)
+
+
+def _pq_oracle() -> str:
+    parts = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_DIM + 1, (m + 1) * _PQ_DIM
+        ce_b = CE_HASH64_SQL.format(
+            h=f"md5('pq{m}|' || CAST(vec_id AS VARCHAR))"
+        )
+        ce_s = CE_HASH64_SQL.format(
+            h=f"md5('pqs{m}|' || CAST(vec_id AS VARCHAR))"
+        )
+        parts.append(f"""
+    cid{m} AS (
+      SELECT min_by(vec_id, {ce_s}) AS vec_id
+      FROM embeddings
+      GROUP BY (({ce_b}) % {_PQ_K} + {_PQ_K}) % {_PQ_K}
+    ),
+    cent{m} AS (
+      SELECT e.vec_id AS centroid_id, e.embedding[{lo}:{hi}] AS cvec
+      FROM embeddings e JOIN cid{m} USING (vec_id)
+    ),
+    pairs{m} AS (
+      SELECT e.vec_id, c.centroid_id,
+             unnest(e.embedding[{lo}:{hi}]) AS x, unnest(c.cvec) AS y
+      FROM embeddings e, cent{m} c
+    ),
+    dist{m} AS (
+      SELECT vec_id, centroid_id,
+             CAST(round(round({_L2SQ_SQL}, 6) * 1000000) AS BIGINT) AS kd
+      FROM pairs{m} GROUP BY vec_id, centroid_id
+    ),
+    code{m} AS (
+      SELECT vec_id, {m} AS sub_id,
+             arg_min(centroid_id, kd * 4294967296 + centroid_id) AS code,
+             CAST(min(kd * 4294967296 + centroid_id) // 4294967296
+                  AS DOUBLE) / 1000000 AS dist
+      FROM dist{m} GROUP BY vec_id
+    )""")
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, CAST(sub_id AS INTEGER) AS sub_id, code, dist"
+        f" FROM code{m}"
+        for m in range(_PQ_M)
+    )
+    return "WITH " + ",".join(parts) + "\n    " + union
+
+
+@query("pq1_product_quantize", oracle=_pq_oracle())
+def pq1_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding — the memory side of
+    billion-scale ANN (IVF-PQ): each 64-d vector becomes 4 codebook
+    ids (one per 16-d subspace), compressing 256 float bytes to 4
+    small ints while distances stay approximable from tiny per-
+    subspace lookup tables. Codebooks here are hash-picked corpus
+    subvectors (the sim_ivfm centroid-selection family — k-means
+    would iterate the same assignment), so the WHOLE encode replays
+    bit-for-bit in DuckDB: squared-L2 is the decimal-summed exact
+    form, and the argmin key is (round(d·1e6), centroid_id) — Spark
+    compares the pair as a struct via array_min, the oracle as the
+    collision-free integer encoding.
+
+    Scale shape: 4 × 8 centroid subvectors live in ONE collected row
+    broadcast onto the corpus; encoding is a per-row transform over
+    that array — zero shuffle, zero fanout, linear scan cost, exactly
+    how a 100 TB corpus gets PQ-encoded before the codes are written
+    back partitioned by IVF cluster."""
+    from ..functions.dedup import ce_hash64
+    from ..functions.similarity import dot_decimal
+
+    emb = load(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id").cast("string")
+    out = None
+    for m in range(_PQ_M):
+        lo = m * _PQ_DIM + 1
+        sub = F.slice(F.col("embedding"), lo, _PQ_DIM)
+        cids = (
+            emb.select("vec_id")
+            .groupBy(
+                F.pmod(
+                    ce_hash64(F.concat(F.lit(f"pq{m}|"), vid)), F.lit(_PQ_K)
+                ).alias("__b")
+            )
+            .agg(
+                F.min_by(
+                    "vec_id", ce_hash64(F.concat(F.lit(f"pqs{m}|"), vid))
+                ).alias("vec_id")
+            )
+            .select("vec_id")
+        )
+        cents = (
+            emb.join(F.broadcast(cids), "vec_id")
+            .select(
+                F.col("vec_id").alias("centroid_id"), sub.alias("cvec")
+            )
+            .agg(
+                F.collect_list(F.struct("centroid_id", "cvec")).alias("__c")
+            )
+        )
+        diff = lambda c: F.zip_with(
+            sub, c["cvec"], lambda x, y: x.cast("double") - y.cast("double")
+        )
+        l2sq = lambda c: F.aggregate(
+            F.transform(diff(c), lambda d: (d * d).cast("decimal(28,14)")),
+            F.lit(0).cast("decimal(30,14)"),
+            lambda acc, x: (acc + x).cast("decimal(30,14)"),
+        ).cast("double")
+        best = F.array_min(
+            F.transform(
+                F.col("__c"),
+                lambda c: F.struct(
+                    F.round(F.round(l2sq(c), 6) * 1000000)
+                    .cast("long")
+                    .alias("kd"),
+                    c["centroid_id"].alias("centroid_id"),
+                ),
+            )
+        )
+        enc = emb.join(F.broadcast(cents)).select(
+            "vec_id",
+            F.lit(m).cast("int").alias("sub_id"),
+            best["centroid_id"].alias("code"),
+            (best["kd"].cast("double") / 1000000).alias("dist"),
+        )
+        out = enc if out is None else out.unionByName(enc)
+    return out

@@ -115,6 +115,8 @@ HEADLINE = [
     "qc3_df_quality",
     "zorder1_morton_layout",
     "cdc1_changelog_compact",
+    "ts3_linear_interpolate",
+    "pq1_product_quantize",
 ]
 
 
