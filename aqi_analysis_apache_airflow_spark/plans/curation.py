@@ -2506,3 +2506,130 @@ def pq1_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = enc if out is None else out.unionByName(enc)
     return out
+
+
+# --------------------------------------------------------------------------
+# cross-replica verification: table checksum and snapshot diff
+# --------------------------------------------------------------------------
+
+_DQ4_ROW = (
+    "md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+    " || '|' || o_orderstatus || '|'"
+    " || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"
+    " || '|' || CAST(CAST(o_orderdate AS TIMESTAMP) AS VARCHAR)"
+    " || '|' || o_orderpriority)"
+)
+_DQ4_CE = CE_HASH64_SQL.format(h=_DQ4_ROW)
+
+
+@query(
+    "dq4_table_checksum",
+    oracle=f"""
+    SELECT CAST(((o_orderkey % 16) + 16) % 16 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM((({_DQ4_CE}) % 1000000000 + 1000000000) % 1000000000)
+                AS BIGINT) AS checksum
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def dq4_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum, bucketed by key — the
+    cross-replica / cross-engine verification primitive: two copies of
+    a 100 TB table are equal iff 16 (bucket, n_rows, checksum) rows
+    match, and a mismatch localizes to a bucket before any row-level
+    diff (dq5) runs. The checksum is a SUM of per-row canonical-string
+    hashes: commutative, so partitioning/scan order cannot change it,
+    and map-side combinable — the whole audit is one narrow groupBy.
+    Doubles and timestamps are canonicalized (DECIMAL(18,2) /
+    second-precision strings) so both engines hash identical bytes;
+    hashes are folded mod 1e9 to keep 10^12-row sums inside BIGINT."""
+    o = load(spark, sf_dir, "orders")
+    row = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            F.col("o_orderdate").cast("timestamp").cast("string"),
+            F.col("o_orderpriority"),
+        )
+    )
+    from ..functions.dedup import hex16_to_long
+
+    h = F.pmod(hex16_to_long(row, 1), F.lit(1_000_000_000))
+    return (
+        o.groupBy(F.pmod(F.col("o_orderkey"), F.lit(16)).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(h).cast("long").alias("checksum"),
+        )
+    )
+
+
+_DQ5_CE = CE_HASH64_SQL.format(h="md5('snap|' || CAST(o_orderkey AS VARCHAR))")
+
+
+@query(
+    "dq5_snapshot_diff",
+    oracle=f"""
+    WITH snap AS (
+      SELECT o_orderkey,
+             CASE WHEN ((({_DQ5_CE}) % 20) + 20) % 20 = 0 THEN NULL
+                  WHEN ((({_DQ5_CE}) % 20) + 20) % 20 = 1
+                    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                              + CAST(1 AS DECIMAL(18,2)) AS DECIMAL(18,2))
+                  ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+      FROM orders
+    ),
+    diff AS (
+      SELECT a.o_orderkey AS a_key, s.o_orderkey AS b_key,
+             CAST(a.o_totalprice AS DECIMAL(18,2)) AS a_price, s.price AS b_price
+      FROM orders a FULL OUTER JOIN
+           (SELECT * FROM snap WHERE price IS NOT NULL) s
+           ON a.o_orderkey = s.o_orderkey
+    )
+    SELECT CASE WHEN b_key IS NULL THEN 'removed'
+                WHEN a_key IS NULL THEN 'added'
+                WHEN a_price <> b_price THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM diff GROUP BY 1
+    """,
+)
+def dq5_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the row-level reconciliation that runs inside a
+    bucket dq4 flagged: FULL OUTER join of two table versions on the
+    key, classifying every row added / removed / changed / unchanged.
+    The second snapshot is synthesized deterministically (1/20 of keys
+    hash-marked deleted, 1/20 price-bumped), so DuckDB replays the
+    identical pair of tables. One co-partitioned shuffle join on the
+    key — at 100 TB both sides bucket-prune to the flagged bucket
+    first, which is why dq4's bucketing exists. Comparison columns are
+    DECIMAL so 'changed' is exact, never a float-epsilon judgment."""
+    o = load(spark, sf_dir, "orders")
+    mod = F.pmod(
+        ce_hash64(F.concat(F.lit("snap|"), F.col("o_orderkey").cast("string"))),
+        F.lit(20),
+    )
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    snap = o.select(
+        "o_orderkey",
+        F.when(mod == 0, F.lit(None).cast("decimal(18,2)"))
+        .when(mod == 1, (price + F.lit(1).cast("decimal(18,2)")).cast("decimal(18,2)"))
+        .otherwise(price)
+        .alias("price"),
+    ).filter(F.col("price").isNotNull())
+    a = o.select(F.col("o_orderkey").alias("a_key"), price.alias("a_price"))
+    b = snap.select(F.col("o_orderkey").alias("b_key"), F.col("price").alias("b_price"))
+    diff = a.join(b, a.a_key == b.b_key, "full_outer")
+    change = (
+        F.when(F.col("b_key").isNull(), F.lit("removed"))
+        .when(F.col("a_key").isNull(), F.lit("added"))
+        .when(F.col("a_price") != F.col("b_price"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return diff.groupBy(change.alias("change")).agg(
+        F.count("*").alias("n_rows")
+    )

@@ -117,6 +117,8 @@ HEADLINE = [
     "cdc1_changelog_compact",
     "ts3_linear_interpolate",
     "pq1_product_quantize",
+    "dq4_table_checksum",
+    "dq5_snapshot_diff",
 ]
 
 
