@@ -240,3 +240,60 @@ def test_dc1_broadcast_bench_and_cached_shingles(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "InMemoryTableScan" in p
+
+
+def test_q2_limit_is_take_ordered(spark):
+    """q2's LIMIT 100 over a total order must be TakeOrdered (per-
+    partition top-k + single merge), never a global sort."""
+    p = plan_of(spark, "q2_min_cost_supplier")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_cdc1_single_shuffle_with_partial_agg(spark):
+    """Changelog compaction is ONE hash shuffle with map-side partial
+    max_by — per-key state is one row, not the version history."""
+    p = plan_of(spark, "cdc1_changelog_compact")
+    assert p.count("Exchange (") == 1
+    assert "partial_max_by" in p
+
+
+def test_zorder1_no_corpus_shuffle(spark):
+    """The z-key is a per-row projection: the orders side must never
+    shuffle — only the 1-row bounds aggregate exchanges."""
+    p = plan_of(spark, "zorder1_morton_layout")
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "Exchange hashpartitioning" not in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row bounds cross join
+
+
+def test_pq1_encode_is_broadcast_only(spark):
+    """PQ encoding never shuffles the embedding column: codebooks are
+    collected to one row and broadcast; the corpus side is scan +
+    transform only."""
+    p = plan_of(spark, "pq1_product_quantize")
+    assert "SortMergeJoin" not in p
+    # the only hash exchanges belong to the tiny centroid-id groupBys
+    # (2 per subspace: partial/final), never the embeddings scan
+    assert "Exchange hashpartitioning(vec_id" not in p
+
+
+def test_dq4_checksum_single_pass(spark):
+    """The table checksum is one groupBy with map-side combine — the
+    audit must not cost more than a scan."""
+    p = plan_of(spark, "dq4_table_checksum")
+    assert p.count("Exchange (") == 1
+    # partial (map-side) aggregate below the exchange, final above
+    assert p.count("HashAggregate") >= 2
+
+
+def test_sub1_shuffles_hashes_not_text(spark):
+    """Duplicated-span accounting shuffles the md5 of each window,
+    never the document text."""
+    p = plan_of(spark, "sub1_duplicate_spans")
+    assert "CartesianProduct" not in p
+    # text is pruned before every exchange: the only scan carrying
+    # `text` feeds a projection that drops it for the hash key
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line
