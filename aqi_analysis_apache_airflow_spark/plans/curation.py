@@ -2574,7 +2574,7 @@ _DQ5_CE = CE_HASH64_SQL.format(h="md5('snap|' || CAST(o_orderkey AS VARCHAR))")
 @query(
     "dq5_snapshot_diff",
     oracle=f"""
-    WITH snap AS (
+    WITH mut AS (
       SELECT o_orderkey,
              CASE WHEN ((({_DQ5_CE}) % 20) + 20) % 20 = 0 THEN NULL
                   WHEN ((({_DQ5_CE}) % 20) + 20) % 20 = 1
@@ -2582,6 +2582,14 @@ _DQ5_CE = CE_HASH64_SQL.format(h="md5('snap|' || CAST(o_orderkey AS VARCHAR))")
                               + CAST(1 AS DECIMAL(18,2)) AS DECIMAL(18,2))
                   ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
       FROM orders
+    ),
+    snap AS (
+      SELECT * FROM mut
+      UNION ALL
+      SELECT o_orderkey + 1000000000 AS o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+      WHERE ((({_DQ5_CE}) % 20) + 20) % 20 = 2
     ),
     diff AS (
       SELECT a.o_orderkey AS a_key, s.o_orderkey AS b_key,
@@ -2603,7 +2611,8 @@ def dq5_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket dq4 flagged: FULL OUTER join of two table versions on the
     key, classifying every row added / removed / changed / unchanged.
     The second snapshot is synthesized deterministically (1/20 of keys
-    hash-marked deleted, 1/20 price-bumped), so DuckDB replays the
+    hash-marked deleted, 1/20 price-bumped, 1/20 cloned under fresh
+    keys so every diff class is populated), so DuckDB replays the
     identical pair of tables. One co-partitioned shuffle join on the
     key — at 100 TB both sides bucket-prune to the flagged bucket
     first, which is why dq4's bucketing exists. Comparison columns are
@@ -2614,13 +2623,18 @@ def dq5_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(20),
     )
     price = F.col("o_totalprice").cast("decimal(18,2)")
-    snap = o.select(
+    mut = o.select(
         "o_orderkey",
         F.when(mod == 0, F.lit(None).cast("decimal(18,2)"))
         .when(mod == 1, (price + F.lit(1).cast("decimal(18,2)")).cast("decimal(18,2)"))
         .otherwise(price)
         .alias("price"),
     ).filter(F.col("price").isNotNull())
+    added = o.filter(mod == 2).select(
+        (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+        price.alias("price"),
+    )
+    snap = mut.unionAll(added)
     a = o.select(F.col("o_orderkey").alias("a_key"), price.alias("a_price"))
     b = snap.select(F.col("o_orderkey").alias("b_key"), F.col("price").alias("b_price"))
     diff = a.join(b, a.a_key == b.b_key, "full_outer")
