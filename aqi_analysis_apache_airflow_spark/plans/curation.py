@@ -2647,3 +2647,104 @@ def dq5_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.groupBy(change.alias("change")).agg(
         F.count("*").alias("n_rows")
     )
+
+
+@query(
+    "w7_topk_with_ties",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             rank() OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal DESC) AS rnk
+      FROM customer
+    ) r WHERE rnk <= 3
+    """,
+)
+def w7_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group WITH TIES — the rank() variant of w1's
+    row_number() top-k: two customers sharing the 3rd-highest balance
+    are BOTH kept, so the operator returns 'every row whose value is
+    among the k largest values', not 'k arbitrary rows'. The
+    semantics SQL:2008 spells FETCH FIRST k ROWS WITH TIES, and the
+    form dedup/report pipelines need when truncating at a value
+    boundary would be arbitrary. Same single hash-partitioned sort
+    shuffle as w1 (rank is one extra comparison over row_number);
+    filter applies streaming within each partition, nothing global."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.rank().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "an2_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS med
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT e.event_type, m.med,
+             round(abs(e.value - m.med), 6) AS dev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type,
+             round(CAST(quantile_cont(dev, 0.5) AS DOUBLE), 6) AS mad
+      FROM d GROUP BY 1
+    )
+    SELECT d.event_type, m.med, ma.mad,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN d.dev > 3 * ma.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN mad ma USING (event_type) JOIN med m USING (event_type)
+    GROUP BY d.event_type, m.med, ma.mad
+    """,
+)
+def an2_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation — an1's
+    z-score flags drown when the outliers themselves inflate the
+    mean/std; median and MAD have a 50% breakdown point, so the
+    threshold survives heavy contamination. Two exact-percentile
+    passes (median of value, then median of |value − med|), each a
+    per-group aggregate joined back broadcast; medians and deviations
+    are rounded at 6 before any comparison, so the > threshold test
+    cannot flip on a last-ulp interpolation difference between
+    engines. Exact percentile holds one group's values in memory —
+    right for a bounded type dimension; a high-cardinality group key
+    switches to approx_percentile (g6's documented trade)."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    d = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.round(F.abs(F.col("value") - F.col("med")), 6).alias("dev"),
+    )
+    mad = d.groupBy("event_type").agg(
+        F.round(F.expr("percentile(dev, 0.5)"), 6).alias("mad")
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

@@ -119,6 +119,8 @@ HEADLINE = [
     "pq1_product_quantize",
     "dq4_table_checksum",
     "dq5_snapshot_diff",
+    "w7_topk_with_ties",
+    "an2_mad_outliers",
 ]
 
 
