@@ -2748,3 +2748,84 @@ def an2_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+_SKY_W = 1000  # skyline bucket width in price cents ($10 bands)
+
+
+@query(
+    "sky1_pareto_frontier",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_retailprice, p_size,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS pc
+      FROM part
+    ),
+    w AS (
+      SELECT p_partkey, p_retailprice, p_size,
+             max(p_size) OVER (ORDER BY pc
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax,
+             max(p_size) OVER (PARTITION BY pc) AS samemax
+      FROM p
+    )
+    SELECT p_partkey, p_retailprice, CAST(p_size AS INTEGER) AS p_size
+    FROM w
+    WHERE COALESCE(prevmax, -1) < p_size AND samemax = p_size
+    """,
+)
+def sky1_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier: parts not dominated on
+    (price low, size high) — a row is dominated iff some other part
+    is no more expensive AND no smaller, strictly better on one axis.
+    The classic price-performance shortlist operator.
+
+    Scale shape: the textbook sort-scan (running max over a GLOBAL
+    price order) would be a single-partition window, so this runs the
+    TWO-PHASE distributed form instead — fixed-width price bands give
+    a partitioned within-band running max (strict-less via integer
+    RANGE frame on cents), a per-band max table (rows = band count,
+    bounded by the price domain, not the corpus) provides the
+    cross-band prefix, and dominance is the greatest of the two. The
+    oracle uses the simple global-window formulation — identical
+    result, which is exactly the point: the distributed decomposition
+    is provably equivalent. Duplicate (price, size) points are
+    mutually non-dominating and all kept."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("pc"),
+    ).withColumn("band", F.expr(f"pc div {_SKY_W}"))
+    in_band = (
+        Window.partitionBy("band")
+        .orderBy("pc")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    band_max = p.groupBy("band").agg(F.max("p_size").alias("bmax"))
+    prefix = band_max.select(
+        "band",
+        F.max("bmax")
+        .over(
+            Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("prev_band_max"),
+    )
+    same_pc = Window.partitionBy("pc")
+    return (
+        p.join(F.broadcast(prefix), "band")
+        .select(
+            "p_partkey",
+            "p_retailprice",
+            "p_size",
+            F.greatest(
+                F.coalesce(F.col("prev_band_max"), F.lit(-1)),
+                F.coalesce(F.max("p_size").over(in_band), F.lit(-1)),
+            ).alias("dommax"),
+            F.max("p_size").over(same_pc).alias("samemax"),
+        )
+        .filter(
+            (F.col("dommax") < F.col("p_size"))
+            & (F.col("samemax") == F.col("p_size"))
+        )
+        .select("p_partkey", "p_retailprice", F.col("p_size").cast("int"))
+    )

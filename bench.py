@@ -121,6 +121,7 @@ HEADLINE = [
     "dq5_snapshot_diff",
     "w7_topk_with_ties",
     "an2_mad_outliers",
+    "sky1_pareto_frontier",
 ]
 
 
