@@ -2829,3 +2829,77 @@ def sky1_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_retailprice", F.col("p_size").cast("int"))
     )
+
+
+@query(
+    "pit1_point_in_time_join",
+    oracle="""
+    WITH changed AS (
+      SELECT c_custkey, c_acctbal,
+             (c_custkey % 7 <> 0 AND c_custkey % 2 = 0
+              AND c_acctbal <> c_acctbal * 2) AS chg
+      FROM customer
+    ),
+    hist AS (
+      SELECT c_custkey, c_acctbal,
+             TIMESTAMP '1996-01-01 00:00:00' AS valid_from,
+             CASE WHEN chg THEN TIMESTAMP '1998-07-01 00:00:00' END AS valid_to
+      FROM changed
+      UNION ALL
+      SELECT c_custkey, c_acctbal * 2,
+             TIMESTAMP '1998-07-01 00:00:00', NULL
+      FROM changed WHERE chg
+    )
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           h.c_acctbal AS balance_at_order
+    FROM orders o
+    JOIN hist h ON o.o_custkey = h.c_custkey
+               AND o.o_orderdate >= h.valid_from
+               AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+    """,
+)
+def pit1_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join — the feature-store correctness operator: each
+    order is enriched with the customer balance AS OF the order date,
+    never a later version (the leakage a plain dim join commits when
+    the dim has since changed). The dimension is a real SCD2 history
+    built by operators/scd2.py (two snapshots: balances doubled for
+    even keys at t2, keys %7 absent from snapshot 2 and staying
+    current from t1); the join is equi on the key with the validity
+    window as a residual range predicate — ONE co-partitioned shuffle,
+    never a cross product, and orders predating the history simply
+    find no version (inner join). The oracle reconstructs the history
+    with set logic and replays the identical join."""
+    from datetime import datetime
+
+    from ..operators.scd2 import scd2_init, scd2_upsert
+
+    t1, t2 = datetime(1996, 1, 1), datetime(1998, 7, 1)
+    snap1 = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    snap2 = snap1.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 2 == 0, F.col("c_acctbal") * 2)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    hist = scd2_upsert(
+        scd2_init(snap1, t1),
+        snap2,
+        keys=["c_custkey"],
+        tracked_cols=["c_acctbal"],
+        effective_ts=t2,
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    return o.join(
+        hist,
+        (o.o_custkey == hist.c_custkey)
+        & (o.o_orderdate >= hist.valid_from)
+        & (hist.valid_to.isNull() | (o.o_orderdate < hist.valid_to)),
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("c_acctbal").alias("balance_at_order"),
+    )

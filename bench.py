@@ -122,6 +122,7 @@ HEADLINE = [
     "w7_topk_with_ties",
     "an2_mad_outliers",
     "sky1_pareto_frontier",
+    "pit1_point_in_time_join",
 ]
 
 
