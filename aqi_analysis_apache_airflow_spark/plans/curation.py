@@ -2903,3 +2903,41 @@ def pit1_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.col("c_acctbal").alias("balance_at_order"),
     )
+
+
+@query(
+    "markov1_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def markov1_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-sequence mining: the per-user transition
+    matrix (prev event type → next event type) behind funnel
+    diagnosis, next-action models, and bot detection (a user whose
+    transition distribution is near-deterministic is a script). One
+    lag() window per user ordered by (ts, event_id) — the unique id
+    tiebreak makes same-timestamp ordering deterministic in both
+    engines — then a hash groupBy over the bounded type×type matrix.
+    Per-user state is one row; the matrix is domain-bounded, so the
+    reduce side is tiny at any corpus scale."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )

@@ -123,6 +123,7 @@ HEADLINE = [
     "an2_mad_outliers",
     "sky1_pareto_frontier",
     "pit1_point_in_time_join",
+    "markov1_event_transitions",
 ]
 
 
