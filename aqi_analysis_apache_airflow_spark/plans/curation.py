@@ -2941,3 +2941,54 @@ def markov1_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+@query(
+    "qb1_quantile_binning",
+    oracle="""
+    WITH b AS (
+      SELECT round(CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE), 6) AS q1,
+             round(CAST(quantile_cont(o_totalprice, 0.50) AS DOUBLE), 6) AS q2,
+             round(CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE), 6) AS q3
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_totalprice <= q1 THEN 0
+                     WHEN o_totalprice <= q2 THEN 1
+                     WHEN o_totalprice <= q3 THEN 2
+                     ELSE 3 END AS INTEGER) AS price_bin,
+           q1, q2, q3
+    FROM orders, b
+    """,
+)
+def qb1_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning — the ML feature-prep
+    discretizer: exact quartile boundaries from ONE aggregate pass,
+    then a zero-shuffle per-row CASE against the broadcast 1-row
+    boundary table. No global sort, no ntile single-partition window —
+    the boundaries carry all the global information a rank would, at
+    aggregate cost. Boundaries are rounded at 6 before comparison so
+    the bin edges can't flip on a last-ulp interpolation difference;
+    rows exactly ON a boundary go to the lower bin in both engines.
+    Exact percentile holds the column in memory per group (one global
+    group here — fine at this dimension); the 100 TB path swaps in
+    approx_percentile with documented error, same plan shape."""
+    o = load(spark, sf_dir, "orders")
+    b = o.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("q2"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("q3"),
+    )
+    bin_ = (
+        F.when(F.col("o_totalprice") <= F.col("q1"), 0)
+        .when(F.col("o_totalprice") <= F.col("q2"), 1)
+        .when(F.col("o_totalprice") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return o.join(F.broadcast(b)).select(
+        "o_orderkey",
+        bin_.cast("int").alias("price_bin"),
+        "q1",
+        "q2",
+        "q3",
+    )

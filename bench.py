@@ -124,6 +124,7 @@ HEADLINE = [
     "sky1_pareto_frontier",
     "pit1_point_in_time_join",
     "markov1_event_transitions",
+    "qb1_quantile_binning",
 ]
 
 
