@@ -2992,3 +2992,78 @@ def qb1_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q2",
         "q3",
     )
+
+
+_EMB4_K = 50
+_EMB4_DIM = 16  # truncation prefix (of 64)
+
+_EMB4_COS = (
+    "round(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)"
+    " AS DECIMAL(28,14))) AS DOUBLE)"
+    " / (sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+    " AS DECIMAL(28,14))) AS DOUBLE))"
+    " * sqrt(CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)"
+    " AS DECIMAL(28,14))) AS DOUBLE))), 6)"
+)
+
+
+@query(
+    "emb4_matryoshka_recall",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    tp AS (
+      SELECT e.vec_id, unnest(e.embedding[1:{_EMB4_DIM}]) AS x,
+             unnest(q.qv[1:{_EMB4_DIM}]) AS y
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    tsim AS (SELECT vec_id, {_EMB4_COS} AS trunc_sim FROM tp GROUP BY vec_id),
+    ttop AS (SELECT vec_id, trunc_sim FROM tsim
+             ORDER BY trunc_sim DESC, vec_id LIMIT {_EMB4_K}),
+    fp AS (
+      SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qv) AS y
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    fsim AS (SELECT vec_id, {_EMB4_COS} AS full_sim FROM fp GROUP BY vec_id),
+    ftop AS (SELECT vec_id FROM fsim
+             ORDER BY full_sim DESC, vec_id LIMIT {_EMB4_K})
+    SELECT t.vec_id, t.trunc_sim,
+           f.vec_id IS NOT NULL AS in_full_topk
+    FROM ttop t LEFT JOIN ftop f USING (vec_id)
+    """,
+)
+def emb4_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation audit: retrieve top-k by
+    the FIRST 16 of 64 dims (4× cheaper dot products, the
+    coarse-to-fine trick MRL-trained embeddings are built for) and
+    flag which of those the full-dimension exact top-k would also
+    return — the recall evidence that decides whether the truncated
+    index is usable as a first-stage filter. Both rankings are exact
+    decimal-summed cosines with (sim, vec_id) total order, so the two
+    frontiers and their overlap replay bit-for-bit in DuckDB. Plan:
+    two zero-shuffle scans (slice is a narrow projection) each ending
+    in TakeOrdered, then one k-row broadcast join — the corpus never
+    shuffles."""
+    from ..functions.similarity import brute_force_topk
+
+    full = load(spark, sf_dir, "embeddings")
+    emb = full.filter(F.col("vec_id") != 0)
+    qv = full.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, _EMB4_DIM).alias("embedding")
+    )
+    tq = qv.select(F.slice("qv", 1, _EMB4_DIM).alias("qv"))
+    ttop = brute_force_topk(trunc, tq, k=_EMB4_K).select(
+        "vec_id", F.col("cosine_sim").alias("trunc_sim")
+    )
+    ftop = brute_force_topk(emb, qv, k=_EMB4_K).select(
+        F.col("vec_id").alias("__fid")
+    )
+    return ttop.join(
+        F.broadcast(ftop), ttop.vec_id == F.col("__fid"), "left_outer"
+    ).select(
+        "vec_id",
+        "trunc_sim",
+        F.col("__fid").isNotNull().alias("in_full_topk"),
+    )

@@ -125,6 +125,7 @@ HEADLINE = [
     "pit1_point_in_time_join",
     "markov1_event_transitions",
     "qb1_quantile_binning",
+    "emb4_matryoshka_recall",
 ]
 
 
