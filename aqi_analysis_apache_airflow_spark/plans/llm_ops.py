@@ -1,18 +1,20 @@
 """Training-data curation operators beyond the dedup/ANN families:
-deterministic stratified sampling, sequence packing, and cross-source
-canonical dedup — the sampling/packing stages of an LLM data pipeline
+deterministic stratified sampling, sequence packing, cross-source
+canonical dedup, graph ranking, leakage-safe splitting, duplicated-
+span accounting, and corpus-statistics quality scoring — the
+sampling/packing/splitting stages of an LLM data pipeline
 (SURVEY.md §7 phase 5 extension; no reference counterpart — the
 reference is a pandas ETL, these are the mandated extended surface).
 
-All three are bit-exact oracle-backed: randomness is replaced by the
-md5-derived cross-engine hash (``ce_hash64``), so DuckDB replays every
-sampling decision. The production variant swaps ``xxhash64`` in for
-md5 with no other change (the d3/sim_ivf precedent).
+Every operator is bit-exact oracle-backed: randomness is replaced by
+the md5-derived cross-engine hash (``ce_hash64``), so DuckDB replays
+every sampling decision. The production variant swaps ``xxhash64`` in
+for md5 with no other change (the d3/sim_ivf precedent).
 
-Scale notes: every operator here is one narrow projection + at most
-one shuffle (the packing window / dedup groupBy); sampling is a pure
-per-row filter with NO shuffle at all — rates are literals in the
-plan, so Catalyst pushes the hash filter into the scan stage.
+Scale notes: sampling is a pure per-row filter with NO shuffle at all
+(rates are literals in the plan, so Catalyst pushes the hash filter
+into the scan stage); the other operators bound their shuffles to
+hash keys or component labels, never raw text.
 """
 
 from __future__ import annotations
