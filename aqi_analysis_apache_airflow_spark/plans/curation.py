@@ -3067,3 +3067,81 @@ def emb4_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trunc_sim",
         F.col("__fid").isNotNull().alias("in_full_topk"),
     )
+
+
+@query(
+    "seg1_rfm_segments",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(max(o_orderdate) AS DATE),
+                       DATE '2002-01-01') AS r_days,
+             CAST(count(*) AS BIGINT) AS f_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS m_total
+      FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT round(CAST(quantile_cont(r_days, 0.33) AS DOUBLE), 6) AS r1,
+             round(CAST(quantile_cont(r_days, 0.67) AS DOUBLE), 6) AS r2,
+             round(CAST(quantile_cont(f_orders, 0.33) AS DOUBLE), 6) AS f1,
+             round(CAST(quantile_cont(f_orders, 0.67) AS DOUBLE), 6) AS f2,
+             round(CAST(quantile_cont(m_total, 0.33) AS DOUBLE), 6) AS m1,
+             round(CAST(quantile_cont(m_total, 0.67) AS DOUBLE), 6) AS m2
+      FROM per
+    )
+    SELECT o_custkey, r_days, f_orders, m_total,
+           CAST(3 - (r_days > r1)::INT - (r_days > r2)::INT AS INTEGER)
+             AS r_score,
+           CAST(1 + (f_orders > f1)::INT + (f_orders > f2)::INT AS INTEGER)
+             AS f_score,
+           CAST(1 + (m_total > m1)::INT + (m_total > m2)::INT AS INTEGER)
+             AS m_score
+    FROM per, b
+    """,
+)
+def seg1_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency / frequency / monetary scoring, the
+    canonical customer-value analysis: one groupBy builds the three
+    per-customer facts (recency as integer days to a fixed anchor —
+    exact in both engines; monetary decimal-summed), one 1-row
+    aggregate finds tercile boundaries for each dimension, and scoring
+    is a zero-shuffle CASE against the broadcast boundary row (recency
+    scored inversely: recent = high). Boundaries rounded at 6 before
+    comparison — same edge discipline as qb1. Two aggregate passes +
+    one narrow projection at any corpus scale."""
+    o = load(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2002-01-01").cast("date"),
+            F.max("o_orderdate").cast("date"),
+        ).alias("r_days"),
+        F.count("*").alias("f_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("m_total"),
+    )
+    b = per.agg(
+        F.round(F.expr("percentile(r_days, 0.33)"), 6).alias("r1"),
+        F.round(F.expr("percentile(r_days, 0.67)"), 6).alias("r2"),
+        F.round(F.expr("percentile(f_orders, 0.33)"), 6).alias("f1"),
+        F.round(F.expr("percentile(f_orders, 0.67)"), 6).alias("f2"),
+        F.round(F.expr("percentile(m_total, 0.33)"), 6).alias("m1"),
+        F.round(F.expr("percentile(m_total, 0.67)"), 6).alias("m2"),
+    )
+    gt = lambda c, t: (F.col(c) > F.col(t)).cast("int")
+    return per.join(F.broadcast(b)).select(
+        "o_custkey",
+        "r_days",
+        "f_orders",
+        "m_total",
+        (F.lit(3) - gt("r_days", "r1") - gt("r_days", "r2"))
+        .cast("int")
+        .alias("r_score"),
+        (F.lit(1) + gt("f_orders", "f1") + gt("f_orders", "f2"))
+        .cast("int")
+        .alias("f_score"),
+        (F.lit(1) + gt("m_total", "m1") + gt("m_total", "m2"))
+        .cast("int")
+        .alias("m_score"),
+    )

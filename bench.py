@@ -126,6 +126,7 @@ HEADLINE = [
     "markov1_event_transitions",
     "qb1_quantile_binning",
     "emb4_matryoshka_recall",
+    "seg1_rfm_segments",
 ]
 
 
