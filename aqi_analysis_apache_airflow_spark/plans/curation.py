@@ -3145,3 +3145,79 @@ def seg1_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("m_score"),
     )
+
+
+@query(
+    "ovl1_interval_overlap_join",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             min(CAST(ts AS TIMESTAMP)) AS t_lo,
+             max(CAST(ts AS TIMESTAMP)) AS t_hi
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(a.day AS VARCHAR) AS day,
+           a.user_id AS user_a, b.user_id AS user_b,
+           CAST(date_diff('second',
+                greatest(a.t_lo, b.t_lo), least(a.t_hi, b.t_hi))
+                AS BIGINT) AS overlap_seconds
+    FROM iv a JOIN iv b
+      ON a.day = b.day AND a.user_id < b.user_id
+     AND a.t_lo <= b.t_hi AND b.t_lo <= a.t_hi
+    """,
+)
+def ovl1_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP self-join — the range×range class rj1's
+    point-in-interval lookup doesn't cover: pairs of users active in
+    overlapping time spans (co-presence / concurrency analysis). The
+    scale-correct shape is BANDED: the equi-join key (day) bounds the
+    pairwise fanout to one band's population before the overlap
+    residual applies — never an all-pairs cross product over the
+    corpus; finer bands (hours) shrink the quadratic term further at
+    the cost of interval splitting, the standard range-join binning
+    trade. Overlap length is an integer second difference of
+    greatest/least endpoints — exact in both engines."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts"), F.col("ts").cast("date").alias("day")
+    )
+    iv = ev.groupBy("user_id", "day").agg(
+        F.min("ts").alias("t_lo"), F.max("ts").alias("t_hi")
+    )
+    a = iv.select(
+        "day",
+        F.col("user_id").alias("user_a"),
+        F.col("t_lo").alias("a_lo"),
+        F.col("t_hi").alias("a_hi"),
+    )
+    b = iv.select(
+        "day",
+        F.col("user_id").alias("user_b"),
+        F.col("t_lo").alias("b_lo"),
+        F.col("t_hi").alias("b_hi"),
+    )
+    return (
+        a.join(
+            b,
+            ["day"],
+        )
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("a_lo") <= F.col("b_hi"))
+            & (F.col("b_lo") <= F.col("a_hi"))
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "user_a",
+            "user_b",
+            (
+                F.unix_timestamp(
+                    F.least("a_hi", "b_hi").cast("timestamp")
+                )
+                - F.unix_timestamp(
+                    F.greatest("a_lo", "b_lo").cast("timestamp")
+                )
+            )
+            .cast("long")
+            .alias("overlap_seconds"),
+        )
+    )

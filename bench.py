@@ -127,6 +127,7 @@ HEADLINE = [
     "qb1_quantile_binning",
     "emb4_matryoshka_recall",
     "seg1_rfm_segments",
+    "ovl1_interval_overlap_join",
 ]
 
 
