@@ -3151,18 +3151,18 @@ def seg1_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ovl1_interval_overlap_join",
     oracle="""
     WITH iv AS (
-      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS band,
              min(CAST(ts AS TIMESTAMP)) AS t_lo,
              max(CAST(ts AS TIMESTAMP)) AS t_hi
       FROM events GROUP BY 1, 2
     )
-    SELECT CAST(a.day AS VARCHAR) AS day,
+    SELECT CAST(a.band AS VARCHAR) AS band,
            a.user_id AS user_a, b.user_id AS user_b,
            CAST(date_diff('second',
                 greatest(a.t_lo, b.t_lo), least(a.t_hi, b.t_hi))
                 AS BIGINT) AS overlap_seconds
     FROM iv a JOIN iv b
-      ON a.day = b.day AND a.user_id < b.user_id
+      ON a.band = b.band AND a.user_id < b.user_id
      AND a.t_lo <= b.t_hi AND b.t_lo <= a.t_hi
     """,
 )
@@ -3170,27 +3170,28 @@ def ovl1_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-OVERLAP self-join — the range×range class rj1's
     point-in-interval lookup doesn't cover: pairs of users active in
     overlapping time spans (co-presence / concurrency analysis). The
-    scale-correct shape is BANDED: the equi-join key (day) bounds the
-    pairwise fanout to one band's population before the overlap
-    residual applies — never an all-pairs cross product over the
-    corpus; finer bands (hours) shrink the quadratic term further at
-    the cost of interval splitting, the standard range-join binning
-    trade. Overlap length is an integer second difference of
+    scale-correct shape is BANDED: the equi-join key (the hour) bounds
+    the pairwise fanout to one band's active population before the
+    overlap residual applies — never an all-pairs cross product over
+    the corpus; band width is the standard range-join binning trade
+    (coarser bands = fewer groups but a larger quadratic term — the
+    day-banded draft of this query output 25x the rows for the same
+    corpus). Overlap length is an integer second difference of
     greatest/least endpoints — exact in both engines."""
     ev = load(spark, sf_dir, "events").select(
-        "user_id", F.col("ts"), F.col("ts").cast("date").alias("day")
+        "user_id", F.col("ts"), F.date_trunc("hour", "ts").alias("band")
     )
-    iv = ev.groupBy("user_id", "day").agg(
+    iv = ev.groupBy("user_id", "band").agg(
         F.min("ts").alias("t_lo"), F.max("ts").alias("t_hi")
     )
     a = iv.select(
-        "day",
+        "band",
         F.col("user_id").alias("user_a"),
         F.col("t_lo").alias("a_lo"),
         F.col("t_hi").alias("a_hi"),
     )
     b = iv.select(
-        "day",
+        "band",
         F.col("user_id").alias("user_b"),
         F.col("t_lo").alias("b_lo"),
         F.col("t_hi").alias("b_hi"),
@@ -3198,7 +3199,7 @@ def ovl1_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(
             b,
-            ["day"],
+            ["band"],
         )
         .filter(
             (F.col("user_a") < F.col("user_b"))
@@ -3206,7 +3207,7 @@ def ovl1_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("b_lo") <= F.col("a_hi"))
         )
         .select(
-            F.col("day").cast("string").alias("day"),
+            F.col("band").cast("string").alias("band"),
             "user_a",
             "user_b",
             (
