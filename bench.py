@@ -128,6 +128,14 @@ HEADLINE = [
     "emb4_matryoshka_recall",
     "seg1_rfm_segments",
     "ovl1_interval_overlap_join",
+    "bpe1_merge_step",
+    "lm1_unigram_rank_score",
+    "corr1_spearman",
+    "an3_winsorize",
+    "gini1_lang_impurity",
+    "zone1_zonemap_stats",
+    "fe1_decayed_activity",
+    "g13_linear_trend",
 ]
 
 
