@@ -539,3 +539,359 @@ def g13_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope_per_day"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+# att1 — linear multi-touch attribution within a trailing window
+# --------------------------------------------------------------------------
+
+_ATT_WINDOW_US = 7 * 86_400 * 1_000_000  # 7 days in microseconds
+
+
+@query(
+    "att1_linear_attribution",
+    oracle=f"""
+    WITH {EVENTS_US_CTE},
+    w AS (
+      SELECT event_id, user_id, event_type, value,
+             sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN {_ATT_WINDOW_US} PRECEDING
+                               AND CURRENT ROW) AS n_touches
+      FROM ev
+    )
+    SELECT event_id, user_id, value,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CASE WHEN n_touches > 0 THEN value / n_touches END
+             AS credit_per_touch
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def att1_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    evenly across the user's click/view touchpoints in the trailing
+    7 days — the standard marketing-credit model, and the archetypal
+    'aggregate one event type over a value-RANGE window of another'
+    shape. The frame is value-based (epoch-microsecond RANGE), so
+    simultaneous events are handled identically in every engine —
+    a ROWS frame would be partition-order-dependent.
+
+    Shape: ONE window pass (hash exchange on user_id + range frame —
+    the running-sum frame is O(1) memory per row), then a narrow
+    filter to purchases. No self-join: the naive formulation is a
+    purchase×touch interval join (quadratic in per-user activity);
+    the window form is linear. Division only fires when touches
+    exist (ANSI-safe), and the purchase itself is never a touch so
+    the CURRENT ROW bound adds nothing."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-_ATT_WINDOW_US, 0)
+    )
+    n_touches = (
+        F.sum(
+            F.when(F.col("event_type").isin("click", "view"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .over(w)
+        .cast("long")
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            n_touches.alias("n_touches"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            "n_touches",
+            F.when(
+                F.col("n_touches") > 0, F.col("value") / F.col("n_touches")
+            ).alias("credit_per_touch"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# itv1 — merge overlapping intervals (gaps-and-islands union)
+# --------------------------------------------------------------------------
+
+_ITV_DWELL_US = 600 * 1_000_000  # each event opens a 10-minute interval
+
+
+@query(
+    "itv1_merge_intervals",
+    oracle=f"""
+    WITH {EVENTS_US_CTE},
+    iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             epoch_us(ts) + {_ITV_DWELL_US} AS e
+      FROM ev
+    ),
+    flagged AS (
+      SELECT user_id, t, e,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) IS NULL
+                    OR t > max(e) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, t, e,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS island
+      FROM flagged
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           make_timestamp(min(t)) AS island_start,
+           make_timestamp(max(e)) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, island
+    """,
+)
+def itv1_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (merge overlapping intervals): every event opens
+    a 10-minute presence interval; overlapping intervals per user are
+    merged into maximal 'islands' — the classic gaps-and-islands
+    rewrite of what is naively a self-join chain. Distinct from e2's
+    sessionization (gap BETWEEN events): here intervals have EXTENT,
+    so an island ends only when a gap exceeds the remaining dwell —
+    the uptime-merge / meeting-room-union primitive.
+
+    Shape: one hash exchange on user_id reused by both window passes
+    (running max-of-ends with a 1-PRECEDING bound, then a running sum
+    of island-open flags — Catalyst stacks them over one sort), then
+    a map-side-combined groupBy on (user, island). Linear; the
+    self-join formulation this replaces is quadratic per user."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        t.alias("t"),
+        (t + F.lit(_ITV_DWELL_US)).alias("e"),
+    )
+    by_user = Window.partitionBy("user_id").orderBy("t", "event_id")
+    prev_max_end = F.max("e").over(
+        by_user.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "t",
+        "e",
+        F.when(
+            prev_max_end.isNull() | (F.col("t") > prev_max_end), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    island = (
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long")
+    )
+    return (
+        flagged.select("user_id", "t", "e", island.alias("island"))
+        .groupBy("user_id", "island")
+        .agg(
+            F.timestamp_micros(F.min("t")).alias("island_start"),
+            F.timestamp_micros(F.max("e")).alias("island_end"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# w8 — first/last/nth_value with IGNORE NULLS (sparse carry-forward)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "w8_nth_value",
+    oracle=f"""
+    WITH {EVENTS_US_CTE},
+    v AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN value END AS pv
+      FROM ev
+    )
+    SELECT event_id, user_id, pv,
+           last_value(pv IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase,
+           first_value(pv IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS first_purchase,
+           nth_value(pv, 2 IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS second_purchase
+    FROM v
+    """,
+)
+def w8_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE-NULLS window navigation: for every event, the user's
+    most recent / first / second purchase value as of that moment —
+    the sparse-to-dense carry-forward that powers 'state as of each
+    event' features (ts3 uses the same primitive to interpolate; here
+    it is the surfaced operator, covering last_value, first_value and
+    nth_value in their IGNORE NULLS forms).
+
+    Shape: one hash exchange + one sort on (user, ts); all three
+    functions share the same frame so Catalyst evaluates them in a
+    single window operator. Running frames are O(1) state per row —
+    no buffering of the partition."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # pv is projected in its own step: a window can't reference a
+    # lateral column alias born in the same SELECT.
+    return ev.select("event_id", "user_id", "ts", pv.alias("pv")).select(
+        "event_id",
+        "user_id",
+        "pv",
+        F.last("pv", ignorenulls=True).over(w).alias("last_purchase"),
+        F.first("pv", ignorenulls=True).over(w).alias("first_purchase"),
+        F.nth_value("pv", 2, ignoreNulls=True).over(w).alias("second_purchase"),
+    )
+
+
+# --------------------------------------------------------------------------
+# w9 — ratio-to-report (share of group total, decimal-exact denominator)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "w9_ratio_to_report",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           round(l_extendedprice
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        OVER (PARTITION BY l_orderkey) AS DOUBLE), 9)
+             AS price_share
+    FROM lineitem
+    """,
+)
+def w9_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each line's share of its order's total — the
+    percent-of-group primitive (Oracle's RATIO_TO_REPORT, the
+    mix-share column on every revenue dashboard). The denominator is
+    a DECIMAL window sum (exact, order-independent) cast to double
+    once; the division is then IEEE-identical across engines, so the
+    shares hash-match — a float-summed denominator would differ in
+    the last ulp depending on partition order.
+
+    Shape: one hash exchange on the group key, an unframed window
+    aggregate (computed once per group, broadcast to its rows), and
+    a narrow projection. Order keys are dense and small, so no skew
+    treatment is needed; a skewed report key would take j11's salt."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    total = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).over(
+        Window.partitionBy("l_orderkey")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.round(
+            F.col("l_extendedprice") / total.cast("double"), 9
+        ).alias("price_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dq6 — join-key skew profile (the diagnosis j11's salting treats)
+# --------------------------------------------------------------------------
+
+_DQ6_TOP = 20
+
+
+@query(
+    "dq6_skew_profile",
+    oracle=f"""
+    WITH counts AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY o_custkey
+    ),
+    totals AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(c) AS BIGINT) AS max_c
+      FROM counts
+    )
+    SELECT o_custkey, c,
+           round(CAST(c AS DOUBLE) / CAST(total AS DOUBLE), 9) AS share,
+           round(CAST(max_c * n_keys AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS skew_ratio
+    FROM counts, totals
+    ORDER BY c DESC, o_custkey LIMIT {_DQ6_TOP}
+    """,
+)
+def dq6_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: the top-N heaviest customer keys in the
+    orders fact, each with its share of all rows, plus the global
+    skew ratio (heaviest key ÷ mean key load — 1.0 means uniform;
+    j11's salting becomes worthwhile as this grows). This is the
+    diagnostic you run BEFORE choosing a join strategy at 100 TB:
+    AQE's skew-join handles moderate skew at runtime, but a key
+    carrying percent-level share needs explicit salting or a
+    broadcast rewrite, and this query is how you find out.
+
+    Shape: one map-side-combined groupBy to key counts (|keys| rows),
+    a 1-row totals aggregate cross-joined back (broadcast — the
+    dq3 pattern, always exactly one row even on an empty fact), and
+    TakeOrdered top-N. Nothing corpus-sized crosses the network."""
+    counts = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    totals = counts.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_c"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "o_custkey",
+            "c",
+            F.round(
+                F.col("c").cast("double") / F.col("total").cast("double"), 9
+            ).alias("share"),
+            F.round(
+                (F.col("max_c") * F.col("n_keys")).cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("c"), "o_custkey")
+        .limit(_DQ6_TOP)
+    )

@@ -136,6 +136,11 @@ HEADLINE = [
     "zone1_zonemap_stats",
     "fe1_decayed_activity",
     "g13_linear_trend",
+    "att1_linear_attribution",
+    "itv1_merge_intervals",
+    "w8_nth_value",
+    "w9_ratio_to_report",
+    "dq6_skew_profile",
 ]
 
 
