@@ -297,3 +297,74 @@ def test_sub1_shuffles_hashes_not_text(spark):
     for line in p.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line
+
+
+def test_corr1_single_exchange_two_sorts(spark):
+    """Both rank windows partition on event_type: one hash exchange,
+    reused by the two sorts, then partial-agg'd groupBy on the same
+    key — no second shuffle for the aggregation."""
+    p = plan_of(spark, "corr1_spearman")
+    assert p.count("Exchange (") == 1
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_an3_single_exchange_stacked_windows(spark):
+    """rank + count + wall-lookup windows all share the event_type
+    partitioning: exactly one exchange in the whole plan."""
+    p = plan_of(spark, "an3_winsorize")
+    assert p.count("Exchange (") == 1
+
+
+def test_fe1_windows_and_agg_share_partitioning(spark):
+    """The user_id hash exchange feeds row_number, count, and the
+    final groupBy without re-shuffling."""
+    p = plan_of(spark, "fe1_decayed_activity")
+    assert p.count("Exchange (") == 1
+
+
+def test_itv1_single_exchange(spark):
+    """Both island windows and the (user, island) groupBy ride one
+    user_id exchange: island is a refinement of the window key."""
+    p = plan_of(spark, "itv1_merge_intervals")
+    assert p.count("Exchange (") == 1
+
+
+def test_att1_single_window_no_join(spark):
+    """Attribution is the window rewrite of a purchase×touch interval
+    self-join: the plan must contain a RANGE-frame window and no join
+    at all."""
+    p = plan_of(spark, "att1_linear_attribution")
+    assert "Join" not in p
+    assert p.count("Exchange (") == 1
+
+
+def test_lm1_rank_join_is_broadcast(spark):
+    """The vocabulary rank table joins back onto the exploded corpus
+    as a broadcast — the corpus-sized side must never shuffle for the
+    join."""
+    p = plan_of(spark, "lm1_unigram_rank_score")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_bpe1_take_ordered_partial_agg(spark):
+    """Pair counting is map-side combined and the top-k is TakeOrdered
+    — no global sort of the pair table."""
+    p = plan_of(spark, "bpe1_merge_step")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_zone1_single_pass(spark):
+    """Zone-map stats are one scan + one partial-agg'd groupBy."""
+    p = plan_of(spark, "zone1_zonemap_stats")
+    assert p.count("Exchange (") == 1
+    assert p.count("HashAggregate") >= 2
+
+
+def test_dq6_totals_broadcast_back(spark):
+    """The 1-row totals aggregate broadcast-joins onto the key counts
+    (dq3's always-one-row pattern); top-N is TakeOrdered."""
+    p = plan_of(spark, "dq6_skew_profile")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
