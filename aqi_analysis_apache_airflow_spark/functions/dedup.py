@@ -77,8 +77,11 @@ def ce_half_sql(h: str, start: int = 1) -> str:
 CE_HASH64_SQL = CE_HASH64_HALF_SQL.format(h="{h}", off=1, off8=9)
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
+def word_shingles(text: Column, k: int = 3, *, distinct: bool = True) -> Column:
     """Distinct k-word shingles; fewer than k tokens → empty array.
+    ``distinct=False`` keeps multiplicity (for tf-weighted consumers
+    like cos1; the Jaccard/minhash family is set-based and keeps the
+    default).
 
     Built as a ``zip_with`` chain over k shifted ``slice`` views of the
     token array — the whole shingle list comes from k array scans and
@@ -98,9 +101,8 @@ def word_shingles(text: Column, k: int = 3) -> Column:
             F.slice(toks, j, length),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    return F.when(n >= k, F.array_distinct(parts)).otherwise(
-        F.array().cast("array<string>")
-    )
+    shingled = F.array_distinct(parts) if distinct else parts
+    return F.when(n >= k, shingled).otherwise(F.array().cast("array<string>"))
 
 
 def exploded_shingles(

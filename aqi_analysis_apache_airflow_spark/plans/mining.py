@@ -895,3 +895,185 @@ def dq6_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), "o_custkey")
         .limit(_DQ6_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# wmed1 — weighted median via running decimal weight sums
+# --------------------------------------------------------------------------
+
+
+@query(
+    "wmed1_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             l_extendedprice,
+             CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+             sum(CAST(l_quantity AS DECIMAL(18,2)))
+               OVER (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             sum(CAST(l_quantity AS DECIMAL(18,2)))
+               OVER (PARTITION BY l_returnflag) AS totw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(max(totw) AS DOUBLE) AS total_weight,
+           min(CASE WHEN 2 * cumw >= totw THEN l_extendedprice END)
+             AS weighted_median
+    FROM w GROUP BY l_returnflag
+    """,
+)
+def wmed1_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower): the price at which half the group's
+    total QUANTITY sits at or below — the robust central-tendency
+    measure when rows carry unequal mass (median order line weighted
+    by units, p50 latency weighted by request count). Defined as the
+    first row (in fully-tiebroken price order) whose running weight
+    reaches half the total: a deterministic datum, not an
+    interpolation, so it hash-matches exactly. Weights accumulate in
+    DECIMAL — order-independent addition; float running sums would
+    make the crossing row engine-dependent at the boundary.
+
+    Shape: one hash exchange on the group key feeds the running-sum
+    window, the unframed total window, and the final groupBy — one
+    shuffle total (same single-exchange contract as an3/ts2). Per-
+    group sort is the inherent cost of any exact median."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+    by_flag = Window.partitionBy("l_returnflag")
+    cumw = F.sum("qty").over(
+        by_flag.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totw = F.sum("qty").over(by_flag)
+    w = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        cumw.alias("cumw"),
+        totw.alias("totw"),
+    )
+    return w.groupBy("l_returnflag").agg(
+        F.max("totw").cast("double").alias("total_weight"),
+        F.min(
+            F.when(F.lit(2) * F.col("cumw") >= F.col("totw"),
+                   F.col("l_extendedprice"))
+        ).alias("weighted_median"),
+    )
+
+
+# --------------------------------------------------------------------------
+# cos1 — tf-idf cosine near-pairs via capped inverted index
+# --------------------------------------------------------------------------
+
+_COS_MAX_DF = 20  # drop terms in more docs than this (stop-terms)
+_COS_TOP = 50
+
+
+@query(
+    "cos1_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS w
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM sh GROUP BY doc_id, w),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    nn AS (SELECT count(*) AS n FROM documents),
+    wt AS (
+      SELECT tf.doc_id, tf.w, tf.tf * ((1000 * n) // df) AS wv
+      FROM tf JOIN df USING (w), nn
+      WHERE df <= {_COS_MAX_DF}
+    ),
+    norms AS (SELECT doc_id, sum(wv * wv) AS nrm FROM wt GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wv * b.wv) AS dot
+      FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
+           round(CAST(dot AS DOUBLE)
+                 / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
+             AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = dots.doc_a
+    JOIN norms nb ON nb.doc_id = dots.doc_b
+    ORDER BY cosine DESC, doc_a, doc_b LIMIT {_COS_TOP}
+    """,
+)
+def cos1_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted near-duplicate pairs: top cosine similarities between
+    tf-idf document vectors over 3-word SHINGLE terms, computed on an
+    inverted index — the WEIGHTED counterpart of d2's set Jaccard
+    (rare shared shingles count for more; single words are useless
+    terms on a small vocabulary — every word's df exceeds any cap).
+    The idf is the INTEGER (1000·N) div df — monotone in the true
+    log-idf for ranking purposes and exact in both engines (t4/pmi1's
+    libm-free rationale); all dot products and norms are therefore
+    exact BIGINT sums, and the only float op is the final IEEE
+    sqrt/divide, rounded once.
+
+    Scale shape: stop-shingles (df > cap) are dropped BEFORE the
+    term-keyed self-join, so each surviving term emits ≤ C(cap, 2)
+    pair contributions — the d2b bound, linear in corpus size, never
+    quadratic. Norm tables join back on doc ids (plain equi-joins).
+    Integer headroom: wv ≤ tf·1000·N, so dot terms stay under 2^63
+    up to ~10M docs at these caps; shift the 1000 scale down for
+    larger corpora (it only rescales cosine's numerator and
+    denominator together)."""
+    from ..functions.dedup import word_shingles
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("text"), 3, distinct=False)).alias("w"),
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    nn = docs.agg(F.count("*").alias("n"))
+    wt = (
+        tf.join(df.where(F.col("df") <= _COS_MAX_DF), "w")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "w",
+            (F.col("tf") * F.expr("(1000 * n) div df")).alias("wv"),
+        )
+    )
+    norms = wt.groupBy("doc_id").agg(F.sum(F.col("wv") * F.col("wv")).alias("nrm"))
+    a, b = wt.alias("a"), wt.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.wv") * F.col("b.wv")).alias("dot"))
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    return (
+        dots.join(na, F.col("na.doc_id") == F.col("doc_a"))
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("dot").cast("long").alias("dot"),
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("na.nrm").cast("double") * F.col("nb.nrm").cast("double")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "doc_a", "doc_b")
+        .limit(_COS_TOP)
+    )

@@ -141,6 +141,8 @@ HEADLINE = [
     "w8_nth_value",
     "w9_ratio_to_report",
     "dq6_skew_profile",
+    "wmed1_weighted_median",
+    "cos1_tfidf_cosine_pairs",
 ]
 
 

