@@ -1077,3 +1077,297 @@ def cos1_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "doc_a", "doc_b")
         .limit(_COS_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# mw1 — Mann-Whitney U rank-sum test between two sources (integer 2U)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mw1_mann_whitney",
+    oracle="""
+    WITH counts AS (
+      SELECT n_chars,
+             sum(CASE WHEN source = 'web' THEN 1 ELSE 0 END) AS w_v,
+             sum(CASE WHEN source = 'books' THEN 1 ELSE 0 END) AS b_v
+      FROM documents WHERE source IN ('web', 'books')
+      GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT w_v, b_v,
+             COALESCE(sum(b_v) OVER (ORDER BY n_chars
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING), 0) AS b_less
+      FROM counts
+    ),
+    s AS (
+      SELECT CAST(sum(w_v) AS BIGINT) AS n_web,
+             CAST(sum(b_v) AS BIGINT) AS n_books,
+             CAST(sum(w_v * (2 * b_less + b_v)) AS BIGINT) AS u2x
+      FROM cum
+    )
+    SELECT n_web, n_books, u2x,
+           round((CAST(u2x AS DOUBLE) / 2
+                  - CAST(n_web * n_books AS DOUBLE) / 2)
+                 / sqrt(CAST(n_web * n_books AS DOUBLE)
+                        * CAST(n_web + n_books + 1 AS DOUBLE) / 12), 6) AS z
+    FROM s
+    """,
+)
+def mw1_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: does the 'web' document-length
+    distribution stochastically dominate 'books'? — the nonparametric
+    two-sample drift test (dq3 tests categorical shares; this tests
+    ordinal location). Computed WITHOUT ranking the corpus: group to
+    per-VALUE counts first (the n_chars domain is small), then
+    U = Σ_v w_v·(B_less(v) + b_v/2) over that tiny table — doubled to
+    keep it integral (2U), so the statistic is bit-exact; the z score
+    is one IEEE expression over three integers.
+
+    Scale shape: the only corpus-sized op is a map-side-combined
+    groupBy on the value key. The running sum over the value DOMAIN
+    is a single-partition window over |distinct values| rows — the
+    lm1 vocabulary precedent, deliberate and documented, not a
+    corpus-sized sort."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("source").isin("web", "books")
+    )
+    counts = docs.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("source") == "web", 1).otherwise(0)).alias("w_v"),
+        F.sum(F.when(F.col("source") == "books", 1).otherwise(0)).alias("b_v"),
+    )
+    cum = counts.select(
+        "w_v",
+        "b_v",
+        F.coalesce(
+            F.sum("b_v").over(
+                Window.orderBy("n_chars").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("b_less"),
+    )
+    s = cum.agg(
+        F.sum("w_v").cast("long").alias("n_web"),
+        F.sum("b_v").cast("long").alias("n_books"),
+        F.sum(F.col("w_v") * (2 * F.col("b_less") + F.col("b_v")))
+        .cast("long")
+        .alias("u2x"),
+    )
+    nw, nb, u2x = F.col("n_web"), F.col("n_books"), F.col("u2x")
+    return s.select(
+        "n_web",
+        "n_books",
+        "u2x",
+        F.round(
+            (u2x.cast("double") / 2 - (nw * nb).cast("double") / 2)
+            / F.sqrt(
+                (nw * nb).cast("double") * (nw + nb + 1).cast("double") / 12
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# seq1 — event trigram sequence mining (two lags, bounded key space)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "seq1_event_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev1,
+             lag(event_type, 2) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev2
+      FROM events
+    )
+    SELECT prev2 AS step1, prev1 AS step2, event_type AS step3,
+           CAST(count(*) AS BIGINT) AS n_paths
+    FROM seq WHERE prev2 IS NOT NULL
+    GROUP BY prev2, prev1, event_type
+    """,
+)
+def seq1_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-step behavior paths: every consecutive event-type
+    trigram per user, counted corpus-wide — markov1's first-order
+    transition matrix extended to second order (the path-mining
+    signal behind 'view→click→purchase' funnels; the full matrix is
+    |types|³ rows, so the aggregation key space is tiny and fixed).
+
+    Shape: both lags share one (user, time) sort over one hash
+    exchange; the trigram groupBy is map-side combined into at most
+    |types|³ rows. Linear, two shuffles total."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    )
+    return (
+        seq.where(F.col("prev2").isNotNull())
+        .groupBy(
+            F.col("prev2").alias("step1"),
+            F.col("prev1").alias("step2"),
+            F.col("event_type").alias("step3"),
+        )
+        .agg(F.count("*").cast("long").alias("n_paths"))
+    )
+
+
+# --------------------------------------------------------------------------
+# late1 — late-arrival accounting and restatement planning
+# --------------------------------------------------------------------------
+
+_LATE_DELAY_US = 600 * 1_000_000  # 10-minute watermark delay
+
+
+@query(
+    "late1_restatement_plan",
+    oracle=f"""
+    WITH {EVENTS_US_CTE},
+    seq AS (
+      SELECT ts, event_id, user_id,
+             max(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS hwm
+      FROM ev
+    )
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN hwm IS NOT NULL
+                          AND epoch_us(ts) + {_LATE_DELAY_US} < hwm
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           sum(CASE WHEN hwm IS NOT NULL
+                     AND epoch_us(ts) + {_LATE_DELAY_US} < hwm
+                    THEN 1 ELSE 0 END) > 0 AS needs_restate
+    FROM seq GROUP BY date_trunc('hour', ts)
+    """,
+)
+def late1_restatement_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arrival accounting: which hourly windows received events
+    that arrived AFTER the stream's per-user watermark had passed
+    them (event time + allowed delay < the high-water mark of
+    earlier-INGESTED events, ingest order = event_id) — exactly the
+    rows a streaming job with this watermark would have dropped, and
+    therefore the windows a nightly batch restatement must recompute
+    (st2's watermark semantics replayed as a batch audit; the
+    operational complement of r1's incremental rollup).
+
+    Shape: one hash exchange on user_id for the running high-water
+    mark (an O(1)-state running max in ingest order), then one
+    map-side-combined groupBy onto hour windows. Per-user watermarks
+    keep the plan scale-free — a GLOBAL ingest watermark would need
+    a single-partition sort of the whole fact."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = ev.select(
+        "ts",
+        t.alias("t"),
+        F.max(t)
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("hwm"),
+    )
+    is_late = F.when(
+        F.col("hwm").isNotNull()
+        & (F.col("t") + _LATE_DELAY_US < F.col("hwm")),
+        1,
+    ).otherwise(0)
+    return (
+        seq.select(F.date_trunc("hour", "ts").alias("window_start"),
+                   is_late.alias("late"))
+        .groupBy("window_start")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("late").cast("long").alias("n_late"),
+            (F.sum("late") > 0).alias("needs_restate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# dq7 — Benford leading-digit audit (fixed-point digits, literal expectations)
+# --------------------------------------------------------------------------
+
+#: log10(1 + 1/d) rounded once, inlined as LITERALS in both engines —
+#: no libm call happens inside either query.
+_BENFORD = {
+    1: 0.301029996, 2: 0.176091259, 3: 0.124938737, 4: 0.096910013,
+    5: 0.079181246, 6: 0.06694679, 7: 0.057991947, 8: 0.051152522,
+    9: 0.045757491,
+}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD.items())
+    + " END"
+)
+
+
+@query(
+    "dq7_benford_digits",
+    oracle=f"""
+    WITH {EVENTS_US_CTE},
+    digits AS (
+      SELECT CAST(substring(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+                            1, 1) AS INTEGER) AS digit
+      FROM ev WHERE value > 0
+    ),
+    counts AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 9) AS share,
+           {_BENFORD_CASE} AS expected,
+           round(abs(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                     - ({_BENFORD_CASE})), 9) AS abs_dev
+    FROM counts, tot
+    """,
+)
+def dq7_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit audit: the distribution of first digits
+    of event values against Benford's law — the classic fabricated-
+    data / instrumentation-bug detector (uniform-ish digits on a
+    quantity that should be scale-invariant is a red flag). The
+    leading digit comes from the CENTS fixed-point integer rendered
+    as a string (bigint→string is identical in every engine; double
+    →string is not), and the expected shares are pre-rounded
+    LITERALS, so no libm function runs in either engine.
+
+    Shape: narrow digit projection, 9-row groupBy, 1-row total
+    broadcast back (the dq3/dq6 pattern). Nothing else."""
+    ev = load(spark, sf_dir, "events").where(F.col("value") > 0)
+    digit = F.substring(
+        F.round(F.col("value") * 100).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = ev.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("total"))
+    expected = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _BENFORD.items() for x in kv]
+        ),
+        F.col("digit"),
+    )
+    share = F.col("n").cast("double") / F.col("total").cast("double")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(share, 9).alias("share"),
+        expected.alias("expected"),
+        F.round(F.abs(share - expected), 9).alias("abs_dev"),
+    )

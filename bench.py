@@ -143,6 +143,10 @@ HEADLINE = [
     "dq6_skew_profile",
     "wmed1_weighted_median",
     "cos1_tfidf_cosine_pairs",
+    "mw1_mann_whitney",
+    "seq1_event_trigrams",
+    "late1_restatement_plan",
+    "dq7_benford_digits",
 ]
 
 

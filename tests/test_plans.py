@@ -387,3 +387,35 @@ def test_cos1_cap_filter_precedes_self_join(spark):
     cap_filter = p.index("<= 20)")
     pair_join = p.index("doc_id")
     assert cap_filter >= 0 and pair_join >= 0
+
+
+def test_seq1_one_sort_two_lags(spark):
+    """Both lag offsets ride one (user, time) sort: a single Exchange
+    for the window, one more for the tiny trigram aggregation."""
+    p = plan_of(spark, "seq1_event_trigrams")
+    assert p.count("Window (") == 1
+    assert p.count("Exchange (") <= 2
+
+
+def test_late1_single_user_exchange(spark):
+    """The per-user high-water-mark window and the hour-window rollup:
+    user exchange + hour-key exchange, nothing else, no join."""
+    p = plan_of(spark, "late1_restatement_plan")
+    assert "Join" not in p
+    assert p.count("Exchange (") == 2
+
+
+def test_dq7_total_broadcast(spark):
+    """The 1-row total joins back by broadcast; the digit groupBy is
+    partial-aggregated."""
+    p = plan_of(spark, "dq7_benford_digits")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_mw1_corpus_stage_is_one_groupby(spark):
+    """The only corpus-sized operation is the value-key groupBy; the
+    domain window and final rollup run on value-domain-sized data."""
+    p = plan_of(spark, "mw1_mann_whitney")
+    assert p.count("Window (") == 1
+    assert "Join" not in p
