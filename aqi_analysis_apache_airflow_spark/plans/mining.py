@@ -1371,3 +1371,174 @@ def dq7_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("expected"),
         F.round(F.abs(share - expected), 9).alias("abs_dev"),
     )
+
+
+# --------------------------------------------------------------------------
+# ivm1 — incremental view maintenance: merge partial aggregate states
+# --------------------------------------------------------------------------
+
+_IVM_CUTOVER = "1995-01-01"  # history < cutover <= delta
+
+
+@query(
+    "ivm1_partial_merge",
+    oracle=f"""
+    WITH hist AS (
+      SELECT o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+             min(o_totalprice) AS mn, max(o_totalprice) AS mx
+      FROM orders WHERE o_orderdate < DATE '{_IVM_CUTOVER}'
+      GROUP BY o_orderpriority
+    ),
+    delta AS (
+      SELECT o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+             min(o_totalprice) AS mn, max(o_totalprice) AS mx
+      FROM orders WHERE o_orderdate >= DATE '{_IVM_CUTOVER}'
+      GROUP BY o_orderpriority
+    ),
+    merged AS (
+      SELECT pri, CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(s) AS DOUBLE) AS total,
+             min(mn) AS vmin, max(mx) AS vmax
+      FROM (SELECT * FROM hist UNION ALL SELECT * FROM delta)
+      GROUP BY pri
+    ),
+    direct AS (
+      SELECT o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             min(o_totalprice) AS vmin, max(o_totalprice) AS vmax
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT m.pri, m.n, m.total, m.vmin, m.vmax,
+           m.n = d.n AND m.total = d.total
+             AND m.vmin = d.vmin AND m.vmax = d.vmax AS merge_exact
+    FROM merged m JOIN direct d USING (pri)
+    """,
+)
+def ivm1_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: yesterday's materialized partial
+    aggregate states (count / decimal sum / min / max per group) are
+    MERGED with a new delta batch's partials instead of recomputing
+    from all history — the mergeable-state property every incremental
+    rollup (r1), partial-aggregation pushdown, and cube refresh rests
+    on. The query re-derives the full aggregate two ways (merge-of-
+    partials vs direct) and emits a per-group ``merge_exact`` proof
+    column — true BY CONSTRUCTION for these states because decimal
+    addition is associative-exact; the same test on float sums would
+    fail in the last ulp, which is exactly why the engine's sums
+    route through DECIMAL.
+
+    Shape: two disjoint partial groupBys (their scans prune on the
+    cutover predicate), a group-keyed merge of |groups|-sized states,
+    and a broadcast self-check join — the verification is test-scale
+    scaffolding; production keeps only the merge (history states are
+    read, never recomputed)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"), "o_orderdate", "o_totalprice"
+    )
+    cut = F.lit(_IVM_CUTOVER).cast("date")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("pri").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    hist = partial(o.where(F.col("o_orderdate") < cut))
+    delta = partial(o.where(F.col("o_orderdate") >= cut))
+    merged = (
+        hist.unionAll(delta)
+        .groupBy("pri")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s").cast("double").alias("total"),
+            F.min("mn").alias("vmin"),
+            F.max("mx").alias("vmax"),
+        )
+    )
+    direct = o.groupBy("pri").agg(
+        F.count("*").cast("long").alias("n_d"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_d"),
+        F.min("o_totalprice").alias("vmin_d"),
+        F.max("o_totalprice").alias("vmax_d"),
+    )
+    return merged.join(F.broadcast(direct), "pri").select(
+        "pri",
+        "n",
+        "total",
+        "vmin",
+        "vmax",
+        (
+            (F.col("n") == F.col("n_d"))
+            & (F.col("total") == F.col("total_d"))
+            & (F.col("vmin") == F.col("vmin_d"))
+            & (F.col("vmax") == F.col("vmax_d"))
+        ).alias("merge_exact"),
+    )
+
+
+# --------------------------------------------------------------------------
+# grp1 — ordered top-3 concat per group (rank pivot, no collect_list)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "grp1_group_top3_concat",
+    oracle="""
+    WITH ranked AS (
+      SELECT n.n_name,
+             s.s_name,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rk
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT n_name,
+           concat_ws('|',
+             min(CASE WHEN rk = 1 THEN s_name END),
+             min(CASE WHEN rk = 2 THEN s_name END),
+             min(CASE WHEN rk = 3 THEN s_name END)) AS top_suppliers
+    FROM ranked WHERE rk <= 3
+    GROUP BY n_name
+    """,
+)
+def grp1_group_top3_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered top-N concatenation per group ('best 3 suppliers per
+    nation' as one display string) — the reporting shape usually
+    written with collect_list + sort. collect_list's order is
+    PARTITION-ORDER-DEPENDENT (nondeterministic under parallelism),
+    so instead each rank slot is pivoted out with min(CASE WHEN rk=i)
+    and concatenated — fully deterministic in any engine at any
+    parallelism, and the rank filter cuts the aggregation input to
+    ≤N rows per group.
+
+    Shape: broadcast dim join, one rank window, a ≤3-rows-per-group
+    filter BEFORE the groupBy (the aggregation input is N·|groups|,
+    not the fact table), map-side combined."""
+    s = load(spark, sf_dir, "supplier").select(
+        "s_name", "s_acctbal", "s_suppkey", "s_nationkey"
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rk = F.row_number().over(
+        Window.partitionBy("n_name").orderBy(
+            F.desc("s_acctbal"), "s_suppkey"
+        )
+    )
+    ranked = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("n_name", "s_name", rk.alias("rk"))
+        .where(F.col("rk") <= 3)
+    )
+    slot = [
+        F.min(F.when(F.col("rk") == i, F.col("s_name"))) for i in (1, 2, 3)
+    ]
+    return ranked.groupBy("n_name").agg(
+        F.concat_ws("|", *slot).alias("top_suppliers")
+    )

@@ -147,6 +147,8 @@ HEADLINE = [
     "seq1_event_trigrams",
     "late1_restatement_plan",
     "dq7_benford_digits",
+    "ivm1_partial_merge",
+    "grp1_group_top3_concat",
 ]
 
 

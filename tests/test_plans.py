@@ -419,3 +419,19 @@ def test_mw1_corpus_stage_is_one_groupby(spark):
     p = plan_of(spark, "mw1_mann_whitney")
     assert p.count("Window (") == 1
     assert "Join" not in p
+
+
+def test_ivm1_partials_prune_on_cutover(spark):
+    """Both partial scans push the cutover date predicate into the
+    parquet scan; the verification join is a broadcast."""
+    p = plan_of(spark, "ivm1_partial_merge")
+    assert "LessThan(o_orderdate" in p and "GreaterThanOrEqual(o_orderdate" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_grp1_rank_filter_before_final_agg(spark):
+    """The rk <= 3 filter bounds the aggregation input to N rows per
+    group; the dim join is broadcast."""
+    p = plan_of(spark, "grp1_group_top3_concat")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
