@@ -1980,31 +1980,41 @@ def r3_new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DQ3_BIN = 100  # doc-length histogram bin width (chars)
 
+#: ref/cand split by hash PARITY of the source name — not literal
+#: source names: the driver corpus renamed its sources between rounds
+#: (web/books/news → src0..src19), silently turning a literal IN
+#: filter into an empty relation. A hash split covers every doc under
+#: any naming and keeps both groups populated.
+_DQ3_GRP = (
+    "CASE WHEN ((("
+    + CE_HASH64_SQL.format(h="md5('dq3|'||source)")
+    + ") % 2) + 2) % 2 = 0 THEN 'ref' ELSE 'cand' END"
+)
+
 
 @query(
     "dq3_distribution_drift",
     oracle=f"""
     WITH b AS (
-      SELECT source,
+      SELECT {_DQ3_GRP} AS grp,
              CAST(n_chars // {_DQ3_BIN} AS BIGINT) AS bin,
              CAST(count(*) AS BIGINT) AS c
       FROM documents
-      WHERE source IN ('web', 'books')
       GROUP BY 1, 2
     ),
     tot AS (
-      SELECT source, CAST(SUM(c) AS DOUBLE) AS n FROM b GROUP BY source
+      SELECT grp, CAST(SUM(c) AS DOUBLE) AS n FROM b GROUP BY grp
     ),
     bins AS (SELECT DISTINCT bin FROM b),
     wide AS (
       SELECT bins.bin,
              CAST(COALESCE(w.c, 0) AS DOUBLE)
-               / (SELECT n FROM tot WHERE source = 'web') AS p_ref,
+               / (SELECT n FROM tot WHERE grp = 'ref') AS p_ref,
              CAST(COALESCE(k.c, 0) AS DOUBLE)
-               / (SELECT n FROM tot WHERE source = 'books') AS p_cand
+               / (SELECT n FROM tot WHERE grp = 'cand') AS p_cand
       FROM bins
-      LEFT JOIN (SELECT bin, c FROM b WHERE source = 'web') w USING (bin)
-      LEFT JOIN (SELECT bin, c FROM b WHERE source = 'books') k USING (bin)
+      LEFT JOIN (SELECT bin, c FROM b WHERE grp = 'ref') w USING (bin)
+      LEFT JOIN (SELECT bin, c FROM b WHERE grp = 'cand') k USING (bin)
     )
     SELECT bin, round(p_ref, 9) AS p_ref, round(p_cand, 9) AS p_cand,
            round((round(p_cand, 9) - round(p_ref, 9))
@@ -2015,8 +2025,9 @@ _DQ3_BIN = 100  # doc-length histogram bin width (chars)
     """,
 )
 def dq3_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution drift between a reference source ('web') and a
-    candidate ('books'): per-bin share comparison of the doc-length
+    """Distribution drift between two halves of the corpus (sources
+    split 'ref'/'cand' by name-hash parity — naming-independent, see
+    ``_DQ3_GRP``): per-bin share comparison of the doc-length
     histogram plus the symmetric chi-square term
     (p_c − p_r)²/(p_r + p_c) — the ingest-monitoring check that a new
     batch still looks like the corpus. Chi-square is chosen over
@@ -2026,13 +2037,18 @@ def dq3_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides).
 
     Shape: one two-key groupBy builds both histograms in a single
-    pass; the per-source totals and the bin spine are tiny broadcast
+    pass; the per-group totals and the bin spine are tiny broadcast
     joins. Bin count is bounded by the length domain, not the corpus."""
-    docs = load(spark, sf_dir, "documents").filter(
-        F.col("source").isin("web", "books")
-    )
+    docs = load(spark, sf_dir, "documents")
+    grp = F.when(
+        F.pmod(
+            ce_hash64(F.concat(F.lit("dq3|"), F.col("source"))), F.lit(2)
+        )
+        == 0,
+        F.lit("ref"),
+    ).otherwise(F.lit("cand"))
     b = docs.groupBy(
-        "source",
+        grp.alias("grp"),
         F.floor(F.col("n_chars") / _DQ3_BIN).cast("long").alias("bin"),
     ).agg(F.count("*").cast("long").alias("c"))
     # One GLOBAL aggregate with conditional sums: always exactly one row
@@ -2041,16 +2057,16 @@ def dq3_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar subqueries, which yield NULL rather than zero rows on a
     # degenerate corpus.
     tot = b.agg(
-        F.sum(F.when(F.col("source") == "web", F.col("c")))
+        F.sum(F.when(F.col("grp") == "ref", F.col("c")))
         .cast("double")
         .alias("n_ref"),
-        F.sum(F.when(F.col("source") == "books", F.col("c")))
+        F.sum(F.when(F.col("grp") == "cand", F.col("c")))
         .cast("double")
         .alias("n_cand"),
     )
     bins = b.select("bin").distinct()
-    ref = b.filter(F.col("source") == "web").select("bin", F.col("c").alias("cr"))
-    cand = b.filter(F.col("source") == "books").select(
+    ref = b.filter(F.col("grp") == "ref").select("bin", F.col("c").alias("cr"))
+    cand = b.filter(F.col("grp") == "cand").select(
         "bin", F.col("c").alias("cc")
     )
     p_ref = F.coalesce(F.col("cr"), F.lit(0)).cast("double") / F.col("n_ref")

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.dedup import tokens
+from ..functions.dedup import CE_HASH64_SQL, ce_hash64, tokens
 from .registry import EVENTS_US_CTE, load, query
 
 # --------------------------------------------------------------------------
@@ -1084,14 +1084,24 @@ def cos1_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+#: two-sample split by hash parity of the source name (the dq3
+#: treatment): literal source names went vacuous when the driver
+#: corpus renamed its sources between rounds.
+_MW_GRP_EVEN = (
+    "((("
+    + CE_HASH64_SQL.format(h="md5('mw|'||source)")
+    + ") % 2) + 2) % 2 = 0"
+)
+
+
 @query(
     "mw1_mann_whitney",
-    oracle="""
+    oracle=f"""
     WITH counts AS (
       SELECT n_chars,
-             sum(CASE WHEN source = 'web' THEN 1 ELSE 0 END) AS w_v,
-             sum(CASE WHEN source = 'books' THEN 1 ELSE 0 END) AS b_v
-      FROM documents WHERE source IN ('web', 'books')
+             sum(CASE WHEN {_MW_GRP_EVEN} THEN 1 ELSE 0 END) AS w_v,
+             sum(CASE WHEN NOT ({_MW_GRP_EVEN}) THEN 1 ELSE 0 END) AS b_v
+      FROM documents
       GROUP BY n_chars
     ),
     cum AS (
@@ -1102,22 +1112,25 @@ def cos1_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counts
     ),
     s AS (
-      SELECT CAST(sum(w_v) AS BIGINT) AS n_web,
-             CAST(sum(b_v) AS BIGINT) AS n_books,
+      SELECT CAST(sum(w_v) AS BIGINT) AS n_ref,
+             CAST(sum(b_v) AS BIGINT) AS n_cand,
              CAST(sum(w_v * (2 * b_less + b_v)) AS BIGINT) AS u2x
       FROM cum
     )
-    SELECT n_web, n_books, u2x,
-           round((CAST(u2x AS DOUBLE) / 2
-                  - CAST(n_web * n_books AS DOUBLE) / 2)
-                 / sqrt(CAST(n_web * n_books AS DOUBLE)
-                        * CAST(n_web + n_books + 1 AS DOUBLE) / 12), 6) AS z
+    SELECT n_ref, n_cand, u2x,
+           CASE WHEN n_ref > 0 AND n_cand > 0 THEN
+             round((CAST(u2x AS DOUBLE) / 2
+                    - CAST(n_ref * n_cand AS DOUBLE) / 2)
+                   / sqrt(CAST(n_ref * n_cand AS DOUBLE)
+                          * CAST(n_ref + n_cand + 1 AS DOUBLE) / 12), 6)
+           END AS z
     FROM s
     """,
 )
 def mw1_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mann-Whitney U rank-sum test: does the 'web' document-length
-    distribution stochastically dominate 'books'? — the nonparametric
+    """Mann-Whitney U rank-sum test between the two hash-parity
+    halves of the corpus's sources: does one half's document-length
+    distribution stochastically dominate the other? — the nonparametric
     two-sample drift test (dq3 tests categorical shares; this tests
     ordinal location). Computed WITHOUT ranking the corpus: group to
     per-VALUE counts first (the n_chars domain is small), then
@@ -1130,12 +1143,14 @@ def mw1_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a single-partition window over |distinct values| rows — the
     lm1 vocabulary precedent, deliberate and documented, not a
     corpus-sized sort."""
-    docs = load(spark, sf_dir, "documents").where(
-        F.col("source").isin("web", "books")
+    docs = load(spark, sf_dir, "documents")
+    even = (
+        F.pmod(ce_hash64(F.concat(F.lit("mw|"), F.col("source"))), F.lit(2))
+        == 0
     )
     counts = docs.groupBy("n_chars").agg(
-        F.sum(F.when(F.col("source") == "web", 1).otherwise(0)).alias("w_v"),
-        F.sum(F.when(F.col("source") == "books", 1).otherwise(0)).alias("b_v"),
+        F.sum(F.when(even, 1).otherwise(0)).alias("w_v"),
+        F.sum(F.when(~even, 1).otherwise(0)).alias("b_v"),
     )
     cum = counts.select(
         "w_v",
@@ -1150,23 +1165,28 @@ def mw1_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b_less"),
     )
     s = cum.agg(
-        F.sum("w_v").cast("long").alias("n_web"),
-        F.sum("b_v").cast("long").alias("n_books"),
+        F.sum("w_v").cast("long").alias("n_ref"),
+        F.sum("b_v").cast("long").alias("n_cand"),
         F.sum(F.col("w_v") * (2 * F.col("b_less") + F.col("b_v")))
         .cast("long")
         .alias("u2x"),
     )
-    nw, nb, u2x = F.col("n_web"), F.col("n_books"), F.col("u2x")
+    nw, nb, u2x = F.col("n_ref"), F.col("n_cand"), F.col("u2x")
+    # degenerate corpus (one group empty) → z is NULL, not a /0 —
+    # the dq3 lesson applied here
     return s.select(
-        "n_web",
-        "n_books",
+        "n_ref",
+        "n_cand",
         "u2x",
-        F.round(
-            (u2x.cast("double") / 2 - (nw * nb).cast("double") / 2)
-            / F.sqrt(
-                (nw * nb).cast("double") * (nw + nb + 1).cast("double") / 12
+        F.when(
+            (nw > 0) & (nb > 0),
+            F.round(
+                (u2x.cast("double") / 2 - (nw * nb).cast("double") / 2)
+                / F.sqrt(
+                    (nw * nb).cast("double") * (nw + nb + 1).cast("double") / 12
+                ),
+                6,
             ),
-            6,
         ).alias("z"),
     )
 

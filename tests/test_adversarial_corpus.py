@@ -35,6 +35,11 @@ DOC_QUERIES = [
     "dc1_decontamination",
     "t10_topp_vocab",
     "m3_overlap_frames",
+    "bpe1_merge_step",
+    "lm1_unigram_rank_score",
+    "gini1_lang_impurity",
+    "cos1_tfidf_cosine_pairs",
+    "mw1_mann_whitney",
 ]
 
 _ROWS = [
