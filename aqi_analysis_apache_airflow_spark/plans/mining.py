@@ -1562,3 +1562,60 @@ def grp1_group_top3_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("n_name").agg(
         F.concat_ws("|", *slot).alias("top_suppliers")
     )
+
+
+# --------------------------------------------------------------------------
+# den1 — grid-density outliers (multivariate, DBSCAN-lite)
+# --------------------------------------------------------------------------
+
+_DEN_VALUE_BIN = 50  # value-axis cell width
+_DEN_MIN_PTS = 5  # cells below this count are sparse
+
+
+@query(
+    "den1_grid_density",
+    oracle=f"""
+    WITH {EVENTS_US_CTE},
+    pts AS (
+      SELECT event_id, value,
+             CAST(floor(value / {_DEN_VALUE_BIN}) AS BIGINT) AS cell_v,
+             CAST(hour(ts) AS BIGINT) AS cell_h
+      FROM ev
+    ),
+    cells AS (
+      SELECT cell_v, cell_h, CAST(count(*) AS BIGINT) AS cell_n
+      FROM pts GROUP BY cell_v, cell_h
+    )
+    SELECT p.event_id, p.value, p.cell_v, p.cell_h, c.cell_n
+    FROM pts p JOIN cells c USING (cell_v, cell_h)
+    WHERE c.cell_n < {_DEN_MIN_PTS}
+    """,
+)
+def den1_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based outlier detection on a (value, hour-of-day) grid:
+    events landing in cells with fewer than min_pts neighbors are
+    flagged — the grid approximation of DBSCAN noise points, and the
+    MULTIVARIATE complement of an1/an2 (a value normal on its own may
+    be anomalous at 3am). Grid density is the form that scales: exact
+    DBSCAN needs an epsilon-radius self-join; the grid needs one
+    groupBy over a bounded cell space and a join back against the
+    (tiny, sparse-only) cell list.
+
+    Shape: narrow cell projection, map-side-combined cell counts, and
+    an equi-join of the fact against the filtered sparse-cell table —
+    broadcast at any realistic grid size. Output is only the flagged
+    rows (outliers are rare by construction)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    pts = ev.select(
+        "event_id",
+        "value",
+        F.floor(F.col("value") / _DEN_VALUE_BIN).cast("long").alias("cell_v"),
+        F.hour("ts").cast("long").alias("cell_h"),
+    )
+    cells = pts.groupBy("cell_v", "cell_h").agg(
+        F.count("*").cast("long").alias("cell_n")
+    )
+    sparse = cells.where(F.col("cell_n") < _DEN_MIN_PTS)
+    return pts.join(F.broadcast(sparse), ["cell_v", "cell_h"]).select(
+        "event_id", "value", "cell_v", "cell_h", "cell_n"
+    )

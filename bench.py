@@ -149,6 +149,7 @@ HEADLINE = [
     "dq7_benford_digits",
     "ivm1_partial_merge",
     "grp1_group_top3_concat",
+    "den1_grid_density",
 ]
 
 

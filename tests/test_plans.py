@@ -435,3 +435,11 @@ def test_grp1_rank_filter_before_final_agg(spark):
     p = plan_of(spark, "grp1_group_top3_concat")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_den1_sparse_cells_broadcast(spark):
+    """The sparse-cell list joins back by broadcast — the fact side is
+    never shuffled for the flag join."""
+    p = plan_of(spark, "den1_grid_density")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
