@@ -1,21 +1,35 @@
-"""Corpus-statistics mining operators: a BPE merge step, unigram-LM
-quality ranks, rank statistics (Spearman, winsorization), impurity and
-trend measures, and physical-layout zone maps.
+"""Corpus-statistics mining operators — the *statistics* stages of a
+training-data pipeline (SURVEY.md §7 phase 5 extension; no reference
+counterpart — the reference is a 479-line pandas ETL).
 
-These extend the LLM-curation surface (SURVEY.md §7 phase 5; no
-reference counterpart — the reference is a 479-line pandas ETL) with
-the *statistics* stages of a training-data pipeline: the tokenizer-
-training inner loop (``bpe1``), CCNet-style language-model quality
-scoring (``lm1``), robust outlier treatment (``an3``), monotone-
-association and drift measures (``corr1``, ``gini1``, ``g13``),
-time-decayed feature engineering (``fe1``), and the min/max file
-statistics a lakehouse writer maintains (``zone1``).
+Families in this module:
+
+- tokenizer training: ``bpe1`` (one BPE merge step — char-pair counts)
+- quality scoring: ``lm1`` (unigram-LM frequency-rank proxy, CCNet
+  style), ``cos1`` (tf-idf cosine near-pairs over a capped inverted
+  index)
+- rank statistics: ``corr1`` (Spearman), ``mw1`` (Mann-Whitney U
+  two-sample drift), ``an3`` (rank-based winsorization), ``wmed1``
+  (weighted median), ``den1`` (grid-density outliers)
+- trend & mixture measures: ``g13`` (OLS trend from decimal power
+  sums), ``gini1`` (language-mix impurity), ``dq7`` (Benford digit
+  audit), ``dq6`` (join-key skew profile)
+- behavior sequences: ``seq1`` (event trigrams), ``att1``
+  (multi-touch attribution), ``itv1`` (interval union), ``fe1``
+  (halving-decay activity feature), ``w8``/``w9`` (IGNORE-NULLS
+  navigation, ratio-to-report)
+- operational: ``late1`` (watermark late-arrival restatement plan),
+  ``ivm1`` (incremental view maintenance via mergeable states),
+  ``zone1`` (zone-map file statistics), ``grp1`` (ordered top-N
+  concat)
 
 Determinism contract (registry docstring): counts and ranks are
 integers; every rank window ends in a unique tiebreak key; double
 arithmetic happens only on exact integer-derived operands (IEEE-
 identical across engines) and is ``round``-ed where a quotient is
-emitted. No RNG, no floats accumulated in partition order.
+emitted. No RNG, no floats accumulated in partition order; group
+splits use the cross-engine hash of stable keys, never literal data
+values (the corpus renames values between driver rounds).
 """
 
 from __future__ import annotations
