@@ -1059,6 +1059,13 @@ def cos1_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tf") * F.expr("(1000 * n) div df")).alias("wv"),
         )
     )
+    # wt feeds THREE consumers (norms + both sides of the pair join):
+    # unpersisted, the shingle explode and tf/df groupBys replay three
+    # times (the d3 diamond-plan lesson). The session cache-clear
+    # between registry queries releases it.
+    from pyspark import StorageLevel
+
+    wt = wt.persist(StorageLevel.MEMORY_AND_DISK)
     norms = wt.groupBy("doc_id").agg(F.sum(F.col("wv") * F.col("wv")).alias("nrm"))
     a, b = wt.alias("a"), wt.alias("b")
     dots = (
