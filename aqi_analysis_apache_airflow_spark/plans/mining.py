@@ -1640,3 +1640,121 @@ def den1_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.join(F.broadcast(sparse), ["cell_v", "cell_h"]).select(
         "event_id", "value", "cell_v", "cell_h", "cell_n"
     )
+
+
+# --------------------------------------------------------------------------
+# wmed2 — two-phase banded weighted median (the 100 TB path for wmed1)
+# --------------------------------------------------------------------------
+
+_WMED2_BAND = 100  # price band width for phase 1
+
+
+@query(
+    "wmed2_weighted_median_banded",
+    # Same logical result as wmed1 — the oracle is DELIBERATELY the
+    # single-window formulation, proving the two-phase plan computes
+    # the identical lower weighted median.
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             l_extendedprice,
+             sum(CAST(l_quantity AS DECIMAL(18,2)))
+               OVER (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             sum(CAST(l_quantity AS DECIMAL(18,2)))
+               OVER (PARTITION BY l_returnflag) AS totw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(max(totw) AS DOUBLE) AS total_weight,
+           min(CASE WHEN 2 * cumw >= totw THEN l_extendedprice END)
+             AS weighted_median
+    FROM w GROUP BY l_returnflag
+    """,
+)
+def wmed2_weighted_median_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wmed1's answer by a plan that survives 100 TB: the exact
+    weighted median WITHOUT sorting any full group. Phase 1 buckets
+    prices into bands and aggregates band weights (map-side combined
+    to |groups|·|bands| rows); a window over that TINY band table
+    finds each group's crossing band — the band where the running
+    weight first reaches half the total — and the weight accumulated
+    strictly before it. Phase 2 sorts ONLY the rows inside each
+    group's crossing band (a broadcast semi-filter of the fact) and
+    offsets their running weight by the phase-1 prefix. wmed1's
+    single window instead sorts every group end-to-end — one straggler
+    task per giant group; here the per-group sort is one band wide.
+    Same two-phase banded pattern as sky1's Pareto frontier. The
+    oracle is deliberately the one-window formulation: both plans
+    must produce the identical datum."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    ).withColumn(
+        "band", F.floor(F.col("l_extendedprice") / _WMED2_BAND).cast("long")
+    )
+    bands = li.groupBy("l_returnflag", "band").agg(
+        F.sum("qty").alias("bw")
+    )
+    from pyspark import StorageLevel
+
+    by_flag_band = Window.partitionBy("l_returnflag").orderBy("band")
+    banded = bands.select(
+        "l_returnflag",
+        "band",
+        F.sum("bw")
+        .over(by_flag_band.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("bw")
+        .over(Window.partitionBy("l_returnflag"))
+        .alias("totw"),
+    )
+    # the band table feeds crossing (twice) and prefix: persist the
+    # tiny relation so the lineitem scan + band groupBy run once
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    crossing = (
+        banded.where(F.lit(2) * F.col("cum") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("band").alias("xband"),
+            F.max("totw").alias("totw"),
+        )
+    )
+    # weight accumulated strictly BEFORE the crossing band: cum is
+    # monotone in band, so it's the max cum over earlier bands (absent
+    # when the crossing band is the group's first band -> coalesce 0)
+    prefix = (
+        banded.join(
+            F.broadcast(crossing.select("l_returnflag", "xband")),
+            "l_returnflag",
+        )
+        .where(F.col("band") < F.col("xband"))
+        .groupBy("l_returnflag")
+        .agg(F.max("cum").alias("prior"))
+    )
+    inb = li.join(F.broadcast(crossing), "l_returnflag").where(
+        F.col("band") == F.col("xband")
+    )
+    w_in = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    scored = (
+        inb.join(F.broadcast(prefix), "l_returnflag", "left_outer")
+        .select(
+            "l_returnflag",
+            "l_extendedprice",
+            "totw",
+            (
+                F.coalesce(F.col("prior"), F.lit(0).cast("decimal(18,2)"))
+                + F.sum("qty").over(w_in)
+            ).alias("cumw"),
+        )
+    )
+    return scored.groupBy("l_returnflag").agg(
+        F.max("totw").cast("double").alias("total_weight"),
+        F.min(
+            F.when(F.lit(2) * F.col("cumw") >= F.col("totw"),
+                   F.col("l_extendedprice"))
+        ).alias("weighted_median"),
+    )

@@ -150,6 +150,7 @@ HEADLINE = [
     "ivm1_partial_merge",
     "grp1_group_top3_concat",
     "den1_grid_density",
+    "wmed2_weighted_median_banded",
 ]
 
 

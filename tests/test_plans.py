@@ -443,3 +443,12 @@ def test_den1_sparse_cells_broadcast(spark):
     p = plan_of(spark, "den1_grid_density")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_wmed2_no_full_group_sort_merge(spark):
+    """The banded twin must keep every join broadcast (crossing/prefix
+    are |groups|-sized) and never sort-merge the fact; its only fact
+    sort happens after the crossing-band semi-filter."""
+    p = plan_of(spark, "wmed2_weighted_median_banded")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
