@@ -1758,3 +1758,144 @@ def wmed2_weighted_median_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("l_extendedprice"))
         ).alias("weighted_median"),
     )
+
+
+# --------------------------------------------------------------------------
+# pv1 — multi-aggregate pivot (count + decimal sum per pivoted value)
+# --------------------------------------------------------------------------
+
+_PV1_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pv1_pivot_multi_agg",
+    oracle=f"""
+    WITH {EVENTS_US_CTE},
+    d AS (SELECT user_id, event_type, value FROM ev)
+    SELECT user_id,
+           {", ".join(
+             f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+             f" AS n_{t}, "
+             f"CAST(COALESCE(sum(CASE WHEN event_type = '{t}' "
+             f"THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE)"
+             f" AS total_{t}"
+             for t in _PV1_TYPES
+           )}
+    FROM d GROUP BY user_id
+    """,
+)
+def pv1_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate pivot: one row per user with BOTH a count and a
+    decimal-exact value total per event type — the wide feature-matrix
+    shape (g2 pivots a single aggregate; real feature engineering
+    wants several per cell). Implemented as conditional aggregation
+    rather than ``.pivot()``: the pivoted domain is declared
+    explicitly, so the plan is a single map-side-combined groupBy
+    with no distinct-values pre-pass (``pivot()`` without a values
+    list runs an extra collect to discover columns — a driver
+    round-trip this formulation never pays).
+
+    Shape: ONE groupBy over the fact, 10 conditional aggregates
+    sharing the shuffle; absent combinations yield 0 via coalesce so
+    the matrix is dense."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    aggs = []
+    for t in _PV1_TYPES:
+        is_t = F.col("event_type") == t
+        aggs.append(
+            F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias(f"n_{t}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(is_t, F.col("value").cast("decimal(18,6)"))),
+                F.lit(0).cast("decimal(28,6)"),
+            )
+            .cast("double")
+            .alias(f"total_{t}")
+        )
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# dq8 — candidate-key uniqueness audit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dq8_uniqueness_audit",
+    oracle=f"""
+    WITH {EVENTS_US_CTE},
+    o AS (
+      SELECT 'orders.o_orderkey' AS candidate_key,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+      FROM orders
+    ),
+    l AS (
+      SELECT 'lineitem.(l_orderkey,l_linenumber)' AS candidate_key,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT l_orderkey || '|' || l_linenumber) AS BIGINT)
+               AS n_keys
+      FROM lineitem
+    ),
+    e AS (
+      SELECT 'events.(user_id,ts)' AS candidate_key,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT user_id || '|' || epoch_us(ts)) AS BIGINT)
+               AS n_keys
+      FROM ev
+    )
+    SELECT candidate_key, n_rows, n_keys,
+           n_rows - n_keys AS n_violations,
+           n_rows = n_keys AS is_unique
+    FROM (SELECT * FROM o UNION ALL SELECT * FROM l UNION ALL SELECT * FROM e)
+    """,
+)
+def dq8_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key uniqueness audit: for each declared key (the
+    orders PK, the lineitem composite PK, the events (user, time)
+    near-key) — row count vs distinct-key count, violation count, and
+    a pass flag. The dq-family completion next to dq1's FK orphans:
+    upstream MERGE/SCD2 correctness (j6, scd2) silently depends on
+    these keys actually being unique, and this is the audit that
+    says so. Composite keys fold to one comparable value by '|'-
+    joined string encoding — injective here (no key part contains the
+    separator) and overflow-free where an arithmetic fold is not.
+
+    Shape: three independent single-pass aggregations (count +
+    count-distinct share one shuffle each via Spark's distinct-agg
+    rewrite), unioned into a 3-row report."""
+    o = load(spark, sf_dir, "orders").agg(
+        F.lit("orders.o_orderkey").alias("candidate_key"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
+    )
+    li = load(spark, sf_dir, "lineitem").agg(
+        F.lit("lineitem.(l_orderkey,l_linenumber)").alias("candidate_key"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct(
+            F.concat_ws("|", "l_orderkey", "l_linenumber")
+        ).cast("long").alias("n_keys"),
+    )
+    ev = load(spark, sf_dir, "events").agg(
+        F.lit("events.(user_id,ts)").alias("candidate_key"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct(
+            F.concat_ws(
+                "|",
+                F.col("user_id"),
+                F.unix_micros(F.col("ts").cast("timestamp")),
+            )
+        ).cast("long").alias("n_keys"),
+    )
+    return (
+        o.unionAll(li)
+        .unionAll(ev)
+        .select(
+            "candidate_key",
+            "n_rows",
+            "n_keys",
+            (F.col("n_rows") - F.col("n_keys")).alias("n_violations"),
+            (F.col("n_rows") == F.col("n_keys")).alias("is_unique"),
+        )
+    )

@@ -151,6 +151,8 @@ HEADLINE = [
     "grp1_group_top3_concat",
     "den1_grid_density",
     "wmed2_weighted_median_banded",
+    "pv1_pivot_multi_agg",
+    "dq8_uniqueness_audit",
 ]
 
 
