@@ -391,8 +391,13 @@ def sub1_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = toked.select(
         "doc_id",
         F.explode(
+            # Docs with < 3 tokens have no 3-token window.  sequence(1, 0)
+            # counts DOWN to [1, 0] in Spark, so the greatest(...) form
+            # would feed element_at(t, 0) and throw
+            # INVALID_ARRAY_INDEX_IN_ELEMENT_AT — guard like bpe1 does.
             F.expr(
-                "transform(sequence(1, greatest(size(t) - 2, 0)),"
+                "transform(if(size(t) >= 3, sequence(1, size(t) - 2),"
+                " cast(array() AS array<int>)),"
                 " i -> struct(i AS pos,"
                 " md5(concat_ws(' ', element_at(t, i),"
                 " element_at(t, i + 1), element_at(t, i + 2))) AS key))"

@@ -194,11 +194,27 @@ def main() -> None:
         mid = len(s) // 2
         return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
+    def spread_pct(xs: list[float]) -> float:
+        return 100 * (max(xs) - min(xs)) / median(xs)
+
+    # Adaptive re-run: sub-second queries on a shared JVM can show
+    # 70-90% min-max spread over 3 passes, which hides real regressions.
+    # Queries over the threshold get extra samples (up to 5 total) so
+    # the median settles; the detail file records the final spread.
+    if n_passes > 1:
+        for _ in range(2):
+            noisy = [n for n, xs in samples.items() if spread_pct(xs) > 30.0]
+            if not noisy:
+                break
+            for name in noisy:
+                q = REGISTRY[name]
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples[name].append(time.perf_counter() - t0)
+
     timings = {name: round(median(xs), 4) for name, xs in samples.items()}
-    spread = {
-        name: round(100 * (max(xs) - min(xs)) / median(xs), 1)
-        for name, xs in samples.items()
-    }
+    spread = {name: round(spread_pct(xs), 1) for name, xs in samples.items()}
     total = round(sum(timings.values()), 4)
 
     # Full-precision detail (incl. per-query spread) goes to a side file;
@@ -240,10 +256,15 @@ def main() -> None:
         if len(line) <= budget:
             break
         real = [(n, t) for n, t in shown.items() if n != "zz_others"]
+        if not real:
+            break
         real.sort(key=lambda nt: nt[1])
         folded = shown.get("zz_others", 0.0) + real[0][1]
         shown = dict(real[1:])
         shown["zz_others"] = round(folded, 2)
+    # Hard guarantee: a line over the harness capture budget means the
+    # whole round's bench is recorded as parsed:null (bit round 3).
+    assert len(line) <= budget, f"bench line {len(line)} chars > {budget}"
     print(line)
 
 

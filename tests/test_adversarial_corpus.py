@@ -40,6 +40,9 @@ DOC_QUERIES = [
     "gini1_lang_impurity",
     "cos1_tfidf_cosine_pairs",
     "mw1_mann_whitney",
+    # <3-token docs: sequence(1, size-2) would count DOWN without the
+    # short-doc guard (ADVICE r4) — this corpus has 0/1/2-token docs
+    "sub1_duplicate_spans",
 ]
 
 _ROWS = [

@@ -381,12 +381,28 @@ def test_cos1_cap_filter_precedes_self_join(spark):
     """The df <= cap stop-term filter must sit below the term-keyed
     self-join (bounding fan-out to C(cap,2) per term), and the 1-row
     corpus count must broadcast, never shuffle the weighted postings."""
+    import re
+
     p = plan_of(spark, "cos1_tfidf_cosine_pairs")
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
-    # the df <= cap stop-term filter is in the plan, ahead of the pair join
-    cap_filter = p.index("<= 20)")
-    pair_join = p.index("doc_id")
-    assert cap_filter >= 0 and pair_join >= 0
+    details = p[p.index("(1) ") :]
+    # the df <= cap stop-term filter node
+    m_f = re.search(r"\((\d+)\) Filter\n[^\n]*\nCondition : \(df#\d+L? <= 20\)", details)
+    assert m_f, "df <= 20 stop-term Filter missing from the plan"
+    # the pair self-join: the only join whose condition is doc_a < doc_b
+    m_j = re.search(
+        r"\((\d+)\) BroadcastHashJoin\n(?:[^\n]+\n)*?"
+        r"Join condition: \(doc_id#\d+L? < doc_id#\d+L?\)",
+        details,
+    )
+    assert m_j, "doc_id < doc_id pair self-join missing from the plan"
+    # In formatted explain the tree prints parents before children, so the
+    # cap filter sitting in the pair join's child subtree means its tree
+    # line appears AFTER the join's. If a refactor lifted the filter above
+    # the join (filtering pairs instead of postings), this flips.
+    tree = p[: p.index("(1) ")]
+    join_pos = tree.index(f"({m_j.group(1)})")
+    filter_pos = tree.index(f"Filter ({m_f.group(1)})")
+    assert join_pos < filter_pos, "df cap filter is not below the pair self-join"
 
 
 def test_seq1_one_sort_two_lags(spark):
