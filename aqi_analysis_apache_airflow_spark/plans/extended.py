@@ -334,6 +334,39 @@ _D2_EXACT_SQL = f"""
     {_D2_SELECT}
     """
 
+#: Capped (df <= 20, stop-shingle-pruned) twin of the d2 fragments —
+#: the 100 TB-shaped pair graph. Shared by d2b AND the cluster-level
+#: consumers (d6 components, split2 leakage-safe split) so every
+#: downstream oracle applies the IDENTICAL cap the Spark plan does.
+_D2B_CTES = """toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    freq AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY 1),
+    capped AS (
+      SELECT s.doc_id, s.shingle
+      FROM shingles s JOIN freq USING (shingle)
+      WHERE freq.df <= 20
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM capped GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM capped a JOIN capped b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )"""
+
+_D2B_SELECT = """SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.5"""
+
 
 @query("d2_ngram_jaccard", oracle=_D2_EXACT_SQL)
 def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,8 +401,8 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d6_dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE {_D2_CTES},
-    pairs AS ({_D2_SELECT}),
+    WITH RECURSIVE {_D2B_CTES},
+    pairs AS ({_D2B_SELECT}),
     edges AS (
       SELECT doc_a, doc_b FROM pairs
       UNION
@@ -402,6 +435,13 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is the 100 TB shape (per-round groupBy + label join, no
     closure materialization).
 
+    The pair graph comes from the CAPPED Jaccard path (d2b's
+    ``max_doc_freq=20`` stop-shingle pruning — bounded to ≤ C(20,2)
+    candidate rows per shingle) and the oracle applies the identical
+    cap, so the plan contains no uncapped shingle self-join; the
+    uncapped all-pairs form survives only where an oracle genuinely
+    needs it as exact ground truth (d2 baseline, d3v recall proof).
+
     The completion of the dedup story: d2/d3 find the pairs, this op
     decides what to DROP."""
     from ..functions.dedup import connected_components, ngram_jaccard_pairs
@@ -409,7 +449,7 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        docs, threshold=0.5, k=3, max_doc_freq=None, allow_quadratic=True
+        docs, threshold=0.5, k=3, max_doc_freq=20
     ).persist(StorageLevel.MEMORY_AND_DISK)
     comp = connected_components(pairs)
     csize = comp.groupBy("cluster_id").agg(
@@ -1301,34 +1341,9 @@ def g6_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "d2b_ngram_jaccard_capped",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
-    ),
-    shingles AS (
-      SELECT DISTINCT doc_id,
-             concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
-      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
-    ),
-    freq AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY 1),
-    capped AS (
-      SELECT s.doc_id, s.shingle
-      FROM shingles s JOIN freq USING (shingle)
-      WHERE freq.df <= 20
-    ),
-    sizes AS (SELECT doc_id, count(*) AS set_size FROM capped GROUP BY 1),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      FROM capped a JOIN capped b USING (shingle)
-      WHERE a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.5
+    oracle=f"""
+    WITH {_D2B_CTES}
+    {_D2B_SELECT}
     """,
 )
 def d2b_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:

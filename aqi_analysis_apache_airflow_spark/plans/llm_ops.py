@@ -274,11 +274,11 @@ _SPLIT2_CE = CE_HASH64_SQL.format(
 
 
 def _split2_oracle() -> str:
-    from .extended import _D2_CTES, _D2_SELECT
+    from .extended import _D2B_CTES, _D2B_SELECT
 
     return f"""
-    WITH RECURSIVE {_D2_CTES},
-    pairs AS ({_D2_SELECT}),
+    WITH RECURSIVE {_D2B_CTES},
+    pairs AS ({_D2B_SELECT}),
     edges AS (
       SELECT doc_a, doc_b FROM pairs
       UNION
@@ -311,15 +311,19 @@ def split2_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     val; singleton docs hash on their own id, preserving the 90/10
     marginal rate.
 
-    Scale: pair graph + min-label propagation are d6's bounded plans;
-    the split itself is a zero-shuffle projection off the (tiny)
-    component map left-joined onto the corpus."""
+    Scale: the pair graph is d6's bounded plan — the CAPPED Jaccard
+    path (``max_doc_freq=20`` stop-shingle pruning, ≤ C(20,2)
+    candidates per shingle, no uncapped shingle self-join anywhere in
+    the physical plan; the DuckDB oracle applies the identical cap) —
+    followed by min-label propagation; the split itself is a
+    zero-shuffle projection off the (tiny) component map left-joined
+    onto the corpus."""
     from ..functions.dedup import connected_components, ngram_jaccard_pairs
     from pyspark import StorageLevel
 
     docs = load(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        docs, threshold=0.5, k=3, max_doc_freq=None, allow_quadratic=True
+        docs, threshold=0.5, k=3, max_doc_freq=20
     ).persist(StorageLevel.MEMORY_AND_DISK)
     comp = connected_components(pairs)
     group = F.coalesce(F.col("cluster_id"), F.col("doc_id"))

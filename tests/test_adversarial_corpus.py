@@ -43,6 +43,11 @@ DOC_QUERIES = [
     # <3-token docs: sequence(1, size-2) would count DOWN without the
     # short-doc guard (ADVICE r4) — this corpus has 0/1/2-token docs
     "sub1_duplicate_spans",
+    # capped pair graph + connected components on a corpus where most
+    # docs shingle to nothing (empty edge set must not break either side)
+    "d2b_ngram_jaccard_capped",
+    "d6_dedup_clusters",
+    "split2_cluster_split",
 ]
 
 _ROWS = [

@@ -405,6 +405,29 @@ def test_cos1_cap_filter_precedes_self_join(spark):
     assert join_pos < filter_pos, "df cap filter is not below the pair self-join"
 
 
+@pytest.mark.parametrize("name", ["split2_cluster_split", "d6_dedup_clusters"])
+def test_cluster_ops_use_capped_pair_graph(spark, name):
+    """The cluster-level dedup consumers (connected components, the
+    leakage-safe split) must build their pair graph through the CAPPED
+    Jaccard path: the df <= 20 stop-shingle filter present, and NO join
+    keyed on the shingle column anywhere in the physical plan (the
+    capped path enumerates pairs from the bounded per-shingle doc
+    array; a shingle-keyed self-join is the uncapped quadratic shape
+    that dies at 100 TB)."""
+    import re
+
+    p = plan_of(spark, name)
+    assert "<= 20)" in p, "df <= 20 stop-shingle cap missing"
+    details = p[p.index("(1) ") :]
+    for blk in re.split(r"\n\n", details):
+        head = blk.split("\n", 1)[0]
+        if "Join" in head:
+            keys = "\n".join(
+                ln for ln in blk.split("\n") if ln.startswith(("Left keys", "Right keys"))
+            )
+            assert "shingle" not in keys, f"shingle-keyed join in {name}: {head}"
+
+
 def test_seq1_one_sort_two_lags(spark):
     """Both lag offsets ride one (user, time) sort: a single Exchange
     for the window, one more for the tiny trigram aggregation."""
