@@ -1525,9 +1525,10 @@ _COS_SQL = (
 )
 
 
-@query(
-    "sim_ivfm_topk",
-    oracle=f"""
+#: The md5-family IVF build + probe + rerank, replayed bit-for-bit in
+#: SQL — the oracle for BOTH sim_ivfm (inline) and sim_ivfd (on-disk
+#: partition-pruned probe of the identical index).
+_SIM_IVFM_SQL = f"""
     WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
     cid AS (
       SELECT min_by(vec_id, {_CE_VID_SEEDED}) AS vec_id
@@ -1581,8 +1582,10 @@ _COS_SQL = (
     FROM fpairs GROUP BY vec_id
     ORDER BY cosine_sim DESC, vec_id
     LIMIT 50
-    """,
-)
+    """
+
+
+@query("sim_ivfm_topk", oracle=_SIM_IVFM_SQL)
 def sim_ivfm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k, fully ORACLE-BACKED: centroid selection
     uses the md5-derived cross-engine hash (bucket by
@@ -1599,8 +1602,32 @@ def sim_ivfm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of the embedding column. The xxhash64 twin (sim_ivf_topk)
     is the production fast path; recall vs brute force is additionally
     unit-tested there."""
+    from ..functions.similarity import brute_force_topk, cosine
+
+    cents, assigned, qvec = _md5_ivf_parts(spark, sf_dir)
+    probed = (
+        cents.join(F.broadcast(qvec))
+        .select(
+            "centroid_id", cosine(F.col("cvec"), F.col("qv")).alias("__s")
+        )
+        .orderBy(F.col("__s").desc(), "centroid_id")
+        .limit(4)
+        .select("centroid_id")
+    )
+    cand = assigned.join(
+        F.broadcast(probed), assigned.cluster == probed.centroid_id
+    ).select("vec_id", "embedding")
+    return brute_force_topk(cand, qvec, k=50)
+
+
+def _md5_ivf_parts(spark: SparkSession, sf_dir: str):
+    """The md5-family (cross-engine, bit-exact) IVF index build shared
+    by sim_ivfm (inline probe) and sim_ivfd (on-disk partition-pruned
+    probe): returns (centroids, assigned, query) where every cosine is
+    the decimal-summed reproducible form, so DuckDB can replay the
+    whole build."""
     from ..functions.dedup import ce_hash64
-    from ..functions.similarity import brute_force_topk, cosine, dot_decimal
+    from ..functions.similarity import dot_decimal
 
     full = load(spark, sf_dir, "embeddings")
     emb = full.filter(F.col("vec_id") != 0)
@@ -1651,18 +1678,58 @@ def sim_ivfm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", best["centroid_id"].alias("cluster")
     )
     qvec = full.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    probed = (
-        cents.join(F.broadcast(qvec))
-        .select(
-            "centroid_id", cosine(F.col("cvec"), F.col("qv")).alias("__s")
-        )
-        .orderBy(F.col("__s").desc(), "centroid_id")
-        .limit(4)
-        .select("centroid_id")
+    return cents, assigned, qvec
+
+
+@query(
+    "sim_ivfd_topk",
+    oracle=_SIM_IVFM_SQL,
+)
+def sim_ivfd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k probed against an ON-DISK index — the warehouse form
+    of sim_ivfm, bit-identical result, different physical story: the
+    md5-family assignment is written PARTITIONED BY cluster (one
+    directory per centroid) plus the tiny centroid table; the probe
+    ranks the centroid table against the query, collects the 4 winning
+    cluster ids (a sanctioned control-plane read of 4 integers, like
+    the CET/LSET lookup), and scans the assigned table with a literal
+    ``isin`` — the parquet scan's PartitionFilters clause drops the
+    other 12 directories before a single file opens (plan-asserted in
+    tests/test_plans.py). At 100 TB this is the difference between an
+    ANN probe touching ~n_probe/n_centroids of the index bytes and
+    re-deriving the full assignment per query; the index write is
+    amortized across every probe that follows (here it runs once per
+    call so the driver sees a self-contained query)."""
+    import os
+
+    from ..functions.similarity import brute_force_topk, cosine
+
+    cents, assigned, qvec = _md5_ivf_parts(spark, sf_dir)
+    path = os.path.join(
+        "/tmp/spark_graft_ivf_index", os.path.basename(sf_dir.rstrip("/"))
     )
-    cand = assigned.join(
-        F.broadcast(probed), assigned.cluster == probed.centroid_id
-    ).select("vec_id", "embedding")
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{path}/assigned"
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    probed = [
+        r["centroid_id"]
+        for r in (
+            spark.read.parquet(f"{path}/centroids")
+            .join(F.broadcast(qvec))
+            .select(
+                "centroid_id", cosine(F.col("cvec"), F.col("qv")).alias("__s")
+            )
+            .orderBy(F.col("__s").desc(), "centroid_id")
+            .limit(4)
+            .collect()
+        )
+    ]
+    cand = (
+        spark.read.parquet(f"{path}/assigned")
+        .filter(F.col("cluster").isin(probed))
+        .select("vec_id", "embedding")
+    )
     return brute_force_topk(cand, qvec, k=50)
 
 

@@ -63,6 +63,7 @@ HEADLINE = [
     "t4_tfidf",
     "sim_cosine_topk",
     "sim_ivf_topk",
+    "sim_ivfd_topk",
     "q7_nation_volume",
     "q8_market_share",
     # round-3 additions (new rows vs r02 — absence in older BENCH_r*

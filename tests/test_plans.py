@@ -106,6 +106,19 @@ def test_d3_plan_no_corpus_broadcast(spark):
         assert "n_extra" in seg, "broadcast hint is not the 1-row n_extra aggregate"
 
 
+def test_ivfd_probe_scan_is_partition_pruned(spark):
+    """The on-disk IVF probe must read only the n_probe=4 cluster
+    directories: the assigned-table scan carries a PartitionFilters
+    clause with a literal 4-value IN over the cluster partition column
+    (files of the other 12 clusters are never opened)."""
+    import re
+
+    p = plan_of(spark, "sim_ivfd_topk")
+    m = re.search(r"PartitionFilters: \[cluster#\d+ IN \(([^)]*)\)\]", p)
+    assert m, "probe scan has no cluster IN (...) PartitionFilters"
+    assert len(m.group(1).split(",")) == 4
+
+
 def test_null_normalize(spark):
     df = spark.createDataFrame([(1.0,), (float("nan"),), (None,)], "x double")
     out = [r["y"] for r in df.select(null_normalize(F.col("x")).alias("y")).collect()]
