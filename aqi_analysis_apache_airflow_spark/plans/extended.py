@@ -1525,11 +1525,10 @@ _COS_SQL = (
 )
 
 
-#: The md5-family IVF build + probe + rerank, replayed bit-for-bit in
-#: SQL — the oracle for BOTH sim_ivfm (inline) and sim_ivfd (on-disk
-#: partition-pruned probe of the identical index).
-_SIM_IVFM_SQL = f"""
-    WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+#: The md5-family IVF index build (bucketed centroid pick + per-vector
+#: argmin assignment), replayed bit-for-bit in SQL — shared by the IVF
+#: probes (sim_ivfm/sim_ivfd) and the SemDeDup query (sdd1).
+_IVFM_ASSIGN_CTES = f"""emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
     cid AS (
       SELECT min_by(vec_id, {_CE_VID_SEEDED}) AS vec_id
       FROM emb
@@ -1555,7 +1554,13 @@ _SIM_IVFM_SQL = f"""
                        + centroid_id)
                AS cluster
       FROM asim GROUP BY vec_id
-    ),
+    )"""
+
+#: The md5-family IVF build + probe + rerank, replayed bit-for-bit in
+#: SQL — the oracle for BOTH sim_ivfm (inline) and sim_ivfd (on-disk
+#: partition-pruned probe of the identical index).
+_SIM_IVFM_SQL = f"""
+    WITH {_IVFM_ASSIGN_CTES},
     q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     qpairs AS (
       SELECT c.centroid_id, unnest(c.cvec) AS x, unnest(q.qv) AS y
@@ -1731,6 +1736,81 @@ def sim_ivfd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
     )
     return brute_force_topk(cand, qvec, k=50)
+
+
+@query(
+    "sdd1_semantic_dedup",
+    oracle=f"""
+    WITH {_IVFM_ASSIGN_CTES},
+    members AS (
+      SELECT a.vec_id, a.cluster, e.embedding
+      FROM assigned a JOIN emb e USING (vec_id)
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             unnest(a.embedding) AS x, unnest(b.embedding) AS y
+      FROM members a JOIN members b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ),
+    cd AS (
+      SELECT id_a, id_b, {_COS_SQL} AS c
+      FROM p GROUP BY id_a, id_b
+    ),
+    dropped AS (SELECT DISTINCT id_b AS vec_id FROM cd WHERE c >= 0.4)
+    SELECT m.vec_id, m.cluster, d.vec_id IS NULL AS is_kept
+    FROM members m LEFT JOIN dropped d USING (vec_id)
+    """,
+)
+def sdd1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and dropping, within each
+    cluster, every vector that has a lower-id neighbor above the
+    cosine threshold — the embedding-space complement of the lexical
+    d-family (catches paraphrases and re-encodings that share no
+    shingles). Cluster assignment is the md5-family IVF quantizer
+    (bit-exact SQL replay via the shared assignment CTEs); pair
+    cosines are the decimal-summed reproducible form; keep-lowest-id
+    makes the drop decision deterministic. Output: every corpus
+    vector with its cluster and the keep/drop verdict.
+
+    Scale shape: the whole point of SemDeDup is that pairwise
+    comparison happens only WITHIN a cluster — one shuffle on the
+    cluster key, then C(cluster_size, 2) local work instead of
+    C(corpus, 2) global; at 100 TB n_centroids grows with the corpus
+    so cluster size (and the per-task quadratic) stays bounded, and
+    the assignment itself is the broadcast-argmin projection
+    ivf_assign documents (no corpus shuffle to build the index)."""
+    from ..functions.similarity import cosine
+    from pyspark import StorageLevel
+
+    _, assigned, _ = _md5_ivf_parts(spark, sf_dir)
+    members = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    a = members.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = members.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", cosine(F.col("va"), F.col("vb")).alias("c"))
+        .filter(F.col("c") >= 0.4)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        members.select("vec_id", "cluster")
+        .join(dropped, "vec_id", "left_outer")
+        .select(
+            "vec_id", "cluster", F.col("__dropped").isNull().alias("is_kept")
+        )
+    )
 
 
 @query(

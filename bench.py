@@ -64,6 +64,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ivf_topk",
     "sim_ivfd_topk",
+    "sdd1_semantic_dedup",
     "q7_nation_volume",
     "q8_market_share",
     # round-3 additions (new rows vs r02 — absence in older BENCH_r*
