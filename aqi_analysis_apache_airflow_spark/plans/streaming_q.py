@@ -237,3 +237,106 @@ def st5_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "c_mktsegment")
     out = run_to_memory(joined, _sink_name("st5_dim_join_sink"), mode="append")
     return out
+
+
+@query(
+    "st6_stream_merge_upsert",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value, event_id
+      FROM events
+    ),
+    latest AS (
+      SELECT user_id, ts, event_type, value
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev
+      ) WHERE rn = 1
+    )
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           value AS last_value
+    FROM latest
+    """,
+)
+def st6_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert — the reference's measurement MERGE (J6,
+    ``dags/etl/stage_to_nds.py:141-176``) as a LIVE streaming sink:
+    ``foreachBatch`` compacts each micro-batch to its newest row per
+    user (deterministic (ts, event_id) tiebreak), then runs the same
+    ``merge_upsert`` the batch pipeline uses against the parquet
+    warehouse with stage-and-swap. The target is pre-seeded with the
+    EARLIEST event of every even user, so one replay exercises BOTH
+    merge arms: even users must be UPDATED past the stale seed, odd
+    users INSERTED. Final state = newest event per user, which is the
+    batch oracle.
+
+    Scale: per-batch compaction bounds merge input to one row per key
+    per batch; the merge itself is the key-partitioned full-outer join
+    (at deployment scale the swap becomes Delta/Iceberg MERGE INTO
+    with an unchanged logical plan, and this exact foreachBatch shape
+    is the standard Kafka→lakehouse CDC consumer)."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..operators.merge import merge_upsert
+    from ..pipelines.warehouse import Warehouse
+    from ..sources.readers import load_table
+    from ..streaming.ops import read_events_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = tempfile.mkdtemp(prefix="st6_wh_")
+    wh = Warehouse(spark, root)
+
+    def _compact(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                F.col("ts").cast("timestamp_ntz").alias("last_ts"),
+                F.col("event_type").alias("last_event_type"),
+                F.col("value").alias("last_value"),
+            )
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    stale_w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seed = (
+        ev.filter(F.col("user_id") % 2 == 0)
+        .withColumn("__rn", F.row_number().over(stale_w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp_ntz").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+    wh.overwrite(seed, "user_latest")
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        wh.overwrite(
+            merge_upsert(
+                wh.read("user_latest"), _compact(batch_df), keys=["user_id"]
+            ),
+            "user_latest",
+        )
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return wh.read("user_latest").select(
+        "user_id", "last_ts", "last_event_type", "last_value"
+    )
