@@ -272,6 +272,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_family: str = "xxhash64",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """One row per doc with ``sig: array<bigint>`` of length n_hashes.
 
@@ -290,8 +291,17 @@ def minhash_signatures(
 
     Aggregation is a groupBy(doc) of per-shingle minima: map-side
     combine collapses most of the data before the single shuffle.
+
+    ``shingles`` — optionally pass a pre-exploded (id, shingle) frame
+    (persist it first): callers that build signatures under SEVERAL
+    hash families (d3's family-agreement form) then pay the CPU-heavy
+    shingle transform once instead of once per family.
     """
-    sh = exploded_shingles(docs, id_col, text_col, k)
+    sh = (
+        shingles
+        if shingles is not None
+        else exploded_shingles(docs, id_col, text_col, k)
+    )
     if hash_family == "xxhash64":
         hash_cols = [
             F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"__hv{i}")

@@ -590,19 +590,29 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: both families share the banded LSH plan (signatures
     persisted, band-bucket join, no corpus-quadratic stage); the
     agreement join is pair-keyed on two already-small pair sets."""
-    from ..functions.dedup import lsh_candidate_pairs, minhash_signatures
+    from pyspark import StorageLevel
+
+    from ..functions.dedup import (
+        exploded_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
 
     docs = load(spark, sf_dir, "documents")
+    # one shingle explode feeds BOTH hash families
+    sh = exploded_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     prod = (
         lsh_candidate_pairs(
-            minhash_signatures(docs, n_hashes=32), bands=8, n_hashes=32
+            minhash_signatures(docs, n_hashes=32, shingles=sh),
+            bands=8,
+            n_hashes=32,
         )
         .filter(F.col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b", F.col("est_jaccard").alias("est_prod"))
     )
     twin = (
         lsh_candidate_pairs(
-            minhash_signatures(docs, n_hashes=32, hash_family="md5"),
+            minhash_signatures(docs, n_hashes=32, hash_family="md5", shingles=sh),
             bands=8,
             n_hashes=32,
             band_key="slice",
