@@ -80,7 +80,9 @@ def test_oracle_parity(spark, duck, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
-def test_rows_only(spark, name):
-    q = REGISTRY[name]
-    assert q.fn(spark, SF_DIR).count() >= 0
+def test_no_rows_only_queries():
+    """Every registry query is oracle-backed (the round-5 state; the
+    former xxhash rows-only ops now self-verify in-query). A query
+    registered with oracle=None fails here: either give it an oracle
+    or consciously reinstate a rows-only runner for it."""
+    assert ROWS_ONLY_NAMES == []
