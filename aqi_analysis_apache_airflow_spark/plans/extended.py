@@ -488,6 +488,43 @@ def d3v_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d8_incremental_dedup",
+    oracle=f"""
+    WITH {_D2_CTES}
+    {_D2_SELECT}
+      AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
+    """,
+)
+def d8_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-corpus) near-dup dedup — the DAILY-INGEST
+    shape: docs with doc_id % 5 == 0 play the newly-arrived delta, and
+    the query finds every exact-Jaccard pair (threshold 0.5) that
+    TOUCHES the delta, skipping base×base entirely (those pairs were
+    settled by yesterday's run). Candidates come from the asymmetric
+    banded join (:func:`...functions.dedup.lsh_delta_candidate_pairs`:
+    banded delta ⋈ banded corpus — work scales with |delta| × bucket
+    occupancy, not corpus²), then exact verification, so like d3v the
+    oracle is the exact all-pairs SQL restricted to delta-touching
+    pairs: a hash match proves the incremental candidate stage lost no
+    true pair. In production the base signatures are read from the
+    signature store, so per-day cost is linear in the delta."""
+    from ..functions.dedup import (
+        exact_jaccard_for_pairs,
+        lsh_delta_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, n_hashes=32)
+    cands = lsh_delta_candidate_pairs(
+        sigs, lambda c: c % 5 == 0, bands=8, n_hashes=32
+    )
+    return exact_jaccard_for_pairs(docs, cands, k=3).filter(
+        F.col("jaccard") >= 0.5
+    )
+
+
 #: The full MinHash(32)+LSH pipeline under the md5-derived cross-engine
 #: hash family, replayed exactly in SQL — the oracle for d3m AND (with
 #: an appended all-TRUE agreement column) for d3's xxhash-vs-md5

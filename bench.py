@@ -56,6 +56,7 @@ HEADLINE = [
     "e3_sliding_window",
     "d1_exact_dedup",
     "d2_ngram_jaccard",
+    "d8_incremental_dedup",
     "d3_minhash_lsh",
     "d3v_minhash_verified",
     "d4_simhash_neardup",
