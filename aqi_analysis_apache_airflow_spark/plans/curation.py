@@ -1617,6 +1617,86 @@ def dc1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DC2_SPAN_TOKENS = 6  # answer-span width taken from each eval doc
+
+
+@query(
+    "dc2_exact_leak",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             array_to_string(regexp_extract_all(text, '\\S+'), ' ') AS t
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id AS eval_id,
+             array_to_string(
+               (regexp_extract_all(text, '\\S+'))[1:{_DC2_SPAN_TOKENS}],
+               ' ') AS span
+      FROM documents
+      WHERE doc_id < {_DC_BENCH_DOCS}
+        AND len(regexp_extract_all(text, '\\S+')) >= {_DC2_SPAN_TOKENS}
+    ),
+    hits AS (
+      SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_leaked
+      FROM norm n JOIN spans s ON contains(n.t, s.span)
+      WHERE n.doc_id >= {_DC_BENCH_DOCS}
+      GROUP BY n.doc_id
+    )
+    SELECT n.doc_id,
+           COALESCE(h.n_leaked, 0) AS n_leaked,
+           COALESCE(h.n_leaked, 0) > 0 AS leaked
+    FROM norm n LEFT JOIN hits h USING (doc_id)
+    WHERE n.doc_id >= {_DC_BENCH_DOCS}
+    """,
+)
+def dc2_exact_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact answer-span leak check — dc1's complement: dc1 scores
+    APPROXIMATE overlap by shingle fraction; dc2 flags the hard case a
+    threshold can miss, a verbatim eval answer embedded in a training
+    doc. Each eval doc (stand-in: first {n} docs) contributes its
+    whitespace-normalized first-{k}-token span; a training doc is
+    flagged if any span appears as an exact substring (both sides
+    canonicalized to single-space so formatting differences don't hide
+    a leak).
+
+    Scale shape: the span table is eval-set-sized (tiny at any scale)
+    and BROADCASTs onto one narrow pass over the corpus — a
+    broadcast-nested-loop with |evals| substring probes per doc, the
+    standard published shape (contains() compiles to JVM indexOf, no
+    Python). No shuffle except the per-doc count."""
+    from ..functions.dedup import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id", F.concat_ws(" ", tokens(F.col("text"))).alias("t")
+    )
+    spans = (
+        docs.filter(F.col("doc_id") < _DC_BENCH_DOCS)
+        .select(
+            F.concat_ws(
+                " ", F.slice(tokens(F.col("text")), 1, _DC2_SPAN_TOKENS)
+            ).alias("span"),
+            F.size(tokens(F.col("text"))).alias("__nt"),
+        )
+        .filter(F.col("__nt") >= _DC2_SPAN_TOKENS)
+        .select("span")
+    )
+    corpus = norm.filter(F.col("doc_id") >= _DC_BENCH_DOCS)
+    hits = (
+        corpus.join(
+            F.broadcast(spans), F.instr(F.col("t"), F.col("span")) > 0
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_leaked"))
+    )
+    return corpus.join(hits, "doc_id", "left_outer").select(
+        "doc_id",
+        F.coalesce(F.col("n_leaked"), F.lit(0).cast("long")).alias("n_leaked"),
+        (F.coalesce(F.col("n_leaked"), F.lit(0)) > 0).alias("leaked"),
+    )
+
+
 # --------------------------------------------------------------------------
 # sliding-window distinct counts + top-p vocabulary truncation
 # --------------------------------------------------------------------------

@@ -33,6 +33,7 @@ DOC_QUERIES = [
     "ed1_editdist_join",
     "cp1_curation_pipeline",
     "dc1_decontamination",
+    "dc2_exact_leak",
     "t10_topp_vocab",
     "m3_overlap_frames",
     "bpe1_merge_step",
