@@ -232,3 +232,64 @@ def test_dynamic_partition_pruning(spark, tmp_path_factory):
     # and the result is exactly the 1996 slice
     exact = orders.filter(F.col("order_year") == 1996).count()
     assert joined.count() == exact
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """Catalyst's runtime bloom-filter join pruning (the engine-native
+    form of bf1's hand-built bloom semi-join): with the optimizer flag
+    on and a selective build side, the fact scan gains a
+    might_contain(bloomFilter, xxhash64(key)) condition fed by a
+    bloom_filter_agg subquery over the dim side — rows that cannot
+    join are dropped at the scan, before the shuffle. Verifies the
+    injection happens on this Spark build so the conf-flip is a real
+    knob at scale, then restores every conf."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in [
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        ]
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: broadcast joins never need the filter
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        p = _plan(j)
+        assert "might_contain" in p, "no runtime bloom filter on the fact scan"
+        assert "bloom_filter_agg" in p, "no bloom build aggregate on the dim side"
+        # the filtered join result must equal the unfiltered join
+        n_bloom = j.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    n_plain = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert n_bloom == n_plain
