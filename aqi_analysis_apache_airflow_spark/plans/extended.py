@@ -1574,12 +1574,14 @@ _COS_SQL = (
 
 #: The md5-family IVF index build (bucketed centroid pick + per-vector
 #: argmin assignment), replayed bit-for-bit in SQL — shared by the IVF
-#: probes (sim_ivfm/sim_ivfd) and the SemDeDup query (sdd1).
-_IVFM_ASSIGN_CTES = f"""emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+#: probes (sim_ivfm/sim_ivfd, 16 centroids) and the SemDeDup query
+#: (sdd1, 64: more clusters = smaller per-cluster quadratic).
+def _ivfm_assign_ctes(n_centroids: int) -> str:
+    return f"""emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
     cid AS (
       SELECT min_by(vec_id, {_CE_VID_SEEDED}) AS vec_id
       FROM emb
-      GROUP BY (({_CE_VID} % 16) + 16) % 16
+      GROUP BY (({_CE_VID} % {n_centroids}) + {n_centroids}) % {n_centroids}
     ),
     cent AS (
       SELECT e.vec_id AS centroid_id, e.embedding AS cvec
@@ -1602,6 +1604,9 @@ _IVFM_ASSIGN_CTES = f"""emb AS (SELECT vec_id, embedding FROM embeddings WHERE v
                AS cluster
       FROM asim GROUP BY vec_id
     )"""
+
+
+_IVFM_ASSIGN_CTES = _ivfm_assign_ctes(16)
 
 #: The md5-family IVF build + probe + rerank, replayed bit-for-bit in
 #: SQL — the oracle for BOTH sim_ivfm (inline) and sim_ivfd (on-disk
@@ -1672,21 +1677,28 @@ def sim_ivfm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(cand, qvec, k=50)
 
 
-def _md5_ivf_parts(spark: SparkSession, sf_dir: str):
+def _md5_ivf_parts(spark: SparkSession, sf_dir: str, n_centroids: int = 16):
     """The md5-family (cross-engine, bit-exact) IVF index build shared
-    by sim_ivfm (inline probe) and sim_ivfd (on-disk partition-pruned
-    probe): returns (centroids, assigned, query) where every cosine is
-    the decimal-summed reproducible form, so DuckDB can replay the
-    whole build."""
+    by sim_ivfm (inline probe), sim_ivfd (on-disk partition-pruned
+    probe) and sdd1 (SemDeDup, with more centroids): returns
+    (centroids, assigned, query) where every cosine is the
+    decimal-summed reproducible form, so DuckDB can replay the whole
+    build. ``n_centroids`` must match the oracle's
+    ``_ivfm_assign_ctes(n)``."""
     from ..functions.dedup import ce_hash64
     from ..functions.similarity import dot_decimal
 
     full = load(spark, sf_dir, "embeddings")
-    emb = full.filter(F.col("vec_id") != 0)
+    # the decimal argmin over n_centroids folds is the CPU-heavy part
+    # and the corpus often arrives as ONE split (single row group) —
+    # spread it across cores or the whole assignment runs in one task
+    # (measured 18s -> ~1s at sf0.1); same pattern as exploded_shingles
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    emb = full.filter(F.col("vec_id") != 0).repartition(n_part)
     vid = F.col("vec_id").cast("string")
     cids = (
         emb.select("vec_id")
-        .groupBy(F.pmod(ce_hash64(vid), F.lit(16)).alias("__bucket"))
+        .groupBy(F.pmod(ce_hash64(vid), F.lit(n_centroids)).alias("__bucket"))
         .agg(
             F.min_by("vec_id", ce_hash64(F.concat(F.lit("1|"), vid))).alias("vec_id")
         )
@@ -1788,7 +1800,7 @@ def sim_ivfd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sdd1_semantic_dedup",
     oracle=f"""
-    WITH {_IVFM_ASSIGN_CTES},
+    WITH {_ivfm_assign_ctes(64)},
     members AS (
       SELECT a.vec_id, a.cluster, e.embedding
       FROM assigned a JOIN emb e USING (vec_id)
@@ -1823,29 +1835,48 @@ def sdd1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the whole point of SemDeDup is that pairwise
     comparison happens only WITHIN a cluster — one shuffle on the
     cluster key, then C(cluster_size, 2) local work instead of
-    C(corpus, 2) global; at 100 TB n_centroids grows with the corpus
-    so cluster size (and the per-task quadratic) stays bounded, and
-    the assignment itself is the broadcast-argmin projection
-    ivf_assign documents (no corpus shuffle to build the index)."""
-    from ..functions.similarity import cosine
+    C(corpus, 2) global; 64 centroids (vs the probes' 16) keep the
+    per-cluster quadratic small, and at 100 TB n_centroids grows with
+    the corpus so cluster size (and the per-task quadratic) stays
+    bounded. The assignment itself is the broadcast-argmin projection
+    ivf_assign documents (no corpus shuffle to build the index), and
+    each member's norm is computed ONCE and carried into the pair join
+    — the pair score is one decimal dot instead of three folds, the
+    identical round(dot/(norm_a*norm_b), 6) value the oracle's
+    per-pair form produces."""
+    from ..functions.similarity import dot_decimal
     from pyspark import StorageLevel
 
-    _, assigned, _ = _md5_ivf_parts(spark, sf_dir)
-    members = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    _, assigned, _ = _md5_ivf_parts(spark, sf_dir, n_centroids=64)
+    members = assigned.select(
+        "vec_id",
+        "cluster",
+        "embedding",
+        F.sqrt(
+            dot_decimal(F.col("embedding"), F.col("embedding")).cast("double")
+        ).alias("__norm"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = members.select(
         F.col("cluster"),
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
+        F.col("__norm").alias("na"),
     )
     b = members.select(
         F.col("cluster"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),
+        F.col("__norm").alias("nb"),
+    )
+    pair_cos = F.round(
+        dot_decimal(F.col("va"), F.col("vb")).cast("double")
+        / (F.col("na") * F.col("nb")),
+        6,
     )
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_b", cosine(F.col("va"), F.col("vb")).alias("c"))
+        .select("id_b", pair_cos.alias("c"))
         .filter(F.col("c") >= 0.4)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
