@@ -167,6 +167,11 @@ def ivf_assign(
     At scale the assigned table is written partitioned BY cluster, so
     a probe reads only its clusters' files.
     """
+    # the per-row argmax over n_centroids dot products is the CPU-heavy
+    # stage, and the corpus often arrives as one split — spread it
+    # across cores (same pattern as exploded_shingles / _md5_ivf_parts)
+    n_part = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    emb = emb.repartition(n_part)
     centroid_ids = (
         emb.select(id_col)
         .groupBy(F.pmod(F.xxhash64(id_col), F.lit(n_centroids)).alias("__bucket"))
