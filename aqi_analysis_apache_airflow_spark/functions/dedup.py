@@ -548,10 +548,14 @@ def connected_components(
         .withColumn("cluster_id", F.col("doc_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    for _ in range(max_iterations):
+    def one_round(lb: DataFrame) -> DataFrame:
+        # fold the convergence flag into the SAME select — the label
+        # shrank iff a neighbor's label beat the current one — so the
+        # driver check is one aggregate over the newly persisted
+        # labels instead of a second join+count job
         neighbor_min = (
             edges.join(
-                labels.select(
+                lb.select(
                     F.col("doc_id").alias("doc_b"),
                     F.col("cluster_id").alias("__nl"),
                 ),
@@ -561,33 +565,35 @@ def connected_components(
             .agg(F.min("__nl").alias("__nmin"))
             .select(F.col("doc_a").alias("doc_id"), "__nmin")
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left_outer")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("__nmin"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        return lb.join(neighbor_min, "doc_id", "left_outer").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("__nmin"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+            (F.coalesce(F.col("__nmin") < F.col("cluster_id"), F.lit(False))).alias(
+                "__ch"
+            ),
         )
-        changed = (
-            new_labels.join(
-                labels.select(
-                    "doc_id", F.col("cluster_id").alias("__old")
-                ),
-                "doc_id",
-            )
-            .filter(F.col("cluster_id") != F.col("__old"))
-            .limit(1)
-            .count()
-        )
+
+    # TWO propagation rounds per driver action: checking only the
+    # second round's flag is still a sound stopping rule (flag false
+    # means a full no-change round occurred, the fixed point), and it
+    # halves the job-submission overhead that dominates on the small
+    # dense graphs near-dup clusters produce. The mid-round result is
+    # persisted lazily — it has two consumers inside the same job.
+    for _ in range(max(1, max_iterations // 2)):
+        mid = one_round(labels).persist(StorageLevel.MEMORY_AND_DISK)
+        new_labels = one_round(mid).persist(StorageLevel.MEMORY_AND_DISK)
+        # the agg scans every partition, so the cache is fully
+        # materialized before the previous rounds are released
+        changed = new_labels.agg(F.max("__ch")).collect()[0][0]
         labels.unpersist()
+        mid.unpersist()
         labels = new_labels
-        if changed == 0:
+        if not changed:
             break
     edges.unpersist()
-    return labels
+    return labels.select("doc_id", "cluster_id")
 
 
 def simhash_fingerprints(
