@@ -636,7 +636,9 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    # one shingle explode feeds BOTH hash families
+    # one shingle explode feeds BOTH hash families; each family's pair
+    # set has two consumers (the agreement join and the extras count),
+    # so both are persisted or the band joins run twice
     sh = exploded_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     prod = (
         lsh_candidate_pairs(
@@ -646,6 +648,7 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b", F.col("est_jaccard").alias("est_prod"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     twin = (
         lsh_candidate_pairs(
@@ -656,6 +659,7 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b", "est_jaccard")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_extra = (
         prod.join(twin.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")

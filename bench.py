@@ -98,6 +98,7 @@ HEADLINE = [
     "x10_variant_extract",
     "cp1_curation_pipeline",
     "dc1_decontamination",
+    "dc2_exact_leak",
     "w6_sliding_distinct",
     "t10_topp_vocab",
     "emb3_unit_normalize",
