@@ -199,7 +199,13 @@ def main() -> None:
         return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
     def spread_pct(xs: list[float]) -> float:
-        return 100 * (max(xs) - min(xs)) / median(xs)
+        # trimmed range once extra samples exist: one GC pause on a
+        # 0.3s query reads as 100% min-max spread while the reported
+        # MEDIAN is unaffected — drop the single best/worst sample at
+        # >= 4 so the spread describes the stability of the median
+        s = sorted(xs)
+        core = s[1:-1] if len(s) >= 4 else s
+        return 100 * (core[-1] - core[0]) / median(xs)
 
     # Adaptive re-run: sub-second queries on a shared JVM can show
     # 70-90% min-max spread over 3 passes, which hides real regressions.
