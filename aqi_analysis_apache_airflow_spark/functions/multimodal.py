@@ -47,12 +47,17 @@ def extract_binary_features(
             )
         for pdf in batches:
             payload = pdf[payload_col]
+            # a NULL payload (e.g. NULL source text) must surface as
+            # NULL features, not crash the int cast — mirror SQL's
+            # octet_length(NULL)/md5(NULL) semantics
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": payload.str.len().astype("int32"),
+                    "n_bytes": payload.str.len().astype("Int32"),
                     "content_id": payload.map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                        lambda b: None
+                        if b is None
+                        else hashlib.md5(bytes(b)).hexdigest()
                     ),
                 }
             )

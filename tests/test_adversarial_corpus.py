@@ -49,6 +49,23 @@ DOC_QUERIES = [
     "d2b_ngram_jaccard_capped",
     "d6_dedup_clusters",
     "split2_cluster_split",
+    # round-5 widening: every remaining documents-only oracle query
+    "t4_tfidf",
+    "t5_bpe_tokens",
+    "t7_text_clean",
+    "t8_pii_redact",
+    "t9_vocab_topk",
+    "qc3_df_quality",
+    "c1_chunk_text",
+    "split1_train_val",
+    "d2_ngram_jaccard",
+    "d4_simhash_neardup",
+    "d3m_minhash_md5",
+    "d3v_minhash_verified",
+    "d3_minhash_lsh",
+    "d7_cross_source_dedup",
+    "d8_incremental_dedup",
+    "m1_binary_features",
 ]
 
 _ROWS = [
