@@ -27,13 +27,17 @@ def dot_decimal(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return F.round(
-        dot_decimal(a, b).cast("double")
-        / (
-            F.sqrt(dot_decimal(a, a).cast("double"))
-            * F.sqrt(dot_decimal(b, b).cast("double"))
-        ),
-        6,
+    """NULL when either vector has zero norm: the zero vector has no
+    direction, and under ANSI mode the naive division would throw
+    DIVIDE_BY_ZERO the first time a blank document or image reaches
+    the encoder. Callers ranking by cosine filter the NULLs out
+    explicitly (never letting engine-specific NULL/NaN ordering decide
+    a top-k)."""
+    denom = F.sqrt(dot_decimal(a, a).cast("double")) * F.sqrt(
+        dot_decimal(b, b).cast("double")
+    )
+    return F.when(
+        denom > 0, F.round(dot_decimal(a, b).cast("double") / denom, 6)
     )
 
 
@@ -53,10 +57,10 @@ def dot_fast(a: Column, b: Column) -> Column:
 
 def cosine_fast(a: Column, b: Column) -> Column:
     """Unrounded double cosine built on :func:`dot_fast` — internal
-    ranking only (see there)."""
-    return dot_fast(a, b) / (
-        F.sqrt(dot_fast(a, a)) * F.sqrt(dot_fast(b, b))
-    )
+    ranking only (see there). NULL-guarded like :func:`cosine` so a
+    zero vector can never raise ANSI DIVIDE_BY_ZERO mid-ranking."""
+    denom = F.sqrt(dot_fast(a, a)) * F.sqrt(dot_fast(b, b))
+    return F.when(denom > 0, dot_fast(a, b) / denom)
 
 
 def brute_force_topk(
@@ -73,7 +77,14 @@ def brute_force_topk(
     scored = emb.join(F.broadcast(query)).select(
         id_col, cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim")
     )
-    return scored.orderBy(F.col("cosine_sim").desc(), id_col).limit(k)
+    # zero-norm vectors score NULL (no direction to rank) and are
+    # excluded BEFORE the ordering — engine NULL-ordering conventions
+    # must never decide a top-k
+    return (
+        scored.filter(F.col("cosine_sim").isNotNull())
+        .orderBy(F.col("cosine_sim").desc(), id_col)
+        .limit(k)
+    )
 
 
 def hyperplane_signature(vec: Column, n_planes: int = 16) -> Column:
@@ -171,7 +182,12 @@ def ivf_assign(
     # stage, and the corpus often arrives as one split — spread it
     # across cores (same pattern as exploded_shingles / _md5_ivf_parts)
     n_part = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    emb = emb.repartition(n_part)
+    # zero-norm vectors are unindexable: they have no nearest centroid
+    # (every cosine is undefined) and would raise ANSI DIVIDE_BY_ZERO
+    # in the assignment — excluded by policy, documented here
+    emb = emb.filter(dot_fast(F.col(vec_col), F.col(vec_col)) > 0).repartition(
+        n_part
+    )
     centroid_ids = (
         emb.select(id_col)
         .groupBy(F.pmod(F.xxhash64(id_col), F.lit(n_centroids)).alias("__bucket"))

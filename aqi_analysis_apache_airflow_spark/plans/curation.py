@@ -705,6 +705,7 @@ _LONG_YY = "CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) * 1e14) AS BIGINT)"
                / (sqrt(CAST(SUM({_LONG_XX}) AS DOUBLE))
                   * sqrt(CAST(SUM({_LONG_YY}) AS DOUBLE))), 6) AS sim
       FROM pairs GROUP BY qid, vec_id
+      HAVING SUM({_LONG_XX}) > 0 AND SUM({_LONG_YY}) > 0
     ),
     r AS (
       SELECT qid, vec_id, sim,
@@ -746,15 +747,26 @@ def knn1_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     qexp = queries.select(
         F.col("vec_id").alias("qid"), F.posexplode("embedding").alias("pos", "y")
     )
-    qnorm = qexp.groupBy("qid").agg(
-        F.sqrt(
-            F.sum(long_prod(F.col("y"), F.col("y"))).cast("double")
-        ).alias("qn")
+    # zero-norm vectors (either side) are unrankable and would raise
+    # ANSI DIVIDE_BY_ZERO — excluded here, HAVING-excluded identically
+    # in the oracle (same exact integer norm sums)
+    qnorm = (
+        qexp.groupBy("qid")
+        .agg(
+            F.sqrt(
+                F.sum(long_prod(F.col("y"), F.col("y"))).cast("double")
+            ).alias("qn")
+        )
+        .filter(F.col("qn") > 0)
     )
-    cnorm = cexp.groupBy("vec_id").agg(
-        F.sqrt(
-            F.sum(long_prod(F.col("x"), F.col("x"))).cast("double")
-        ).alias("cn")
+    cnorm = (
+        cexp.groupBy("vec_id")
+        .agg(
+            F.sqrt(
+                F.sum(long_prod(F.col("x"), F.col("x"))).cast("double")
+            ).alias("cn")
+        )
+        .filter(F.col("cn") > 0)
     )
     dots = (
         cexp.join(F.broadcast(qexp), "pos")
@@ -1842,7 +1854,7 @@ def t10_topp_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM comp
     )
     SELECT vec_id, pos,
-           round(x * 1e7 / sqrt(CAST(n2 AS DOUBLE)), 6) AS unit
+           round(x * 1e7 / NULLIF(sqrt(CAST(n2 AS DOUBLE)), 0), 6) AS unit
     FROM n
     """,
 )
@@ -1864,11 +1876,13 @@ def emb3_unit_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("x").cast("double")
     w = Window.partitionBy("vec_id")
     n2 = F.sum(F.round(x * x * F.lit(1e14)).cast("long")).over(w)
+    # the zero vector cannot be unit-normalized: its components surface
+    # as NULL (the oracle's NULLIF), never an ANSI DIVIDE_BY_ZERO
     return comp.select(
         "vec_id",
         "pos",
-        F.round(
-            x * F.lit(1e7) / F.sqrt(n2.cast("double")), 6
+        F.when(
+            n2 > 0, F.round(x * F.lit(1e7) / F.sqrt(n2.cast("double")), 6)
         ).alias("unit"),
     )
 
@@ -3102,6 +3116,13 @@ _EMB4_COS = (
     " AS DECIMAL(28,14))) AS DOUBLE))), 6)"
 )
 
+#: zero-norm guard (either side) — the Spark brute_force_topk excludes
+#: NULL-scored rows, so the oracle must exclude the same vectors
+_EMB4_GUARD = (
+    "SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14))) > 0"
+    " AND SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,14))) > 0"
+)
+
 
 @query(
     "emb4_matryoshka_recall",
@@ -3112,14 +3133,16 @@ _EMB4_COS = (
              unnest(q.qv[1:{_EMB4_DIM}]) AS y
       FROM embeddings e, q WHERE e.vec_id <> 0
     ),
-    tsim AS (SELECT vec_id, {_EMB4_COS} AS trunc_sim FROM tp GROUP BY vec_id),
+    tsim AS (SELECT vec_id, {_EMB4_COS} AS trunc_sim FROM tp GROUP BY vec_id
+             HAVING {_EMB4_GUARD}),
     ttop AS (SELECT vec_id, trunc_sim FROM tsim
              ORDER BY trunc_sim DESC, vec_id LIMIT {_EMB4_K}),
     fp AS (
       SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qv) AS y
       FROM embeddings e, q WHERE e.vec_id <> 0
     ),
-    fsim AS (SELECT vec_id, {_EMB4_COS} AS full_sim FROM fp GROUP BY vec_id),
+    fsim AS (SELECT vec_id, {_EMB4_COS} AS full_sim FROM fp GROUP BY vec_id
+             HAVING {_EMB4_GUARD}),
     ftop AS (SELECT vec_id FROM fsim
              ORDER BY full_sim DESC, vec_id LIMIT {_EMB4_K})
     SELECT t.vec_id, t.trunc_sim,

@@ -261,6 +261,7 @@ _SIM_COSINE_SQL = """
            round(CAST(dot AS DOUBLE)
              / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cosine_sim
     FROM dots
+    WHERE na > 0 AND nb > 0
     ORDER BY cosine_sim DESC, vec_id
     LIMIT 50
     """
@@ -276,24 +277,37 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit at any parallelism."""
     emb = load(spark, sf_dir, "embeddings")
     # query norm is a constant: compute it ONCE in the broadcast side
-    # instead of re-folding the query vector for every corpus row
-    qvec = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qv"),
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding")).cast("double")).alias(
-            "qnorm"
-        ),
+    # instead of re-folding the query vector for every corpus row.
+    # Zero-norm vectors (on either side) are excluded by policy — the
+    # zero vector has no direction to rank, and the guard keeps ANSI
+    # DIVIDE_BY_ZERO out of the plan; the oracle's WHERE na>0 AND nb>0
+    # applies the identical decimal-norm test.
+    qvec = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(
+            F.col("embedding").alias("qv"),
+            F.sqrt(
+                _dot(F.col("embedding"), F.col("embedding")).cast("double")
+            ).alias("qnorm"),
+        )
+        .filter(F.col("qnorm") > 0)
     )
     scored = (
         emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(
+                _dot(F.col("embedding"), F.col("embedding")).cast("double")
+            ).alias("__norm"),
+        )
+        .filter(F.col("__norm") > 0)
         .join(F.broadcast(qvec))
         .select(
             "vec_id",
             F.round(
                 _dot(F.col("embedding"), F.col("qv")).cast("double")
-                / (
-                    F.sqrt(_dot(F.col("embedding"), F.col("embedding")).cast("double"))
-                    * F.col("qnorm")
-                ),
+                / (F.col("__norm") * F.col("qnorm")),
                 6,
             ).alias("cosine_sim"),
         )
@@ -744,10 +758,12 @@ def d4_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id_a, id_b,
            round(CAST(dot AS DOUBLE)
-             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cosine_sim
+             / NULLIF(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)), 0), 6)
+             AS cosine_sim
     FROM dots
     WHERE round(CAST(dot AS DOUBLE)
-             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) >= 0.2
+             / NULLIF(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)), 0), 6)
+          >= 0.2
     """,
 )
 def d5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1581,7 +1597,21 @@ _COS_SQL = (
 #: probes (sim_ivfm/sim_ivfd, 16 centroids) and the SemDeDup query
 #: (sdd1, 64: more clusters = smaller per-cluster quadratic).
 def _ivfm_assign_ctes(n_centroids: int) -> str:
-    return f"""emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+    # zero-norm vectors are unindexable (no nearest centroid; the
+    # assignment would divide by zero) — excluded with the same
+    # decimal-norm test the Spark side applies
+    return f"""emb0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+    enorm AS (
+      SELECT vec_id,
+             SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                      AS DECIMAL(28,14))) AS n2
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM emb0)
+      GROUP BY vec_id
+    ),
+    emb AS (
+      SELECT e.vec_id, e.embedding
+      FROM emb0 e JOIN enorm USING (vec_id) WHERE enorm.n2 > 0
+    ),
     cid AS (
       SELECT min_by(vec_id, {_CE_VID_SEEDED}) AS vec_id
       FROM emb
@@ -1617,7 +1647,15 @@ _IVFM_ASSIGN_CTES = _ivfm_assign_ctes(16)
 #: partition-pruned probe of the identical index).
 _SIM_IVFM_SQL = f"""
     WITH {_IVFM_ASSIGN_CTES},
-    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qn AS (
+      SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                      AS DECIMAL(28,14))) AS n2
+      FROM (SELECT unnest(embedding) AS x FROM embeddings WHERE vec_id = 0)
+    ),
+    q AS (
+      SELECT embedding AS qv FROM embeddings, qn
+      WHERE vec_id = 0 AND qn.n2 > 0
+    ),
     qpairs AS (
       SELECT c.centroid_id, unnest(c.cvec) AS x, unnest(q.qv) AS y
       FROM cent c, q
@@ -1698,7 +1736,13 @@ def _md5_ivf_parts(spark: SparkSession, sf_dir: str, n_centroids: int = 16):
     # spread it across cores or the whole assignment runs in one task
     # (measured 18s -> ~1s at sf0.1); same pattern as exploded_shingles
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    emb = full.filter(F.col("vec_id") != 0).repartition(n_part)
+    # zero-norm vectors are unindexable — same decimal-norm test as
+    # the oracle's enorm CTE (n2 > 0)
+    emb = (
+        full.filter(F.col("vec_id") != 0)
+        .filter(dot_decimal(F.col("embedding"), F.col("embedding")) > 0)
+        .repartition(n_part)
+    )
     vid = F.col("vec_id").cast("string")
     cids = (
         emb.select("vec_id")
@@ -1745,7 +1789,13 @@ def _md5_ivf_parts(spark: SparkSession, sf_dir: str, n_centroids: int = 16):
     assigned = emb.join(F.broadcast(cents_row)).select(
         "vec_id", "embedding", best["centroid_id"].alias("cluster")
     )
-    qvec = full.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    # a zero-norm QUERY can rank nothing either — same guard as the
+    # oracle's qn CTE
+    qvec = (
+        full.filter(F.col("vec_id") == 0)
+        .filter(dot_decimal(F.col("embedding"), F.col("embedding")) > 0)
+        .select(F.col("embedding").alias("qv"))
+    )
     return cents, assigned, qvec
 
 

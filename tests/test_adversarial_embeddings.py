@@ -1,0 +1,119 @@
+"""Oracle parity on an ADVERSARIAL embeddings corpus: the zero vector
+(every real embedding pipeline eventually produces one — a blank image,
+an empty string through an encoder), exact duplicates of the query,
+antipodal vectors, near-zero magnitudes, constant vectors. The driver
+corpus is well-behaved gaussian data, so norm-zero division and cosine
+ties never get exercised by the main parity sweep; this fixture forces
+them. Any query over `embeddings` must agree with its oracle here too,
+or be listed with a reason."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from aqi_analysis_apache_airflow_spark.plans import REGISTRY
+
+# queries over embeddings ONLY (no other tables)
+EMB_QUERIES = [
+    "sim_cosine_topk",
+    "sim_ivfm_topk",
+    "sim_ivf_topk",
+    "sim_ivfd_topk",
+    "sdd1_semantic_dedup",
+    "emb1_quantize",
+    "emb3_unit_normalize",
+    "emb4_matryoshka_recall",
+    "pq1_product_quantize",
+    "d5_embedding_near_dup",
+    "knn1_knn_join",
+]
+
+_DIM = 64
+
+
+def _rows():
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=_DIM).astype(np.float32)
+    rows = [
+        (0, q),  # the query vector
+        (1, np.zeros(_DIM, dtype=np.float32)),  # THE classic hazard
+        (2, q.copy()),  # exact duplicate of the query (cos = 1)
+        (3, (-q).astype(np.float32)),  # antipodal (cos = -1)
+        (4, np.ones(_DIM, dtype=np.float32)),  # constant vector
+        (5, np.full(_DIM, 1e-3, dtype=np.float32)),  # tiny magnitude
+        (6, rng.normal(size=_DIM).astype(np.float32)),
+        (7, rng.normal(size=_DIM).astype(np.float32)),
+        (8, rng.normal(size=_DIM).astype(np.float32)),
+        (9, rng.normal(size=_DIM).astype(np.float32)),
+        # second zero vector: zero-zero pairs as well as zero-query
+        (10, np.zeros(_DIM, dtype=np.float32)),
+        (50, rng.normal(size=_DIM).astype(np.float32)),  # d5's %50 subsample
+        (100, rng.normal(size=_DIM).astype(np.float32)),
+        (150, np.zeros(_DIM, dtype=np.float32)),  # zero vec inside d5's %50
+    ]
+    return [(i, list(map(float, v))) for i, v in rows]
+
+
+@pytest.fixture(scope="module")
+def adversarial_emb_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("adversarial_emb")
+    pdf = pd.DataFrame(_rows(), columns=["vec_id", "embedding"])
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.Table.from_pandas(
+        pdf,
+        schema=pa.schema(
+            [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+        ),
+        preserve_index=False,
+    )
+    pq.write_table(table, os.path.join(d, "embeddings.parquet"))
+    return str(d)
+
+
+def _canon_cell(x):
+    if x is None or (isinstance(x, float) and math.isnan(x)):
+        return "NULL"
+    try:
+        if pd.isna(x):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(x, float):
+        return repr(x)
+    if isinstance(x, (list, np.ndarray)):
+        return "[" + ",".join(_canon_cell(v) for v in x) + "]"
+    return str(x)
+
+
+def _canon(df: pd.DataFrame):
+    cols = sorted(df.columns)
+    df = df[cols]
+    return cols, sorted(
+        tuple(_canon_cell(v) for v in row) for row in df.itertuples(index=False)
+    )
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_adversarial_embedding_parity(spark, adversarial_emb_dir, name):
+    q = REGISTRY[name]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{adversarial_emb_dir}/embeddings.parquet'"
+    )
+    sdf = q.fn(spark, adversarial_emb_dir).toPandas()
+    odf = con.execute(q.oracle).fetchdf()
+    assert len(sdf) == len(odf), f"{name}: rowcount {len(sdf)} != {len(odf)}"
+    scols, srows = _canon(sdf)
+    ocols, orows = _canon(odf)
+    assert scols == ocols, f"{name}: columns {scols} != {ocols}"
+    diffs = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+    assert srows == orows, f"{name}: first diffs {diffs}"
