@@ -1134,17 +1134,23 @@ _AN1_Z = 3.0
       SELECT event_type,
              CAST(count(*) AS BIGINT) AS n,
              CAST(SUM(v) AS DOUBLE) AS sx,
-             CAST(SUM(v * v) AS DOUBLE) AS sxx
+             -- 19,6 x 19,6 multiplies inside DuckDB's 38-digit cap
+             -- while covering |v| up to 1e12 (Spark's 18,6 product
+             -- already widens to 37,12); sums stay exact either way
+             CAST(SUM(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6)))
+                  AS DOUBLE) AS sxx
       FROM ev GROUP BY event_type
     ),
     z AS (
       SELECT ev.event_id, ev.event_type, CAST(ev.v AS DOUBLE) AS value,
-             round((CAST(ev.v AS DOUBLE) - s.sx / s.n)
-                   / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 6) AS zscore
+             CASE WHEN s.n >= 2 AND (s.sxx - s.sx * s.sx / s.n) > 0
+                  THEN round((CAST(ev.v AS DOUBLE) - s.sx / s.n)
+                        / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 6)
+             END AS zscore
       FROM ev JOIN s USING (event_type)
     )
     SELECT event_id, event_type, value, zscore,
-           abs(zscore) > {_AN1_Z} AS is_outlier
+           COALESCE(abs(zscore) > {_AN1_Z}, FALSE) AS is_outlier
     FROM z
     """,
 )
@@ -1169,13 +1175,17 @@ def an1_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").cast("double").alias("sx"),
         F.sum(F.col("v") * F.col("v")).cast("double").alias("sxx"),
     )
-    z = F.round(
-        (F.col("v").cast("double") - F.col("sx") / F.col("n"))
-        / F.sqrt(
-            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
-            / (F.col("n") - 1)
+    # a single-event or constant-valued group has no dispersion to
+    # score against: zscore is NULL (never an ANSI DIVIDE_BY_ZERO) and
+    # the flag defaults false — the oracle's CASE/COALESCE twin
+    var_num = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    z = F.when(
+        (F.col("n") >= 2) & (var_num > 0),
+        F.round(
+            (F.col("v").cast("double") - F.col("sx") / F.col("n"))
+            / F.sqrt(var_num / (F.col("n") - 1)),
+            6,
         ),
-        6,
     )
     return (
         ev.join(F.broadcast(s), "event_type")
@@ -1185,7 +1195,10 @@ def an1_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").cast("double").alias("value"),
             z.alias("zscore"),
         )
-        .withColumn("is_outlier", F.abs(F.col("zscore")) > _AN1_Z)
+        .withColumn(
+            "is_outlier",
+            F.coalesce(F.abs(F.col("zscore")) > _AN1_Z, F.lit(False)),
+        )
     )
 
 
@@ -1380,10 +1393,13 @@ def rc1_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x10_variant_extract",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
-           CAST(json_extract_string(props, '$.missing') AS INTEGER)
-             AS missing_value,
-           props IS NULL OR json_valid(props) AS parseable
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+           END AS k_value,
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract_string(props, '$.missing') AS INTEGER)
+           END AS missing_value,
+           props IS NULL OR COALESCE(json_valid(props), FALSE) AS parseable
     FROM events
     """,
 )
@@ -1995,30 +2011,35 @@ def u4_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "g12_conditional_aggs",
     oracle="""
-    SELECT event_type,
-           CAST(count(*) FILTER (WHERE value > 250) AS BIGINT) AS n_high,
-           bool_or(value > 490) AS any_extreme,
-           bool_and(value >= 0) AS all_nonneg,
-           arg_max(event_id,
-                   CAST(round(value * 1000000) AS BIGINT) * 8589934592
-                     + event_id) AS top_event_id
-    FROM events
-    GROUP BY event_type
+    WITH top AS (
+      SELECT event_type, event_id FROM (
+        SELECT event_type, event_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT e.event_type,
+           CAST(count(*) FILTER (WHERE e.value > 250) AS BIGINT) AS n_high,
+           bool_or(e.value > 490) AS any_extreme,
+           bool_and(e.value >= 0) AS all_nonneg,
+           max(t.event_id) AS top_event_id
+    FROM events e JOIN top t USING (event_type)
+    GROUP BY e.event_type
     """,
 )
 def g12_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional/boolean aggregate surface: count_if, bool_or,
     bool_and, and a deterministic arg-max. ``max_by`` alone ties
     nondeterministically when two events share a value, so the
-    ordering key packs (value·1e6, event_id) into one BIGINT — the
-    g9/sim_ivfm encoded-key convention (the 2^33 multiplier keeps
-    event_id below the value stride; value ≤ ~500 keeps the product
-    far under 2^63). One aggregation pass, map-side combined."""
+    ordering key is the STRUCT (value, event_id) — lexicographic
+    struct comparison is defined identically in Spark and DuckDB,
+    and unlike the earlier encoded-BIGINT key (round(value·1e6)·2³³ +
+    id) it cannot overflow for any finite value, a hazard the
+    adversarial events fixture's 1e9 value exposed under ANSI mode.
+    One aggregation pass, map-side combined."""
     ev = load(spark, sf_dir, "events")
-    key = (
-        F.round(F.col("value") * 1_000_000).cast("long") * F.lit(8589934592)
-        + F.col("event_id")
-    )
+    key = F.struct(F.col("value").alias("k1"), F.col("event_id").alias("k2"))
     return ev.groupBy("event_type").agg(
         F.count_if(F.col("value") > 250).cast("long").alias("n_high"),
         F.bool_or(F.col("value") > 490).alias("any_extreme"),

@@ -66,7 +66,7 @@ def e1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM ev
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -89,9 +89,12 @@ def e1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user sessionization with a 30-minute gap via
     ``session_window`` (batch mode). Spark merges an event into the
-    current session iff ``ts < previous_end`` (= prev ts + gap), so a
-    gap of exactly 30min starts a NEW session — the oracle's
-    gaps-and-islands SQL replicates that boundary with ``>=``."""
+    current session iff ``ts <= previous_end`` (= prev ts + gap) — the
+    boundary is INCLUSIVE, so a gap of exactly 30min still merges
+    (verified against an exact-boundary fixture in
+    tests/test_adversarial_events.py) — and the oracle's
+    gaps-and-islands SQL replicates that with a strict ``>`` on the
+    new-session test."""
     return (
         load(spark, sf_dir, "events")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

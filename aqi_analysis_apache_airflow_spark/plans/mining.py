@@ -187,9 +187,11 @@ def lm1_unigram_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
-           round(1.0 - 6.0 * CAST(sum((rx - ry) * (rx - ry)) AS DOUBLE)
-                 / CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE), 6)
-             AS rho
+           CASE WHEN count(*) >= 2
+                THEN round(1.0
+                      - 6.0 * CAST(sum((rx - ry) * (rx - ry)) AS DOUBLE)
+                      / CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE), 6)
+           END AS rho
     FROM ranked GROUP BY event_type
     """,
 )
@@ -221,12 +223,17 @@ def corr1_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             n.alias("n"),
             sum_d2.alias("sum_d2"),
-            F.round(
-                F.lit(1.0)
-                - F.lit(6.0)
-                * sum_d2.cast("double")
-                / (n * (n * n - F.lit(1))).cast("double"),
-                6,
+            # rho is undefined for a single-row group: n(n²-1) = 0 —
+            # NULL, not an ANSI DIVIDE_BY_ZERO (oracle's CASE twin)
+            F.when(
+                n >= 2,
+                F.round(
+                    F.lit(1.0)
+                    - F.lit(6.0)
+                    * sum_d2.cast("double")
+                    / (n * (n * n - F.lit(1))).cast("double"),
+                    6,
+                ),
             ).alias("rho"),
         )
     )
@@ -506,15 +513,20 @@ _G13_EPOCH = "2021-01-01"
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(x) AS DOUBLE) AS sx,
              CAST(sum(y) AS DOUBLE) AS sy,
-             CAST(sum(x * x) AS DOUBLE) AS sxx,
-             CAST(sum(x * y) AS DOUBLE) AS sxy
+             CAST(sum(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2)))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,6)))
+                  AS DOUBLE) AS sxy
       FROM pts GROUP BY event_type
     )
     SELECT event_type, n,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
-             AS slope_per_day,
-           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
-             AS intercept
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           END AS slope_per_day,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN round((sy - (n * sxy - sx * sy)
+                            / (n * sxx - sx * sx) * sx) / n, 6)
+           END AS intercept
     FROM s
     """,
 )
@@ -546,12 +558,17 @@ def g13_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, sxy = F.col("sxx"), F.col("sxy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # the line is undefined when every point shares one x (or n = 1):
+    # the denominator is exactly 0 — NULL slope/intercept, not an ANSI
+    # DIVIDE_BY_ZERO (oracle's CASE twin; both engines compute the
+    # identical double denominator, so the guard agrees bit-for-bit)
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
     return s.select(
         "event_type",
         "n",
-        F.round(slope, 6).alias("slope_per_day"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.when(den != 0, F.round(slope, 6)).alias("slope_per_day"),
+        F.when(den != 0, F.round((sy - slope * sx) / n, 6)).alias("intercept"),
     )
 
 

@@ -1009,7 +1009,9 @@ def g4_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (SELECT event_id, props FROM events)
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+           END AS k_value
     FROM ev
     """,
 )
@@ -1092,13 +1094,31 @@ def x7_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x8_map_ops",
     oracle="""
+    WITH ev AS (
+      SELECT event_id, props,
+             -- Spark's from_json('map<string,bigint>') yields NULL for
+             -- anything but a JSON OBJECT whose every value is an
+             -- integer (nested objects, strings, arrays, malformed,
+             -- empty string all degrade to a NULL map) — replicate
+             -- that validity test exactly
+             CASE WHEN COALESCE(json_valid(props), FALSE)
+                  THEN json_type(props) = 'OBJECT'
+                       AND len(list_filter(json_keys(props),
+                             k -> json_type(props, '$."' || k || '"')
+                                  NOT IN ('BIGINT', 'UBIGINT'))) = 0
+                  ELSE FALSE END AS ok
+      FROM events
+    )
     SELECT event_id,
-           CAST(len(json_keys(props)) AS INTEGER) AS n_props,
-           list_sort(json_keys(props))[1] AS first_key,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
-           CAST(json_extract_string(props, '$.missing') IS NOT NULL
-                AS BOOLEAN) AS has_missing
-    FROM events
+           CASE WHEN ok THEN CAST(len(json_keys(props)) AS INTEGER)
+           END AS n_props,
+           CASE WHEN ok THEN list_sort(json_keys(props))[1] END AS first_key,
+           CASE WHEN ok THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS k_value,
+           CASE WHEN ok
+                THEN json_extract_string(props, '$.missing') IS NOT NULL
+                ELSE FALSE END AS has_missing
+    FROM ev
     """,
 )
 def x8_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1110,7 +1130,9 @@ def x8_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events").select(
         "event_id",
         F.size(F.map_keys(m)).alias("n_props"),
-        F.array_sort(F.map_keys(m)).getItem(0).alias("first_key"),
+        # F.get, not getItem: an empty JSON object has zero keys and
+        # getItem(0) raises ANSI INVALID_ARRAY_INDEX on it
+        F.get(F.array_sort(F.map_keys(m)), F.lit(0)).alias("first_key"),
         F.element_at(m, "k").alias("k_value"),
         F.element_at(m, "missing").isNotNull().alias("has_missing"),
     )

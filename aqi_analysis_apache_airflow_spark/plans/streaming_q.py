@@ -149,7 +149,7 @@ def st3_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked AS (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM ev
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -175,8 +175,9 @@ def st4_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     — Spark's dynamic-gap session operator (state merges adjacent
     windows as events arrive, the streaming-native form of e2's
     batch lag/cumsum sessionization, which is the oracle here: a new
-    session starts at gap ≥ 30min because Spark's window is
-    [first, last+gap) with an exclusive end). Complete-mode memory
+    session starts only at gap > 30min — Spark merges the exact-gap
+    boundary inclusively, verified by the exact-boundary fixture in
+    tests/test_adversarial_events.py). Complete-mode memory
     sink: the availableNow replay drains one batch, so every session
     is final when read. Session end = last event + gap, matching the
     oracle's max(ts) + INTERVAL."""
