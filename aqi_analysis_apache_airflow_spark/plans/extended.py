@@ -822,11 +822,18 @@ def m1_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           round((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
-           round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
-           round((sxy - sx * sy / n)
-                 / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)),
-                 6) AS corr_qty_price
+           CASE WHEN n >= 2
+                THEN round((sxx - sx * sx / n) / (n - 1), 6)
+           END AS var_qty,
+           CASE WHEN n >= 2
+                THEN round((sxy - sx * sy / n) / (n - 1), 6)
+           END AS covar_qty_price,
+           CASE WHEN n >= 2 AND sxx - sx * sx / n > 0
+                     AND syy - sy * sy / n > 0
+                THEN round((sxy - sx * sy / n)
+                      / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)),
+                      6)
+           END AS corr_qty_price
     FROM s
     """,
 )
@@ -851,15 +858,26 @@ def g8_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    # single-row groups have no sample variance; zero-variance groups
+    # have no correlation — NULL (oracle's CASE twin), never an ANSI
+    # DIVIDE_BY_ZERO; both engines evaluate the identical double
+    # guards, so the NULL decisions agree bit-for-bit
     return s.select(
         "l_returnflag",
         "n",
-        F.round((sxx - sx * sx / n) / (n - 1), 6).alias("var_qty"),
-        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_qty_price"),
-        F.round(
-            (sxy - sx * sy / n)
-            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
-            6,
+        F.when(n >= 2, F.round((sxx - sx * sx / n) / (n - 1), 6)).alias(
+            "var_qty"
+        ),
+        F.when(n >= 2, F.round((sxy - sx * sy / n) / (n - 1), 6)).alias(
+            "covar_qty_price"
+        ),
+        F.when(
+            (n >= 2) & (sxx - sx * sx / n > 0) & (syy - sy * sy / n > 0),
+            F.round(
+                (sxy - sx * sy / n)
+                / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+                6,
+            ),
         ).alias("corr_qty_price"),
     )
 
