@@ -517,3 +517,117 @@ def qc3_df_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_df"),
         )
     )
+
+
+_UPS_BUDGET_X = 2.5  # token budget = 2.5x the corpus (forces repetition)
+_UPS_MAX_EPOCHS = 4  # repetition cap (Muennighoff et al. 2023: ~4 epochs
+#                      of repeated data still contribute near-fresh value)
+
+
+@query(
+    "ups1_epoch_plan",
+    oracle=f"""
+    WITH c AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+               AS n_tokens,
+             CAST(round(sqrt(CAST(SUM(len(regexp_extract_all(text, '\\S+')))
+                                  AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+      FROM documents GROUP BY source
+      HAVING SUM(len(regexp_extract_all(text, '\\S+'))) > 0
+    ),
+    tot AS (
+      SELECT CAST(SUM(w) AS DOUBLE) AS w_total,
+             CAST(floor({_UPS_BUDGET_X} * CAST(SUM(n_tokens) AS DOUBLE))
+                  AS BIGINT) AS target
+      FROM c
+    ),
+    plan AS (
+      SELECT c.source, c.n_docs, c.n_tokens,
+             CAST(floor(CAST(tot.target AS DOUBLE)
+                        * (CAST(c.w AS DOUBLE) / tot.w_total)) AS BIGINT)
+               AS alloc_tokens
+      FROM c, tot
+    )
+    SELECT source, n_docs, n_tokens, alloc_tokens,
+           CAST(least({_UPS_MAX_EPOCHS},
+                      ceil(CAST(alloc_tokens AS DOUBLE)
+                           / CAST(n_tokens AS DOUBLE))) AS INTEGER) AS epochs,
+           least(alloc_tokens, {_UPS_MAX_EPOCHS} * n_tokens) AS served_tokens,
+           alloc_tokens > {_UPS_MAX_EPOCHS} * n_tokens AS undersupplied
+    FROM plan
+    """,
+)
+def ups1_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition (epoch) planning for a token budget — the
+    data-constrained scaling recipe (Muennighoff et al. 2023,
+    arXiv:2305.16264): given a training budget of {x}× the corpus and
+    per-source sqrt-temperature mixing weights (mix1's alpha=0.5
+    convention), how many EPOCHS of each source does the run take,
+    capped at {k} repetitions past which repeated tokens stop helping?
+    Per source: its allocation under the weight share, the capped
+    epoch count, the tokens actually served, and an ``undersupplied``
+    flag marking sources whose allocation the cap leaves unmet (the
+    signal to go acquire more of that source). floor/ceil (never
+    round) keep every boundary engine-unambiguous; weights are rounded
+    to DECIMAL(18,6) before the exact decimal total (the mix1
+    normalization rule); zero-token sources are excluded by policy on
+    both sides.
+
+    Scale: one map-side-combined groupBy(source) over per-doc token
+    counts (a narrow projection), then scalar arithmetic on an
+    n_sources-row table against a broadcast 1-row total. Nothing else
+    shuffles at any corpus size."""
+    from ..functions.dedup import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.size(tokens(F.col("text"))).alias("__nt"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+            F.round(F.sqrt(F.sum("__nt").cast("double")), 6)
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    tot = c.agg(
+        F.sum("w").cast("double").alias("w_total"),
+        F.floor(F.lit(_UPS_BUDGET_X) * F.sum("n_tokens").cast("double"))
+        .cast("long")
+        .alias("target"),
+    )
+    plan = c.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor(
+            F.col("target").cast("double")
+            * (F.col("w").cast("double") / F.col("w_total"))
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    )
+    return plan.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "alloc_tokens",
+        F.least(
+            F.lit(_UPS_MAX_EPOCHS).cast("int"),
+            F.ceil(
+                F.col("alloc_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).cast("int"),
+        ).alias("epochs"),
+        F.least(
+            F.col("alloc_tokens"),
+            F.lit(_UPS_MAX_EPOCHS) * F.col("n_tokens"),
+        ).alias("served_tokens"),
+        (
+            F.col("alloc_tokens") > F.lit(_UPS_MAX_EPOCHS) * F.col("n_tokens")
+        ).alias("undersupplied"),
+    )

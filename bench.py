@@ -81,6 +81,7 @@ HEADLINE = [
     "qc2_repetition_filter",
     "ws1_priority_sample",
     "mix1_temperature_mix",
+    "ups1_epoch_plan",
     "pmi1_collocations",
     "ed1_editdist_join",
     "tri1_triangle_count",

@@ -66,6 +66,7 @@ DOC_QUERIES = [
     "d7_cross_source_dedup",
     "d8_incremental_dedup",
     "m1_binary_features",
+    "ups1_epoch_plan",
 ]
 
 _ROWS = [
