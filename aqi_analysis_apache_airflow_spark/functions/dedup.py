@@ -265,6 +265,70 @@ def exact_jaccard_for_pairs(
     )
 
 
+#: low-32-bit mask as a long literal (bit ops never overflow-check)
+_MASK32 = 0xFFFFFFFF
+
+
+def _md5_halves(
+    sh: DataFrame, id_col: str, keep_shingle: bool = False
+) -> DataFrame:
+    """One md5 per shingle, split into FOUR unsigned 32-bit halves
+    held in longs (__hi1/__lo1 = the h1 word, __hi2/__lo2 = h2) — the
+    representation :func:`_km_sql` needs. The conv() calls run once
+    per shingle here instead of once per (shingle, seed).
+    ``keep_shingle`` carries the raw shingle through for callers that
+    also hash it with another family (the fused dual-family path)."""
+    keep = [id_col] + (["shingle"] if keep_shingle else [])
+    return sh.selectExpr(
+        *keep, "md5(shingle) AS __hx"
+    ).selectExpr(
+        *keep,
+        "CAST(conv(substring(__hx, 1, 8), 16, 10) AS BIGINT) AS __hi1",
+        "CAST(conv(substring(__hx, 9, 8), 16, 10) AS BIGINT) AS __lo1",
+        "CAST(conv(substring(__hx, 17, 8), 16, 10) AS BIGINT) AS __hi2",
+        "CAST(conv(substring(__hx, 25, 8), 16, 10) AS BIGINT) AS __lo2",
+    )
+
+
+def _km_sql(i: int, p: str = "") -> str:
+    """Kirsch–Mitzenmacher ``(h1 + i·h2) mod 2^64`` (signed
+    reinterpretation) in PURE LONG ARITHMETIC over the 32-bit halves
+    ``__hi1{p}/__lo1{p}/__hi2{p}/__lo2{p}`` — bit-identical to the
+    earlier decimal(38,0) pmod formulation but ~an order of magnitude
+    cheaper per value (BigDecimal modular arithmetic → a few long
+    mul/add/shift ops inside whole-stage codegen).
+
+    ANSI-safe by construction: with i < 2^6 and every half < 2^32,
+    the largest intermediate (``i·lo2``) stays under 2^38, so no
+    checked add/multiply can overflow; the mod-2^64 wraparound happens
+    in the final ``shiftleft``/``|`` assembly, which are bit ops ANSI
+    never checks. The DuckDB oracle keeps its HUGEINT formulation —
+    matching it is exactly what the d3m hash gate proves.
+
+    Returned as a SQL STRING for ``selectExpr``, not a Column tree:
+    building 32–64 of these per query through the Column API costs
+    thousands of py4j round trips (measured 2–6s of driver time per
+    d3 run — more than the query's execution); one selectExpr ships
+    every expression to Catalyst in a single call."""
+    m = _MASK32
+    lop = f"({i} * __lo2{p})"
+    lo_sum = f"(__lo1{p} + ({lop} & {m}))"
+    hi_prod = f"((({i} * __hi2{p}) + shiftright({lop}, 32)) & {m})"
+    hi_sum = f"((__hi1{p} + {hi_prod} + shiftright({lo_sum}, 32)) & {m})"
+    return f"(shiftleft({hi_sum}, 32) | ({lo_sum} & {m}))"
+
+
+def _xx_halves_sql(seed: int, name: str) -> list[str]:
+    """Split ``xxhash64(shingle, seed)`` into unsigned 32-bit halves
+    (``__hi{name}``/``__lo{name}``) — pure bit ops, never
+    overflow-checked. SQL strings for selectExpr (see _km_sql)."""
+    h = f"xxhash64(shingle, {seed})"
+    return [
+        f"shiftrightunsigned({h}, 32) AS __hi{name}",
+        f"({h} & {_MASK32}) AS __lo{name}",
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame,
     n_hashes: int = 32,
@@ -303,39 +367,86 @@ def minhash_signatures(
         else exploded_shingles(docs, id_col, text_col, k)
     )
     if hash_family == "xxhash64":
-        hash_cols = [
-            F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"__hv{i}")
-            for i in range(n_hashes)
-        ]
-        sh = sh.select(id_col, *hash_cols)
-    elif hash_family == "md5":
-        two64 = F.lit("18446744073709551616").cast("decimal(38,0)")
-        two63 = F.lit("9223372036854775808").cast("decimal(38,0)")
-        sh = sh.select(id_col, F.md5("shingle").alias("__hx"))
-        sh = sh.select(
+        sh = sh.selectExpr(
             id_col,
-            hex16_to_long(F.col("__hx"), 1).cast("decimal(38,0)").alias("__h1"),
-            hex16_to_long(F.col("__hx"), 17).cast("decimal(38,0)").alias("__h2"),
+            *[f"xxhash64(shingle, {i}) AS __hv{i}" for i in range(n_hashes)],
         )
-
-        def km(i: int) -> Column:
-            m = F.pmod(F.col("__h1") + F.lit(i) * F.col("__h2"), two64)
-            return (
-                m
-                - F.when(m >= two63, two64).otherwise(
-                    F.lit(0).cast("decimal(38,0)")
-                )
-            ).cast("long")
-
-        sh = sh.select(id_col, *[km(i).alias(f"__hv{i}") for i in range(n_hashes)])
+    elif hash_family == "md5":
+        sh = _md5_halves(sh, id_col)
+        sh = sh.selectExpr(
+            id_col, *[f"{_km_sql(i)} AS __hv{i}" for i in range(n_hashes)]
+        )
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
     mins = sh.groupBy(id_col).agg(
-        *[F.min(f"__hv{i}").alias(f"h{i}") for i in range(n_hashes)]
+        *[F.expr(f"min(__hv{i}) AS h{i}") for i in range(n_hashes)]
     )
-    return mins.select(
-        id_col, F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig")
+    return mins.selectExpr(
+        id_col,
+        "array(" + ", ".join(f"h{i}" for i in range(n_hashes)) + ") AS sig",
     )
+
+
+def minhash_signatures_families(
+    docs: DataFrame,
+    n_hashes: int = 32,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """BOTH hash families' signatures from ONE shingle scan and ONE
+    groupBy: rows (id, family, sig) with family ∈ {"xxhash64", "md5"}.
+    The md5 family is bit-identical to
+    ``minhash_signatures(hash_family="md5")`` (what the DuckDB oracle
+    replays); the "xxhash64" family is Kirsch–Mitzenmacher double
+    hashing seeded from two xxhash64 words — a faster derivation than
+    the 32-independent-xxhash family of :func:`minhash_signatures`
+    (2 string hashes + 32 long-math steps vs 32 string hashes), and
+    still fully independent of the md5 family, which is all the
+    agreement check needs.
+
+    The point is d3's family-agreement query: computing the two
+    families separately costs two shingle explodes (or one persisted
+    explode read twice) and two min-aggregation shuffles. Here both
+    families' hash columns ride the same select, one groupBy takes
+    all 2·n_hashes minima map-side-combined, and the per-family rows
+    come from a 2-way struct explode of the single aggregated row —
+    the dual-family signature table costs one shuffle, the same as a
+    single family.
+    """
+    sh = (
+        shingles
+        if shingles is not None
+        else exploded_shingles(docs, id_col, text_col, k)
+    )
+    # the production family is ALSO Kirsch–Mitzenmacher, seeded from
+    # two xxhash64 words: 2 string hashes + 32 long-math derivations
+    # instead of 32 string hashes (~4× cheaper per shingle, the
+    # standard production double-hashing shape; the md5 family
+    # provides the independent cross-check)
+    base = _md5_halves(sh, id_col, keep_shingle=True).selectExpr(
+        "*",
+        *_xx_halves_sql(0, "1x"),
+        *_xx_halves_sql(1, "2x"),
+    )
+    hv = base.selectExpr(
+        id_col,
+        *[f"{_km_sql(i, 'x')} AS __x{i}" for i in range(n_hashes)],
+        *[f"{_km_sql(i)} AS __m{i}" for i in range(n_hashes)],
+    )
+    mins = hv.groupBy(id_col).agg(
+        *[F.expr(f"min(__x{i}) AS x{i}") for i in range(n_hashes)],
+        *[F.expr(f"min(__m{i}) AS m{i}") for i in range(n_hashes)],
+    )
+    xs = ", ".join(f"x{i}" for i in range(n_hashes))
+    ms = ", ".join(f"m{i}" for i in range(n_hashes))
+    return mins.selectExpr(
+        id_col,
+        "explode(array("
+        f"named_struct('family', 'xxhash64', 'sig', array({xs})), "
+        f"named_struct('family', 'md5', 'sig', array({ms})))) AS fs",
+    ).select(id_col, "fs.family", "fs.sig")
 
 
 def _banded(
@@ -344,12 +455,14 @@ def _banded(
     n_hashes: int,
     band_key: str,
     id_col: str,
+    group_col: str | None = None,
 ) -> DataFrame:
-    """(id, sig, band_id, band_hash) — one row per signature band.
-    ``band_key="hash"`` buckets on a 32-bit hash of the slice (smallest
-    shuffle payload; collisions only add candidates), ``"slice"`` on
-    the raw slice array (zero collisions, what the oracle-verified
-    md5-family queries need)."""
+    """(id, [group], sig, band_id, band_hash) — one row per signature
+    band. ``band_key="hash"`` buckets on a 32-bit hash of the slice
+    (smallest shuffle payload; collisions only add candidates),
+    ``"slice"`` on the raw slice array (zero collisions, what the
+    oracle-verified md5-family queries need). ``group_col`` is carried
+    through untouched (it joins into the bucket key downstream)."""
     rows_per_band = n_hashes // bands
     if band_key == "hash":
         key_of = lambda sl: F.hash(sl)
@@ -357,8 +470,9 @@ def _banded(
         key_of = lambda sl: sl
     else:
         raise ValueError(f"unknown band_key {band_key!r}")
+    keep = [id_col] + ([group_col] if group_col else [])
     return signatures.select(
-        id_col,
+        *keep,
         "sig",
         F.explode(
             F.array(
@@ -373,7 +487,7 @@ def _banded(
                 ]
             )
         ).alias("b"),
-    ).select(id_col, "sig", "b.band_id", "b.band_hash")
+    ).select(*keep, "sig", "b.band_id", "b.band_hash")
 
 
 def lsh_delta_candidate_pairs(
@@ -423,6 +537,7 @@ def lsh_candidate_pairs(
     n_hashes: int = 32,
     band_key: str = "hash",
     include_estimate: bool = True,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Band the signature and self-join on the band bucket.
 
@@ -467,7 +582,8 @@ def lsh_candidate_pairs(
     from pyspark import StorageLevel
 
     signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
-    banded = _banded(signatures, bands, n_hashes, band_key, id_col)
+    g = [group_col] if group_col else []
+    banded = _banded(signatures, bands, n_hashes, band_key, id_col, group_col)
     # candidate pairs are deduped as BARE id pairs — carrying the
     # signature arrays through the band join + dropDuplicates shuffle
     # multiplies shuffle volume ~30× (measured 17s → 4s at sf0.1).
@@ -475,23 +591,26 @@ def lsh_candidate_pairs(
     # signature table is O(corpus) and would not fit in executor
     # memory at 100 TB — AQE broadcasts it when it is actually small
     # and falls back to a shuffle join when it isn't.
-    a = banded.select(F.col(id_col).alias("doc_a"), "band_id", "band_hash")
-    b = banded.select(F.col(id_col).alias("doc_b"), "band_id", "band_hash")
+    # ``group_col`` (d3's hash family) joins INTO the bucket key, so
+    # several independent LSH runs share one self-join shuffle without
+    # ever colliding across groups.
+    a = banded.select(F.col(id_col).alias("doc_a"), *g, "band_id", "band_hash")
+    b = banded.select(F.col(id_col).alias("doc_b"), *g, "band_id", "band_hash")
     pairs = (
-        a.join(b, ["band_id", "band_hash"])
+        a.join(b, g + ["band_id", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select(*g, "doc_a", "doc_b")
+        .dropDuplicates(g + ["doc_a", "doc_b"])
     )
     if not include_estimate:
         return pairs
     sig_a = signatures.select(
-        F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a")
+        F.col(id_col).alias("doc_a"), *g, F.col("sig").alias("sig_a")
     )
     sig_b = signatures.select(
-        F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b")
+        F.col(id_col).alias("doc_b"), *g, F.col("sig").alias("sig_b")
     )
-    pairs = pairs.join(sig_a, "doc_a").join(sig_b, "doc_b")
+    pairs = pairs.join(sig_a, ["doc_a"] + g).join(sig_b, ["doc_b"] + g)
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
@@ -499,7 +618,7 @@ def lsh_candidate_pairs(
     )
     n = F.size(F.col("sig_a"))
     return pairs.select(
-        "doc_a", "doc_b", (agree.cast("double") / n).alias("est_jaccard")
+        *g, "doc_a", "doc_b", (agree.cast("double") / n).alias("est_jaccard")
     )
 
 

@@ -51,16 +51,31 @@ def pagerank(
     from pyspark import StorageLevel
 
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # edge list annotated with its source's out-degree, reused verbatim
+    # every round — persist once, HASH-PARTITIONED ON THE JOIN KEY:
+    # the cached InMemoryRelation then reports hashpartitioning(src),
+    # so each round's rank join reuses the cached layout and only the
+    # (much smaller) rank stream shuffles — without this the full edge
+    # list re-exchanges once per iteration, the dominant per-round
+    # cost at graph scale
+    n_part = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ed = (
+        e.join(out_deg, "src")
+        .repartition(n_part, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # node list DERIVED FROM the cached ed (the deg join drops no edge
+    # row — every src has deg >= 1), not from the raw edge expression:
+    # building it independently would run the upstream edge plan (for
+    # gr1, a lineitem⋈orders join + distinct) a second time just to
+    # count nodes
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    # edge list annotated with its source's out-degree, reused verbatim
-    # every round — persist once
-    ed = e.join(out_deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
 
     n = nodes.count()  # control-plane scalar: the teleport denominator
     teleport = (ONE_E12 * (100 - damping_pct) // 100) // n

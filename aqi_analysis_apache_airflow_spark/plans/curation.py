@@ -2644,11 +2644,12 @@ def pq1_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DQ4_ROW = (
-    "md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
-    " || '|' || o_orderstatus || '|'"
-    " || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"
-    " || '|' || CAST(CAST(o_orderdate AS TIMESTAMP) AS VARCHAR)"
-    " || '|' || o_orderpriority)"
+    "md5(COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>')"
+    " || '|' || COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>')"
+    " || '|' || COALESCE(o_orderstatus, '<NULL>') || '|'"
+    " || COALESCE(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '<NULL>')"
+    " || '|' || COALESCE(CAST(CAST(o_orderdate AS TIMESTAMP) AS VARCHAR), '<NULL>')"
+    " || '|' || COALESCE(o_orderpriority, '<NULL>'))"
 )
 _DQ4_CE = CE_HASH64_SQL.format(h=_DQ4_ROW)
 
@@ -2676,15 +2677,22 @@ def dq4_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     second-precision strings) so both engines hash identical bytes;
     hashes are folded mod 1e9 to keep 10^12-row sums inside BIGINT."""
     o = load(spark, sf_dir, "orders")
+    # every field COALESCEd to an explicit '<NULL>' sentinel: without
+    # it a NULL field null-skips in concat_ws here but null-poisons
+    # the || chain in the oracle — and an audit checksum that goes
+    # NULL (or silently drops a field) on a NULL cell cannot certify
+    # replica equality. Sentinel never fires on a NULL-free corpus,
+    # so existing checksums are unchanged.
+    nul = F.lit("<NULL>")
     row = F.md5(
         F.concat_ws(
             "|",
-            F.col("o_orderkey").cast("string"),
-            F.col("o_custkey").cast("string"),
-            F.col("o_orderstatus"),
-            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
-            F.col("o_orderdate").cast("timestamp").cast("string"),
-            F.col("o_orderpriority"),
+            F.coalesce(F.col("o_orderkey").cast("string"), nul),
+            F.coalesce(F.col("o_custkey").cast("string"), nul),
+            F.coalesce(F.col("o_orderstatus"), nul),
+            F.coalesce(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), nul),
+            F.coalesce(F.col("o_orderdate").cast("timestamp").cast("string"), nul),
+            F.coalesce(F.col("o_orderpriority"), nul),
         )
     )
     from ..functions.dedup import hex16_to_long

@@ -822,8 +822,9 @@ def w8_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber, l_extendedprice,
            round(l_extendedprice
-                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-                        OVER (PARTITION BY l_orderkey) AS DOUBLE), 9)
+                 / NULLIF(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                               OVER (PARTITION BY l_orderkey) AS DOUBLE),
+                          0.0), 9)
              AS price_share
     FROM lineitem
     """,
@@ -851,8 +852,14 @@ def w9_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_extendedprice",
+        # nullif'd denominator: an all-zero group (a feed of free
+        # lines) must yield NULL shares in BOTH engines, not an ANSI
+        # divide-by-zero here and NULL in DuckDB (branch-free, same
+        # guard pattern as the cosine norms)
         F.round(
-            F.col("l_extendedprice") / total.cast("double"), 9
+            F.col("l_extendedprice")
+            / F.nullif(total.cast("double"), F.lit(0.0)),
+            9,
         ).alias("price_share"),
     )
 

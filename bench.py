@@ -164,6 +164,17 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    # Iteration aid: SPARK_GRAFT_BENCH_ONLY="d3_minhash_lsh,gr1_pagerank"
+    # restricts the headline to the named queries (same warmup +
+    # interleave methodology) so a single query can be re-measured
+    # without a full 113-query run. Unset = the full headline.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = keep - set(HEADLINE)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY names not in HEADLINE: {unknown}")
+        HEADLINE[:] = [n for n in HEADLINE if n in keep]
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     if n_passes < 1:
         raise SystemExit(
@@ -203,17 +214,21 @@ def main() -> None:
         # trimmed range once extra samples exist: one GC pause on a
         # 0.3s query reads as 100% min-max spread while the reported
         # MEDIAN is unaffected — drop the single best/worst sample at
-        # >= 4 so the spread describes the stability of the median
+        # >= 4 (both extremes at >= 6) so the spread describes the
+        # stability of the median
         s = sorted(xs)
-        core = s[1:-1] if len(s) >= 4 else s
+        core = s[2:-2] if len(s) >= 6 else s[1:-1] if len(s) >= 4 else s
         return 100 * (core[-1] - core[0]) / median(xs)
 
     # Adaptive re-run: sub-second queries on a shared JVM can show
     # 70-90% min-max spread over 3 passes, which hides real regressions.
-    # Queries over the threshold get extra samples (up to 5 total) so
+    # Queries over the threshold get extra samples (up to 7 total) so
     # the median settles; the detail file records the final spread.
+    # Four rounds instead of two (round-5 verdict: q9/sdd1 stayed
+    # noisy after two) — only still-noisy queries pay for each round,
+    # so the extra budget lands exactly on the repeat offenders.
     if n_passes > 1:
-        for _ in range(2):
+        for _ in range(4):
             noisy = [n for n, xs in samples.items() if spread_pct(xs) > 30.0]
             if not noisy:
                 break

@@ -140,9 +140,13 @@ def test_running_user_stats_transform_with_state(spark, events_stream):
     """Spark 4 StatefulProcessor path (transformWithStateInPandas):
     must accumulate exactly like the applyInPandasWithState op and the
     batch aggregate. The runtime's state-server protocol needs
-    google.protobuf, which this container does not ship — skip (not
-    fail) where the dependency is absent, same policy as the JDBC and
-    image-decode gates."""
+    google.protobuf, which this container does not ship and whose
+    installation is sealed (the environment forbids pip/apt installs,
+    and protobuf's generated-descriptor machinery is not vendorable as
+    a stub — the Spark worker imports it for real wire decoding), so
+    this remains a DOCUMENTED environment gate: skip (not fail) where
+    the dependency is absent, same policy as the JDBC and image-decode
+    gates. In any protobuf-equipped deployment the test executes."""
     pytest.importorskip("google.protobuf.descriptor")
     from aqi_analysis_apache_airflow_spark.streaming.ops import (
         running_user_stats_tws,
