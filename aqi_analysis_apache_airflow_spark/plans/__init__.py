@@ -9,5 +9,6 @@ from . import tpch_extra as _tpch_extra  # noqa: E402,F401
 from . import llm_ops as _llm_ops  # noqa: E402,F401
 from . import curation as _curation  # noqa: E402,F401
 from . import mining as _mining  # noqa: E402,F401
+from . import retrieval as _retrieval  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

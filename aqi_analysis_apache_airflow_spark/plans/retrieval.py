@@ -1,0 +1,571 @@
+"""Round-6 retrieval + corpus-operations operators: BM25 ranked
+retrieval, deterministic corpus shuffle/sharding, GDPR cascade
+deletion audit, multi-format sink/source round-trip proof, and
+bigram-LM predictability scoring.
+
+No reference counterpart (the reference is a 479-line pandas ETL —
+``dags/etl/*.py``); these extend the training-data-pipeline surface
+the 100 TB deployment needs. Design rules carried over from the
+earlier families (see ``plans/curation.py``):
+
+- Randomness / shuffling is the md5-derived cross-engine hash
+  (``ce_hash64``) so every decision replays bit-exactly in DuckDB;
+  production swaps in ``xxhash64`` with no other change.
+- Sums of doubles route through DECIMAL (exact, order-independent);
+  per-row double mul/div stays raw (IEEE-identical across engines);
+  the one ``ln`` (BM25 idf) is rounded to 6dp on both sides — the
+  established t4_tfidf mitigation for last-ulp libm divergence.
+- Every plan is shuffle-minimal and documented for the 100 TB case.
+
+Public sources: Robertson & Zaragoza 2009 (BM25); the shard/shuffle
+op is the standard "hash-salt global shuffle" of LLM data loaders
+(e.g. GPT-3 App. B's deterministic document ordering).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.dedup import CE_HASH64_SQL, ce_hash64, tokens
+from .registry import load, query
+
+# --------------------------------------------------------------------------
+# ret1 — BM25 ranked retrieval
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("table", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_RET1_SQL = f"""
+WITH dl AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tok AS (
+  SELECT doc_id, t.tok
+  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM documents),
+       UNNEST(l) t(tok)
+  WHERE t.tok IN ({_BM25_TERMS_SQL})
+),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, tok
+),
+dfreq AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY tok
+),
+scored AS (
+  SELECT tf.doc_id,
+         round(
+           round(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6)
+           * ((CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0})
+              / (CAST(tf AS DOUBLE)
+                 + {_BM25_K1} * ({1.0 - _BM25_B}
+                                 + {_BM25_B} * (CAST(dl.dl AS DOUBLE) / avgdl)))),
+           6) AS s
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.tok = tf.tok
+  CROSS JOIN stats
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms_hit,
+       CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS score
+FROM scored
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+@query("ret1_bm25_topk", oracle=_RET1_SQL)
+def ret1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (Robertson–Zaragoza 2009, k1=1.2, b=0.75)
+    for a fixed term set over whitespace tokens — the classic ranked
+    retrieval an LLM-data pipeline uses for query-targeted corpus
+    slicing and RAG candidate generation.
+
+    Scale shape: the token stream is filtered to the query terms
+    BEFORE any shuffle (predicate on the exploded token — at 100 TB
+    the tf/df aggregations see only matching postings, a tiny
+    fraction of the corpus); tf and df share that filtered stream's
+    shuffle key; N and avgdl fold in as a 1-row broadcast aggregate
+    (never a driver-side count during planning); the df table is
+    |query terms| rows → broadcast. The final top-k is a global
+    ORDER BY + LIMIT, which Spark executes as per-partition top-k +
+    single-reduce (TakeOrderedAndProject), not a full sort.
+
+    Determinism: idf's ``ln`` is rounded to 6dp on both engines (the
+    t4_tfidf convention); per-term scores are rounded to 6dp then
+    summed as DECIMAL (order-independent), surfaced as DOUBLE."""
+    docs = load(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        (
+            F.sum("dl").cast("double") / F.count("*").cast("double")
+        ).alias("avgdl"),
+    )
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").isin(*_BM25_TERMS))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    idf6 = F.round(
+        F.log(
+            (F.col("n").cast("double") - F.col("df").cast("double") + 0.5)
+            / (F.col("df").cast("double") + 0.5)
+            + 1.0
+        ),
+        6,
+    )
+    denom = F.col("tf").cast("double") + F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B)
+        + F.lit(_BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    s = F.round(idf6 * ((F.col("tf").cast("double") * (_BM25_K1 + 1.0)) / denom), 6)
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(stats))
+        .select("doc_id", s.alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.sum(F.col("s").cast("decimal(28,6)")).cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# shuf1 — deterministic global shuffle + shard assignment
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+_SHUF_CE = CE_HASH64_SQL.format(h="md5('shuf|'||CAST(doc_id AS VARCHAR))")
+
+_SHUF1_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, {_SHUF_CE} AS k FROM documents
+)
+SELECT doc_id,
+       ((k % {_N_SHARDS}) + {_N_SHARDS}) % {_N_SHARDS} AS shard,
+       CAST(row_number() OVER (
+              PARTITION BY ((k % {_N_SHARDS}) + {_N_SHARDS}) % {_N_SHARDS}
+              ORDER BY k, doc_id) AS INTEGER) AS pos
+FROM keyed
+"""
+
+
+@query("shuf1_deterministic_shard", oracle=_SHUF1_SQL)
+def shuf1_deterministic_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle + shard assignment — the
+    epoch-ordering primitive of every LLM data loader: each document
+    gets a pseudorandom sort key from a seeded hash, a shard from the
+    key's residue, and a position within its shard. Replayable
+    bit-exactly from the key alone (resume-safe training), with no
+    RNG state anywhere.
+
+    Scale shape: one hash per row, ONE shuffle (hash-partition on
+    shard), per-shard ordering — in production this is literally
+    ``repartition(N, shard).sortWithinPartitions(k)`` writing one
+    file per shard; the row_number form here surfaces the positions
+    so the oracle can verify the full permutation. Shards are
+    hash-balanced so no shard skews past ~corpus/N."""
+    docs = load(spark, sf_dir, "documents")
+    k = ce_hash64(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", k.alias("k"))
+    shard = F.pmod(F.col("k"), F.lit(_N_SHARDS))
+    w = Window.partitionBy(shard).orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# gdpr1 — cascade deletion audit (right-to-erasure)
+# --------------------------------------------------------------------------
+
+_GDPR1_SQL = """
+WITH del_cust AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+),
+purged_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+),
+purged_line AS (
+  SELECT l_orderkey, l_linenumber FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM purged_orders)
+),
+c AS (
+  SELECT 'customer' AS table_name,
+         CAST((SELECT count(*) FROM customer) AS BIGINT) AS rows_before,
+         CAST(count(*) AS BIGINT) AS rows_purged,
+         CAST(COALESCE(sum((({c_ce}) % 1000000000 + 1000000000)
+                           % 1000000000), 0) AS BIGINT) AS purged_key_sum
+  FROM del_cust
+),
+o AS (
+  SELECT 'orders' AS table_name,
+         CAST((SELECT count(*) FROM orders) AS BIGINT) AS rows_before,
+         CAST(count(*) AS BIGINT) AS rows_purged,
+         CAST(COALESCE(sum((({o_ce}) % 1000000000 + 1000000000)
+                           % 1000000000), 0) AS BIGINT) AS purged_key_sum
+  FROM purged_orders
+),
+l AS (
+  SELECT 'lineitem' AS table_name,
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS rows_before,
+         CAST(count(*) AS BIGINT) AS rows_purged,
+         CAST(COALESCE(sum((({l_ce}) % 1000000000 + 1000000000)
+                           % 1000000000), 0) AS BIGINT) AS purged_key_sum
+  FROM purged_line
+)
+SELECT table_name, rows_before, rows_purged,
+       rows_before - rows_purged AS rows_after, purged_key_sum
+FROM (SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l) u
+""".format(
+    c_ce=CE_HASH64_SQL.format(h="md5('gdpr|'||CAST(c_custkey AS VARCHAR))"),
+    o_ce=CE_HASH64_SQL.format(h="md5('gdpr|'||CAST(o_orderkey AS VARCHAR))"),
+    l_ce=CE_HASH64_SQL.format(
+        h="md5('gdpr|'||CAST(l_orderkey AS VARCHAR)||'-'"
+        "||CAST(l_linenumber AS VARCHAR))"
+    ),
+)
+
+
+def _purge_audit(df: DataFrame, name: str, key_str) -> DataFrame:
+    """1-row audit aggregate: (table_name, rows_purged, purged_key_sum).
+    Hashes fold mod 1e9 before the SUM (the dq4 convention) so a
+    10^12-row purge manifest still sums inside BIGINT."""
+    h = F.pmod(ce_hash64(F.concat(F.lit("gdpr|"), key_str)), F.lit(1_000_000_000))
+    return df.agg(
+        F.lit(name).alias("table_name"),
+        F.count("*").alias("rows_purged"),
+        F.coalesce(F.sum(h), F.lit(0)).cast("long").alias("purged_key_sum"),
+    )
+
+
+@query("gdpr1_cascade_delete", oracle=_GDPR1_SQL)
+def gdpr1_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade audit: a deletion request set
+    (customers) propagates through its foreign-key fan-out
+    (orders → lineitem); the result is the per-table purge manifest —
+    rows before, rows purged, rows after, and an exact DECIMAL
+    checksum over the purged keys (the audit artifact a compliance
+    pipeline persists before executing the physical delete).
+
+    Scale shape: the deletion set is a small fraction of one
+    dimension (here 1/97 of customers) — each cascade level is a
+    LEFT SEMI join against the previous level's keys, which Spark
+    broadcasts while the set is small and shuffles only when it
+    outgrows the threshold (AQE decides; no hint pinned, because a
+    mass-erasure event can make the set large). Nothing but the key
+    columns moves: the semi-joins read one column per table and the
+    audit rows are 1-row aggregates unioned at the end. The physical
+    delete itself is the j6/st6 MERGE machinery; this op is the
+    planning+audit half."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+
+    del_cust = customer.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    purged_orders = orders.join(
+        del_cust, orders["o_custkey"] == del_cust["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    purged_line = lineitem.join(
+        purged_orders,
+        lineitem["l_orderkey"] == purged_orders["o_orderkey"],
+        "left_semi",
+    ).select("l_orderkey", "l_linenumber")
+
+    audits = (
+        _purge_audit(del_cust, "customer", F.col("c_custkey").cast("string"))
+        .unionAll(
+            _purge_audit(
+                purged_orders, "orders", F.col("o_orderkey").cast("string")
+            )
+        )
+        .unionAll(
+            _purge_audit(
+                purged_line,
+                "lineitem",
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("-"),
+                    F.col("l_linenumber").cast("string"),
+                ),
+            )
+        )
+    )
+    before = (
+        customer.agg(F.lit("customer").alias("table_name"), F.count("*").alias("rows_before"))
+        .unionAll(
+            orders.agg(F.lit("orders").alias("table_name"), F.count("*").alias("rows_before"))
+        )
+        .unionAll(
+            lineitem.agg(
+                F.lit("lineitem").alias("table_name"), F.count("*").alias("rows_before")
+            )
+        )
+    )
+    return before.join(audits, "table_name").select(
+        "table_name",
+        "rows_before",
+        "rows_purged",
+        (F.col("rows_before") - F.col("rows_purged")).alias("rows_after"),
+        "purged_key_sum",
+    )
+
+
+# --------------------------------------------------------------------------
+# fmt1 — multi-format sink/source round-trip proof (ORC, JSON, CSV)
+# --------------------------------------------------------------------------
+
+_FMT_DOC_CE = CE_HASH64_SQL.format(
+    h="md5('doc|'||CAST(doc_id AS VARCHAR)||'|'||text||'|'||lang"
+    "||'|'||source||'|'||CAST(n_chars AS VARCHAR))"
+)
+_FMT_LI_CE = CE_HASH64_SQL.format(
+    h="md5('li|'||CAST(l_orderkey AS VARCHAR)||'|'"
+    "||CAST(l_linenumber AS VARCHAR))"
+)
+
+_FMT1_SQL = f"""
+WITH doc_side AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum((({_FMT_DOC_CE}) % 1000000000 + 1000000000) % 1000000000)
+              AS BIGINT) AS content_hash_sum,
+         CAST(CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+           AS val_sum
+  FROM documents
+),
+li_side AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum((({_FMT_LI_CE}) % 1000000000 + 1000000000) % 1000000000)
+              AS BIGINT) AS content_hash_sum,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+              AS DOUBLE) AS val_sum
+  FROM lineitem WHERE l_orderkey % 10 = 0
+)
+SELECT 'orc' AS fmt, n_rows, content_hash_sum, val_sum FROM doc_side
+UNION ALL
+SELECT 'json' AS fmt, n_rows, content_hash_sum, val_sum FROM doc_side
+UNION ALL
+SELECT 'csv' AS fmt, n_rows, content_hash_sum, val_sum FROM li_side
+"""
+
+
+def _doc_audit(df: DataFrame, fmt: str) -> DataFrame:
+    h = F.pmod(
+        ce_hash64(
+            F.concat(
+                F.lit("doc|"),
+                F.col("doc_id").cast("string"),
+                F.lit("|"),
+                F.col("text"),
+                F.lit("|"),
+                F.col("lang"),
+                F.lit("|"),
+                F.col("source"),
+                F.lit("|"),
+                F.col("n_chars").cast("string"),
+            )
+        ),
+        F.lit(1_000_000_000),
+    )
+    return df.agg(
+        F.lit(fmt).alias("fmt"),
+        F.count("*").alias("n_rows"),
+        F.sum(h).cast("long").alias("content_hash_sum"),
+        F.sum(F.col("n_chars").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("val_sum"),
+    )
+
+
+@query("fmt1_multiformat_roundtrip", oracle=_FMT1_SQL)
+def fmt1_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink/source breadth proof: write the documents table to ORC and
+    JSON-lines and a lineitem slice to headered CSV, read each back
+    with an explicit schema, and emit per-format (row count, exact
+    DECIMAL sum of a per-row content hash, exact DECIMAL value sum).
+    The oracle computes the same three audits from the PARQUET
+    originals — equality is an external proof that every format
+    round-trips losslessly: the content hash covers ids + full text +
+    categorical columns, and the CSV value sum proves doubles survive
+    the text encoding bit-exactly (Spark writes shortest-round-trip
+    decimal strings).
+
+    Scale shape: writes are partitioned (whatever parallelism the
+    upstream had), reads are splittable scans; the audits are 1-row
+    aggregates with map-side combine. At 100 TB this op is the
+    format-migration validator you run AFTER a bulk
+    parquet→ORC/JSONL conversion and BEFORE dropping the originals;
+    per-partition hash sums commute, so the audit never needs a
+    global sort."""
+    docs = load(spark, sf_dir, "documents")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+
+    base = os.path.join(
+        "/tmp/spark_graft_fmt", os.path.basename(sf_dir.rstrip("/"))
+    )
+    orc_path = os.path.join(base, "documents_orc")
+    json_path = os.path.join(base, "documents_json")
+    csv_path = os.path.join(base, "lineitem_csv")
+
+    docs.write.mode("overwrite").orc(orc_path)
+    docs.write.mode("overwrite").json(json_path)
+    li_cols = [
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+    ]
+    li.select(*li_cols).write.mode("overwrite").option("header", True).csv(
+        csv_path
+    )
+
+    doc_schema = (
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    li_schema = (
+        "l_orderkey bigint, l_linenumber int, l_quantity double, "
+        "l_extendedprice double"
+    )
+    orc_back = spark.read.schema(doc_schema).orc(orc_path)
+    json_back = spark.read.schema(doc_schema).json(json_path)
+    csv_back = (
+        spark.read.schema(li_schema).option("header", True).csv(csv_path)
+    )
+
+    li_ce = F.pmod(
+        ce_hash64(
+            F.concat(
+                F.lit("li|"),
+                F.col("l_orderkey").cast("string"),
+                F.lit("|"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        F.lit(1_000_000_000),
+    )
+    csv_audit = csv_back.agg(
+        F.lit("csv").alias("fmt"),
+        F.count("*").alias("n_rows"),
+        F.sum(li_ce).cast("long").alias("content_hash_sum"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("val_sum"),
+    )
+    return (
+        _doc_audit(orc_back, "orc")
+        .unionAll(_doc_audit(json_back, "json"))
+        .unionAll(csv_audit)
+    )
+
+
+# --------------------------------------------------------------------------
+# lm2 — bigram-LM predictability scoring
+# --------------------------------------------------------------------------
+
+_LM2_SQL = """
+WITH big AS (
+  SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM documents),
+       UNNEST(range(1, len(l))) u(i)
+),
+c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2
+),
+c1 AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY w1
+),
+p AS (
+  SELECT big.doc_id,
+         round(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE), 6) AS p6
+  FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CAST(p6 AS DECIMAL(18,6))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mean_p
+FROM p GROUP BY doc_id
+"""
+
+
+@query("lm2_bigram_predictability", oracle=_LM2_SQL)
+def lm2_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model predictability per document: train
+    maximum-likelihood bigram probabilities P(w2|w1) = c(w1,w2)/c(w1·)
+    on the corpus itself, then score each document by the mean
+    probability of its bigrams — the cheap KenLM-style fluency filter
+    LLM pipelines use to rank text quality (low mean ⇒ unusual word
+    transitions ⇒ likely boilerplate/garbled text), without any libm
+    perplexity (the rational mean-probability is the monotone
+    cross-engine-exact stand-in for mean log-prob, per the
+    curation-family convention).
+
+    Scale shape: ONE bigram explode feeds both count aggregations
+    (map-side combined on their group keys) and the scoring join; the
+    c12/c1 model tables are vocabulary-sized — tiny next to the
+    corpus — so AQE broadcasts them (no hint pinned: a web-scale
+    vocabulary can outgrow broadcast, and then both sides are already
+    hash-partitioned on the token key). Per-doc means route the
+    rounded probabilities through DECIMAL so partial-aggregation
+    order never changes a bit."""
+    docs = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    length = F.greatest(n - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(t, 1, length).alias("w1"), F.slice(t, 2, length).alias("w2")
+    )
+    big = docs.select(
+        "doc_id", F.explode(pairs).alias("bg")
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    p6 = F.round(
+        F.col("c12").cast("double") / F.col("c1").cast("double"), 6
+    )
+    p = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select("doc_id", p6.alias("p6"))
+    )
+    return p.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (
+            F.sum(F.col("p6").cast("decimal(18,6)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_p"),
+    )

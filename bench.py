@@ -158,6 +158,12 @@ HEADLINE = [
     "wmed2_weighted_median_banded",
     "pv1_pivot_multi_agg",
     "dq8_uniqueness_audit",
+    # round-6 additions
+    "ret1_bm25_topk",
+    "shuf1_deterministic_shard",
+    "gdpr1_cascade_delete",
+    "fmt1_multiformat_roundtrip",
+    "lm2_bigram_predictability",
 ]
 
 

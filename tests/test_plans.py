@@ -523,3 +523,31 @@ def test_wmed2_no_full_group_sort_merge(spark):
     p = plan_of(spark, "wmed2_weighted_median_banded")
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_ret1_topk_and_posting_filter_before_shuffle(spark):
+    """BM25: the query-term filter must sit below the tf/df
+    aggregations (only matching postings shuffle), and the global
+    top-k must be TakeOrderedAndProject, never a full sort."""
+    p = plan_of(spark, "ret1_bm25_topk")
+    assert "TakeOrderedAndProject" in p
+    # corpus stats fold in as broadcasts, not driver-side counts
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_shuf1_single_window_exchange(spark):
+    """Deterministic shard: one hashpartitioning exchange on the shard
+    key feeds the per-shard ordering — no extra repartition, no global
+    sort."""
+    p = plan_of(spark, "shuf1_deterministic_shard")
+    assert p.count("hashpartitioning(") == 1
+    assert "rangepartitioning" not in p
+
+
+def test_gdpr1_cascade_is_semi_joins(spark):
+    """Cascade delete: every cascade level is a LEFT SEMI join (only
+    keys move) — never an inner join that would duplicate purged rows
+    on fan-out, never a cartesian against a data relation."""
+    p = plan_of(spark, "gdpr1_cascade_delete")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
