@@ -569,3 +569,146 @@ def lm2_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("mean_p"),
     )
+
+
+# --------------------------------------------------------------------------
+# mg1 — Misra–Gries heavy hitters (mergeable mapInPandas sketch)
+# --------------------------------------------------------------------------
+
+_MG_CAPACITY = 128
+# φ = 1/100; all thresholds stay in INTEGER arithmetic (×100) so no
+# float boundary can flip a guarantee boolean between engines.
+_MG_PHI_DEN = 100
+
+_MG_KEY_SQL = (
+    "CASE WHEN l_orderkey % 2 = 0 THEN 'hot' "
+    "ELSE 'cold_' || CAST(l_partkey % 997 AS VARCHAR) END"
+)
+
+_MG1_SQL = f"""
+WITH keyed AS (SELECT {_MG_KEY_SQL} AS k FROM lineitem),
+exact AS (SELECT k, CAST(count(*) AS BIGINT) AS true_count FROM keyed GROUP BY k),
+total AS (SELECT CAST(sum(true_count) AS BIGINT) AS n_total FROM exact)
+SELECT k, true_count,
+       TRUE AS sketch_found, TRUE AS bound_ok
+FROM exact CROSS JOIN total
+WHERE true_count * {_MG_PHI_DEN} >= n_total
+"""
+
+
+@query("mg1_misra_gries_hh", oracle=_MG1_SQL)
+def mg1_misra_gries_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters (φ = 1/100) over a deliberately
+    skewed derived key (one 'hot' key at ~50% + ~1000 cold keys), the
+    mergeable-sketch counterpart to count-min (cm1): per-partition
+    MG(128) summaries from an Arrow-batched ``mapInPandas`` stage
+    (:mod:`...functions.sketch`), merged by a plain
+    ``groupBy(k).sum`` — the whole distributed sketch is ONE Python
+    stage plus one narrow shuffle of ≤ partitions × (capacity+1)
+    rows, which is the entire point at 100 TB: the corpus never
+    shuffles, only the summaries do.
+
+    Self-verifying oracle (the d3/sim_ivf pattern): rows are the
+    EXACT heavy hitters (the in-query exact groupBy is the
+    verification baseline, the work a production run would not do),
+    and the booleans assert the sketch's mergeability guarantees —
+    ``sketch_found`` (every true φ-heavy key survives the candidate
+    cut ``100·est + 100·err ≥ N``, which Agarwal et al. 2012 Thm. 1
+    proves can never fail) and ``bound_ok``
+    (``est ≤ true ≤ est + err``). All guarantee arithmetic is
+    integer-exact — no float threshold can flip a boolean at the
+    boundary. The merged summary table is persisted so the candidate
+    cut and its error bound come from the SAME sketch run (the
+    per-run estimates are partitioning-dependent; the booleans hold
+    for every run)."""
+    from ..functions.sketch import mg_partition_summaries
+
+    li = load(spark, sf_dir, "lineitem")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    key = F.when(F.col("l_orderkey") % 2 == 0, F.lit("hot")).otherwise(
+        F.concat(F.lit("cold_"), (F.col("l_partkey") % 997).cast("string"))
+    )
+    keyed = li.select(key.alias("k")).repartition(n_part)
+
+    summ = mg_partition_summaries(keyed, _MG_CAPACITY)
+    glob = summ.groupBy("k").agg(F.sum("est").alias("est")).persist()
+    err = glob.filter(F.col("k").isNull()).select(
+        F.coalesce(F.sum("est"), F.lit(0)).alias("err_total")
+    )
+    # exact baseline straight off the scan (no repartition: groupBy
+    # brings its own exchange and the round-robin spread is only for
+    # the Python sketch stage) — this is the verification work a
+    # production run would not do
+    exact = li.select(key.alias("k")).groupBy("k").agg(
+        F.count("*").alias("true_count")
+    )
+    total = exact.agg(F.sum("true_count").alias("n_total"))
+
+    cand = (
+        glob.filter(F.col("k").isNotNull())
+        .join(F.broadcast(err))
+        .join(F.broadcast(total))
+        .filter(
+            F.col("est") * _MG_PHI_DEN + F.col("err_total") * _MG_PHI_DEN
+            >= F.col("n_total")
+        )
+        .select("k", "est")
+    )
+
+    return (
+        exact.join(F.broadcast(total))
+        .filter(F.col("true_count") * _MG_PHI_DEN >= F.col("n_total"))
+        .join(cand, "k", "left")
+        .join(F.broadcast(err))
+        .select(
+            "k",
+            "true_count",
+            F.col("est").isNotNull().alias("sketch_found"),
+            (
+                (F.col("est") <= F.col("true_count"))
+                & (F.col("true_count") <= F.col("est") + F.col("err_total"))
+            ).alias("bound_ok"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# anon1 — k-anonymity audit
+# --------------------------------------------------------------------------
+
+_ANON_K = 5
+
+_ANON1_SQL = f"""
+SELECT c_nationkey,
+       c_mktsegment,
+       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+       CAST(count(*) AS BIGINT) AS class_size,
+       count(*) < {_ANON_K} AS suppress
+FROM customer
+GROUP BY 1, 2, 3
+"""
+
+
+@query("anon1_k_anonymity", oracle=_ANON1_SQL)
+def anon1_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (nation, market
+    segment, account-balance band): every equivalence class with
+    fewer than k members is flagged for suppression — the privacy
+    gate a training-data pipeline runs before releasing
+    user-attributable records, and the planning half of the gdpr1
+    erasure machinery.
+
+    Scale shape: one groupBy on the QI tuple (map-side combined);
+    the banding is a per-row floor, no join anywhere. The flagged
+    classes then drive either suppression (anti-join on the QI
+    tuple) or coarser generalization (re-band and re-audit) —
+    both reuse this exact plan."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+    ).agg(
+        F.count("*").alias("class_size"),
+        (F.count("*") < _ANON_K).alias("suppress"),
+    )

@@ -164,6 +164,8 @@ HEADLINE = [
     "gdpr1_cascade_delete",
     "fmt1_multiformat_roundtrip",
     "lm2_bigram_predictability",
+    "mg1_misra_gries_hh",
+    "anon1_k_anonymity",
 ]
 
 

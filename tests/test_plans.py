@@ -551,3 +551,28 @@ def test_gdpr1_cascade_is_semi_joins(spark):
     p = plan_of(spark, "gdpr1_cascade_delete")
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p
+
+
+def test_mg1_sketch_is_one_python_stage(spark):
+    """Misra–Gries: exactly one Arrow Python stage (the per-partition
+    summaries); the merge is a plain JVM groupBy over summary rows —
+    the corpus itself never enters Python twice."""
+    import re
+
+    # a previously-run mg1 (e.g. the parity suite) leaves its summary
+    # cache behind; CacheManager then splices distinct InMemoryRelation
+    # ids into the fresh plan — clear so the assertion sees one build
+    spark.catalog.clearCache()
+    p = plan_of(spark, "mg1_misra_gries_hh")
+    # every MapInPandas reference is the SAME node, reached only
+    # through the persisted summary table (InMemoryTableScan): the
+    # sketch runs once, consumers read its cache
+    ids = set(re.findall(r"MapInPandas \((\d+)\)", p))
+    assert len(ids) == 1, f"multiple distinct Python stages: {ids}"
+    assert "InMemoryTableScan" in p
+
+
+def test_anon1_single_aggregate_no_join(spark):
+    """k-anonymity: one groupBy on the QI tuple, no join anywhere."""
+    p = plan_of(spark, "anon1_k_anonymity")
+    assert "Join" not in p
