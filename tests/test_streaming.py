@@ -140,21 +140,37 @@ def test_running_user_stats_transform_with_state(spark, events_stream):
     """Spark 4 StatefulProcessor path (transformWithStateInPandas):
     must accumulate exactly like the applyInPandasWithState op and the
     batch aggregate. The runtime's state-server protocol needs
-    google.protobuf, which this container does not ship and whose
-    installation is sealed (the environment forbids pip/apt installs,
-    and protobuf's generated-descriptor machinery is not vendorable as
-    a stub — the Spark worker imports it for real wire decoding), so
-    this remains a DOCUMENTED environment gate: skip (not fail) where
-    the dependency is absent, same policy as the JDBC and image-decode
-    gates. In any protobuf-equipped deployment the test executes."""
+    google.protobuf in the driver AND every Python worker; pip/apt are
+    sealed here, so conftest.py exposes the vendored pure-Python
+    runtime (vendor/README.md) when no system copy exists — the
+    importorskip stays only for environments with neither. The op also
+    requires a state store with column families, so the query runs
+    under RocksDBStateStoreProvider (HDFSBackedStateStoreProvider
+    rejects it; RocksDB ships in Spark 4 core and is the provider a
+    production tws deployment uses anyway)."""
     pytest.importorskip("google.protobuf.descriptor")
     from aqi_analysis_apache_airflow_spark.streaming.ops import (
         running_user_stats_tws,
     )
 
-    got = run_to_memory(
-        running_user_stats_tws(events_stream), "user_stats_tws", mode="update"
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     )
+    try:
+        got = run_to_memory(
+            running_user_stats_tws(events_stream),
+            "user_stats_tws",
+            mode="update",
+        )
+    finally:
+        if before is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, before)
     final = {
         r["user_id"]: (r["n_events"], round(r["total_value"], 6), r["max_value"])
         for r in got.collect()
