@@ -341,3 +341,185 @@ def st6_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wh.read("user_latest").select(
         "user_id", "last_ts", "last_event_type", "last_value"
     )
+
+
+def _ensure_protobuf(spark: SparkSession) -> None:
+    """Make ``google.protobuf`` importable in the DRIVER and every
+    Python WORKER when the environment lacks it (the
+    transformWithState state-server protocol imports it on both
+    sides). Driver: prepend the vendored pure-Python runtime
+    (vendor/README.md) to sys.path. Workers: ship the same package as
+    a zip via ``sc.addPyFile`` — the one runtime mechanism that
+    reaches workers after the JVM is already up (the driver contract
+    hands us a running vanilla session, so PYTHONPATH is frozen). The
+    zip is built once per boot from the vendored tree (deterministic
+    content; cheap — ~1.5 MB of .py)."""
+    import importlib
+    import importlib.util
+    import os
+    import sys
+    import zipfile
+
+    try:
+        if importlib.util.find_spec("google.protobuf") is not None:
+            return
+    except ModuleNotFoundError:
+        pass
+    vendor = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "vendor",
+        "protobuf_py",
+    )
+    if not os.path.isdir(vendor):  # pragma: no cover - vendored tree ships
+        raise ModuleNotFoundError(
+            "google.protobuf absent and vendor/protobuf_py missing"
+        )
+    if vendor not in sys.path:
+        sys.path.insert(0, vendor)
+        importlib.invalidate_caches()
+    zip_path = "/tmp/spark_graft_vendor/protobuf_py.zip"
+    if not os.path.exists(zip_path):
+        os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(vendor):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        zf.write(full, os.path.relpath(full, vendor))
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+
+
+@query(
+    "st7_stream_tws_user_stats",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def st7_stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running (count, sum, max) on Spark 4's
+    ``transformWithStateInPandas`` StatefulProcessor — the successor
+    stateful API (typed handle-managed ValueState, first-class timers,
+    multiple named state variables per processor), run as a REAL
+    streaming query the oracle gates: availableNow replay over the
+    events parquet must equal the batch GROUP BY exactly.
+
+    Exactness across the Python hop: the sum accumulates INTEGER
+    micro-units pre-scaled JVM-side (``CAST(value AS DECIMAL(18,6)) ×
+    1e6 → BIGINT``) — integer addition is order-independent, so the
+    partition-order-dependent arrival of a user's rows can never
+    change a bit, and the final decimal division reproduces the
+    oracle's ``SUM(DECIMAL(18,6))`` identically. (A float accumulator
+    here would hash-mismatch on arrival order — the same reason batch
+    plans route double sums through DECIMAL.)
+
+    Runtime shape: state store must support column families →
+    RocksDBStateStoreProvider (set for this query, restored after;
+    it is also the provider a production tws deployment runs).
+    ``google.protobuf`` is provisioned by :func:`_ensure_protobuf`
+    (vendored runtime: driver via sys.path, workers via addPyFile) —
+    the StatefulProcessor class itself is defined inside this function
+    so cloudpickle ships it by value, never by package reference."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..streaming.ops import read_events_stream, run_to_memory
+
+    _ensure_protobuf(spark)
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_micros", T.LongType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("tm", T.LongType()),
+            T.StructField("mx", T.DoubleType()),
+        ]
+    )
+
+    class _UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = 0
+            tm = 0
+            mx = None
+            for pdf in rows:
+                n += len(pdf)
+                tm += int(pdf["value_micros"].sum())
+                m = pdf["value"].max()
+                if mx is None or (m == m and m > mx):
+                    mx = float(m)
+            if self._st.exists():
+                pn, ptm, pmx = self._st.get()
+                n += pn
+                tm += ptm
+                if mx is None or (pmx is not None and pmx > mx):
+                    mx = pmx
+            self._st.update((n, tm, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_micros": [tm],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir).select(
+            "user_id",
+            "value",
+            (F.col("value").cast("decimal(18,6)") * 1_000_000)
+            .cast("long")
+            .alias("value_micros"),
+        )
+        stats = stream.groupBy("user_id").transformWithStateInPandas(
+            _UserStats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        out = run_to_memory(
+            stats, _sink_name("st7_tws_user_stats_sink"), mode="update"
+        )
+    finally:
+        if before is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, before)
+    return out.select(
+        "user_id",
+        "n_events",
+        (
+            F.col("total_micros").cast("decimal(38,6)") / 1_000_000
+        )
+        .cast("double")
+        .alias("total_value"),
+        "max_value",
+    )

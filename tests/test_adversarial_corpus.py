@@ -67,6 +67,12 @@ DOC_QUERIES = [
     "d8_incremental_dedup",
     "m1_binary_features",
     "ups1_epoch_plan",
+    # round-6 widening: retrieval + corpus ops (NULL/empty/whitespace
+    # docs must agree on tokenless documents: no postings, no bigrams,
+    # but still a shard assignment)
+    "ret1_bm25_topk",
+    "lm2_bigram_predictability",
+    "shuf1_deterministic_shard",
 ]
 
 _ROWS = [
