@@ -1033,7 +1033,7 @@ def dq1_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_orphans"))
         )
         row = (
-            n_rows.crossJoin(n_orphans)
+            n_rows.crossJoin(F.broadcast(n_orphans))
             .select(
                 F.lit(name).alias("relationship"), "n_rows", "n_orphans"
             )

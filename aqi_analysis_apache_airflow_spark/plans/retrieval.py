@@ -712,3 +712,186 @@ def anon1_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("class_size"),
         (F.count("*") < _ANON_K).alias("suppress"),
     )
+
+
+# --------------------------------------------------------------------------
+# sch1 — schema-evolution source handling (mergeSchema)
+# --------------------------------------------------------------------------
+
+_SCH1_CE = CE_HASH64_SQL.format(h="md5('sch|'||CAST(o_orderkey AS VARCHAR))")
+
+_SCH1_SQL = f"""
+SELECT (o_orderkey % 2) = 1 AS has_priority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum((({_SCH1_CE}) % 1000000000 + 1000000000) % 1000000000)
+            AS BIGINT) AS key_checksum,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS total_sum,
+       CAST(count(DISTINCT CASE WHEN o_orderkey % 2 = 1
+                                THEN o_orderpriority END) AS BIGINT)
+         AS n_priorities
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("sch1_schema_evolution", oracle=_SCH1_SQL)
+def sch1_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution source handling: two parquet batches of the
+    same table written with DIFFERENT schemas (batch 1 lacks the
+    later-added ``o_orderpriority`` column), read back as ONE dataset
+    with ``mergeSchema`` — old rows surface the new column as NULL,
+    which is exactly how a long-lived warehouse table accretes
+    columns. The audit groups by column presence and checksums both
+    cohorts; the oracle replays the split from the original table, so
+    equality proves no row was dropped, duplicated, or mis-defaulted
+    by the merge.
+
+    Scale shape: ``mergeSchema`` reconciles footers only (no data
+    read) — at 100 TB you pin the merged schema from the catalog
+    instead of inferring it over a million footers, but the NULL-fill
+    read path this op proves is identical. The audit itself is one
+    map-side-combined groupBy over a two-column projection."""
+    orders = load(spark, sf_dir, "orders")
+    base = os.path.join(
+        "/tmp/spark_graft_schema_ev", os.path.basename(sf_dir.rstrip("/"))
+    )
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(base, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "batch=2"))
+
+    merged = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(base, "batch=1"), os.path.join(base, "batch=2")
+    )
+    h = F.pmod(
+        ce_hash64(F.concat(F.lit("sch|"), F.col("o_orderkey").cast("string"))),
+        F.lit(1_000_000_000),
+    )
+    return merged.groupBy(
+        F.col("o_orderpriority").isNotNull().alias("has_priority")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(h).cast("long").alias("key_checksum"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("total_sum"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+# --------------------------------------------------------------------------
+# hn1 — hard-negative mining over embeddings
+# --------------------------------------------------------------------------
+
+_HN_TOPK = 3
+
+_HN1_SQL = f"""
+WITH norms AS (
+  SELECT vec_id, embedding, label,
+         sqrt(CAST((SELECT SUM(CAST(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)
+                                   AS DECIMAL(28,14)))
+                    FROM UNNEST(embedding) u(x)) AS DOUBLE)) AS nrm
+  FROM embeddings
+),
+anchors AS (
+  SELECT vec_id AS aid, embedding AS av, label AS alabel, nrm AS anrm
+  FROM norms WHERE vec_id % 199 = 0 AND nrm > 0
+),
+pairs AS (
+  SELECT a.aid, e.vec_id AS vid, e.nrm, a.anrm,
+         unnest(e.embedding) AS x, unnest(a.av) AS y
+  FROM norms e, anchors a
+  WHERE e.vec_id <> a.aid AND e.label <> a.alabel AND e.nrm > 0
+),
+dots AS (
+  SELECT aid, vid, any_value(nrm) AS nrm, any_value(anrm) AS anrm,
+         SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,14))) AS dot
+  FROM pairs GROUP BY aid, vid
+),
+scored AS (
+  SELECT aid, vid,
+         round(CAST(dot AS DOUBLE) / (nrm * anrm), 6) AS cos
+  FROM dots
+)
+SELECT aid AS anchor_id, vid AS negative_id, cos AS cosine_sim,
+       CAST(rnk AS INTEGER) AS rank
+FROM (
+  SELECT aid, vid, cos,
+         row_number() OVER (PARTITION BY aid ORDER BY cos DESC, vid) AS rnk
+  FROM scored
+) t
+WHERE rnk <= {_HN_TOPK}
+"""
+
+
+@query("hn1_hard_negatives", oracle=_HN1_SQL)
+def hn1_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each anchor embedding (a hash-thin
+    ~0.5% slice), the top-k most-similar vectors with a DIFFERENT label —
+    the contrastive-training data op (the negatives that look most
+    like the anchor are the ones worth training against).
+
+    Scale shape: anchors are a hash-thin slice → broadcast; scoring is
+    one projection over the corpus scan (corpus × |anchors| fan-out,
+    each row a decimal-exact cosine — the knn1 shape), and the
+    per-anchor top-k is a window over rows already reduced to (ids,
+    score). At real corpus sizes the exact scan becomes the IVF probe
+    (sim_ivf/sim_ivfd) feeding this same label-mismatch top-k — the
+    final operator is unchanged, only the candidate generator
+    tightens. Zero-norm vectors are excluded on both sides (cosine
+    returns NULL for them; the oracle's na/nb > 0 guard is the same
+    rule)."""
+    from pyspark.sql.window import Window as W
+
+    from ..functions.similarity import dot_decimal
+
+    emb = load(spark, sf_dir, "embeddings")
+    # norms hoisted: sqrt(decimal self-dot) ONCE per vector (the
+    # sim_ivfm pattern) instead of twice per (anchor, candidate) pair
+    # — identical expression, identical bits, 1/3 the decimal folds;
+    # zero-norm vectors drop here, the same na/nb > 0 rule as the
+    # oracle (cosine of a zero vector has no direction)
+    nrm = F.sqrt(
+        dot_decimal(F.col("embedding"), F.col("embedding")).cast("double")
+    )
+    # spread the corpus before the CPU-heavy per-pair fold: the bench
+    # parquet is one row group (the sim_ivfm lesson)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    norms = (
+        emb.repartition(n_part)
+        .select("vec_id", "embedding", "label", nrm.alias("nrm"))
+        .filter(F.col("nrm") > 0)
+    )
+    anchors = norms.filter(F.col("vec_id") % 199 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("av"),
+        F.col("label").alias("alabel"),
+        F.col("nrm").alias("anrm"),
+    )
+    cand = norms.join(F.broadcast(anchors)).filter(
+        (F.col("vec_id") != F.col("anchor_id"))
+        & (F.col("label") != F.col("alabel"))
+    )
+    scored = cand.select(
+        "anchor_id",
+        F.col("vec_id").alias("negative_id"),
+        F.round(
+            dot_decimal(F.col("embedding"), F.col("av")).cast("double")
+            / (F.col("nrm") * F.col("anrm")),
+            6,
+        ).alias("cosine_sim"),
+    )
+    w = W.partitionBy("anchor_id").orderBy(
+        F.col("cosine_sim").desc(), "negative_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_TOPK)
+        .select("anchor_id", "negative_id", "cosine_sim", "rank")
+    )

@@ -166,6 +166,8 @@ HEADLINE = [
     "lm2_bigram_predictability",
     "mg1_misra_gries_hh",
     "anon1_k_anonymity",
+    "sch1_schema_evolution",
+    "hn1_hard_negatives",
 ]
 
 

@@ -32,6 +32,9 @@ EMB_QUERIES = [
     "pq1_product_quantize",
     "d5_embedding_near_dup",
     "knn1_knn_join",
+    # round 6: hard-negative mining (zero-norm anchors and candidates
+    # must drop identically on both sides; cos=±1 ties break on id)
+    "hn1_hard_negatives",
 ]
 
 _DIM = 64
@@ -57,20 +60,29 @@ def _rows():
         (100, rng.normal(size=_DIM).astype(np.float32)),
         (150, np.zeros(_DIM, dtype=np.float32)),  # zero vec inside d5's %50
     ]
-    return [(i, list(map(float, v))) for i, v in rows]
+    # label = vec_id % 3, matching the corpus schema (hn1 needs it):
+    # the sole anchor (vec 0, label 0) gets the exact-duplicate vec 2
+    # (cos = 1, other label) as a rank-1 negative, while the antipodal
+    # vec 3 shares its label and must be excluded; zero-norm vecs drop
+    # under the same na/nb > 0 rule on both engines
+    return [(i, list(map(float, v)), i % 3) for i, v in rows]
 
 
 @pytest.fixture(scope="module")
 def adversarial_emb_dir(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("adversarial_emb")
-    pdf = pd.DataFrame(_rows(), columns=["vec_id", "embedding"])
+    pdf = pd.DataFrame(_rows(), columns=["vec_id", "embedding", "label"])
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     table = pa.Table.from_pandas(
         pdf,
         schema=pa.schema(
-            [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]
         ),
         preserve_index=False,
     )

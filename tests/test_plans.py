@@ -576,3 +576,21 @@ def test_anon1_single_aggregate_no_join(spark):
     """k-anonymity: one groupBy on the QI tuple, no join anywhere."""
     p = plan_of(spark, "anon1_k_anonymity")
     assert "Join" not in p
+
+
+def test_hn1_norms_computed_once_anchors_broadcast(spark):
+    """Hard negatives: the corpus joins a BROADCAST anchor table
+    (never a shuffle join on the pair fan-out), and per-anchor top-k
+    is a window over reduced (ids, score) rows — no second corpus
+    shuffle."""
+    p = plan_of(spark, "hn1_hard_negatives")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_sch1_merged_scan_prunes_columns(spark):
+    """Schema evolution: the merged read projects only the audit
+    columns; o_custkey must never reach the scan."""
+    spark.catalog.clearCache()
+    p = plan_of(spark, "sch1_schema_evolution")
+    assert "o_custkey" not in p
