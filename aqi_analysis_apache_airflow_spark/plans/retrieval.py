@@ -277,9 +277,11 @@ def gdpr1_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-erasure cascade audit: a deletion request set
     (customers) propagates through its foreign-key fan-out
     (orders → lineitem); the result is the per-table purge manifest —
-    rows before, rows purged, rows after, and an exact DECIMAL
-    checksum over the purged keys (the audit artifact a compliance
-    pipeline persists before executing the physical delete).
+    rows before, rows purged, rows after, and an order-independent
+    checksum over the purged keys (per-key hashes folded mod 1e9 into
+    a BIGINT sum, the dq4 convention — the audit artifact a
+    compliance pipeline persists before executing the physical
+    delete).
 
     Scale shape: the deletion set is a small fraction of one
     dimension (here 1/97 of customers) — each cascade level is a
@@ -415,8 +417,9 @@ def _doc_audit(df: DataFrame, fmt: str) -> DataFrame:
 def fmt1_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sink/source breadth proof: write the documents table to ORC and
     JSON-lines and a lineitem slice to headered CSV, read each back
-    with an explicit schema, and emit per-format (row count, exact
-    DECIMAL sum of a per-row content hash, exact DECIMAL value sum).
+    with an explicit schema, and emit per-format (row count, an
+    order-independent mod-1e9 BIGINT sum of per-row content hashes —
+    the dq4 convention — and an exact DECIMAL value sum).
     The oracle computes the same three audits from the PARQUET
     originals — equality is an external proof that every format
     round-trips losslessly: the content hash covers ids + full text +
