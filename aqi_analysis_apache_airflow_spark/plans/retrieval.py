@@ -898,3 +898,178 @@ def hn1_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _HN_TOPK)
         .select("anchor_id", "negative_id", "cosine_sim", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# lr1 — largest-remainder token-budget apportionment
+# --------------------------------------------------------------------------
+
+_LR_BUDGET = 1_000_000
+
+_LR1_SQL = f"""
+WITH w AS (
+  SELECT source,
+         CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM w),
+q AS (
+  SELECT source, tokens,
+         CAST((CAST({_LR_BUDGET} AS HUGEINT) * tokens) // total
+              AS BIGINT) AS quota,
+         CAST((CAST({_LR_BUDGET} AS HUGEINT) * tokens) % total
+              AS BIGINT) AS rem
+  FROM w CROSS JOIN tot
+),
+lv AS (
+  SELECT CAST({_LR_BUDGET} - sum(quota) AS BIGINT) AS leftover FROM q
+),
+r AS (
+  SELECT source, tokens, quota, rem,
+         CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk
+  FROM q
+)
+SELECT source, tokens, quota,
+       rk <= leftover AS gets_extra,
+       quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS final_alloc
+FROM r CROSS JOIN lv
+"""
+
+
+@query("lr1_budget_apportionment", oracle=_LR1_SQL)
+def lr1_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed token
+    budget across sources, proportional to each source's token mass —
+    the integer-exact allocation step of dataset mixing: ``floor``
+    quotas always UNDERSHOOT the budget by < n_sources tokens, and
+    naive per-source rounding can land the total anywhere within
+    ±n_sources/2; largest-remainder hands the leftover units to the
+    sources with the biggest truncated remainders, so the allocations
+    sum to the budget EXACTLY (what a token-budgeted sampler needs
+    before it draws a single document — see mix1 for the rate shape,
+    ups1 for the epoch shape).
+
+    Determinism: quotas and remainders are DECIMAL(38,0) integer
+    arithmetic (budget × tokens can pass 2^63 at web-corpus counts),
+    and the leftover ranking tiebreaks on source — no float anywhere.
+
+    Scale shape: one token-count aggregation over the corpus
+    (map-side combined), then all allocation math runs on the
+    n_sources-row weight table — a broadcast-sized relation however
+    large the corpus; the single window orders n_sources rows, not
+    documents."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("tokens")
+    )
+    tot = w.agg(F.sum("tokens").alias("total"))
+    prod = F.lit(_LR_BUDGET).cast("decimal(38,0)") * F.col("tokens").cast(
+        "decimal(38,0)"
+    )
+    q = w.join(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        (prod / F.col("total").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("long")
+        .alias("__div"),
+        F.pmod(prod, F.col("total").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("rem"),
+        "total",
+    )
+    # decimal division rounds; floor-quota = (prod - rem) / total exact
+    q = q.select(
+        "source",
+        "tokens",
+        (
+            (
+                F.lit(_LR_BUDGET).cast("decimal(38,0)")
+                * F.col("tokens").cast("decimal(38,0)")
+                - F.col("rem").cast("decimal(38,0)")
+            )
+            / F.col("total").cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("quota"),
+        "rem",
+    )
+    lv = q.agg((F.lit(_LR_BUDGET) - F.sum("quota")).alias("leftover"))
+    wnd = Window.orderBy(F.col("rem").desc(), "source")
+    r = q.withColumn("rk", F.row_number().over(wnd).cast("long"))
+    return r.join(F.broadcast(lv)).select(
+        "source",
+        "tokens",
+        "quota",
+        (F.col("rk") <= F.col("leftover")).alias("gets_extra"),
+        (
+            F.col("quota")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("final_alloc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# place1 — rendezvous (HRW) shard placement
+# --------------------------------------------------------------------------
+
+_HRW_NODES = ("node-a", "node-b", "node-c", "node-d", "node-e")
+
+_HRW_NODES_SQL = ", ".join(f"('{n}')" for n in _HRW_NODES)
+_HRW_CE = CE_HASH64_SQL.format(
+    h="md5('hrw|'||node||'|'||CAST(doc_id AS VARCHAR))"
+)
+
+_PLACE1_SQL = f"""
+WITH nodes(node) AS (VALUES {_HRW_NODES_SQL}),
+scored AS (
+  SELECT d.doc_id, n.node, {_HRW_CE} AS score
+  FROM documents d CROSS JOIN nodes n
+)
+SELECT doc_id, node AS owner, score AS owner_score
+FROM (
+  SELECT doc_id, node, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, node DESC) AS rk
+  FROM scored
+) t
+WHERE rk = 1
+"""
+
+
+@query("place1_rendezvous_owner", oracle=_PLACE1_SQL)
+def place1_rendezvous_owner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing: each document's
+    owner is the node whose ``hash(node, doc)`` scores highest — the
+    consistent-placement scheme a 100 TB shard map uses because
+    removing one node reassigns ONLY that node's keys (~1/N of the
+    corpus) and adding one steals ~1/(N+1) from each, with no ring
+    state to store (Thaler & Ravishankar 1996).
+
+    Scale shape: zero shuffle and zero join — the N per-node scores
+    are a per-row column expression (argmax over an N-element struct
+    array inside whole-stage codegen, N = cluster size, a literal),
+    so placement is a projection over the corpus scan. The oracle
+    replays the same scores via the cross-engine hash and an
+    argmax window; ties (2^-64 probability, but adversarial fixtures
+    can force them) break on node name on both sides."""
+    docs = load(spark, sf_dir, "documents")
+    scored = F.array(
+        *[
+            F.struct(
+                ce_hash64(
+                    F.concat(
+                        F.lit(f"hrw|{n}|"), F.col("doc_id").cast("string")
+                    )
+                ).alias("score"),
+                F.lit(n).alias("node"),
+            )
+            for n in _HRW_NODES
+        ]
+    )
+    best = F.array_max(scored)
+    return docs.select(
+        "doc_id",
+        best["node"].alias("owner"),
+        best["score"].alias("owner_score"),
+    )

@@ -168,6 +168,8 @@ HEADLINE = [
     "anon1_k_anonymity",
     "sch1_schema_evolution",
     "hn1_hard_negatives",
+    "lr1_budget_apportionment",
+    "place1_rendezvous_owner",
 ]
 
 

@@ -73,6 +73,8 @@ DOC_QUERIES = [
     "ret1_bm25_topk",
     "lm2_bigram_predictability",
     "shuf1_deterministic_shard",
+    "lr1_budget_apportionment",
+    "place1_rendezvous_owner",
 ]
 
 _ROWS = [

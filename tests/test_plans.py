@@ -594,3 +594,19 @@ def test_sch1_merged_scan_prunes_columns(spark):
     spark.catalog.clearCache()
     p = plan_of(spark, "sch1_schema_evolution")
     assert "o_custkey" not in p
+
+
+def test_place1_zero_shuffle_zero_join(spark):
+    """Rendezvous placement must be a pure projection: no Exchange, no
+    Join — the N per-node scores are codegen'd column expressions."""
+    p = plan_of(spark, "place1_rendezvous_owner")
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_lr1_window_is_source_sized(spark):
+    """Apportionment's only window orders the n_sources weight table,
+    never documents: the corpus contributes one aggregation and the
+    token column must be pruned to text+source at the scan."""
+    p = plan_of(spark, "lr1_budget_apportionment")
+    assert "doc_id" not in p
