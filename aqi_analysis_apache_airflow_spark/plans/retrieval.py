@@ -1073,3 +1073,101 @@ def place1_rendezvous_owner(spark: SparkSession, sf_dir: str) -> DataFrame:
         best["node"].alias("owner"),
         best["score"].alias("owner_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# rh1 — rolling-hash content-defined chunking
+# --------------------------------------------------------------------------
+
+_RH_K = 3
+_RH_DIV = 16
+
+_RH_CE = CE_HASH64_SQL.format(h="md5('rh|'||g)")
+
+_RH1_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(l[i:i+{_RH_K - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, len(l) - {_RH_K - 2})) u(i)
+),
+hashed AS (
+  SELECT doc_id, pos,
+         (({_RH_CE}) % 1000000000 + 1000000000) % 1000000000 AS h9,
+         CAST((({_RH_CE}) % {_RH_DIV} + {_RH_DIV}) % {_RH_DIV} = 0
+              AS INTEGER) AS is_boundary
+  FROM grams
+),
+chunked AS (
+  SELECT doc_id, pos, h9,
+         CAST(sum(is_boundary) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS chunk_id0
+  FROM hashed
+)
+SELECT doc_id,
+       COALESCE(chunk_id0, 0) AS chunk_id,
+       CAST(min(pos) AS BIGINT) AS start_pos,
+       CAST(max(pos) AS BIGINT) AS end_pos,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(h9) AS BIGINT) AS chunk_hash
+FROM chunked
+GROUP BY doc_id, COALESCE(chunk_id0, 0)
+"""
+
+
+@query("rh1_content_chunks", oracle=_RH1_SQL)
+def rh1_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash content-defined chunking (the Rabin–Karp /
+    LBFS-style fingerprinting the brief's "document fingerprinting"
+    names): hash every k-gram as it slides over the token stream and
+    cut a chunk boundary wherever ``hash % D == 0`` — boundaries
+    follow CONTENT, not offsets, so inserting a sentence shifts one
+    chunk instead of re-chunking the whole document (the property
+    fixed-size chunking (c1) lacks, and what makes sub-document dedup
+    and delta-sync incremental). Emits per-chunk (span, gram count,
+    order-independent mod-1e9 hash) — the chunk table sub-document
+    dedup joins on.
+
+    Scale shape: ONE posexplode of the multiplicity-preserving
+    shingle array, one windowed running sum per doc (partitioned by
+    doc — no global sort), one groupBy on (doc, chunk). Expected
+    chunk length is geometric with mean D grams; D tunes chunk
+    granularity exactly like a CDC store's divisor."""
+    docs = load(spark, sf_dir, "documents")
+    from ..functions.dedup import word_shingles
+
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            word_shingles(F.col("text"), _RH_K, distinct=False)
+        ).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "g")
+    h = ce_hash64(F.concat(F.lit("rh|"), F.col("g")))
+    hashed = grams.select(
+        "doc_id",
+        "pos",
+        F.pmod(h, F.lit(1_000_000_000)).alias("h9"),
+        (F.pmod(h, F.lit(_RH_DIV)) == 0).cast("int").alias("is_boundary"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = hashed.select(
+        "doc_id",
+        "pos",
+        "h9",
+        F.coalesce(F.sum("is_boundary").over(w), F.lit(0))
+        .cast("long")
+        .alias("chunk_id"),
+    )
+    return chunked.groupBy("doc_id", "chunk_id").agg(
+        F.min("pos").alias("start_pos"),
+        F.max("pos").alias("end_pos"),
+        F.count("*").alias("n_grams"),
+        F.sum("h9").alias("chunk_hash"),
+    )

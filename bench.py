@@ -170,6 +170,7 @@ HEADLINE = [
     "hn1_hard_negatives",
     "lr1_budget_apportionment",
     "place1_rendezvous_owner",
+    "rh1_content_chunks",
 ]
 
 

@@ -75,6 +75,7 @@ DOC_QUERIES = [
     "shuf1_deterministic_shard",
     "lr1_budget_apportionment",
     "place1_rendezvous_owner",
+    "rh1_content_chunks",
 ]
 
 _ROWS = [
