@@ -1,7 +1,11 @@
 """Round-6 retrieval + corpus-operations operators: BM25 ranked
-retrieval, deterministic corpus shuffle/sharding, GDPR cascade
-deletion audit, multi-format sink/source round-trip proof, and
-bigram-LM predictability scoring.
+retrieval (ret1), deterministic corpus shuffle/sharding (shuf1), GDPR
+cascade deletion audit (gdpr1), multi-format sink/source round-trip
+proof (fmt1), bigram-LM predictability scoring (lm2), Misra–Gries
+heavy hitters (mg1), k-anonymity audit (anon1), schema-evolution
+source handling (sch1), hard-negative mining (hn1),
+largest-remainder budget apportionment (lr1), rendezvous-hash shard
+placement (place1), and rolling-hash content-defined chunking (rh1).
 
 No reference counterpart (the reference is a 479-line pandas ETL —
 ``dags/etl/*.py``); these extend the training-data-pipeline surface
@@ -17,9 +21,12 @@ earlier families (see ``plans/curation.py``):
   established t4_tfidf mitigation for last-ulp libm divergence.
 - Every plan is shuffle-minimal and documented for the 100 TB case.
 
-Public sources: Robertson & Zaragoza 2009 (BM25); the shard/shuffle
-op is the standard "hash-salt global shuffle" of LLM data loaders
-(e.g. GPT-3 App. B's deterministic document ordering).
+Public sources: Robertson & Zaragoza 2009 (BM25); Misra & Gries 1982
+and Agarwal et al. PODS 2012 (mergeable MG summaries); Thaler &
+Ravishankar 1996 (rendezvous hashing); the shard/shuffle op is the
+standard "hash-salt global shuffle" of LLM data loaders (e.g. GPT-3
+App. B's deterministic document ordering); rolling-hash chunking per
+Rabin–Karp / the LBFS content-defined-chunking scheme.
 """
 
 from __future__ import annotations
