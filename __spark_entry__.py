@@ -36,8 +36,8 @@ try:
 except ModuleNotFoundError:
     _HAVE_PB = False
 if not _HAVE_PB:
-    _VENDOR_PB = os.path.join(_HERE, "vendor", "protobuf_py")
-    if os.path.isdir(_VENDOR_PB):
+    _VENDOR_PB = os.path.join(_HERE, "vendor", "protobuf_py.zip")
+    if os.path.isfile(_VENDOR_PB):
         sys.path.insert(0, _VENDOR_PB)
         os.environ["PYTHONPATH"] = os.pathsep.join(
             p for p in [_VENDOR_PB, os.environ.get("PYTHONPATH", "")] if p

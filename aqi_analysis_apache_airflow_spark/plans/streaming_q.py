@@ -347,47 +347,36 @@ def _ensure_protobuf(spark: SparkSession) -> None:
     """Make ``google.protobuf`` importable in the DRIVER and every
     Python WORKER when the environment lacks it (the
     transformWithState state-server protocol imports it on both
-    sides). Driver: prepend the vendored pure-Python runtime
-    (vendor/README.md) to sys.path. Workers: ship the same package as
-    a zip via ``sc.addPyFile`` — the one runtime mechanism that
+    sides). The vendored pure-Python runtime ships as a single zip
+    (vendor/protobuf_py.zip — zipimport loads packages from a zip on
+    sys.path/PYTHONPATH directly): the driver gets it on sys.path,
+    workers via ``sc.addPyFile`` — the one runtime mechanism that
     reaches workers after the JVM is already up (the driver contract
-    hands us a running vanilla session, so PYTHONPATH is frozen). The
-    zip is built once per boot from the vendored tree (deterministic
-    content; cheap — ~1.5 MB of .py)."""
+    hands us a running vanilla session, so env PYTHONPATH is frozen;
+    the streaming-runner subprocess is instead covered by
+    __spark_entry__'s import-time PYTHONPATH export)."""
     import importlib
     import importlib.util
     import os
     import sys
-    import zipfile
 
     try:
         if importlib.util.find_spec("google.protobuf") is not None:
             return
     except ModuleNotFoundError:
         pass
-    vendor = os.path.join(
+    zip_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "vendor",
-        "protobuf_py",
+        "protobuf_py.zip",
     )
-    if not os.path.isdir(vendor):  # pragma: no cover - vendored tree ships
+    if not os.path.isfile(zip_path):  # pragma: no cover - vendored zip ships
         raise ModuleNotFoundError(
-            "google.protobuf absent and vendor/protobuf_py missing"
+            "google.protobuf absent and vendor/protobuf_py.zip missing"
         )
-    if vendor not in sys.path:
-        sys.path.insert(0, vendor)
+    if zip_path not in sys.path:
+        sys.path.insert(0, zip_path)
         importlib.invalidate_caches()
-    zip_path = "/tmp/spark_graft_vendor/protobuf_py.zip"
-    if not os.path.exists(zip_path):
-        os.makedirs(os.path.dirname(zip_path), exist_ok=True)
-        tmp = zip_path + ".tmp"
-        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-            for root, _dirs, files in os.walk(vendor):
-                for f in sorted(files):
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        zf.write(full, os.path.relpath(full, vendor))
-        os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)
 
 

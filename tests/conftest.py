@@ -19,9 +19,9 @@ if not _HAVE_PROTOBUF:
     _VENDOR = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "vendor",
-        "protobuf_py",
+        "protobuf_py.zip",
     )
-    if os.path.isdir(_VENDOR):
+    if os.path.isfile(_VENDOR):
         sys.path.insert(0, _VENDOR)
         os.environ["PYTHONPATH"] = os.pathsep.join(
             p for p in [_VENDOR, os.environ.get("PYTHONPATH", "")] if p
