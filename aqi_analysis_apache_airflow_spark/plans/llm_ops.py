@@ -398,10 +398,15 @@ def sub1_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: positions come from one narrow per-row transform (no
     self-join); only the md5 of each window shuffles (bounded width,
-    never the text); the window-frequency table joins back on that
-    same hash key. Cost is linear in corpus token count — the exact
-    accounting twin of the suffix-array approach, expressed as two
-    hash shuffles."""
+    never the text). The expensive tokenize+explode+md5 subtree is
+    computed EXACTLY ONCE: positions first collapse to per-(window,
+    doc) counts (map-side combined — the shuffle carries distinct
+    windows per doc, not positions), the cross-doc frequency comes
+    from a count() window over the hash key (no join back to the raw
+    position stream, which would re-run the explode), and the final
+    per-doc rollup is one more bounded shuffle. Cost is linear in
+    corpus token count — the exact accounting twin of the
+    suffix-array approach."""
     from ..functions.dedup import tokens
 
     docs = load(spark, sf_dir, "documents")
@@ -422,16 +427,18 @@ def sub1_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.key").alias("key"))
-    counts = sh.groupBy("key").agg(F.count_distinct("doc_id").alias("nd"))
-    per = (
-        sh.join(counts, "key")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
-            .cast("long")
-            .alias("n_dup_spans"),
-        )
+    # collapse positions to per-(window, doc) counts first: the explode
+    # subtree runs once, and the key-shuffle carries one row per
+    # distinct window per doc instead of one per position
+    per_kd = sh.groupBy("key", "doc_id").agg(F.count("*").alias("c"))
+    kd = per_kd.withColumn(
+        "nd", F.count("*").over(Window.partitionBy("key"))
+    )
+    per = kd.groupBy("doc_id").agg(
+        F.sum("c").alias("n_spans"),
+        F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_spans"),
     )
     return (
         docs.select("doc_id")
@@ -484,26 +491,29 @@ def qc3_df_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gopher's quality rules play in qc1 but learned from the corpus
     itself instead of fixed thresholds.
 
-    Two hash shuffles (token df, then per-doc regroup); all-integer
-    sums until the single final division, so the oracle matches to
-    the last bit of the round(…, 9)."""
+    The tokenize+explode subtree is computed exactly once (the sub1
+    shape): positions collapse to per-(token, doc) counts first
+    (map-side combined), df comes from a count() window over the
+    token key instead of a join back to the raw token stream, and the
+    per-doc regroup is one more bounded shuffle. All-integer sums
+    until the single final division, so the oracle matches to the
+    last bit of the round(…, 9)."""
     from ..functions.dedup import tokens
 
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
-    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
-    per = (
-        tok.join(df, "token")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum("df").cast("long").alias("sum_df"),
-            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_hapax"),
-        )
+    per_td = tok.groupBy("token", "doc_id").agg(F.count("*").alias("c"))
+    td = per_td.withColumn(
+        "df", F.count("*").over(Window.partitionBy("token"))
+    )
+    per = td.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("df") * F.col("c")).cast("long").alias("sum_df"),
+        F.sum(F.when(F.col("df") == 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
     )
     return (
         docs.select("doc_id")
