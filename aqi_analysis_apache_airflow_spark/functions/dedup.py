@@ -651,6 +651,11 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
+    # no .distinct() on the symmetric union: min-label propagation is
+    # idempotent under duplicate edges (the per-round groupBy takes a
+    # MIN — multiplicity cannot change it), so deduplicating the edge
+    # list would spend a full shuffle to buy nothing. Callers pass the
+    # pair-aggregation output (unique doc_a < doc_b) anyway.
     edges = (
         pairs.select("doc_a", "doc_b")
         .union(
@@ -658,7 +663,6 @@ def connected_components(
                 F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
             )
         )
-        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
