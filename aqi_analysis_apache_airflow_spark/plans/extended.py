@@ -471,6 +471,86 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d9_canonical_best",
+    oracle=f"""
+    WITH RECURSIVE {_D2B_CTES},
+    pairs AS ({_D2B_SELECT}),
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION
+      SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.doc_a, re.r FROM edges e JOIN reach re ON re.doc_id = e.doc_b
+    ),
+    comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    best AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+             arg_max(doc_id, n_chars * 100000000000 - doc_id)
+               AS canonical_doc
+      FROM labeled GROUP BY 1
+    )
+    SELECT l.doc_id, l.cluster_id, b.cluster_size,
+           l.doc_id = b.canonical_doc AS keep
+    FROM labeled l JOIN best b USING (cluster_id)
+    """,
+)
+def d9_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster — the
+    CCNet/RefinedWeb refinement of d6's keep-smallest-id rule: within
+    each connected component of the capped-Jaccard pair graph, KEEP
+    the highest-quality member (here: longest by ``n_chars``, the
+    standard keep-longest heuristic; swap any scalar quality score —
+    qc1's, a model score — into the same argmax) instead of an
+    arbitrary one. Singleton docs are their own cluster and survive
+    untouched. Output is one row per doc with its cluster label,
+    cluster size, and the ``keep`` decision a dedup sink would apply.
+
+    The argmax is an unordered count/max window over the cluster key
+    (a composite integer order key: n_chars major, smallest-doc_id
+    tiebreak — deterministic and replayed bit-exactly by DuckDB's
+    ``arg_max``), so cluster size and the keep decision cost ONE
+    shuffle on cluster_id after the component map — no groupBy +
+    join-back, no per-cluster collect, no sort (both window frames
+    are unbounded, evaluated as a running aggregate). Scale shape:
+    pair graph and components are the bounded d6 plan; everything
+    after is that single shuffle."""
+    from ..functions.dedup import connected_components, ngram_jaccard_pairs
+    from pyspark import StorageLevel
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.5, k=3, max_doc_freq=20
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    comp = connected_components(pairs)
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    ord_key = F.col("n_chars") * F.lit(100000000000) - F.col("doc_id")
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (ord_key == F.max(ord_key).over(w)).alias("keep"),
+    )
+
+
 @query("d3v_minhash_verified", oracle=_D2_EXACT_SQL)
 def d3v_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dup pipeline end-to-end: MinHash(32) LSH
@@ -816,6 +896,161 @@ def d5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= 0.2)
+    )
+
+
+_RP_PLANES = 12
+_RP_DIMS = 64
+_RP_TOP = 100
+_RP_SIGN_SQL = (
+    "CASE WHEN ((("
+    + _CEH.format(
+        h="md5('rp|'||CAST(p AS VARCHAR)||'|'||CAST(d AS VARCHAR))"
+    )
+    + ") % 2) + 2) % 2 = 1 THEN 1.0 ELSE -1.0 END"
+)
+
+
+@query(
+    "rp1_hyperplane_lsh",
+    oracle=f"""
+    WITH signs AS (
+      SELECT r1.range AS d, r2.range AS p, {_RP_SIGN_SQL} AS s
+      FROM range({_RP_DIMS}) r1, range({_RP_PLANES}) r2
+    ),
+    pe AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) - 1 AS d
+      FROM embeddings
+    ),
+    sums AS (
+      SELECT vec_id, p,
+             SUM(CAST(CAST(x AS DOUBLE) * s AS DECIMAL(28,14))) AS sp
+      FROM pe JOIN signs USING (d) GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN sp > 0
+                           THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+                  AS BIGINT) AS sig16
+      FROM sums GROUP BY 1
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b ON a.sig16 = b.sig16 AND a.vec_id < b.vec_id
+    ),
+    terms AS (
+      SELECT c.id_a, c.id_b,
+             unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b
+    ),
+    dots AS (
+      SELECT id_a, id_b,
+             SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                      AS DECIMAL(28,14))) AS dot,
+             SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                      AS DECIMAL(28,14))) AS na,
+             SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                      AS DECIMAL(28,14))) AS nb
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(dot AS DOUBLE)
+             / NULLIF(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)), 0),
+             6) AS cosine_sim
+    FROM dots
+    ORDER BY cosine_sim DESC, id_a, id_b
+    LIMIT {_RP_TOP}
+    """,
+)
+def rp1_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH over the FULL embedding corpus (Charikar
+    2002 SimHash-for-vectors), fully ORACLE-BACKED: plane p's
+    component for dimension d is ±1 from the parity of the md5-derived
+    cross-engine hash of ``rp|p|d``, so DuckDB replays every one of
+    the 12 signature bits bit-exactly, then the bucket join and the
+    exact-cosine verification. Returns the top-100 verified bucket
+    collisions by cosine (deterministic id tiebreak) — the top-k form
+    keeps the op meaningful on corpora with no true near-dups (this
+    synthetic one is near-orthogonal) while the LSH plumbing stays
+    fully exercised and hash-checked. The xxhash-family production
+    twin is :func:`...functions.similarity.lsh_near_pairs` (same
+    plan, cheaper hash, threshold form, unverifiable in SQL) — the
+    d3m precedent applied to the embedding surface, closing the one
+    dedup family (embedding LSH) whose oracle coverage was
+    unit-test-only.
+
+    Scale shape: the ±1 sign matrix is 64×12 rows built once and
+    BROADCAST (never one md5 per element-row — that would be 12
+    hashes per corpus element); the per-vector signed sums are one
+    map-side-combinable groupBy over the element explode with DECIMAL
+    accumulators (order-independent, so both engines agree on every
+    sign even at bit 10⁻¹⁴); candidates come from an equi-join on the
+    full 12-bit signature (collision probability falls as (1−θ/π)^12,
+    so bucket occupancy — corpus/4096 in the orthogonal worst case —
+    bounds fan-out), and only candidates pay the exact-cosine verify
+    before the global top-k. Nothing is quadratic in the corpus; the
+    recall/cost knob is n_planes."""
+    from ..functions.dedup import ce_hash64
+
+    emb = load(spark, sf_dir, "embeddings")
+    signs = spark.range(_RP_DIMS).select(
+        F.col("id").cast("int").alias("d"),
+        *[
+            F.when(
+                ce_hash64(
+                    F.concat(
+                        F.lit(f"rp|{p}|"), F.col("id").cast("string")
+                    )
+                ).bitwiseAND(F.lit(1))
+                == 1,
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias(f"s{p}")
+            for p in range(_RP_PLANES)
+        ],
+    )
+    pe = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    )
+    sums = (
+        pe.join(F.broadcast(signs), "d")
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.sum(
+                    (F.col("x").cast("double") * F.col(f"s{p}")).cast(
+                        "decimal(28,14)"
+                    )
+                ).alias(f"sp{p}")
+                for p in range(_RP_PLANES)
+            ]
+        )
+    )
+    sig_expr = " + ".join(
+        f"IF(sp{p} > 0, shiftleft(1L, {p}), 0L)" for p in range(_RP_PLANES)
+    )
+    sig = sums.select("vec_id", F.expr(f"{sig_expr} AS sig16"))
+    a = sig.select(F.col("vec_id").alias("id_a"), "sig16")
+    b = sig.select(F.col("vec_id").alias("id_b"), "sig16")
+    cand = a.join(b, "sig16").filter(F.col("id_a") < F.col("id_b"))
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    from ..functions.similarity import cosine
+
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("va"), F.col("vb")).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "id_a", "id_b")
+        .limit(_RP_TOP)
     )
 
 

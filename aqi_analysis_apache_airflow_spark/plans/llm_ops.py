@@ -529,6 +529,143 @@ def qc3_df_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_B = 256  # hashed-feature buckets
+_DSIR_SCALE = 1000000  # integer weight scale (the cos1 idf precedent)
+_DSIR_TOP = 100
+
+_DSIR_TGT = (
+    "((("
+    + CE_HASH64_SQL.format(h="md5('dsir|'||source)")
+    + ") % 2) + 2) % 2 = 0"
+)
+_DSIR_BKT = (
+    "((("
+    + CE_HASH64_SQL.format(h="md5('dsirf|'||tk)")
+    + f") % {_DSIR_B}) + {_DSIR_B}) % {_DSIR_B}"
+)
+
+
+@query(
+    "dsir1_importance_rank",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_DSIR_TGT} AS t,
+             unnest(regexp_extract_all(text, '\\S+')) AS tk
+      FROM documents
+    ),
+    dbc AS (
+      SELECT doc_id, t, {_DSIR_BKT} AS b, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2, 3
+    ),
+    btbl AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN t THEN c ELSE 0 END) AS BIGINT) AS t_b,
+             CAST(SUM(CASE WHEN NOT t THEN c ELSE 0 END) AS BIGINT) AS r_b
+      FROM dbc GROUP BY 1
+    ),
+    wts AS (
+      SELECT b, ((t_b + 1) * {_DSIR_SCALE}) // (r_b + 1) AS w
+      FROM btbl
+    ),
+    scores AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(SUM(c * w) AS BIGINT) AS score
+      FROM dbc JOIN wts USING (b)
+      WHERE NOT t
+      GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, score,
+           CAST(score // n_tokens AS BIGINT) AS avg_w
+    FROM scores
+    ORDER BY avg_w DESC, doc_id LIMIT {_DSIR_TOP}
+    """,
+)
+def dsir1_importance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023), the hashed-n-gram form: score every RAW-pool doc by how
+    much its hashed unigram features look like the TARGET domain
+    (here: the sources whose name hashes even — the mw1 two-sample
+    treatment, robust to the driver renaming sources), and return the
+    top-100 candidates a curation pipeline would pull into the
+    training mix. Per-bucket weight is the smoothed frequency ratio
+    (t_b+1)/(r_b+1), integer-scaled ×10⁶ with truncating division —
+    the libm-free rational surrogate of DSIR's log-likelihood-ratio
+    (the cos1/lm1 idf precedent; the global (R+B)/(T+B) normalizer is
+    constant across buckets, so it only rescales every score by the
+    same factor and is dropped). A doc's score is the c-weighted sum
+    of its buckets' weights; the ranking key is the length-normalized
+    ``score div n_tokens``. All-integer end to end, so DuckDB replays
+    every weight and rank bit-exactly. Integer headroom: (t_b+1)·10⁶
+    stays under 2⁶³ to ~10¹² target tokens; shift the scale down for
+    bigger corpora (it rescales all scores together).
+
+    Scale shape: ONE token explode, immediately collapsed to
+    per-(doc, bucket) counts (map-side combined — the persisted
+    diamond feeding both the 256-row bucket table and the per-doc
+    scorer); the weight table is ≤256 rows and BROADCAST back onto
+    the per-doc counts, so scoring is join-free at the shuffle level
+    (no corpus-sized equi-join, no second explode); the final top-k
+    is a global sort of one row per raw doc. The target/raw flag
+    rides the doc row through the explode — derived from ``source``
+    in the scan, never joined."""
+    from ..functions.dedup import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    is_t = (
+        F.pmod(
+            ce_hash64(F.concat(F.lit("dsir|"), F.col("source"))), F.lit(2)
+        )
+        == 0
+    )
+    tok = docs.select(
+        "doc_id",
+        is_t.alias("t"),
+        F.explode(tokens(F.col("text"))).alias("tk"),
+    )
+    dbc = (
+        tok.groupBy(
+            "doc_id",
+            "t",
+            F.pmod(
+                ce_hash64(F.concat(F.lit("dsirf|"), F.col("tk"))),
+                F.lit(_DSIR_B),
+            ).alias("b"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark import StorageLevel
+
+    dbc = dbc.persist(StorageLevel.MEMORY_AND_DISK)
+    btbl = dbc.groupBy("b").agg(
+        F.sum(F.when(F.col("t"), F.col("c")).otherwise(0)).alias("t_b"),
+        F.sum(F.when(~F.col("t"), F.col("c")).otherwise(0)).alias("r_b"),
+    )
+    wts = btbl.select(
+        "b",
+        F.expr(f"((t_b + 1) * {_DSIR_SCALE}) div (r_b + 1)").alias("w"),
+    )
+    scores = (
+        dbc.filter(~F.col("t"))
+        .join(F.broadcast(wts), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("w")).cast("long").alias("score"),
+        )
+    )
+    return (
+        scores.select(
+            "doc_id",
+            "n_tokens",
+            "score",
+            F.expr("score div n_tokens").alias("avg_w"),
+        )
+        .orderBy(F.desc("avg_w"), "doc_id")
+        .limit(_DSIR_TOP)
+    )
+
+
 _UPS_BUDGET_X = 2.5  # token budget = 2.5x the corpus (forces repetition)
 _UPS_MAX_EPOCHS = 4  # repetition cap (Muennighoff et al. 2023: ~4 epochs
 #                      of repeated data still contribute near-fresh value)

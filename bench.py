@@ -171,6 +171,9 @@ HEADLINE = [
     "lr1_budget_apportionment",
     "place1_rendezvous_owner",
     "rh1_content_chunks",
+    "d9_canonical_best",
+    "rp1_hyperplane_lsh",
+    "dsir1_importance_rank",
 ]
 
 
