@@ -123,6 +123,42 @@ def exploded_shingles(
     )
 
 
+def capped_pair_counts(
+    sh: DataFrame, max_doc_freq: int, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """The capped (stop-shingle-pruned) pair machinery, exposed for
+    every consumer that needs raw intersection counts rather than a
+    finished Jaccard (jaccard = inter/union, containment = inter/|A|):
+    aggregate ONCE to (shingle → sorted doc set), drop sets larger
+    than ``max_doc_freq``, and enumerate the ≤ C(cap, 2) pairs per
+    shingle locally from the bounded array — the expensive shingle
+    explode never self-joins.
+
+    Returns ``(inter, sizes)``: ``inter`` = (doc_a < doc_b, inter)
+    intersection counts over the capped shingle universe; ``sizes`` =
+    (id_col, set_size) capped set sizes per doc.
+    """
+    grouped = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("docs"))
+        .filter(F.size("docs") <= max_doc_freq)
+    )
+    capped = grouped.select(F.explode("docs").alias(id_col))
+    sizes = capped.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    pair_structs = F.expr(
+        "flatten(transform(docs, (x, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    inter = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return inter, sizes
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -159,24 +195,7 @@ def ngram_jaccard_pairs(
         )
     sh = exploded_shingles(docs, id_col, text_col, k)
     if max_doc_freq is not None:
-        grouped = (
-            sh.groupBy("shingle")
-            .agg(F.array_sort(F.collect_set(id_col)).alias("docs"))
-            .filter(F.size("docs") <= max_doc_freq)
-        )
-        capped = grouped.select(F.explode("docs").alias(id_col))
-        sizes = capped.groupBy(id_col).agg(F.count("*").alias("set_size"))
-        pair_structs = F.expr(
-            "flatten(transform(docs, (x, i) -> "
-            "transform(slice(docs, i + 2, size(docs)), "
-            "y -> struct(x AS doc_a, y AS doc_b))))"
-        )
-        inter = (
-            grouped.select(F.explode(pair_structs).alias("p"))
-            .select("p.doc_a", "p.doc_b")
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("inter"))
-        )
+        inter, sizes = capped_pair_counts(sh, max_doc_freq, id_col)
     else:
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
         a = sh.select(F.col(id_col).alias("doc_a"), "shingle")

@@ -551,6 +551,86 @@ def d9_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d10_containment",
+    oracle=f"""
+    WITH {_D2B_CTES},
+    cont AS (
+      SELECT doc_a AS doc_sub, doc_b AS doc_sup,
+             CAST(inter AS DOUBLE) / sa.set_size AS containment,
+             sa.set_size AS sub_size
+      FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+      UNION ALL
+      SELECT doc_b AS doc_sub, doc_a AS doc_sup,
+             CAST(inter AS DOUBLE) / sb.set_size AS containment,
+             sb.set_size AS sub_size
+      FROM inter JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_sub, doc_sup, round(containment, 6) AS containment
+    FROM cont WHERE containment >= 0.8 AND sub_size >= 5
+    """,
+)
+def d10_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection by shingle-set containment
+    |A∩B| / |A| — the Broder (1997) resemblance/containment split
+    that symmetric Jaccard cannot see: a short doc quoted wholesale
+    inside a long one scores containment ≈ 1 while Jaccard stays tiny
+    (|A∪B| is dominated by the long doc). This is the subset/quote/
+    boilerplate-inclusion detector of a dedup pipeline; pairs are
+    emitted DIRECTED (doc_sub ⊂ doc_sup) at containment ≥ 0.8, with
+    sub_size ≥ 5 shingles so 1-shingle trivia can't fire it.
+
+    Scale shape: the intersection counts come from the SAME capped
+    pair machinery as d2b/d6 (stop-shingles with df > 20 dropped
+    before pair enumeration, ≤ C(20, 2) candidates per shingle, no
+    shingle self-join); both directions of each undirected pair are
+    emitted by a 2-array explode of the one intersection row — the
+    inter subtree is computed once, not unioned twice — and the
+    per-doc set sizes join back on the sub-doc key only."""
+    from ..functions.dedup import capped_pair_counts, exploded_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    inter, sizes = capped_pair_counts(
+        exploded_shingles(docs, "doc_id", "text", 3), max_doc_freq=20
+    )
+    both = inter.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_sub"),
+                    F.col("doc_b").alias("doc_sup"),
+                    F.col("inter").alias("inter"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_sub"),
+                    F.col("doc_a").alias("doc_sup"),
+                    F.col("inter").alias("inter"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    return (
+        both.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_sub"),
+                F.col("set_size").alias("sub_size"),
+            ),
+            "doc_sub",
+        )
+        .filter(
+            (F.col("sub_size") >= 5)
+            & (F.col("inter").cast("double") / F.col("sub_size") >= 0.8)
+        )
+        .select(
+            "doc_sub",
+            "doc_sup",
+            F.round(
+                F.col("inter").cast("double") / F.col("sub_size"), 6
+            ).alias("containment"),
+        )
+    )
+
+
 @query("d3v_minhash_verified", oracle=_D2_EXACT_SQL)
 def d3v_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dup pipeline end-to-end: MinHash(32) LSH

@@ -174,6 +174,7 @@ HEADLINE = [
     "d9_canonical_best",
     "rp1_hyperplane_lsh",
     "dsir1_importance_rank",
+    "d10_containment",
 ]
 
 
