@@ -1093,6 +1093,10 @@ def rp1_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in range(_RP_PLANES)
         ],
     )
+    # no repartition before this explode: measured A/B at sf0.1, the
+    # extra exchange of the embedding arrays costs more than the
+    # single-split element explode saves (the signed sums are cheap
+    # per element, unlike dsir1's per-occurrence md5)
     pe = emb.select(
         "vec_id", F.posexplode("embedding").alias("d", "x")
     )

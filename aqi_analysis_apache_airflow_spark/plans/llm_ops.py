@@ -618,10 +618,19 @@ def dsir1_importance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         == 0
     )
-    tok = docs.select(
-        "doc_id",
-        is_t.alias("t"),
-        F.explode(tokens(F.col("text"))).alias("tk"),
+    # repartition before the explode: the per-occurrence md5 is the
+    # CPU-heavy stage and the bench corpus arrives as ONE parquet
+    # split — without this the whole hash pass runs on a single task
+    # (the exploded_shingles lesson)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tok = (
+        docs.select("doc_id", is_t.alias("t"), "text")
+        .repartition(n_part)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(tokens(F.col("text"))).alias("tk"),
+        )
     )
     dbc = (
         tok.groupBy(
