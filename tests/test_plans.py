@@ -610,3 +610,55 @@ def test_lr1_window_is_source_sized(spark):
     token column must be pruned to text+source at the scan."""
     p = plan_of(spark, "lr1_budget_apportionment")
     assert "doc_id" not in p
+
+
+def test_d9_single_window_no_join_after_components(spark):
+    """d9's keep-best decision is ONE count/argmax window over the
+    component map — no groupBy + join-back of a best-per-cluster
+    table. The only joins in the plan are the pair machinery and the
+    component left-join; a per-cluster aggregate joined back would
+    add a join keyed on cluster_id."""
+    p = plan_of(spark, "d9_canonical_best")
+    assert "Window" in p
+    import re
+
+    assert not re.search(r"Join.*\[cluster_id", p), (
+        "per-cluster aggregate join-back found; d9 should use a window"
+    )
+
+
+def test_rp1_sign_matrix_broadcast_no_cartesian(spark):
+    """rp1's 64x12 sign matrix must arrive at the element stream via a
+    broadcast hash join on dimension index (never a shuffle of the
+    exploded elements against it, never a cartesian), and candidate
+    pairing must be an equi-join on the full signature."""
+    p = plan_of(spark, "rp1_hyperplane_lsh")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "sig16" in p
+
+
+def test_dsir1_weights_broadcast_single_explode(spark):
+    """dsir1's 256-row weight table must BROADCAST back onto the
+    per-(doc, bucket) counts (scoring may not shuffle the corpus
+    against it), and the token explode must appear exactly once in
+    the physical plan — the persisted diamond feeds both the bucket
+    table and the scorer."""
+    p = plan_of(spark, "dsir1_importance_rank")
+    assert "BroadcastHashJoin" in p
+    import re
+
+    # one Generate NODE in the detail section: the tree may print the
+    # shared subtree twice, but a second distinct explode would get
+    # its own node id
+    assert len(set(re.findall(r"\((\d+)\) Generate", p))) == 1
+
+
+def test_d10_cap_filter_and_single_direction_explode(spark):
+    """d10's containment pairs must come from the capped machinery
+    (df <= 20 stop-shingle filter present) with both pair directions
+    emitted by ONE 2-array explode of the intersection rows, not a
+    union that would compute the intersection subtree twice."""
+    p = plan_of(spark, "d10_containment")
+    assert "<= 20" in p
+    assert "Union" not in p
