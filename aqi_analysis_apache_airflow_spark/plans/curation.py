@@ -2974,7 +2974,7 @@ def sky1_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pit1_point_in_time_join",
     oracle="""
     WITH changed AS (
-      SELECT c_custkey, c_acctbal,
+      SELECT DISTINCT c_custkey, c_acctbal,
              (c_custkey % 7 <> 0 AND c_custkey % 2 = 0
               AND c_acctbal <> c_acctbal * 2) AS chg
       FROM customer
@@ -3008,13 +3008,23 @@ def pit1_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     window as a residual range predicate — ONE co-partitioned shuffle,
     never a cross product, and orders predating the history simply
     find no version (inner join). The oracle reconstructs the history
-    with set logic and replays the identical join."""
+    with set logic and replays the identical join. Snapshots are
+    DEDUPLICATED at ingest (distinct on the full snapshot row, both
+    sides): SCD2 requires a unique business key, and a malformed feed
+    that repeats a customer row would otherwise fan out the upsert's
+    key join (2 old x 2 new = 4 versions) — the dedup pins the
+    duplicate-key behavior both engines agree on, and is a no-op on a
+    healthy dimension."""
     from datetime import datetime
 
     from ..operators.scd2 import scd2_init, scd2_upsert
 
     t1, t2 = datetime(1996, 1, 1), datetime(1998, 7, 1)
-    snap1 = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    snap1 = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .distinct()
+    )
     snap2 = snap1.filter(F.col("c_custkey") % 7 != 0).select(
         "c_custkey",
         F.when(F.col("c_custkey") % 2 == 0, F.col("c_acctbal") * 2)
