@@ -675,6 +675,24 @@ def connected_components(
     # MIN — multiplicity cannot change it), so deduplicating the edge
     # list would spend a full shuffle to buy nothing. Callers pass the
     # pair-aggregation output (unique doc_a < doc_b) anyway.
+    #
+    # SIZE the working set's partitioning from the measured pair count
+    # (one control-plane scalar — the same sanctioned read as the
+    # convergence flag; it also pre-fills the caller's pair cache that
+    # round 1 would have filled anyway). A near-dup pair graph is
+    # orders of magnitude smaller than its corpus, and iterating over
+    # it in the corpus' partitioning is pure scheduling overhead: at
+    # sf0.1 the 256-pair graph inherited 64 cached partitions, making
+    # every round ~300 near-empty tasks (~4s of a 4.3s query). AQE
+    # coalesces exchanges but cannot re-layout an InMemoryRelation, so
+    # the repartition before persist is the one place to right-size
+    # it: ~500k edges per partition, capped at the session's shuffle
+    # parallelism so a billion-edge graph still fans out fully.
+    n_pairs = pairs.count()
+    n_conf = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    n_part = max(1, min(n_conf, (2 * n_pairs) // 500_000 + 1))
     edges = (
         pairs.select("doc_a", "doc_b")
         .union(
@@ -682,6 +700,7 @@ def connected_components(
                 F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
             )
         )
+        .repartition(n_part, "doc_b")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
