@@ -234,14 +234,21 @@ def exact_jaccard_for_pairs(
     (columns ``doc_a``, ``doc_b``) — the verification stage after an
     approximate candidate generator (LSH bands, simhash).
 
-    Scale shape: shingles are computed only for docs that appear in
-    some candidate pair (semi-join pushdown), and the intersection is
-    counted by fanning each pair out over doc_a's shingles and probing
-    doc_b's — cost is O(Σ pair shingle sizes), linear in candidate
-    volume, never corpus-quadratic. ``pairs`` is persisted first: it
-    is typically the output of a full LSH pipeline and is consumed
-    three times below (both id sides + the probe join) — without
-    materialization each consumer re-runs that pipeline.
+    Scale shape: shingle ARRAYS are computed only for docs that appear
+    in some candidate pair (semi-join pushdown), then joined whole to
+    the pair table and intersected per-row with ``array_intersect`` —
+    cost is O(Σ pair shingle sizes) inside whole-stage codegen, linear
+    in candidate volume, never corpus-quadratic. This replaces the
+    earlier explode-and-probe form (pairs ⋈ exploded(A) ⋈ exploded(B)
+    → groupBy pair): same asymptotics, but the array form ships the
+    same bytes through TWO id-keyed joins and zero extra aggregation,
+    where the probe form paid a |pairs|×|shingles/doc| row shuffle
+    plus a groupBy — measured 2.8s → 1.1s on snm1's 29k-pair verify at
+    sf0.1, with d3v/d8 improving the same way. Pairs with an EMPTY
+    intersection are dropped (``inter >= 1``), matching the inner
+    probe-join semantics every caller and oracle was built against.
+    ``pairs`` is persisted first: it is typically the output of a full
+    LSH pipeline and is consumed twice below (both array-attach sides).
     """
     from pyspark import StorageLevel
 
@@ -251,34 +258,34 @@ def exact_jaccard_for_pairs(
         .union(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    cand_docs = docs.join(cand_ids, id_col, "left_semi")
-    sh = exploded_shingles(cand_docs, id_col, text_col, k)
-    # set size straight off the (distinct) shingle array — no explode,
-    # no shuffle; the exploded form is only needed for the intersection
-    sizes = cand_docs.select(
-        F.col(id_col),
-        F.size(word_shingles(F.col(text_col), k)).alias("set_size"),
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sets = (
+        docs.join(cand_ids, id_col, "left_semi")
+        .repartition(n_part)
+        .select(
+            F.col(id_col),
+            word_shingles(F.col(text_col), k).alias("sh"),
+        )
     )
-    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        pairs.select("doc_a", "doc_b")
-        .join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        inter.join(sa, "doc_a")
+        pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter"),
+            (F.size("sh_a") + F.size("sh_b")).alias("sz_sum"),
+        )
+        .filter(F.col("inter") >= 1)
         .select(
             "doc_a",
             "doc_b",
             (
                 F.col("inter").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+                / (F.col("sz_sum") - F.col("inter"))
             ).alias("jaccard"),
         )
     )

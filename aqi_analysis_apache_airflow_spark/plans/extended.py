@@ -2638,3 +2638,362 @@ def cm1_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cm_est").cast("long").alias("cm_est"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# round 6 additions: corpus-level overlap, sorted-neighborhood ER,
+# segment-level (C4/RefinedWeb-style) dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ovr1_source_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT source, regexp_extract_all(text, '\\S+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6)
+             AS jaccard,
+           round(CAST(inter AS DOUBLE) / sa.sz, 6) AS containment_a
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    """,
+)
+def ovr1_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-LEVEL overlap matrix: exact distinct-3-shingle Jaccard and
+    containment between every pair of sources — the audit that decides
+    whether two crawls/snapshots are worth ingesting separately or one
+    is largely a subset of the other (the corpus-level twin of d10's
+    per-document containment).
+
+    Scale shape: one aggregation to (shingle -> sorted distinct source
+    set), then local pair enumeration off the bounded array — the
+    per-shingle fan-out is capped by the SOURCE COUNT, a catalog-level
+    constant (dozens of crawls, not millions of docs), so no hot-key
+    self-join exists in the plan and per-source sizes fall out of the
+    same grouped relation (one explode, zero extra passes over the
+    corpus). At 100 TB the same plan holds; if the per-source distinct
+    counts themselves outgrow exact counting, the drop-in is one HLL
+    sketch per (source) and per (pair) via the hll1 machinery with
+    inclusion-exclusion, trading exactness for a fixed 1.5 KB register
+    per cell."""
+    from ..functions.dedup import word_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sh = (
+        docs.select("source", "text")
+        .repartition(n_part)
+        .select(
+            "source",
+            F.explode(word_shingles(F.col("text"), 3)).alias("shingle"),
+        )
+    )
+    grouped = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .persist()
+    )
+    sizes = (
+        grouped.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("sz"))
+    )
+    pair_structs = F.expr(
+        "flatten(transform(srcs, (x, i) -> "
+        "transform(slice(srcs, i + 2, size(srcs)), "
+        "y -> struct(x AS src_a, y AS src_b))))"
+    )
+    inter = (
+        grouped.filter(F.size("srcs") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("inter").cast("double") / F.col("sz_a"), 6).alias(
+                "containment_a"
+            ),
+        )
+    )
+
+
+_SNM_KEY_SQL = (
+    "substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 40)"
+)
+
+
+@query(
+    "snm1_sorted_neighborhood",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, {_SNM_KEY_SQL} AS key FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS rn
+      FROM keyed
+    ),
+    cand AS (
+      SELECT least(a.doc_id, b.doc_id) AS doc_a,
+             greatest(a.doc_id, b.doc_id) AS doc_b,
+             CAST(b.rn - a.rn AS INTEGER) AS gap
+      FROM ranked a JOIN ranked b
+        ON b.rn > a.rn AND b.rn <= a.rn + 10
+    ),
+    {_D2_CTES}
+    SELECT c.doc_a, c.doc_b, c.gap,
+           CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter)
+             AS jaccard
+    FROM cand c
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.5
+    """,
+)
+def snm1_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup candidate generation (Hernandez &
+    Stolfo 1995, the classic entity-resolution blocking method): sort
+    the corpus on a normalized prefix key, slide a w=10 window down the
+    sort order, exact-verify every in-window pair with true shingle
+    Jaccard >= 0.5. Complements the LSH family (d3/d3v): SNM is the
+    candidate generator of choice when near-dups share PREFIXES
+    (boilerplate headers, templated records) — cost is a sort plus
+    n*w candidate verifications, no banding parameters to tune.
+
+    Scale shape: the global sort RANK is computed without a
+    single-partition window — range-repartition on (key, doc_id),
+    persist (pinning the sampled range boundaries so the count pass
+    and the rank pass see identical partitioning), count rows per
+    partition (a control-plane collect of n_part longs), and add the
+    exclusive prefix-sum offset to a PER-PARTITION row_number. Global
+    rank = offset + local rank holds for ANY range boundary placement
+    because ranges are ordered and (key, doc_id) is a total order —
+    the standard scalable rank recipe (same shape Spark's own
+    zipWithIndex uses). Window pairing is then an equi-join on the
+    integer rank after a w-way sequence explode — linear in n*w."""
+    from pyspark import StorageLevel
+
+    docs = load(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), 1, 40
+    )
+    from ..functions.dedup import exact_jaccard_for_pairs, word_shingles
+
+    # shingle-set size rides along from the same scan that computes the
+    # key: the size-ratio prune below needs it per candidate side, and
+    # computing it here costs one array pass on a scan already in flight.
+    # The slim (id, key, sz) table is materialized BEFORE the range
+    # shuffle: the bench corpus arrives as one row group, so without the
+    # round-robin repartition the regex/shingle CPU would run on a
+    # single task — and repartitionByRange's sampling pass would then
+    # run that serial compute a second time. Persisting the slim form
+    # makes the sampling pass and the range shuffle both read the
+    # (parallel-computed) cache.
+    slim = (
+        docs.select("doc_id", "text")
+        .repartition(n_part)
+        .select(
+            "doc_id",
+            key.alias("key"),
+            F.size(word_shingles(F.col("text"), 3)).alias("sz"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    keyed = (
+        slim.repartitionByRange(n_part, "key", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in keyed.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    local_rn = F.row_number().over(
+        Window.partitionBy("pid").orderBy("key", "doc_id")
+    )
+    ranked = keyed.select(
+        "doc_id",
+        "sz",
+        (local_rn + off_map[F.col("pid")]).cast("long").alias("rn"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    left = ranked.select(
+        F.col("doc_id").alias("id_l"),
+        F.col("sz").alias("sz_l"),
+        F.col("rn").alias("rn_l"),
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("off"),
+    ).select(
+        "id_l", "sz_l", (F.col("rn_l") + F.col("off")).alias("rn"), "off"
+    )
+    # LOSSLESS size-ratio prune before the expensive shingle probe:
+    # J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so J >= 0.5 forces
+    # 2*min >= max — pairs failing it cannot survive the final filter
+    # (cuts ~40% of the in-window pairs on this corpus; the oracle
+    # needs no twin because the prune provably changes nothing)
+    cand = (
+        left.join(
+            ranked.select(
+                F.col("doc_id").alias("id_r"), F.col("sz").alias("sz_r"), "rn"
+            ),
+            "rn",
+        )
+        .filter(
+            (F.least("sz_l", "sz_r") > 0)
+            & (F.least("sz_l", "sz_r") * 2 >= F.greatest("sz_l", "sz_r"))
+        )
+        .select(
+            F.least("id_l", "id_r").alias("doc_a"),
+            F.greatest("id_l", "id_r").alias("doc_b"),
+            F.col("off").cast("int").alias("gap"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    verified = exact_jaccard_for_pairs(docs, cand, k=3).filter(
+        F.col("jaccard") >= 0.5
+    )
+    return verified.join(cand, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "gap", "jaccard"
+    )
+
+
+@query(
+    "d11_segment_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+             array_to_string(t[(CAST(i AS INTEGER)*10+1):(CAST(i AS INTEGER)*10+10)], ' ') AS seg,
+             len(t[(CAST(i AS INTEGER)*10+1):(CAST(i AS INTEGER)*10+10)]) AS seg_toks
+      FROM toks,
+           UNNEST(range(0, CAST(floor((len(t) - 1) / 10) + 1 AS BIGINT))) u(i)
+      WHERE len(t) >= 1
+    ),
+    keep AS (
+      SELECT doc_id, seg_idx, seg_toks,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx)
+               = 1 AS kept
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_segs,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_kept_segs,
+           CAST(sum(seg_toks) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN kept THEN seg_toks ELSE 0 END) AS BIGINT)
+             AS n_kept_tokens,
+           round(CAST(sum(CASE WHEN kept THEN seg_toks ELSE 0 END) AS DOUBLE)
+                 / sum(seg_toks), 6) AS retention
+    FROM keep GROUP BY doc_id
+    """,
+)
+def d11_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT-level exact dedup — the C4 / RefinedWeb recipe (Raffel
+    et al. 2020 §2.2; Penedo et al. 2023): split every doc into
+    fixed 10-token segments, keep only the FIRST corpus-wide occurrence
+    of each distinct segment (first = smallest (doc_id, seg_idx)), and
+    report per-doc retention. Unlike d1 (whole-doc) or d3 (whole-doc
+    near-dup), this removes boilerplate REGIONS from otherwise-unique
+    docs — the op that strips repeated headers/footers/license blocks
+    a training pipeline sees millions of times.
+
+    Scale shape: one explode of non-overlapping segments (output rows
+    ~= n_tokens/10, strictly linear), one hash shuffle on the segment
+    text for the keep-first window, one groupBy(doc_id) rollup. The
+    window per segment-key processes exactly the duplicate multiplicity
+    of that segment (the same bounded-group shape as a3's keep-first
+    dedup); at 100 TB the shuffle key would be xxhash64(seg) for
+    fixed-width exchange instead of the raw string, collision-checked
+    by the kept-side length sum."""
+    from ..functions.dedup import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    toks = tokens(F.col("text"))
+    n_segs = (F.floor((F.size(toks) - 1) / 10) + 1).cast("int")
+    segs = (
+        docs.select("doc_id", "text")
+        .repartition(n_part)
+        .select(
+            "doc_id",
+            toks.alias("t"),
+            F.explode(
+                F.when(
+                    F.size(toks) >= 1,
+                    F.sequence(F.lit(0), n_segs - 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("seg_idx"),
+        )
+        .select(
+            "doc_id",
+            "seg_idx",
+            F.array_join(
+                F.slice(F.col("t"), F.col("seg_idx") * 10 + 1, 10), " "
+            ).alias("seg"),
+            F.size(F.slice(F.col("t"), F.col("seg_idx") * 10 + 1, 10)).alias(
+                "seg_toks"
+            ),
+        )
+    )
+    kept = (
+        F.row_number().over(
+            Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+        )
+        == 1
+    )
+    return (
+        segs.withColumn("kept", kept)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_segs"),
+            F.sum(F.col("kept").cast("int")).cast("int").alias("n_kept_segs"),
+            F.sum("seg_toks").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("kept"), F.col("seg_toks")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_kept_tokens"),
+            F.round(
+                F.sum(
+                    F.when(F.col("kept"), F.col("seg_toks")).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("seg_toks"),
+                6,
+            ).alias("retention"),
+        )
+    )

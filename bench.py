@@ -175,6 +175,9 @@ HEADLINE = [
     "rp1_hyperplane_lsh",
     "dsir1_importance_rank",
     "d10_containment",
+    "ovr1_source_overlap",
+    "snm1_sorted_neighborhood",
+    "d11_segment_dedup",
 ]
 
 
