@@ -2746,8 +2746,12 @@ def ovr1_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NULL text → '' key (not NULL): Spark sorts NULLS FIRST ascending,
+# DuckDB row_number defaults to NULLS LAST — coalescing to the empty
+# string pins tokenless docs to the front of the sort in BOTH engines
 _SNM_KEY_SQL = (
-    "substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 40)"
+    "coalesce(substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 40),"
+    " '')"
 )
 
 
@@ -2804,8 +2808,11 @@ def snm1_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    key = F.substring(
-        F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), 1, 40
+    key = F.coalesce(
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), 1, 40
+        ),
+        F.lit(""),
     )
     from ..functions.dedup import exact_jaccard_for_pairs, word_shingles
 

@@ -76,6 +76,11 @@ DOC_QUERIES = [
     "lr1_budget_apportionment",
     "place1_rendezvous_owner",
     "rh1_content_chunks",
+    # round-6 additions: corpus overlap, sorted-neighborhood ER (NULL
+    # sort keys coalesce to '' in both engines), segment dedup
+    "ovr1_source_overlap",
+    "snm1_sorted_neighborhood",
+    "d11_segment_dedup",
 ]
 
 _ROWS = [

@@ -662,3 +662,46 @@ def test_d10_cap_filter_and_single_direction_explode(spark):
     p = plan_of(spark, "d10_containment")
     assert "<= 20" in p
     assert "Union" not in p
+
+
+def test_ovr1_bounded_pairs_broadcast_sizes(spark):
+    """ovr1's source-pair enumeration must come from the local
+    bounded-array transform (no shingle self-join → no SortMergeJoin
+    on the shingle column), and the tiny per-source size table must
+    re-attach by broadcast."""
+    p = plan_of(spark, "ovr1_source_overlap")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # the only joins are the two size attaches — a shingle-keyed join
+    # would surface the shingle column in a join condition
+    assert "SortMergeJoin [shingle" not in p
+
+
+def test_snm1_no_single_partition_rank(spark):
+    """snm1's global rank must be the two-pass distributed recipe: a
+    window partitioned by the range-partition id, never the
+    single-partition `Window [... ORDER BY key]` that serializes the
+    corpus through one task."""
+    import re
+
+    p = plan_of(spark, "snm1_sorted_neighborhood")
+    # every Window node must carry a partition spec (partitionBy pid);
+    # an empty global-order window prints as windowspecdefinition(key ...
+    # with no partition expressions before the ORDER BY part
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
+        spec = m.group(1)
+        assert spec.split(",")[0].strip().startswith("pid"), spec
+    assert "CartesianProduct" not in p
+
+
+def test_d11_single_explode_single_window(spark):
+    """d11's segments must come from ONE explode (the non-overlapping
+    segmenter), the keep-first decision from ONE hash-partitioned
+    window on the segment text, with no join anywhere — retention is
+    a pure groupBy rollup of the windowed rows."""
+    import re
+
+    p = plan_of(spark, "d11_segment_dedup")
+    assert len(set(re.findall(r"\((\d+)\) Generate", p))) == 1
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
