@@ -512,3 +512,84 @@ def st7_stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_value"),
         "max_value",
     )
+
+
+@query(
+    "st8_stream_outer_join",
+    oracle="""
+    WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                       event_type
+                FROM events),
+    wm AS (SELECT least(
+             max(CASE WHEN event_type = 'view' THEN ts END),
+             max(CASE WHEN event_type = 'click' THEN ts END)) AS wm
+           FROM ev)
+    SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM ev v
+    CROSS JOIN wm
+    LEFT JOIN ev c ON v.user_id = c.user_id
+                  AND c.event_type = 'click'
+                  AND c.ts >= v.ts
+                  AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view'
+      AND v.ts + INTERVAL 30 MINUTE + INTERVAL 1 SECOND < wm.wm
+    """,
+)
+def st8_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join on a live streaming
+    query: st3's attribution join, plus every view with NO same-user
+    click in the following 30 minutes emitted once with null click
+    columns — the conversion-funnel "view that never converted" feed.
+
+    An outer result may only surface once the watermark proves no
+    in-window click can still arrive, so a bounded replay leaves the
+    LAST views' outcomes undetermined in join state — un-emittable
+    without lying. The query therefore reports FINALIZED attributions
+    only: a deterministic post-filter (identical in the oracle) keeps
+    views whose window is provably closed, ``view_ts + 30min + 1s <
+    min(max view_ts, max click_ts)`` — the watermark value the
+    zero-delay replay itself reaches (multipleWatermarkPolicy=min
+    across the two sides), with a 1 s guard so neither engine's
+    eviction-boundary nudge (Spark holds state to wm − 1 ms) can
+    straddle a row. The closed-window bound rides a broadcast 1-row
+    aggregate (the dq1 shape), never a driver collect; the no-data
+    final micro-batch (SPARK-24156, on by default) is what advances
+    the watermark and flushes the unmatched rows."""
+    from ..sources.readers import load_table
+    from ..streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_attribution_join,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_events_stream(spark, sf_dir)
+    joined = stream_stream_attribution_join(
+        stream, within="30 minutes", watermark="0 seconds", how="left_outer"
+    )
+    out = run_to_memory(joined, _sink_name("st8_outer_sink"), mode="append")
+    wm = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            ).alias("wm")
+        )
+    )
+    return (
+        out.crossJoin(F.broadcast(wm))
+        .filter(
+            F.col("view_ts") + F.expr("INTERVAL 30 MINUTE")
+            + F.expr("INTERVAL 1 SECOND")
+            < F.col("wm")
+        )
+        .select(
+            "user_id",
+            "view_id",
+            F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+            "click_id",
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        )
+    )

@@ -256,15 +256,22 @@ def stream_stream_attribution_join(
     right_type: str = "click",
     within: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream INNER join: attribute each ``click``
-    to every ``view`` by the same user in the preceding ``within``
+    """Watermarked stream-stream join: attribute each ``click`` to
+    every ``view`` by the same user in the preceding ``within``
     interval — the ad-attribution shape. Both sides carry a watermark
     AND the join condition bounds event time on both sides, which is
     what lets Spark expire join state (without the time bound, both
     sides' state grows forever — the unbounded-state trap this
     operator exists to avoid). Append-mode output: a match is emitted
-    once both inputs pass the watermark."""
+    once both inputs pass the watermark.
+
+    ``how="left_outer"`` additionally emits every UNMATCHED view with
+    null click columns — but only once the watermark proves no
+    in-window click can still arrive (view_ts + within < watermark);
+    the no-data final micro-batch (SPARK-24156, on by default) is what
+    flushes those rows when a bounded replay ends."""
     v = events.filter(F.col("event_type") == left_type).select(
         F.col("user_id"),
         F.col("event_id").alias("view_id"),
@@ -280,6 +287,7 @@ def stream_stream_attribution_join(
         (F.col("user_id") == F.col("c_user_id"))
         & (F.col("click_ts") >= F.col("view_ts"))
         & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+        how,
     ).select("user_id", "view_id", "view_ts", "click_id", "click_ts")
 
 
