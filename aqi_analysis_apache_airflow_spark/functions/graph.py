@@ -49,20 +49,26 @@ def pagerank(
     step stays integral.
     """
     from pyspark import StorageLevel
+    from pyspark.sql.window import Window
 
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # edge list annotated with its source's out-degree, reused verbatim
-    # every round — persist once, HASH-PARTITIONED ON THE JOIN KEY:
-    # the cached InMemoryRelation then reports hashpartitioning(src),
-    # so each round's rank join reuses the cached layout and only the
-    # (much smaller) rank stream shuffles — without this the full edge
-    # list re-exchanges once per iteration, the dominant per-round
-    # cost at graph scale
-    n_part = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # every round — persist once, HASH-PARTITIONED ON THE JOIN KEY.
+    # The degree attaches via an unordered WINDOW over partitionBy(src)
+    # rather than groupBy + join-back + repartition: the window's own
+    # exchange IS the hash(src) layout the cache needs, so the edge
+    # list crosses the wire exactly once (the groupBy+join form cost
+    # three edge-list exchanges, and letting AQE broadcast the degree
+    # table instead silently left the cache in the upstream layout —
+    # fine while the rank stream is broadcast-able, fatal at graph
+    # scale where each round would then re-exchange every edge). A
+    # skewed hub src buffers its out-edges in one window partition —
+    # the same skew exposure the join form had on its build key.
+    # Cached as hashpartitioning(src, conf partitions), each round's
+    # rank join reuses the layout and only the (much smaller) rank
+    # stream shuffles.
     ed = (
-        e.join(out_deg, "src")
-        .repartition(n_part, "src")
+        e.withColumn("deg", F.count("*").over(Window.partitionBy("src")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # node list DERIVED FROM the cached ed (the deg join drops no edge
