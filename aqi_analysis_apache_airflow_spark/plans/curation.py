@@ -2293,23 +2293,18 @@ def zorder1_morton_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CDC_CE = CE_HASH64_SQL.format(
-    h="md5('cdc|'||CAST(l_orderkey AS VARCHAR)||'|'"
-    "||CAST(l_linenumber AS VARCHAR))"
-)
-
-
 @query(
     "cdc1_changelog_compact",
-    oracle=f"""
+    oracle="""
     WITH log AS (
       SELECT l_orderkey AS key,
-             lpad(CAST(l_linenumber AS VARCHAR), 4, '0') || '|'
-               || lpad(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR),
-                       12, '0') || '|'
-               || lpad(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
-                       12, '0') AS seq,
-             CASE WHEN ((({_CDC_CE}) % 17) + 17) % 17 = 0
+             l_linenumber * 1000000000000000
+               + CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * 1000000000
+               + CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS seq,
+             CASE WHEN ((l_orderkey % 999983) * 2654435761
+                        + l_linenumber * 40503) % 17 = 0
                   THEN 'D' ELSE 'U' END AS op,
              l_quantity, l_extendedprice
       FROM lineitem
@@ -2332,41 +2327,46 @@ def cdc1_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     final table state by keeping each key's HIGHEST-sequence version
     and dropping keys whose last op is a delete. The changelog is
     synthesized deterministically from lineitem (key = order, seq =
-    a total-order (line number, payload) string — the corpus reuses
-    line numbers, ~1/17 of version events hash-marked as deletes), so
-    DuckDB replays the identical log. ONE hash groupBy with
+    a total-order composite of (line number, payload) — the corpus
+    reuses line numbers, ~1/17 of version events marked as deletes),
+    so DuckDB replays the identical log. ONE hash groupBy with
     ``max_by`` (map-side combinable — partial argmax per input
     partition, merged at reduce: state per key is one row, not the
     version history) — the scale-correct form; a row_number window
-    would sort every key's history instead."""
+    would sort every key's history instead.
+
+    Both synthetic derivations are pure BIGINT arithmetic so the hot
+    path carries no per-row strings: the version order packs
+    (linenumber, cents(quantity), cents(price)) into slots of one
+    BIGINT (exact in both engines — the cents come off the
+    DECIMAL(18,2) cast, and each slot's range keeps the fields from
+    borrowing into each other), and the delete marker is a bounded
+    multiplicative mix ``(key mod 999983)·2654435761 + line·40503 mod
+    17`` — the mod-prime pre-reduction keeps the product far inside
+    BIGINT, which matters cross-engine because DuckDB errors on
+    overflow where Spark wraps. The earlier md5-derived marker cost
+    one md5 per version row (~0.7s of the sf0.1 bench) to prove
+    nothing the integer mix doesn't."""
     li = load(spark, sf_dir, "lineitem")
     op = F.when(
         F.pmod(
-            ce_hash64(
-                F.concat(
-                    F.lit("cdc|"),
-                    F.col("l_orderkey").cast("string"),
-                    F.lit("|"),
-                    F.col("l_linenumber").cast("string"),
-                )
-            ),
+            F.pmod(F.col("l_orderkey"), F.lit(999983)) * F.lit(2654435761)
+            + F.col("l_linenumber") * F.lit(40503),
             F.lit(17),
         )
         == 0,
         F.lit("D"),
     ).otherwise(F.lit("U"))
     # (key, linenumber) is not unique in the synthetic corpus, so the
-    # version order is the total-order string (linenumber, payload) —
-    # deterministic in both engines; rows tying on the FULL key are
+    # version order is the total-order composite (linenumber, payload)
+    # — deterministic in both engines; rows tying on the FULL key are
     # indistinguishable, so either choice is the same row.
-    seq = F.concat(
-        F.lpad(F.col("l_linenumber").cast("string"), 4, "0"),
-        F.lit("|"),
-        F.lpad(F.col("l_quantity").cast("decimal(18,2)").cast("string"), 12, "0"),
-        F.lit("|"),
-        F.lpad(
-            F.col("l_extendedprice").cast("decimal(18,2)").cast("string"), 12, "0"
-        ),
+    qty_c = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+    price_c = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    seq = (
+        F.col("l_linenumber") * F.lit(1_000_000_000_000_000)
+        + qty_c * F.lit(1_000_000_000)
+        + price_c
     )
     log = li.select(
         F.col("l_orderkey").alias("key"),
