@@ -223,20 +223,12 @@ def t3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dot(a, b):
     """Exact order-independent dot product: per-element double products
     (IEEE-identical in any engine) rounded once to DECIMAL(28,14), then
-    summed in decimal — exact under any association order, unlike a
-    double fold. The accumulator is re-cast inside the merge lambda
-    because Spark demotes decimal-addition scale and requires the merge
-    result type to equal the zero type; the cast is exact (values stay
-    far below the 16 integer digits)."""
-    return F.aggregate(
-        F.zip_with(
-            a,
-            b,
-            lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(28,14)"),
-        ),
-        F.lit(0).cast("decimal(30,14)"),
-        lambda acc, x: (acc + x).cast("decimal(30,14)"),
-    )
+    summed — the shared BIGINT-fold implementation; see
+    :func:`...functions.similarity.dot_decimal` for the value-identity
+    argument and the Σ|aᵢbᵢ| < ~9.2e4 domain bound."""
+    from ..functions.similarity import dot_decimal
+
+    return dot_decimal(a, b)
 
 
 #: Exact brute-force cosine top-50 against the vec_id=0 query — the
