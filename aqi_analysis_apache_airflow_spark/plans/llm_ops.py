@@ -362,6 +362,64 @@ def split2_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "split3_temporal_split",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-24 00:00:00'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_train, n_test,
+           n_train > 0 AND n_test > 0 AS is_leaked,
+           CASE WHEN n_train >= n_test THEN 'train' ELSE 'test' END
+             AS assigned_split,
+           CAST(least(n_train, n_test) AS BIGINT) AS n_moved
+    FROM per
+    """,
+)
+def split3_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with an ENTITY-LEAKAGE audit and the
+    entity-disjoint repair a pipeline would apply — the third member
+    of the split family: split1 is row-random, split2 is
+    content-cluster-safe, this one is TIME-safe. A temporal cutoff
+    (train < 2024-01-24 ≤ test, the standard future-holdout for
+    models evaluated on later data) leaks whenever the same entity
+    has events on both sides: the model memorizes user behavior in
+    train and gets credit for it in test. Output per user: events on
+    each side, the ``is_leaked`` flag, the majority-rule repair
+    (assign the user wholly to the side holding more of their events,
+    ties to train — the assignment that relocates the fewest rows),
+    and ``n_moved`` = events the repair relocates (``least`` of the
+    two sides, zero exactly for clean users).
+
+    Scale shape: ONE map-side-combinable groupBy over the event
+    stream — two conditional counts, no window, no join, no second
+    scan; the cutoff is a literal, so a date-partitioned 100 TB event
+    lake would also prune at the scan for either side taken alone.
+    The same one-pass timestamp-bucketing shape as the reference's
+    CDC window filter (``dags/etl/source_to_stage.py:73``, op F1)."""
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-24 00:00:00").cast("timestamp")
+    per = ev.groupBy("user_id").agg(
+        F.count_if(F.col("ts") < cutoff).alias("n_train"),
+        F.count_if(F.col("ts") >= cutoff).alias("n_test"),
+    )
+    return per.select(
+        "user_id",
+        "n_train",
+        "n_test",
+        ((F.col("n_train") > 0) & (F.col("n_test") > 0)).alias("is_leaked"),
+        F.when(F.col("n_train") >= F.col("n_test"), F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("assigned_split"),
+        F.least("n_train", "n_test").alias("n_moved"),
+    )
+
+
+@query(
     "sub1_duplicate_spans",
     oracle="""
     WITH toks AS (

@@ -178,6 +178,7 @@ HEADLINE = [
     "ovr1_source_overlap",
     "snm1_sorted_neighborhood",
     "d11_segment_dedup",
+    "split3_temporal_split",
 ]
 
 
