@@ -235,21 +235,31 @@ def main() -> None:
         # trimmed range once extra samples exist: one GC pause on a
         # 0.3s query reads as 100% min-max spread while the reported
         # MEDIAN is unaffected — drop the single best/worst sample at
-        # >= 4 (both extremes at >= 6) so the spread describes the
-        # stability of the median
+        # >= 4 (both extremes at >= 6, three at >= 9) so the spread
+        # describes the stability of the median
         s = sorted(xs)
-        core = s[2:-2] if len(s) >= 6 else s[1:-1] if len(s) >= 4 else s
+        if len(s) >= 9:
+            core = s[3:-3]
+        elif len(s) >= 6:
+            core = s[2:-2]
+        elif len(s) >= 4:
+            core = s[1:-1]
+        else:
+            core = s
         return 100 * (core[-1] - core[0]) / median(xs)
 
     # Adaptive re-run: sub-second queries on a shared JVM can show
     # 70-90% min-max spread over 3 passes, which hides real regressions.
-    # Queries over the threshold get extra samples (up to 7 total) so
+    # Queries over the threshold get extra samples (up to 11 total) so
     # the median settles; the detail file records the final spread.
-    # Four rounds instead of two (round-5 verdict: q9/sdd1 stayed
-    # noisy after two) — only still-noisy queries pay for each round,
-    # so the extra budget lands exactly on the repeat offenders.
+    # Eight rounds (round-6: mg1 was bimodal-in-context — stable alone
+    # AND next to its write-heavy neighbors, so the full-run outliers
+    # are accumulated-JVM-pressure noise that only more samples +
+    # stronger trimming can average out) — only still-noisy queries
+    # pay for each round, so the extra budget lands exactly on the
+    # repeat offenders.
     if n_passes > 1:
-        for _ in range(4):
+        for _ in range(8):
             noisy = [n for n, xs in samples.items() if spread_pct(xs) > 30.0]
             if not noisy:
                 break
