@@ -845,3 +845,238 @@ def ups1_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("alloc_tokens") > F.lit(_UPS_MAX_EPOCHS) * F.col("n_tokens")
         ).alias("undersupplied"),
     )
+
+
+# --------------------------------------------------------------------------
+# trunc1 — truncation-loss / chunk-padding analysis per source
+# --------------------------------------------------------------------------
+
+#: max sequence length (tokens) the downstream trainer accepts; 64 sits
+#: inside this corpus' 10-99-token range so both policies show real cost.
+_TRUNC_L = 64
+
+
+@query(
+    "trunc1_truncation_loss",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN nt > {_TRUNC_L} THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_truncated,
+           CAST(sum(CASE WHEN nt > {_TRUNC_L} THEN nt - {_TRUNC_L} ELSE 0 END)
+                AS BIGINT) AS tokens_lost,
+           round(CAST(sum(CASE WHEN nt > {_TRUNC_L} THEN nt - {_TRUNC_L}
+                               ELSE 0 END) AS DOUBLE)
+                 / NULLIF(CAST(sum(nt) AS DOUBLE), 0), 6) AS loss_pct,
+           CAST(sum(CAST(floor(CAST(nt + {_TRUNC_L} - 1 AS DOUBLE)
+                               / {_TRUNC_L}) AS BIGINT)) AS BIGINT) AS n_chunks,
+           CAST({_TRUNC_L} * sum(CAST(floor(CAST(nt + {_TRUNC_L} - 1 AS DOUBLE)
+                                            / {_TRUNC_L}) AS BIGINT))
+                - sum(nt) AS BIGINT) AS pad_tokens,
+           round(CAST({_TRUNC_L}
+                      * sum(CAST(floor(CAST(nt + {_TRUNC_L} - 1 AS DOUBLE)
+                                       / {_TRUNC_L}) AS BIGINT))
+                      - sum(nt) AS DOUBLE)
+                 / NULLIF(CAST({_TRUNC_L}
+                               * sum(CAST(floor(CAST(nt + {_TRUNC_L} - 1
+                                                     AS DOUBLE)
+                                                / {_TRUNC_L}) AS BIGINT))
+                          AS DOUBLE), 0), 6) AS pad_pct
+    FROM per GROUP BY source
+    """,
+)
+def trunc1_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-loss vs chunk-padding analysis per source — the
+    report a pipeline runs BEFORE choosing how to fit documents into a
+    fixed ``max_seq_len``: policy A truncates each doc at L tokens
+    (cheap, loses every token past L), policy B splits docs into
+    ceil(n/L) chunks (loses nothing, pays padding in the final chunk).
+    Per source: doc/token volume, docs over L and tokens truncation
+    would lose (with its corpus share), and the chunk count, padding
+    tokens, and padding share chunking would pay instead. The two
+    ``*_pct`` columns are the decision: truncate where loss_pct is
+    negligible, chunk (or length-group: pack1) where it is not.
+
+    Every quantity is exact BIGINT arithmetic — chunk counts use the
+    float-exact floor((n+L-1)/L) form (n ≪ 2^52) — and only the two
+    final shares divide, once, as doubles rounded to 6 places
+    (IEEE-identical across engines). Scale: one map-side-combined
+    groupBy(source) over a narrow (source, token-count) projection;
+    nothing else shuffles at any corpus size. Zero-token sources
+    yield NULL shares via the shared nullif guard on both engines."""
+    from ..functions.dedup import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    nt = F.size(tokens(F.col("text"))).cast("long")
+    lost = F.when(nt > _TRUNC_L, nt - _TRUNC_L).otherwise(F.lit(0).cast("long"))
+    chunks = (
+        F.floor((nt + _TRUNC_L - 1).cast("double") / F.lit(float(_TRUNC_L)))
+        .cast("long")
+    )
+    agg = (
+        docs.select("source", nt.alias("nt"), lost.alias("lost"),
+                    chunks.alias("chunks"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.sum((F.col("lost") > 0).cast("long")).cast("long")
+            .alias("docs_truncated"),
+            F.sum("lost").cast("long").alias("tokens_lost"),
+            F.sum("chunks").cast("long").alias("n_chunks"),
+        )
+    )
+    slots = (F.lit(_TRUNC_L).cast("long") * F.col("n_chunks")).cast("long")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "docs_truncated",
+        "tokens_lost",
+        F.round(
+            F.col("tokens_lost").cast("double")
+            / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("loss_pct"),
+        "n_chunks",
+        (slots - F.col("n_tokens")).alias("pad_tokens"),
+        F.round(
+            (slots - F.col("n_tokens")).cast("double")
+            / F.nullif(slots.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("pad_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# cal1 — quality-gate threshold sweep (retention curve)
+# --------------------------------------------------------------------------
+
+_CAL_STOPWORD_RE = r"\b(the|a|of|to|and)\b"
+
+
+@query(
+    "cal1_quality_gate_sweep",
+    oracle=f"""
+    WITH per AS (
+      SELECT CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt,
+             (CASE WHEN len(regexp_extract_all(text, '\\S+'))
+                        BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(length(regexp_replace(text, '\\s', '', 'g'))
+                               AS DOUBLE)
+                          / NULLIF(len(regexp_extract_all(text, '\\S+')), 0)
+                          BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(length(regexp_replace(text,
+                                 '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                          / NULLIF(length(text), 0) < 0.1
+                     THEN 1 ELSE 0 END
+              + CASE WHEN len(regexp_extract_all(lower(text),
+                                 '{_CAL_STOPWORD_RE}')) >= 2
+                     THEN 1 ELSE 0 END) AS passes
+      FROM documents
+    ),
+    b AS (
+      SELECT passes, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(nt) AS BIGINT) AS toks
+      FROM per GROUP BY passes
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS total_docs,
+             CAST(coalesce(sum(nt), 0) AS BIGINT) AS total_tokens
+      FROM per
+    )
+    SELECT CAST(t.threshold AS INTEGER) AS threshold,
+           CAST(coalesce(sum(b.docs), 0) AS BIGINT) AS docs_kept,
+           CAST(coalesce(sum(b.toks), 0) AS BIGINT) AS tokens_kept,
+           round(CAST(coalesce(sum(b.docs), 0) AS DOUBLE)
+                 / NULLIF(CAST(any_value(tot.total_docs) AS DOUBLE), 0), 6)
+             AS docs_pct,
+           round(CAST(coalesce(sum(b.toks), 0) AS DOUBLE)
+                 / NULLIF(CAST(any_value(tot.total_tokens) AS DOUBLE), 0), 6)
+             AS tokens_pct
+    FROM range(5) AS t(threshold)
+    CROSS JOIN tot
+    LEFT JOIN b ON b.passes >= t.threshold
+    GROUP BY t.threshold
+    """,
+)
+def cal1_quality_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate threshold sweep — the retention curve you read
+    before committing a rule filter to 100 TB: for each threshold
+    t = 0..4 on the number of Gopher rules passed (qc1's four: token
+    bounds, mean-word-length band, symbol ratio, stopword presence),
+    how many documents and tokens survive ``passes >= t``, in absolute
+    and corpus-share terms. t=0 is the unfiltered baseline; the drop
+    between adjacent rows is the marginal cost of each extra rule —
+    the calibration evidence for choosing qc1's gate (and for catching
+    a rule that silently deletes a third of the corpus).
+
+    All five thresholds always appear (a LEFT join from the threshold
+    spine, empty buckets coalesced to 0), so the output shape is
+    stable on any corpus including the empty one. Rule semantics are
+    byte-identical to qc1; NULL rule inputs (zero-token docs) count as
+    a non-pass on both engines via the CASE/when ELSE-0 arm. Scale:
+    one narrow projection to (passes, token-count), one map-side-
+    combined groupBy over ≤ 5 distinct pass counts, then a 5×5
+    broadcast join against the threshold spine — after the first
+    aggregation nothing is larger than 5 rows."""
+    docs = load(spark, sf_dir, "documents")
+    nt = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    n_word_chars = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    n_symbol_chars = F.length(
+        F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")
+    )
+    mean_word_len = n_word_chars.cast("double") / F.nullif(nt, F.lit(0))
+    symbol_ratio = n_symbol_chars.cast("double") / F.nullif(
+        F.length("text"), F.lit(0)
+    )
+    stopword_hits = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_CAL_STOPWORD_RE), 0)
+    )
+    passes = (
+        F.when(nt.between(50, 100000), 1).otherwise(0)
+        + F.when(mean_word_len.between(3.0, 10.0), 1).otherwise(0)
+        + F.when(symbol_ratio < 0.1, 1).otherwise(0)
+        + F.when(stopword_hits >= 2, 1).otherwise(0)
+    )
+    per = docs.select(passes.alias("passes"), nt.cast("long").alias("nt"))
+    b = per.groupBy("passes").agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum("nt").cast("long").alias("toks"),
+    )
+    tot = per.agg(
+        F.count("*").cast("long").alias("total_docs"),
+        F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("total_tokens"),
+    )
+    thr = spark.range(5).select(F.col("id").cast("int").alias("threshold"))
+    return (
+        thr.join(F.broadcast(b), F.col("passes") >= F.col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(
+            F.coalesce(F.sum("docs"), F.lit(0)).cast("long").alias("docs_kept"),
+            F.coalesce(F.sum("toks"), F.lit(0)).cast("long")
+            .alias("tokens_kept"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            "docs_kept",
+            "tokens_kept",
+            F.round(
+                F.col("docs_kept").cast("double")
+                / F.nullif(F.col("total_docs").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("docs_pct"),
+            F.round(
+                F.col("tokens_kept").cast("double")
+                / F.nullif(F.col("total_tokens").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("tokens_pct"),
+        )
+    )

@@ -82,6 +82,8 @@ HEADLINE = [
     "ws1_priority_sample",
     "mix1_temperature_mix",
     "ups1_epoch_plan",
+    "trunc1_truncation_loss",
+    "cal1_quality_gate_sweep",
     "pmi1_collocations",
     "ed1_editdist_join",
     "tri1_triangle_count",

@@ -705,3 +705,23 @@ def test_d11_single_explode_single_window(spark):
     assert len(set(re.findall(r"\((\d+)\) Generate", p))) == 1
     assert "Join" not in p
     assert "CartesianProduct" not in p
+
+
+def test_trunc1_pruned_scan_single_aggregate(spark):
+    """trunc1 reads only (source, text) off the documents scan and is
+    one map-side-combined groupBy — no join, no window, no explode."""
+    p = plan_of(spark, "trunc1_truncation_loss")
+    assert "doc_id" not in p and "lang" not in p
+    assert "Join" not in p and "Window" not in p and "Generate" not in p
+    assert p.count("Exchange (") == 1  # node list; details repeat as "(N) Exchange"
+
+
+def test_cal1_broadcast_spine_bounded_postagg(spark):
+    """cal1's threshold spine joins the ≤5-row pass-count buckets as a
+    broadcast (never a sort-merge over the corpus), and the corpus is
+    touched by exactly the two narrow aggregations — every join input
+    after them is broadcast-sized."""
+    p = plan_of(spark, "cal1_quality_gate_sweep")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "doc_id" not in p and "lang" not in p
