@@ -1080,3 +1080,95 @@ def cal1_quality_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens_pct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# oov1 — vocabulary coverage / OOV rate per source
+# --------------------------------------------------------------------------
+
+_OOV_VOCAB_K = 100
+
+
+@query(
+    "oov1_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM toks GROUP BY token
+      ORDER BY count(*) DESC, token LIMIT {_OOV_VOCAB_K}
+    ),
+    marked AS (
+      SELECT t.source, t.token, v.token IS NOT NULL AS in_vocab
+      FROM toks t LEFT JOIN vocab v ON t.token = v.token
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN in_vocab THEN 1 ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           round(1.0 - CAST(sum(CASE WHEN in_vocab THEN 1 ELSE 0 END)
+                            AS DOUBLE)
+                 / NULLIF(CAST(count(*) AS DOUBLE), 0), 6) AS oov_rate,
+           CAST(count(DISTINCT token) AS BIGINT) AS distinct_tokens,
+           CAST(count(DISTINCT CASE WHEN NOT in_vocab THEN token END)
+                AS BIGINT) AS distinct_oov
+    FROM marked GROUP BY source
+    """,
+)
+def oov1_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / out-of-vocabulary rate per source against
+    the corpus' own top-100 token vocabulary (t9's construction rule:
+    frequency-desc, token tie-break — the deterministic cut a
+    tokenizer-training pass would take). Per source: token volume, the
+    occurrences the vocab covers, the OOV rate, and the distinct-type
+    counts behind it — the fertility/coverage report that decides
+    whether a tokenizer (or a fixed stopword list) transfers to a new
+    source, and the per-source signal that one source is about to blow
+    up the subword fallback path.
+
+    Scale shape: the token explode is NARROW and evaluated once per
+    consumer (the vocab build and the coverage mark — re-scanning
+    beats persisting an exploded 100 TB corpus); the vocab side is a
+    map-side-combined count + TakeOrdered heap (never a global sort)
+    reduced to 100 rows — broadcast — so the mark is a broadcast LEFT
+    join on the exploded stream, then one groupBy(source) carries the
+    distinct counts. The only corpus-sized exchanges are the vocab
+    count and that final aggregate; the rate divides once, on exact
+    BIGINTs."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("token"),
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("__freq"))
+        .orderBy(F.col("__freq").desc(), "token")
+        .limit(_OOV_VOCAB_K)
+        .select("token", F.lit(True).alias("__in_vocab"))
+    )
+    marked = toks.join(F.broadcast(vocab), "token", "left_outer").select(
+        "source",
+        "token",
+        F.coalesce(F.col("__in_vocab"), F.lit(False)).alias("in_vocab"),
+    )
+    return marked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.col("in_vocab").cast("long")).cast("long")
+        .alias("covered_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.col("in_vocab").cast("long")).cast("double")
+            / F.nullif(F.count("*").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("oov_rate"),
+        F.count_distinct(F.col("token")).cast("long").alias("distinct_tokens"),
+        F.count_distinct(
+            F.when(~F.col("in_vocab"), F.col("token"))
+        ).cast("long").alias("distinct_oov"),
+    )

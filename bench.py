@@ -84,6 +84,7 @@ HEADLINE = [
     "ups1_epoch_plan",
     "trunc1_truncation_loss",
     "cal1_quality_gate_sweep",
+    "oov1_vocab_coverage",
     "pmi1_collocations",
     "ed1_editdist_join",
     "tri1_triangle_count",

@@ -81,6 +81,12 @@ DOC_QUERIES = [
     "ovr1_source_overlap",
     "snm1_sorted_neighborhood",
     "d11_segment_dedup",
+    # round-6 additions: seq-len policy, gate sweep, vocab coverage
+    # (NULL-text docs must count as zero-pass / zero-token on BOTH
+    # engines; tokenless sources must vanish from oov1 identically)
+    "trunc1_truncation_loss",
+    "cal1_quality_gate_sweep",
+    "oov1_vocab_coverage",
 ]
 
 _ROWS = [

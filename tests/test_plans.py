@@ -725,3 +725,14 @@ def test_cal1_broadcast_spine_bounded_postagg(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "doc_id" not in p and "lang" not in p
+
+
+def test_oov1_vocab_broadcast_no_sortmerge(spark):
+    """oov1's coverage mark must join the exploded token stream to the
+    100-row vocab as a broadcast hash join — a sort-merge there would
+    shuffle the whole exploded corpus on token. The vocab cut itself
+    is a TakeOrdered heap, never a global Sort."""
+    p = plan_of(spark, "oov1_vocab_coverage")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
