@@ -834,6 +834,105 @@ def emb2_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "emb5_centroid_outliers",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS pos,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    cent AS (
+      SELECT label, pos,
+             round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,30)))
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS c
+      FROM comp GROUP BY label, pos
+    ),
+    d AS (
+      SELECT comp.vec_id, comp.label,
+             CAST(SUM(CAST(CAST((comp.x - cent.c) * (comp.x - cent.c)
+                                AS DECIMAL(24,6)) * 1000000 AS BIGINT))
+                  AS BIGINT) AS d6
+      FROM comp JOIN cent ON comp.label = cent.label AND comp.pos = cent.pos
+      GROUP BY comp.vec_id, comp.label
+    ),
+    lab AS (
+      SELECT label, CAST(SUM(d6) AS BIGINT) AS s6,
+             CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY label
+    )
+    SELECT d.vec_id, d.label,
+           CAST(d.d6 AS DOUBLE) / 1000000 AS dist2,
+           lab.n AS n_members,
+           CAST(lab.n AS DECIMAL(38,0)) * CAST(d.d6 AS DECIMAL(38,0))
+             > 4 * CAST(lab.s6 AS DECIMAL(38,0)) AS is_outlier
+    FROM d JOIN lab ON d.label = lab.label
+    """,
+)
+def emb5_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier audit: every vector's squared distance
+    to its label's centroid, flagged ``is_outlier`` when it exceeds 4×
+    the label's mean squared distance (i.e. 2× the RMS radius) — the
+    curation gate that catches corrupt encodings, mislabeled members,
+    and encoder-version drift BEFORE they poison semantic dedup (sdd1)
+    or ANN recall. Centroids are emb2's exact element-wise means
+    (DECIMAL(38,30) sums, 9-digit surfaced form); the distance metric
+    is defined WITH per-element 1e-6 quantization (each squared
+    component rounds once to DECIMAL(24,6), then sums as exact scaled
+    BIGINT — the dot_decimal convention at audit precision), so both
+    engines fold identical integers in any order. The outlier rule is
+    CROSS-MULTIPLIED in DECIMAL(38,0) — ``n·d² > 4·Σd²`` — no division
+    or float threshold anywhere a boundary could flip.
+
+    Scale shape: one narrow posexplode feeds the centroid reduce
+    (map-side-combined (label, pos) partial sums — only
+    n_labels × dim rows shuffle) and the distance join (centroids
+    broadcast); per-vector distances are one more map-side-combined
+    groupBy, and the label totals (n_labels rows) broadcast back for
+    the flag. Nothing corpus-sized shuffles more than the two
+    aggregations."""
+    comp = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    cent = comp.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("x").cast("double").cast("decimal(38,30)")).cast(
+                "double"
+            )
+            / F.count("*").cast("double"),
+            9,
+        ).alias("c")
+    )
+    dx = F.col("x").cast("double") - F.col("c")
+    d = (
+        comp.join(F.broadcast(cent), ["label", "pos"])
+        .select(
+            "vec_id",
+            "label",
+            ((dx * dx).cast("decimal(24,6)") * F.lit(10**6))
+            .cast("long")
+            .alias("q6"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("q6").cast("long").alias("d6"))
+    )
+    lab = d.groupBy("label").agg(
+        F.sum("d6").cast("long").alias("s6"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return d.join(F.broadcast(lab), "label").select(
+        "vec_id",
+        "label",
+        (F.col("d6").cast("double") / F.lit(1000000.0)).alias("dist2"),
+        F.col("n").alias("n_members"),
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("d6").cast("decimal(38,0)")
+            > F.lit(4).cast("decimal(38,0)") * F.col("s6").cast("decimal(38,0)")
+        ).alias("is_outlier"),
+    )
+
+
 _HLL_TOL = 0.05
 
 

@@ -134,6 +134,7 @@ HEADLINE = [
     "markov1_event_transitions",
     "qb1_quantile_binning",
     "emb4_matryoshka_recall",
+    "emb5_centroid_outliers",
     "seg1_rfm_segments",
     "ovl1_interval_overlap_join",
     "bpe1_merge_step",

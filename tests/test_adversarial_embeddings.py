@@ -35,6 +35,11 @@ EMB_QUERIES = [
     # round 6: hard-negative mining (zero-norm anchors and candidates
     # must drop identically on both sides; cos=±1 ties break on id)
     "hn1_hard_negatives",
+    # round 6: centroid-outlier audit (zero vectors, exact duplicates
+    # and antipodal members stress the quantized distance + the exact
+    # cross-multiplied flag; a 1-member label is its own centroid —
+    # dist2 0, never an outlier — on both engines)
+    "emb5_centroid_outliers",
 ]
 
 _DIM = 64
