@@ -736,3 +736,14 @@ def test_oov1_vocab_broadcast_no_sortmerge(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_emb5_centroids_broadcast_no_corpus_sortmerge(spark):
+    """emb5's distance join must attach the n_labels × dim centroid
+    table to the exploded corpus as a broadcast hash join; the only
+    exchanges are the two map-side-combined aggregations (centroid
+    reduce, per-vector distance) plus the label-totals attach — never
+    a sort-merge shuffling the exploded corpus on (label, pos)."""
+    p = plan_of(spark, "emb5_centroid_outliers")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
