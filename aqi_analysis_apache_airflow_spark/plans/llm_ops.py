@@ -1172,3 +1172,147 @@ def oov1_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~F.col("in_vocab"), F.col("token"))
         ).cast("long").alias("distinct_oov"),
     )
+
+
+# --------------------------------------------------------------------------
+# drift1 — per-source length-distribution drift vs the corpus
+# --------------------------------------------------------------------------
+
+_DRIFT_BUCKET_W = 10
+_DRIFT_N_BUCKETS = 13  # bucket = least(floor(n_tokens/10), 12)
+
+
+@query(
+    "drift1_source_length_drift",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             least(CAST(floor(CAST(len(regexp_extract_all(text, '\\S+'))
+                                   AS DOUBLE) / {_DRIFT_BUCKET_W}) AS BIGINT),
+                   {_DRIFT_N_BUCKETS - 1}) AS bucket
+      FROM documents
+    ),
+    sb AS (
+      SELECT source, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM per GROUP BY source, bucket
+    ),
+    srcs AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sb GROUP BY source
+    ),
+    bkts AS (
+      SELECT bucket, CAST(sum(c) AS BIGINT) AS big_c FROM sb GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sb),
+    grid AS (
+      SELECT srcs.source, srcs.n_s, bkts.bucket, bkts.big_c,
+             CAST(coalesce(sb.c, 0) AS BIGINT) AS c
+      FROM srcs CROSS JOIN bkts
+      LEFT JOIN sb ON sb.source = srcs.source AND sb.bucket = bkts.bucket
+    ),
+    dev AS (
+      SELECT source, n_s,
+             CAST(sum(abs(CAST(c AS DECIMAL(38,0))
+                          * CAST(tot.n AS DECIMAL(38,0))
+                          - CAST(big_c AS DECIMAL(38,0))
+                          * CAST(n_s AS DECIMAL(38,0))))
+                  AS DECIMAL(38,0)) AS dsum,
+             CAST(any_value(tot.n) AS BIGINT) AS n
+      FROM grid CROSS JOIN tot
+      GROUP BY source, n_s
+    )
+    SELECT source, n_s AS n_docs,
+           round(CAST(dsum AS DOUBLE)
+                 / NULLIF(2.0 * CAST(n_s AS DOUBLE) * CAST(n AS DOUBLE), 0),
+                 6) AS tvd,
+           5 * dsum > 2 * CAST(n_s AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+             AS is_drifted
+    FROM dev
+    """,
+)
+def drift1_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: for every source, the total-
+    variation distance between ITS document-length distribution
+    (13 fixed-width token buckets, top bucket open-ended) and the
+    whole corpus' — the ingest-time check that catches a feed whose
+    scraper broke, whose boilerplate stripper regressed, or whose
+    content silently changed shape, before it trains. TVD (half the
+    L1 distance between the two histograms) is the standard two-sample
+    drift statistic that needs no libm (PSI/KL's ln is banned by the
+    cross-engine rules); ``is_drifted`` flags TVD > 0.2 via the exact
+    cross-multiplied form ``5·Σ|c_i·N − C_i·n_s| > 2·n_s·N`` in
+    DECIMAL(38,0) — like emb5, no division or float threshold at the
+    boundary. The surfaced ``tvd`` divides once, on exact integers.
+
+    Scale shape: ONE map-side-combined groupBy(source, bucket) over a
+    narrow bucket projection reduces the corpus to ≤ n_sources × 13
+    rows; everything after (source totals, bucket totals, the dense
+    source×bucket grid restoring zero-count buckets, the deviation
+    sum) is arithmetic on that tiny table with broadcast attaches.
+    DECIMAL(38,0) products keep c_i·N exact past the BIGINT range a
+    100 TB corpus (c_i ~ 1e11, N ~ 1e12) would overflow."""
+    from ..functions.dedup import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.floor(
+            F.size(tokens(F.col("text"))).cast("double")
+            / F.lit(float(_DRIFT_BUCKET_W))
+        ).cast("long"),
+        F.lit(_DRIFT_N_BUCKETS - 1).cast("long"),
+    )
+    sb = (
+        docs.select("source", bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    srcs = sb.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    bkts = sb.groupBy("bucket").agg(F.sum("c").cast("long").alias("big_c"))
+    tot = sb.agg(F.sum("c").cast("long").alias("n"))
+    grid = (
+        srcs.crossJoin(F.broadcast(bkts))
+        .join(sb, ["source", "bucket"], "left_outer")
+        .select(
+            "source",
+            "n_s",
+            "bucket",
+            "big_c",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    dev = (
+        grid.crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.any_value(F.col("n_s")).alias("n_s"),
+            F.sum(
+                F.abs(
+                    dec(F.col("c")) * dec(F.col("n"))
+                    - dec(F.col("big_c")) * dec(F.col("n_s"))
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("dsum"),
+            F.any_value(F.col("n")).cast("long").alias("n"),
+        )
+    )
+    return dev.select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        F.round(
+            F.col("dsum").cast("double")
+            / F.nullif(
+                F.lit(2.0)
+                * F.col("n_s").cast("double")
+                * F.col("n").cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("tvd"),
+        (
+            F.lit(5).cast("decimal(38,0)") * F.col("dsum")
+            > F.lit(2).cast("decimal(38,0)")
+            * dec(F.col("n_s"))
+            * dec(F.col("n"))
+        ).alias("is_drifted"),
+    )

@@ -85,6 +85,7 @@ HEADLINE = [
     "trunc1_truncation_loss",
     "cal1_quality_gate_sweep",
     "oov1_vocab_coverage",
+    "drift1_source_length_drift",
     "pmi1_collocations",
     "ed1_editdist_join",
     "tri1_triangle_count",

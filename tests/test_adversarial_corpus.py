@@ -87,6 +87,7 @@ DOC_QUERIES = [
     "trunc1_truncation_loss",
     "cal1_quality_gate_sweep",
     "oov1_vocab_coverage",
+    "drift1_source_length_drift",
 ]
 
 _ROWS = [
