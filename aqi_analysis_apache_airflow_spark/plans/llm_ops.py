@@ -1316,3 +1316,80 @@ def drift1_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             * dec(F.col("n"))
         ).alias("is_drifted"),
     )
+
+
+# --------------------------------------------------------------------------
+# sw1 — stopword-list derivation by document frequency
+# --------------------------------------------------------------------------
+
+_SW_MIN_DF_PCT = 30  # keep tokens present in >= 30% of docs
+_SW_TOP = 50
+
+
+@query(
+    "sw1_stopword_derivation",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, t.token
+      FROM documents,
+           UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(token)
+    ),
+    n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    ),
+    df AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS doc_freq FROM dt GROUP BY token
+    )
+    SELECT token, doc_freq,
+           round(CAST(doc_freq AS DOUBLE) / CAST(n.n_docs AS DOUBLE), 6)
+             AS df_share
+    FROM df CROSS JOIN n
+    WHERE doc_freq * 100 >= {_SW_MIN_DF_PCT} * n.n_docs
+    ORDER BY doc_freq DESC, token
+    LIMIT {_SW_TOP}
+    """,
+)
+def sw1_stopword_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven stopword-list derivation: the tokens present in at
+    least 30% of ALL documents (document frequency, not raw count — a
+    single spammy doc repeating a token a million times cannot promote
+    it), top-50 by df with a deterministic token tie-break. This is how
+    the t2/qc1 stopword lists SHOULD be produced for a new language or
+    domain instead of hard-coding English function words; it is also
+    cos1/d2b's stop-shingle cap principle applied at the token level.
+    The threshold is the exact integer cross-product form
+    ``100·df ≥ 30·n_docs`` — no float boundary; ``df_share`` divides
+    once, on exact BIGINTs, for the human reading the list.
+
+    Scale shape: one explode deduplicated per (doc, token) — the
+    distinct is hash-partitioned on the pair, the same bounded shape
+    as d11's segment window — then a map-side-combined token count,
+    a broadcast 1-row n_docs attach, and a TakeOrdered heap (never a
+    global sort) for the top-50 cut."""
+    docs = load(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("token"),
+    ).distinct()
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    df = dt.groupBy("token").agg(F.count("*").cast("long").alias("doc_freq"))
+    return (
+        df.crossJoin(F.broadcast(n))
+        .filter(
+            F.col("doc_freq") * F.lit(100)
+            >= F.lit(_SW_MIN_DF_PCT) * F.col("n_docs")
+        )
+        .select(
+            "token",
+            "doc_freq",
+            F.round(
+                F.col("doc_freq").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("df_share"),
+        )
+        .orderBy(F.col("doc_freq").desc(), "token")
+        .limit(_SW_TOP)
+    )

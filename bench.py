@@ -86,6 +86,7 @@ HEADLINE = [
     "cal1_quality_gate_sweep",
     "oov1_vocab_coverage",
     "drift1_source_length_drift",
+    "sw1_stopword_derivation",
     "pmi1_collocations",
     "ed1_editdist_join",
     "tri1_triangle_count",

@@ -88,6 +88,7 @@ DOC_QUERIES = [
     "cal1_quality_gate_sweep",
     "oov1_vocab_coverage",
     "drift1_source_length_drift",
+    "sw1_stopword_derivation",
 ]
 
 _ROWS = [
