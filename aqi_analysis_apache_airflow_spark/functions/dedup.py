@@ -249,10 +249,20 @@ def exact_jaccard_for_pairs(
     probe-join semantics every caller and oracle was built against.
     ``pairs`` is persisted first: it is typically the output of a full
     LSH pipeline and is consumed twice below (both array-attach sides).
+    Duplicate candidate rows are collapsed here (``distinct()`` on the
+    two-column projection, cheap next to the persist): the old
+    explode-probe form's groupBy(doc_a, doc_b) de-duplicated pairs as
+    a side effect, and that one-row-per-pair contract is part of this
+    function's interface — callers (d3v, d8, snm1) must not depend on
+    pre-distinct inputs for parity row counts.
     """
     from pyspark import StorageLevel
 
-    pairs = pairs.select("doc_a", "doc_b").persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = (
+        pairs.select("doc_a", "doc_b")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cand_ids = (
         pairs.select(F.col("doc_a").alias(id_col))
         .union(pairs.select(F.col("doc_b").alias(id_col)))

@@ -21,14 +21,18 @@ def dot_decimal(a: Column, b: Column) -> Column:
     The fold itself runs on BIGINT: each quantized product is scaled
     by 10^14 to its exact integer and the accumulator is a plain long
     add — measured 2-3× cheaper than carrying 128-bit decimal state
-    through the fold, and the surfaced value is IDENTICAL, not merely
-    close: the integer sum N is exact (< 2^53), 10^14 is exact in
-    double, and IEEE division returns the correctly-rounded N/10^14 —
-    the same correctly-rounded double the DECIMAL(30,14) sum converts
-    to, so every oracle keeps its decimal-summed SQL form unchanged.
-    Returns DOUBLE (every consumer casts there anyway — re-rounding
-    through decimal(30,14) on the way out could perturb the 17th
-    significant digit for values with large integer parts).
+    through the fold. The surfaced double is IDENTICAL to the
+    decimal-summed form, not merely close: the integer sum N is exact
+    in int64, and the way OUT of the fold is a single exact decimal
+    division — decimal(24,0)/decimal(15,0) → decimal(38,14), which
+    represents N/10^14 exactly (≤5 integer digits + 14 fractional) —
+    followed by ONE double cast, i.e. one correct rounding of the
+    exact value, the same correctly-rounded double a DECIMAL(38,14)
+    SUM converts to. (The earlier ``cast(double)/1e14`` form was two
+    roundings and diverged by 1 ulp for |N| > 2^53 ≈ dot 90.07 —
+    reachable for unnormalized 64-dim N(0,1) self-dots; verified
+    against exact Decimal arithmetic over 4k samples spanning
+    2^53..2^63.) Every oracle keeps its decimal-summed SQL form.
     Domain bound: the long fold overflows only when Σ|aᵢbᵢ| ≥ ~9.2e4
     (9.2e18 / 10^14) — unreachable for normalized or near-normalized
     embeddings (this corpus' 64-dim N(0,1) vectors peak well under
@@ -46,7 +50,10 @@ def dot_decimal(a: Column, b: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return n.cast("double") / F.lit(1e14)
+    # exact int64 → exact decimal(38,14) → one correctly-rounded double
+    return (n.cast("decimal(24,0)") / F.lit(10**14).cast("decimal(15,0)")).cast(
+        "double"
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:

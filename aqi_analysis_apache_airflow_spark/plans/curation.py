@@ -2715,16 +2715,19 @@ def pq1_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # BIGINT fold of the 10^14-scaled quantized squares — the
         # dot_decimal implementation pattern (value-identical; see
         # functions/similarity.py for the rounding argument)
-        l2sq = lambda c: F.aggregate(
-            F.transform(
-                diff(c),
-                lambda d: ((d * d).cast("decimal(28,14)") * F.lit(10**14)).cast(
-                    "long"
+        l2sq = lambda c: (
+            F.aggregate(
+                F.transform(
+                    diff(c),
+                    lambda d: ((d * d).cast("decimal(28,14)") * F.lit(10**14)).cast(
+                        "long"
+                    ),
                 ),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).cast("double") / F.lit(1e14)
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("decimal(24,0)")
+            / F.lit(10**14).cast("decimal(15,0)")
+        ).cast("double")
         best = F.array_min(
             F.transform(
                 F.col("__c"),

@@ -2844,10 +2844,17 @@ def snm1_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # localCheckpoint, NOT persist: the pid→offset map below is only
+    # valid for THIS materialization. A MEMORY_AND_DISK persist can
+    # silently recompute an evicted/lost partition, re-running
+    # repartitionByRange with a fresh boundary-sampling job — pid and
+    # offset would desync and ranks go quietly wrong. Checkpointing
+    # truncates the lineage: a lost block fails the job (fail-stop)
+    # instead of recomputing under different boundaries.
     keyed = (
         slim.repartitionByRange(n_part, "key", "doc_id")
         .withColumn("pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     counts = {
         r["pid"]: r["cnt"]

@@ -276,8 +276,18 @@ def main() -> None:
                 q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples[name].append(time.perf_counter() - t0)
 
+    def raw_spread_pct(xs: list[float]) -> float:
+        # untrimmed min-max: the trimmed gate above can pass a
+        # genuinely bimodal query on its middle samples — recording
+        # the raw range alongside keeps bimodality visible
+        s = sorted(xs)
+        return 100 * (s[-1] - s[0]) / median(xs)
+
     timings = {name: round(median(xs), 4) for name, xs in samples.items()}
     spread = {name: round(spread_pct(xs), 1) for name, xs in samples.items()}
+    raw_spread = {
+        name: round(raw_spread_pct(xs), 1) for name, xs in samples.items()
+    }
     total = round(sum(timings.values()), 4)
 
     # Full-precision detail (incl. per-query spread) goes to a side file;
@@ -285,7 +295,10 @@ def main() -> None:
     # keeps only the LAST 2000 CHARACTERS of output, so the line must stay
     # under that budget or the whole result is unparseable (this bit round
     # 3: 61 queries + spread_pct = ~4 KB line, recorded as parsed:null).
-    with open(os.path.join(_HERE, "BENCH_DETAIL.json"), "w") as fh:
+    # Partial runs (SPARK_GRAFT_BENCH_ONLY) must never clobber the
+    # committed full-run artifact — they go to BENCH_PARTIAL.json.
+    detail_name = "BENCH_PARTIAL.json" if only else "BENCH_DETAIL.json"
+    with open(os.path.join(_HERE, detail_name), "w") as fh:
         json.dump(
             {
                 "metric": "total_headline_seconds",
@@ -295,6 +308,7 @@ def main() -> None:
                 "sf": sf,
                 "passes": n_passes,
                 "spread_pct": spread,
+                "raw_spread_pct": raw_spread,
             },
             fh,
             indent=1,
