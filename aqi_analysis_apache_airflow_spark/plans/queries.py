@@ -1061,8 +1061,12 @@ def x6_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(t) AS INTEGER) AS n_tokens,
            CAST(len(list_filter(t, x -> length(x) > 4)) AS INTEGER) AS n_long,
-           CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
-             AS total_chars,
+           -- Spark's aggregate() folds an EMPTY array to its zero
+           -- accumulator (0), where list_sum([]) is NULL — coalesce,
+           -- but keep NULL text (t IS NULL) surfacing as NULL on both
+           CAST(CASE WHEN t IS NULL THEN NULL
+                ELSE COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+                END AS BIGINT) AS total_chars,
            CAST(list_max(list_transform(t, x -> length(x))) AS INTEGER)
              AS max_token_len,
            CAST(len(list_filter(t, x -> regexp_matches(x, '^[A-Z]')))

@@ -3,22 +3,39 @@ text, whitespace-only, single-token, pathological repetition, unicode.
 The driver corpus is clean prose, so null/empty edge semantics (where
 Spark and DuckDB genuinely differ — e.g. size(NULL), regexp on '')
 never get exercised by the main parity sweep; this fixture forces
-them. Any query over `documents` must either agree with its oracle
-here too, or be listed with a reason."""
+them. Derived from the registry (every documents-only oracle query
+runs here, the orders/lineitem/events/multitable pattern), so new
+corpus ops are covered automatically — the round-6 hand-maintained
+list silently missed nine."""
 
 from __future__ import annotations
 
 import math
 import os
+import re
 
 import duckdb
 import pandas as pd
 import pytest
 
 from aqi_analysis_apache_airflow_spark.plans import REGISTRY
+from aqi_analysis_apache_airflow_spark.schemas import CORPUS_TABLES
 
-# queries over documents ONLY (no other tables), worth edge-testing
-DOC_QUERIES = [
+_OTHERS = [t for t in CORPUS_TABLES if t != "documents"]
+
+
+def _docs_only(name: str) -> bool:
+    q = REGISTRY[name]
+    if q.oracle is None or "documents" not in q.oracle:
+        return False
+    return not any(re.search(rf"\b{t}\b", q.oracle) for t in _OTHERS)
+
+
+DOC_QUERIES = sorted(n for n in REGISTRY if _docs_only(n))
+
+# the round-6 manual list, kept as a regression floor: derivation must
+# never silently shrink below what was covered by hand
+_MANUAL_FLOOR = [
     "qc1_quality_score",
     "qc2_repetition_filter",
     "t1_token_stats",
@@ -90,6 +107,12 @@ DOC_QUERIES = [
     "drift1_source_length_drift",
     "sw1_stopword_derivation",
 ]
+
+
+def test_derivation_covers_manual_floor():
+    missing = sorted(set(_MANUAL_FLOOR) - set(DOC_QUERIES))
+    assert not missing, f"derived DOC_QUERIES lost manual coverage: {missing}"
+
 
 _ROWS = [
     (0, None, "en", "web", 0),

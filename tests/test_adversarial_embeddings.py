@@ -4,13 +4,15 @@ an empty string through an encoder), exact duplicates of the query,
 antipodal vectors, near-zero magnitudes, constant vectors. The driver
 corpus is well-behaved gaussian data, so norm-zero division and cosine
 ties never get exercised by the main parity sweep; this fixture forces
-them. Any query over `embeddings` must agree with its oracle here too,
-or be listed with a reason."""
+them. Derived from the registry (every embeddings-only oracle query
+runs here, the orders/lineitem/events/multitable pattern), so new
+embedding ops are covered automatically."""
 
 from __future__ import annotations
 
 import math
 import os
+import re
 
 import duckdb
 import numpy as np
@@ -18,9 +20,23 @@ import pandas as pd
 import pytest
 
 from aqi_analysis_apache_airflow_spark.plans import REGISTRY
+from aqi_analysis_apache_airflow_spark.schemas import CORPUS_TABLES
 
-# queries over embeddings ONLY (no other tables)
-EMB_QUERIES = [
+_OTHERS = [t for t in CORPUS_TABLES if t != "embeddings"]
+
+
+def _emb_only(name: str) -> bool:
+    q = REGISTRY[name]
+    if q.oracle is None or "embeddings" not in q.oracle:
+        return False
+    return not any(re.search(rf"\b{t}\b", q.oracle) for t in _OTHERS)
+
+
+EMB_QUERIES = sorted(n for n in REGISTRY if _emb_only(n))
+
+# the round-6 manual list, kept as a regression floor: derivation must
+# never silently shrink below what was covered by hand
+_MANUAL_FLOOR = [
     "sim_cosine_topk",
     "sim_ivfm_topk",
     "sim_ivf_topk",
@@ -41,6 +57,12 @@ EMB_QUERIES = [
     # dist2 0, never an outlier — on both engines)
     "emb5_centroid_outliers",
 ]
+
+
+def test_derivation_covers_manual_floor():
+    missing = sorted(set(_MANUAL_FLOOR) - set(EMB_QUERIES))
+    assert not missing, f"derived EMB_QUERIES lost manual coverage: {missing}"
+
 
 _DIM = 64
 

@@ -17,6 +17,35 @@ def test_query_names_unique_and_wellformed():
         assert name.replace("_", "").isalnum(), name
 
 
+def test_every_oracle_query_in_some_adversarial_suite():
+    """Sentinel for the hostile-input coverage contract: every
+    oracle-backed registry query must land in at least one adversarial
+    suite's derived list. All seven suites derive from the registry by
+    oracle table references, so this only fires if a new query's table
+    mix matches no suite (e.g. a brand-new table) — add a suite or a
+    documented exemption here, never a silent gap."""
+    import tests.test_adversarial_corpus as tc
+    import tests.test_adversarial_embeddings as te
+    import tests.test_adversarial_events as tev
+    import tests.test_adversarial_lineitem as tl
+    import tests.test_adversarial_multitable as tm
+    import tests.test_adversarial_orders as to
+    import tests.test_adversarial_tpch as tt
+
+    covered = (
+        set(tc.DOC_QUERIES)
+        | set(te.EMB_QUERIES)
+        | set(to.ORDERS_QUERIES)
+        | set(tl.LINEITEM_QUERIES)
+        | set(tev.EVENT_QUERIES)
+        | set(tm.MULTI_QUERIES)
+        | set(tt.TPCH_QUERIES)
+    )
+    oracle_backed = {n for n, q in REGISTRY.items() if q.oracle is not None}
+    uncovered = sorted(oracle_backed - covered)
+    assert not uncovered, f"queries in no adversarial suite: {uncovered}"
+
+
 def test_no_duplicate_output_columns(spark):
     """The driver sorts columns by name before hashing values — a
     duplicate column name would silently corrupt the comparison."""
