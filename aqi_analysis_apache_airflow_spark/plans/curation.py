@@ -834,6 +834,141 @@ def emb2_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM1_K = 8  # k-means k; init centroids are the vectors with vec_id < k
+_KM1_ITERS = 3  # unrolled Lloyd's rounds
+
+
+def _km1_oracle() -> str:
+    """Unrolled-CTE replay of the 3 Lloyd's iterations (the gr1
+    fixed-point precedent): every quantity both engines compute is an
+    exact BIGINT or one correctly-rounded IEEE step, so the replay is
+    bit-identical, not approximately equal."""
+    ctes = [
+        """qx AS (
+      SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT) AS q
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    )""",
+        f"""cent0 AS (
+      SELECT vec_id AS cid, pos, q AS qc FROM qx WHERE vec_id < {_KM1_K}
+    )""",
+    ]
+    for i in range(1, _KM1_ITERS + 1):
+        ctes.append(
+            f"""d{i} AS (
+      SELECT e.vec_id, c.cid, SUM((e.q - c.qc) * (e.q - c.qc)) AS d2
+      FROM qx e JOIN cent{i - 1} c ON e.pos = c.pos
+      GROUP BY e.vec_id, c.cid
+    )"""
+        )
+        ctes.append(
+            f"""asg{i} AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        FROM d{i}) AS t WHERE rk = 1
+    )"""
+        )
+        if i < _KM1_ITERS:
+            ctes.append(
+                f"""cent{i} AS (
+      SELECT a.cid, e.pos,
+             CAST(round(CAST(SUM(e.q) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                  AS BIGINT) AS qc
+      FROM qx e JOIN asg{i} a USING (vec_id)
+      GROUP BY a.cid, e.pos
+    )"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
+           CAST(d2 AS BIGINT) AS dist2_scaled
+    FROM asg{_KM1_ITERS}"""
+    )
+
+
+@query("km1_lloyd_kmeans", oracle=_km1_oracle())
+def km1_lloyd_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Lloyd's k-means, {it} unrolled iterations over k={k}
+    clusters — the trained-centroid upgrade to the hash-assigned IVF
+    buckets (sim_ivf/sdd1), i.e. the topic/domain-bucketing pass a
+    curation pipeline runs before mix1-style reweighting. Init
+    centroids are the first k vectors; each round assigns every vector
+    to its nearest centroid by squared L2 and recomputes centroids as
+    per-dimension means; empty clusters drop (standard Lloyd's).
+
+    Bit-exact across engines by construction: inputs quantize once to
+    the 1e-7 grid (exact BIGINT), distances are exact integer sums
+    (|q|≈3e7 → diff² ≤ 3.6e15, ×64 dims ≪ 2^63), the argmin is an
+    exact (d2, cid) integer compare, and each new centroid re-quantizes
+    to the grid through one exact long sum and two correctly-rounded
+    IEEE steps (cast + divide) that every engine performs identically.
+    No decimal state, no float accumulation, no order dependence.
+
+    Scale shape: the quantized explode persists once and every
+    iteration reads the cache. Per round: ONE broadcast of the k×dim
+    centroid table onto the exploded corpus, one (vec, cid) hash
+    aggregate with map-side combine, one (vec) argmin aggregate, one
+    (cid, pos) mean aggregate — shuffles carry per-group partial sums,
+    never vectors. The long centroid sum overflows only past ~3e10
+    members per cluster; shard the sum by a vec_id salt before that."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = load(spark, sf_dir, "embeddings")
+    qx = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "vec_id",
+            "pos",
+            F.round(F.col("x").cast("double") * F.lit(1e7))
+            .cast("long")
+            .alias("q"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cent = qx.filter(F.col("vec_id") < _KM1_K).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("q").alias("qc")
+    )
+    asg = None
+    for i in range(1, _KM1_ITERS + 1):
+        diff = F.col("q") - F.col("qc")
+        d = (
+            qx.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(diff * diff).alias("d2"))
+        )
+        # min(struct) = lexicographic (d2, cid): exact integer argmin,
+        # ties to the lowest centroid id — the oracle's ORDER BY d2, cid
+        best = d.groupBy("vec_id").agg(F.min(F.struct("d2", "cid")).alias("b"))
+        asg = best.select(
+            "vec_id", F.col("b.cid").alias("cid"), F.col("b.d2").alias("d2")
+        )
+        if i < _KM1_ITERS:
+            cent = (
+                qx.join(asg.select("vec_id", "cid"), "vec_id")
+                .groupBy("cid", "pos")
+                .agg(
+                    F.round(
+                        F.sum("q").cast("double") / F.count("*").cast("double")
+                    )
+                    .cast("long")
+                    .alias("qc")
+                )
+            )
+    return asg.select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cluster_id"),
+        F.col("d2").alias("dist2_scaled"),
+    )
+
+
+km1_lloyd_kmeans.__doc__ = km1_lloyd_kmeans.__doc__.format(
+    it=_KM1_ITERS, k=_KM1_K
+)
+
+
 @query(
     "emb5_centroid_outliers",
     oracle="""
@@ -1821,6 +1956,123 @@ def dc2_exact_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("n_leaked"), F.lit(0).cast("long")).alias("n_leaked"),
         (F.coalesce(F.col("n_leaked"), F.lit(0)) > 0).alias("leaked"),
+    )
+
+
+_DC3_PROBE_STEP = 25  # every 25th vector contributes an eval probe
+_DC3_PROBE_CAP = 500  # probe ids stay below this: a FIXED 20-probe eval
+# set at every scale factor (the corpus grows, the eval suite doesn't)
+_DC3_FLAG_SIM = 0.92  # well inside the ~0.99 probe-source margin
+
+
+@query(
+    "dc3_semantic_decontamination",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS eval_id,
+             list_transform(embedding,
+                            e -> round(CAST(e AS DOUBLE), 1)) AS qv
+      FROM embeddings
+      WHERE vec_id % {_DC3_PROBE_STEP} = 0 AND vec_id < {_DC3_PROBE_CAP}
+    ),
+    pairs AS (
+      SELECT e.vec_id, p.eval_id, unnest(e.embedding) AS x, unnest(p.qv) AS y
+      FROM embeddings e, probes p
+    ),
+    sims AS (
+      SELECT vec_id, eval_id,
+             round(CAST(SUM({_LONG_PROD}) AS DOUBLE)
+               / (sqrt(CAST(SUM({_LONG_XX}) AS DOUBLE))
+                  * sqrt(CAST(SUM({_LONG_YY}) AS DOUBLE))), 6) AS sim
+      FROM pairs GROUP BY vec_id, eval_id
+      HAVING SUM({_LONG_XX}) > 0 AND SUM({_LONG_YY}) > 0
+    ),
+    r AS (
+      SELECT vec_id, eval_id, sim,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rk
+      FROM sims
+    )
+    SELECT vec_id, sim AS max_eval_sim, eval_id AS nearest_eval_id,
+           sim >= {_DC3_FLAG_SIM} AS contaminated
+    FROM r WHERE rk = 1
+    """,
+)
+def dc3_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) decontamination — the
+    paraphrase-robust complement to dc1's exact n-gram rule: a
+    reworded eval question shares no 8-gram with its source but stays
+    nearly collinear in embedding space, so each corpus vector is
+    scored by its MAX cosine against the eval-probe set and flagged
+    past {t}. Published form: contamination/dedup via embedding
+    similarity thresholds (SemDeDup, Abbas et al. 2023; LLM eval-set
+    audits). The eval set here is self-derived so every scale factor
+    has true positives: every {s}th vector contributes a probe
+    quantized to one decimal per element — a deterministic
+    "paraphrase" at cos ≈ 0.99+ to its source and ≤ ~0.5 to everything
+    else, reproduced verbatim in the oracle (round() is
+    half-away-from-zero in BOTH engines, and float32 inputs never land
+    on exact .x5 boundaries).
+
+    Scale shape: the probe table is eval-suite-sized and BROADCASTs;
+    the corpus side is one narrow posexplode and ONE codegen hash
+    aggregate over |corpus|×|probes| pair groups with exact scaled-
+    BIGINT sums (the knn1 convention — no BigDecimal in the fold, no
+    Python). Zero-norm vectors on either side drop under the same
+    HAVING rule. At a 10k-probe eval suite the pair stream is bounded
+    by an IVF prefilter (sim_ivf's index) — documented plug point, not
+    needed at registry scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(
+        (F.col("vec_id") % _DC3_PROBE_STEP == 0)
+        & (F.col("vec_id") < _DC3_PROBE_CAP)
+    ).select(
+        F.col("vec_id").alias("eval_id"),
+        F.transform(
+            "embedding", lambda e: F.round(e.cast("double"), 1)
+        ).alias("qv"),
+    )
+    long_prod = lambda a, b: F.round(
+        a.cast("double") * b.cast("double") * F.lit(1e14)
+    ).cast("long")
+    cexp = emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+    qexp = probes.select(
+        "eval_id", F.posexplode("qv").alias("pos", "y")
+    )
+    sims = (
+        cexp.join(F.broadcast(qexp), "pos")
+        .groupBy("vec_id", "eval_id")
+        .agg(
+            F.sum(long_prod(F.col("x"), F.col("y"))).alias("dot"),
+            F.sum(long_prod(F.col("x"), F.col("x"))).alias("nx"),
+            F.sum(long_prod(F.col("y"), F.col("y"))).alias("ny"),
+        )
+        .filter((F.col("nx") > 0) & (F.col("ny") > 0))
+        .select(
+            "vec_id",
+            "eval_id",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("nx").cast("double"))
+                    * F.sqrt(F.col("ny").cast("double"))
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("eval_id")
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            F.col("sim").alias("max_eval_sim"),
+            F.col("eval_id").alias("nearest_eval_id"),
+            (F.col("sim") >= _DC3_FLAG_SIM).alias("contaminated"),
+        )
     )
 
 

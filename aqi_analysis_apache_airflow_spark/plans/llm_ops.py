@@ -514,6 +514,145 @@ def sub1_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUB2_W = 20  # exact-match window width (Lee et al. use 50 tokens on
+# web-scale docs; this corpus averages ~55 tokens/doc, so 20 is the
+# proportionate setting that still yields real cross-doc matches)
+
+
+@query(
+    "sub2_exact_substring_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+    ),
+    w AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(t[i:i+{_SUB2_W - 1}], ' ')) AS k
+      FROM toks, UNNEST(range(1, greatest(len(t) - {_SUB2_W} + 2, 1))) AS u(i)
+    ),
+    ranked AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rk
+      FROM w
+    ),
+    cov AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM ranked WHERE rk > 1
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_dup_windows,
+             CAST(SUM(CASE WHEN prev IS NULL THEN {_SUB2_W}
+                           ELSE LEAST({_SUB2_W}, pos - prev) END) AS BIGINT)
+               AS n_removed_tokens
+      FROM cov GROUP BY doc_id
+    ),
+    nt AS (
+      SELECT doc_id,
+             CAST(COALESCE(len(t), 0) AS BIGINT) AS n_tokens,
+             CAST(greatest(COALESCE(len(t), 0) - {_SUB2_W} + 1, 0) AS BIGINT)
+               AS n_windows
+      FROM toks
+    )
+    SELECT n.doc_id, n.n_tokens, n.n_windows,
+           COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+           COALESCE(p.n_removed_tokens, 0) AS n_removed_tokens,
+           round(CAST(COALESCE(p.n_removed_tokens, 0) AS DOUBLE)
+                 / NULLIF(n.n_tokens, 0), 9) AS removed_frac
+    FROM nt n LEFT JOIN per p USING (doc_id)
+    """,
+)
+def sub2_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup accounting (Lee et al. 2022, the suffix-array
+    recipe production pipelines cite): every {w}-token window is
+    keyed by its exact content; all occurrences except the corpus-wide
+    FIRST (ordered by doc_id, then position) are removal candidates,
+    and each doc reports how many tokens its merged removed spans
+    cover. sub1's 3-gram spans approximate this signal; sub2 is the
+    exact long-window form — a doc quoting a {w}-token passage that
+    appeared earlier in the corpus sees those tokens in
+    ``n_removed_tokens`` even when whole-doc similarity is tiny.
+
+    Scale shape (the bounded Spark replacement for a suffix array):
+    one narrow per-row window transform (no self-join, never
+    all-pairs), keyed by md5 so the key shuffle carries 32-byte
+    digests, not {w}-token strings. Keep-first is ONE window rank
+    over the key (high-cardinality key → no skew); removed-token
+    accounting needs no interval materialization — with fixed-width
+    sorted intervals the union size is W + Σ min(W, gap), one lag
+    per doc. The lag window, per-doc rollup, and final join all share
+    hash(doc_id) partitioning, so after the key rank there is ONE
+    doc-keyed exchange. Everything is exact integer arithmetic."""
+    from ..functions.dedup import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    w = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(if(size(t) >= {_SUB2_W},"
+                f" sequence(1, size(t) - {_SUB2_W} + 1),"
+                " cast(array() AS array<int>)),"
+                f" i -> struct(cast(i AS bigint) AS pos,"
+                f" md5(array_join(slice(t, i, {_SUB2_W}), ' ')) AS k))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.k").alias("k"))
+    ranked = w.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("k").orderBy("doc_id", "pos")
+        ),
+    )
+    cov = (
+        ranked.filter(F.col("rk") > 1)
+        .withColumn(
+            "prev",
+            F.lag("pos").over(Window.partitionBy("doc_id").orderBy("pos")),
+        )
+    )
+    per = cov.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_windows"),
+        F.sum(
+            F.when(F.col("prev").isNull(), F.lit(_SUB2_W)).otherwise(
+                F.least(F.lit(_SUB2_W), F.col("pos") - F.col("prev"))
+            )
+        )
+        .cast("long")
+        .alias("n_removed_tokens"),
+    )
+    nt = toked.select(
+        "doc_id",
+        F.coalesce(F.size("t"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.greatest(
+            F.coalesce(F.size("t"), F.lit(0)) - F.lit(_SUB2_W - 1), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_windows"),
+    )
+    return nt.join(per, "doc_id", "left_outer").select(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.coalesce("n_removed_tokens", F.lit(0))
+        .cast("long")
+        .alias("n_removed_tokens"),
+        F.round(
+            F.coalesce("n_removed_tokens", F.lit(0)).cast("double")
+            / F.nullif(F.col("n_tokens"), F.lit(0)),
+            9,
+        ).alias("removed_frac"),
+    )
+
+
+sub2_exact_substring_dedup.__doc__ = sub2_exact_substring_dedup.__doc__.format(
+    w=_SUB2_W
+)
+
+
 @query(
     "qc3_df_quality",
     oracle="""

@@ -185,6 +185,10 @@ HEADLINE = [
     "snm1_sorted_neighborhood",
     "d11_segment_dedup",
     "split3_temporal_split",
+    # round-7 additions
+    "dc3_semantic_decontamination",
+    "km1_lloyd_kmeans",
+    "sub2_exact_substring_dedup",
 ]
 
 
@@ -327,7 +331,7 @@ def main() -> None:
             "queries": shown,
             "sf": sf,
             "passes": n_passes,
-            "detail": "BENCH_DETAIL.json",
+            "detail": detail_name,
         }
         line = json.dumps(payload, separators=(",", ":"))
         if len(line) <= budget:
