@@ -51,8 +51,9 @@ _BM25_TOPK = 20
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
-_RET1_SQL = f"""
-WITH dl AS (
+#: shared BM25 CTE chain (ends in per-doc aggregate ``bm``) — reused by
+#: rr1_rank_fusion's oracle (plans/selection.py)
+_BM25_CTES = f"""dl AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS dl
   FROM documents
@@ -90,12 +91,19 @@ scored AS (
   JOIN dl ON dl.doc_id = tf.doc_id
   JOIN dfreq ON dfreq.tok = tf.tok
   CROSS JOIN stats
-)
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_terms_hit,
-       CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS score
-FROM scored
-GROUP BY doc_id
+),
+bm AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms_hit,
+         CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS score
+  FROM scored
+  GROUP BY doc_id
+)"""
+
+_RET1_SQL = f"""
+WITH {_BM25_CTES}
+SELECT doc_id, n_terms_hit, score
+FROM bm
 ORDER BY score DESC, doc_id
 LIMIT {_BM25_TOPK}
 """
@@ -121,6 +129,19 @@ def ret1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: idf's ``ln`` is rounded to 6dp on both engines (the
     t4_tfidf convention); per-term scores are rounded to 6dp then
     summed as DECIMAL (order-independent), surfaced as DOUBLE."""
+    return (
+        bm25_doc_scores(spark, sf_dir)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 score for the fixed ``_BM25_TERMS`` query —
+    the shared scorer behind ret1's top-k and rr1's lexical ranker
+    (``plans/selection.py``). Returns (doc_id, n_terms_hit, score)
+    un-ranked; see :func:`ret1_bm25_topk` for the scale shape and
+    determinism notes."""
     docs = load(spark, sf_dir, "documents")
     dl = docs.select(
         "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
@@ -155,14 +176,9 @@ def ret1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(stats))
         .select("doc_id", s.alias("s"))
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_terms_hit"),
-            F.sum(F.col("s").cast("decimal(28,6)")).cast("double").alias("score"),
-        )
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(_BM25_TOPK)
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms_hit"),
+        F.sum(F.col("s").cast("decimal(28,6)")).cast("double").alias("score"),
     )
 
 
