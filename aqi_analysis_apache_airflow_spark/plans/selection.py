@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.dedup import tokens
+from ..functions.dedup import CE_HASH64_SQL, ce_hash64, tokens
 from ..functions.similarity import cosine
 from .registry import load, query
 from .retrieval import _BM25_CTES, bm25_doc_scores
@@ -293,4 +293,298 @@ def div1_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             db.alias("distinct_bigrams"),
             ratio(db, tb).alias("distinct_2"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# bloom1 — Bloom-filter membership sketch with self-verifying guarantee
+# --------------------------------------------------------------------------
+
+_BF_M = 8192  # bits
+_BF_K = 3  # hash functions
+
+
+def _bf_bit_sql(j: int, key: str) -> str:
+    h = CE_HASH64_SQL.format(h=f"md5('bf{j}|'||CAST({key} AS VARCHAR))")
+    return f"((({h}) % {_BF_M}) + {_BF_M}) % {_BF_M}"
+
+
+_BLOOM1_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, bool_or(lang = 'en') AS member
+  FROM documents WHERE doc_id IS NOT NULL
+  GROUP BY doc_id
+),
+bits AS (
+  SELECT DISTINCT u.bit FROM keyed,
+    UNNEST([{_bf_bit_sql(0, "doc_id")},
+            {_bf_bit_sql(1, "doc_id")},
+            {_bf_bit_sql(2, "doc_id")}]) AS u(bit)
+  WHERE member
+),
+probe AS (
+  SELECT doc_id, member, u.bit FROM keyed,
+    UNNEST([{_bf_bit_sql(0, "doc_id")},
+            {_bf_bit_sql(1, "doc_id")},
+            {_bf_bit_sql(2, "doc_id")}]) AS u(bit)
+),
+hit AS (
+  SELECT p.doc_id,
+         bool_or(p.member) AS member,
+         count(b.bit) AS nhit
+  FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+  GROUP BY p.doc_id
+),
+flags AS (
+  SELECT doc_id, member, nhit = {_BF_K} AS positive FROM hit
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         CAST(count(*) FILTER (WHERE member) AS BIGINT) AS n_members,
+         CAST(count(*) FILTER (WHERE positive) AS BIGINT) AS n_positive,
+         CAST(count(*) FILTER (WHERE positive AND NOT member) AS BIGINT)
+           AS n_false_positive,
+         CAST(count(*) FILTER (WHERE member AND NOT positive) AS BIGINT)
+           AS n_false_negative
+  FROM flags
+)
+SELECT CAST({_BF_M} AS INTEGER) AS m_bits,
+       CAST({_BF_K} AS INTEGER) AS k_hashes,
+       n_probes, n_members, n_positive, n_false_positive,
+       n_false_negative,
+       n_false_negative = 0 AS no_false_negatives,
+       CAST(n_false_positive AS DOUBLE)
+         / nullif(CAST(n_probes - n_members AS DOUBLE), 0.0) AS fpr
+FROM agg
+"""
+
+
+def _bf_bit(j: int, key):
+    h = ce_hash64(F.concat(F.lit(f"bf{j}|"), key.cast("string")))
+    return ((h % _BF_M) + _BF_M) % _BF_M
+
+
+@query("bloom1_bloom_membership", oracle=_BLOOM1_SQL)
+def bloom1_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch (Bloom 1970; m=8192, k=3) built
+    over the English-language doc-id set, probed with every doc id —
+    the semi-join-reduction primitive: ship the bounded bit set to
+    every probe-side task and drop non-members BEFORE they reach a
+    shuffle. The summary is self-verifying the way mg1/hll1 are: the
+    structural guarantee (NO false negatives — every member tests
+    positive) is surfaced as a boolean the oracle must agree on, and
+    the measured false-positive rate quantifies the one-sided error.
+
+    Scale shape: membership truth is ONE map-side-combined groupBy on
+    doc_id; the bit table is bounded at m=8192 rows regardless of
+    corpus size (broadcast to the probe join); the probe stream
+    explodes ×k then reduces by the same doc_id key. At 100 TB the
+    production variant swaps the md5 triple for xxhash64 and the bit
+    rows for an aggregated binary bitmap (or Spark's own runtime
+    row-level filters) with no plan change — md5 here is what makes
+    the sketch oracle-VERIFIABLE. NULL ids are excluded by policy on
+    both engines (NULL hashes to NULL — it can neither set nor test a
+    bit).
+
+    Determinism: bits are exact integer arithmetic on the ce_hash64
+    family; the fpr is ONE IEEE division (NULL when every probe is a
+    member — nullif on both engines)."""
+    keyed = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.max(F.col("lang") == "en").alias("member"))
+    )
+    bit_arr = F.array(*[_bf_bit(j, F.col("doc_id")) for j in range(_BF_K)])
+    bits = (
+        keyed.filter("member")
+        .select(F.explode(bit_arr).alias("bit"))
+        .distinct()
+    )
+    probe = keyed.select("doc_id", "member", F.explode(bit_arr).alias("bit"))
+    hit = (
+        probe.join(F.broadcast(bits.withColumn("__in", F.lit(1))), "bit", "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.max("member").alias("member"),
+            F.count("__in").alias("nhit"),
+        )
+    )
+    flags = hit.select("member", (F.col("nhit") == _BF_K).alias("positive"))
+    agg = flags.agg(
+        F.count("*").alias("n_probes"),
+        F.count_if("member").alias("n_members"),
+        F.count_if("positive").alias("n_positive"),
+        F.count_if(F.col("positive") & ~F.col("member")).alias("n_false_positive"),
+        F.count_if(F.col("member") & ~F.col("positive")).alias("n_false_negative"),
+    )
+    return agg.select(
+        F.lit(_BF_M).cast("int").alias("m_bits"),
+        F.lit(_BF_K).cast("int").alias("k_hashes"),
+        "n_probes",
+        "n_members",
+        "n_positive",
+        "n_false_positive",
+        "n_false_negative",
+        (F.col("n_false_negative") == 0).alias("no_false_negatives"),
+        (
+            F.col("n_false_positive").cast("double")
+            / F.nullif(
+                (F.col("n_probes") - F.col("n_members")).cast("double"), F.lit(0.0)
+            )
+        ).alias("fpr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# winnow1 — winnowing fingerprint selection (Schleimer–Stolfo–Aiken)
+# --------------------------------------------------------------------------
+
+_WN_K = 4  # tokens per k-gram
+_WN_W = 5  # hashes per winnowing window
+_WN_H_MOD = 1 << 40  # hash folded to 40 bits so the (hash, pos) packs in 60
+_WN_POS = 1 << 20  # stream-position bound (1M k-grams/doc)
+
+_WN_CE = CE_HASH64_SQL.format(h="md5('wn|'||g)")
+
+_WINNOW1_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+  FROM documents WHERE doc_id IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, i,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+  FROM toks, UNNEST(range(1, greatest(len(t) - {_WN_K - 2}, 1))) AS u(i)
+),
+hashed AS (
+  SELECT doc_id, i,
+         ((({_WN_CE}) % {_WN_H_MOD}) + {_WN_H_MOD}) % {_WN_H_MOD} AS h
+  FROM grams
+),
+ranked AS (
+  SELECT doc_id, h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i, h) AS rn
+  FROM hashed
+),
+keyed AS (
+  SELECT doc_id, rn,
+         h * {_WN_POS} + ({_WN_POS - 1} - rn) AS key
+  FROM ranked
+),
+sel AS (
+  SELECT doc_id, rn,
+         min(key) OVER (
+           PARTITION BY doc_id ORDER BY rn
+           ROWS BETWEEN {_WN_W - 1} PRECEDING AND CURRENT ROW) AS selkey
+  FROM keyed
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_kgrams,
+       CAST(count(*) FILTER (WHERE rn >= {_WN_W}) AS BIGINT) AS n_windows,
+       CAST(count(DISTINCT CASE WHEN rn >= {_WN_W} THEN selkey END) AS BIGINT)
+         AS n_selected,
+       CAST(count(DISTINCT CASE WHEN rn >= {_WN_W} THEN selkey END) AS DOUBLE)
+         / nullif(CAST(count(*) FILTER (WHERE rn >= {_WN_W}) AS DOUBLE), 0.0)
+         AS density,
+       min(CASE WHEN rn >= {_WN_W} THEN selkey // {_WN_POS} END) AS min_fingerprint
+FROM sel
+GROUP BY doc_id
+"""
+
+
+@query("winnow1_winnowing_fingerprints", oracle=_WINNOW1_SQL)
+def winnow1_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Stolfo & Aiken
+    SIGMOD 2003 — the MOSS algorithm): hash every ``_WN_K``-token
+    k-gram, slide a ``_WN_W``-hash window over the stream, and select
+    each window's minimum hash (rightmost on ties). The selected set
+    is the document's fingerprint sketch — the published guarantee is
+    that any shared substring of ≥ w+k-1 tokens yields a shared
+    selected fingerprint, at an expected density of 2/(w+1), so a
+    downstream near-dup join shuffles ~2/(w+1) of the k-gram stream
+    instead of all of it (the cheap front-end to the d-family's
+    bucket joins). Surfaced per doc: k-gram/window/selected counts,
+    the realized density, and the smallest selected fingerprint.
+
+    Mechanics shared by both engines: the per-window argmin with the
+    rightmost-tie rule is ONE windowed ``min`` over a packed BIGINT —
+    hash folded to 40 bits (collision-tolerant by design: winnowing
+    needs determinism, not injectivity) times 2^20 plus the
+    bit-flipped stream position (bounding docs at 1M k-grams), so
+    ordering by the packed key IS (hash asc, position desc). Stream
+    position is a row_number ordered by (token index, hash) — total
+    even under adversarial duplicate doc_ids. Docs with no k-grams
+    (under ``_WN_K`` tokens, or NULL text/ids — excluded by policy)
+    emit nothing; docs with fewer than w hashes have zero complete
+    windows and a NULL density.
+
+    Scale shape: the gram build/hash is narrow; the ONLY corpus
+    shuffle is the hash(doc_id) exchange feeding the per-doc
+    sort+window (rank, min, and the final groupBy all share that one
+    partitioning — Spark plans a single Exchange). Per-row double
+    division for density; everything else exact integers."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+    )
+    n = F.size(F.col("t"))
+    grams = F.when(
+        n >= _WN_K,
+        F.zip_with(
+            F.slice(F.col("t"), 1, n - (_WN_K - 1)),
+            F.zip_with(
+                F.slice(F.col("t"), 2, n - (_WN_K - 1)),
+                F.zip_with(
+                    F.slice(F.col("t"), 3, n - (_WN_K - 1)),
+                    F.slice(F.col("t"), 4, n - (_WN_K - 1)),
+                    lambda c, d: F.concat(c, F.lit(" "), d),
+                ),
+                lambda b, cd: F.concat(b, F.lit(" "), cd),
+            ),
+            lambda a, bcd: F.concat(a, F.lit(" "), bcd),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = docs.select(
+        "doc_id", F.posexplode(grams).alias("i0", "g")
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        (
+            (
+                (ce_hash64(F.concat(F.lit("wn|"), F.col("g"))) % _WN_H_MOD)
+                + _WN_H_MOD
+            )
+            % _WN_H_MOD
+        ).alias("h"),
+    )
+    w_doc = Window.partitionBy("doc_id")
+    rn = F.row_number().over(w_doc.orderBy("i", "h"))
+    keyed = hashed.select(
+        "doc_id",
+        rn.alias("rn"),
+        (F.col("h") * _WN_POS + (F.lit(_WN_POS - 1) - rn)).alias("key"),
+    )
+    sel = keyed.select(
+        "doc_id",
+        "rn",
+        F.min("key")
+        .over(w_doc.orderBy("rn").rowsBetween(-(_WN_W - 1), 0))
+        .alias("selkey"),
+    )
+    complete = F.col("rn") >= _WN_W
+    sel_if = F.when(complete, F.col("selkey"))
+    n_sel = F.countDistinct(sel_if)
+    n_win = F.count_if(complete)
+    return sel.groupBy("doc_id").agg(
+        F.count("*").alias("n_kgrams"),
+        n_win.alias("n_windows"),
+        n_sel.alias("n_selected"),
+        (
+            n_sel.cast("double") / F.nullif(n_win.cast("double"), F.lit(0.0))
+        ).alias("density"),
+        F.min(F.expr(f"CASE WHEN rn >= {_WN_W} THEN selkey div {_WN_POS} END")).alias(
+            "min_fingerprint"
+        ),
     )

@@ -189,6 +189,10 @@ HEADLINE = [
     "dc3_semantic_decontamination",
     "km1_lloyd_kmeans",
     "sub2_exact_substring_dedup",
+    "rr1_rank_fusion",
+    "div1_distinct_ngrams",
+    "bloom1_bloom_membership",
+    "winnow1_winnowing_fingerprints",
 ]
 
 
