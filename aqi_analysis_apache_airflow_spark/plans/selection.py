@@ -588,3 +588,349 @@ def winnow1_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFram
             "min_fingerprint"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# kcen1 — greedy k-center coreset selection (farthest-first traversal)
+# --------------------------------------------------------------------------
+
+_KC_K = 5  # centers selected (1 seed + _KC_K-1 greedy rounds)
+
+_KC_QX = """qx AS (
+      SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT) AS q
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    )"""
+
+
+def _kcen1_oracle() -> str:
+    """Unrolled-CTE replay of the greedy rounds (the km1/gr1
+    precedent): quantized BIGINT coordinates, exact integer distances,
+    integer argmin/argmax with unique tiebreaks — bit-identical in any
+    engine."""
+    ctes = [
+        _KC_QX,
+        "cset0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, pos, q AS qc"
+        " FROM qx WHERE vec_id = 0)",
+    ]
+    for i in range(1, _KC_K):
+        ctes.append(
+            f"""d{i} AS (
+      SELECT e.vec_id, c.cid, SUM((e.q - c.qc) * (e.q - c.qc)) AS d2
+      FROM qx e JOIN cset{i - 1} c ON e.pos = c.pos
+      GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(
+            f"md{i} AS (SELECT vec_id, min(d2) AS mind2 FROM d{i} GROUP BY 1)"
+        )
+        ctes.append(
+            f"""win{i} AS (
+      SELECT vec_id FROM md{i} ORDER BY mind2 DESC, vec_id LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"""cset{i} AS (
+      SELECT cid, pos, qc FROM cset{i - 1}
+      UNION ALL
+      SELECT CAST(e.vec_id AS BIGINT) AS cid, e.pos, e.q AS qc
+      FROM qx e JOIN win{i} w ON e.vec_id = w.vec_id
+    )"""
+        )
+    last = _KC_K - 1
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    df AS (
+      SELECT e.vec_id, c.cid, SUM((e.q - c.qc) * (e.q - c.qc)) AS d2
+      FROM qx e JOIN cset{last} c ON e.pos = c.pos
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        FROM df) AS t WHERE rk = 1
+    )
+    SELECT b.vec_id, b.cid AS center_id, CAST(b.d2 AS BIGINT) AS dist2_scaled,
+           b.vec_id IN (SELECT DISTINCT cid FROM cset{last}) AS is_center
+    FROM best b"""
+    )
+
+
+@query("kcen1_kcenter_coreset", oracle=_kcen1_oracle())
+def kcen1_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985's
+    farthest-first traversal; Sener & Savarese ICLR 2018 as the
+    data-selection recipe): seed with vec 0, then 4 greedy rounds each add
+    the point FARTHEST from the current center set — the classic
+    diversity-maximizing coreset whose radius 2-approximates the
+    optimal k-center cover. Surfaced: every vector's nearest final
+    center, its squared distance (quantized grid), and whether it is
+    itself a center — the coverage assignment a curation pipeline
+    uses to pick representative exemplars / seed clusters.
+
+    Bit-exact by the km1 construction: coordinates quantize once to
+    the 1e-7 grid (exact BIGINT), distances are exact integer sums,
+    every argmin/argmax is an integer compare with a unique vec_id
+    tiebreak (farthest ties → lowest id), and the oracle unrolls the
+    identical recurrence as chained CTEs.
+
+    Scale shape: the quantized explode persists once; each round is
+    ONE broadcast of the ≤k×dim center table onto the cached corpus,
+    one (vec, cid) aggregate, one (vec) min-aggregate, and a 1-row
+    global argmax (the only thing resembling a collect never leaves
+    the executors — the winner joins back as a broadcast 1-row
+    aggregate, the sanctioned control-plane shape). Shuffles carry
+    per-group partial sums, never vectors; k is fixed, so cost is
+    k × (one corpus aggregate), independent of corpus width."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = load(spark, sf_dir, "embeddings")
+    qx = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "vec_id",
+            "pos",
+            F.round(F.col("x").cast("double") * F.lit(1e7))
+            .cast("long")
+            .alias("q"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cset = qx.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").cast("long").alias("cid"), "pos", F.col("q").alias("qc")
+    )
+    diff = F.col("q") - F.col("qc")
+    for _ in range(1, _KC_K):
+        d = (
+            qx.join(F.broadcast(cset), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(diff * diff).alias("d2"))
+        )
+        md = d.groupBy("vec_id").agg(F.min("d2").alias("mind2"))
+        # global argmax, ties to the lowest vec_id: min of (-mind2, vec)
+        win = md.agg(F.min(F.struct((-F.col("mind2")).alias("nd"), "vec_id")).alias("w")).select(
+            F.col("w.vec_id").alias("vec_id")
+        )
+        cset = cset.unionAll(
+            qx.join(F.broadcast(win), "vec_id").select(
+                F.col("vec_id").cast("long").alias("cid"),
+                "pos",
+                F.col("q").alias("qc"),
+            )
+        )
+    d = (
+        qx.join(F.broadcast(cset), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    best = d.groupBy("vec_id").agg(F.min(F.struct("d2", "cid")).alias("b"))
+    centers = cset.select("cid").distinct()
+    return (
+        best.select(
+            "vec_id",
+            F.col("b.cid").alias("center_id"),
+            F.col("b.d2").alias("dist2_scaled"),
+        )
+        .join(
+            F.broadcast(centers.withColumnRenamed("cid", "vec_id").withColumn("__c", F.lit(1))),
+            "vec_id",
+            "left_outer",
+        )
+        .select(
+            "vec_id",
+            "center_id",
+            "dist2_scaled",
+            F.col("__c").isNotNull().alias("is_center"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# mmr1 — maximal marginal relevance diversified top-k
+# --------------------------------------------------------------------------
+
+_MMR_POOL = 20  # candidate pool (top-k by query relevance)
+_MMR_SELECT = 5  # diversified picks
+_MMR_LAM_SQL = "CAST(0.7 AS DOUBLE)"  # relevance weight
+_MMR_MU_SQL = "CAST(0.3 AS DOUBLE)"  # redundancy weight — an INDEPENDENT
+# literal, never computed as 1.0-0.7: DuckDB evaluates that in DECIMAL
+# (exactly 0.3 -> double 0.2999...89) while Python/Spark compute it in
+# IEEE (0.30000000000000004) — a real 1-ulp score divergence caught at
+# sf0.01
+_MMR_LAM = 0.7
+_MMR_MU = 0.3
+
+#: 6dp cosine between two unnested float vectors (decimal-summed dots)
+_MMR_COS = """round(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                   AS DECIMAL(28,14))) AS DOUBLE)
+  / (sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                   AS DECIMAL(28,14))) AS DOUBLE))
+     * sqrt(CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                   AS DECIMAL(28,14))) AS DOUBLE))), 6)"""
+
+
+def _mmr1_oracle() -> str:
+    lam, mu = _MMR_LAM_SQL, _MMR_MU_SQL
+    ctes = [
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        f"""qp AS (
+      SELECT e.vec_id, e.embedding, unnest(e.embedding) AS x, unnest(q.qv) AS y
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    pool AS (
+      SELECT vec_id, any_value(embedding) AS embedding, {_MMR_COS} AS rel
+      FROM qp GROUP BY vec_id
+      HAVING SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                      AS DECIMAL(28,14))) > 0
+         AND SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                      AS DECIMAL(28,14))) > 0
+      ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL}
+    ),
+    ppu AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             unnest(a.embedding) AS x, unnest(b.embedding) AS y
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+    ),
+    pp AS (
+      SELECT va, vb, {_MMR_COS} AS s FROM ppu GROUP BY va, vb
+    ),
+    sel1 AS (
+      SELECT vec_id, 1 AS sel_order, rel, 0.0 AS redundancy
+      FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+    )""",
+    ]
+    for i in range(2, _MMR_SELECT + 1):
+        prev = f"sel{i - 1}"
+        ctes.append(
+            f"""cand{i} AS (
+      SELECT p.vec_id, p.rel, max(pp.s) AS pen
+      FROM pool p
+      JOIN pp ON pp.va = p.vec_id
+      JOIN {prev} s ON pp.vb = s.vec_id
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev})
+      GROUP BY 1, 2
+    ),
+    win{i} AS (
+      SELECT vec_id, {i} AS sel_order, rel, pen AS redundancy
+      FROM cand{i}
+      ORDER BY ({lam} * rel) - ({mu} * pen) DESC, vec_id LIMIT 1
+    ),
+    sel{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM win{i})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT vec_id, CAST(sel_order AS INTEGER) AS sel_order,
+           rel AS relevance, redundancy,
+           ({lam} * rel) - ({mu} * redundancy) AS mmr_score
+    FROM sel{_MMR_SELECT}"""
+    )
+
+
+@query("mmr1_diversified_topk", oracle=_mmr1_oracle())
+def mmr1_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal marginal relevance (Carbonell & Goldstein SIGIR 1998,
+    λ=0.7): diversified top-5 from the top-20 cosine candidates
+    against the vec_id=0 query. Each round picks the candidate
+    maximizing λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) — the standard
+    redundancy-penalized selection for RAG context packing and
+    exemplar picking, where plain top-k returns five near-copies.
+
+    Scale shape: the ONLY corpus-sized work is the pool construction
+    (brute-force cosine + TakeOrderedAndProject top-20 — see
+    sim_cosine_topk; the IVF/LSH variants swap in unchanged). The
+    pool persists at ≤20 rows; pairwise sims are a self-join of that
+    bounded pool (≤380 pairs); each greedy round is a broadcast
+    anti-join + one ≤20-row aggregate + a 1-row argmax that rejoins
+    as a broadcast — nothing after the pool grows with the corpus.
+
+    Determinism: relevance and pairwise sims are the 6dp decimal-dot
+    cosines; the MMR score is (0.7·rel) − (0.3·pen) with fixed
+    literal operands and operand order — bit-identical IEEE in both
+    engines; every argmax tiebreaks on vec_id. The seed pick's
+    redundancy is 0.0 (max over the empty set — the published
+    convention)."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    pool = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "embedding",
+            cosine(F.col("embedding"), F.col("qv")).alias("rel"),
+        )
+        .filter(F.col("rel").isNotNull())
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_POOL)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pa = pool.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    pb = pool.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    pp = (
+        pa.join(pb, F.col("va") != F.col("vb"))
+        .select("va", "vb", cosine(F.col("ea"), F.col("eb")).alias("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sel = (
+        pool.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select(
+            "vec_id",
+            F.lit(1).alias("sel_order"),
+            "rel",
+            F.lit(0.0).alias("redundancy"),
+        )
+    )
+    for i in range(2, _MMR_SELECT + 1):
+        sel_ids = sel.select("vec_id")
+        cand = (
+            pool.join(F.broadcast(sel_ids), "vec_id", "left_anti")
+            .join(pp, F.col("vec_id") == F.col("va"))
+            .join(
+                F.broadcast(sel_ids.withColumnRenamed("vec_id", "vb")), "vb"
+            )
+            .groupBy("vec_id", "rel")
+            .agg(F.max("s").alias("pen"))
+        )
+        score = (F.lit(_MMR_LAM) * F.col("rel")) - (F.lit(_MMR_MU) * F.col("pen"))
+        win = (
+            cand.select("vec_id", "rel", "pen", score.alias("score"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("score")).alias("ns"), "vec_id", "rel", "pen"
+                    )
+                ).alias("w")
+            )
+            .select(
+                F.col("w.vec_id").alias("vec_id"),
+                F.lit(i).alias("sel_order"),
+                F.col("w.rel").alias("rel"),
+                F.col("w.pen").alias("redundancy"),
+            )
+            # an empty cand round (pool exhausted) must contribute no
+            # row, not a NULL-winner row from the global aggregate
+            .filter(F.col("vec_id").isNotNull())
+        )
+        sel = sel.unionAll(win)
+    lamc = F.lit(_MMR_LAM)
+    return sel.select(
+        "vec_id",
+        F.col("sel_order").cast("int").alias("sel_order"),
+        F.col("rel").alias("relevance"),
+        "redundancy",
+        ((lamc * F.col("rel")) - (F.lit(_MMR_MU) * F.col("redundancy"))).alias(
+            "mmr_score"
+        ),
+    )

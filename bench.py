@@ -193,6 +193,8 @@ HEADLINE = [
     "div1_distinct_ngrams",
     "bloom1_bloom_membership",
     "winnow1_winnowing_fingerprints",
+    "kcen1_kcenter_coreset",
+    "mmr1_diversified_topk",
 ]
 
 
