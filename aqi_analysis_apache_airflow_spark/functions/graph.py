@@ -97,6 +97,15 @@ def pagerank(
     # one-off plan-compilation cost of the deeper tree lands on the
     # uncounted warmup pass.)
     # Only `ed` and `nodes` are reused every round and stay persisted.
+    # Round-7 A/B closed the "try per-round localCheckpoint" question
+    # for good: at sf0.1 under the bench harness the lazy chain
+    # measured 3.76/3.05 s vs 3.59/3.79 s with an eager
+    # localCheckpoint per round — identical within run noise, i.e.
+    # the recurrence is floor-bound on its two per-round exchanges,
+    # not on plan depth. The lazy form stays: localCheckpoint blocks
+    # are unrecoverable on executor loss, so at cluster scale the
+    # lazy/AQE plan (or a reliable checkpoint to durable storage for
+    # 50+-round runs) is the correct shape anyway.
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_e12"))
     zero_mass = nodes.select("node", F.lit(0).cast("long").alias("c"))
     for _ in range(n_iterations):
