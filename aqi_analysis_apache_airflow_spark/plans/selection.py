@@ -934,3 +934,127 @@ def mmr1_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mmr_score"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# ks1 — exact two-sample Kolmogorov–Smirnov drift test
+# --------------------------------------------------------------------------
+
+#: dq3's naming-independent ref/cand split (source-name hash parity)
+_KS_GRP_SQL = (
+    "CASE WHEN ((("
+    + CE_HASH64_SQL.format(h="md5('dq3|'||source)")
+    + ") % 2) + 2) % 2 = 0 THEN 'ref' ELSE 'cand' END"
+)
+
+_KS_CRIT = "CAST(1.358 AS DOUBLE)"  # c(alpha) at alpha = 0.05
+
+_KS1_SQL = f"""
+WITH b AS (
+  SELECT CAST(n_chars AS BIGINT) AS v,
+         CAST(count(*) FILTER (WHERE {_KS_GRP_SQL} = 'ref') AS BIGINT) AS cr,
+         CAST(count(*) FILTER (WHERE {_KS_GRP_SQL} = 'cand') AS BIGINT) AS cc
+  FROM documents
+  WHERE n_chars IS NOT NULL
+  GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         SUM(cr) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fr,
+         SUM(cc) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fc
+  FROM b
+),
+tot AS (
+  SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(cc) AS BIGINT) AS nc FROM b
+),
+gap AS (
+  SELECT v, abs(fr * nc - fc * nr) AS g
+  FROM cum CROSS JOIN tot
+),
+top AS (
+  SELECT v AS argmax_value, CAST(g AS BIGINT) AS d_numerator
+  FROM gap ORDER BY g DESC, v LIMIT 1
+)
+SELECT nr AS n_ref, nc AS n_cand, d_numerator, argmax_value,
+       CAST(d_numerator AS DOUBLE)
+         / nullif(CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE), 0.0) AS ks_stat,
+       {_KS_CRIT} * sqrt((CAST(nr AS DOUBLE) + CAST(nc AS DOUBLE))
+                         / nullif(CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE), 0.0))
+         AS crit_value,
+       CAST(d_numerator AS DOUBLE)
+           / nullif(CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE), 0.0)
+         > {_KS_CRIT} * sqrt((CAST(nr AS DOUBLE) + CAST(nc AS DOUBLE))
+                             / nullif(CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE), 0.0))
+         AS drift_detected
+FROM top CROSS JOIN tot
+"""
+
+
+@query("ks1_ks_drift", oracle=_KS1_SQL)
+def ks1_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov test on the doc-length
+    distribution between the ref/cand corpus halves (dq3's
+    naming-independent source-hash split) — the order-statistic
+    complement to dq3's binned chi-square: KS sees location/shape
+    drift that binning smears, needs no bin-width choice, and is THE
+    standard ingest-drift gate for continuous features. Surfaced: the
+    exact sup-gap numerator, where it occurs, the KS statistic, and
+    the large-sample α=0.05 decision (c(α)=1.358).
+
+    Exactness: the sup over x of |F_ref(x) − F_cand(x)| is computed
+    CROSS-MULTIPLIED — max |CR(x)·n_cand − CC(x)·n_ref| in BIGINT
+    (counts ≤ 1e9 × 1e9 fits int64 with room) — so the argmax and the
+    numerator are exact integers; floats appear only in the final
+    one-division statistic and the (div, sqrt, mul, compare) critical
+    value, each a single correctly-rounded IEEE step both engines
+    share. NULL lengths are excluded by policy; NULL sources hash to
+    the 'cand' arm on both engines.
+
+    Scale shape: ONE map-side-combined groupBy on the length value
+    builds both conditional count columns; the cumulative window runs
+    over the DISTINCT-length spine (bounded by the length domain, not
+    the corpus — the dq3 bins argument), and the totals fold in as a
+    1-row broadcast aggregate. The final argmax is a LIMIT 1 over the
+    spine."""
+    from ..functions.dedup import ce_hash64 as _ce
+
+    grp_ref = (
+        ((_ce(F.concat(F.lit("dq3|"), F.col("source"))) % 2) + 2) % 2 == 0
+    )
+    b = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select(F.col("n_chars").cast("long").alias("v"), grp_ref.alias("r"))
+        .groupBy("v")
+        .agg(
+            F.count_if(F.coalesce(F.col("r"), F.lit(False))).alias("cr"),
+            F.count_if(~F.coalesce(F.col("r"), F.lit(False))).alias("cc"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = b.select(
+        "v", F.sum("cr").over(w).alias("fr"), F.sum("cc").over(w).alias("fc")
+    )
+    tot = b.agg(F.sum("cr").alias("nr"), F.sum("cc").alias("nc"))
+    gap = cum.join(F.broadcast(tot)).select(
+        "v", F.abs(F.col("fr") * F.col("nc") - F.col("fc") * F.col("nr")).alias("g")
+    )
+    top = gap.orderBy(F.col("g").desc(), "v").limit(1).select(
+        F.col("v").alias("argmax_value"), F.col("g").alias("d_numerator")
+    )
+    nrd = F.col("nr").cast("double")
+    ncd = F.col("nc").cast("double")
+    denom = F.nullif(nrd * ncd, F.lit(0.0))
+    ks = F.col("d_numerator").cast("double") / denom
+    crit = F.lit(1.358) * F.sqrt((nrd + ncd) / denom)
+    return top.join(F.broadcast(tot)).select(
+        F.col("nr").alias("n_ref"),
+        F.col("nc").alias("n_cand"),
+        "d_numerator",
+        "argmax_value",
+        ks.alias("ks_stat"),
+        crit.alias("crit_value"),
+        (ks > crit).alias("drift_detected"),
+    )

@@ -195,6 +195,7 @@ HEADLINE = [
     "winnow1_winnowing_fingerprints",
     "kcen1_kcenter_coreset",
     "mmr1_diversified_topk",
+    "ks1_ks_drift",
 ]
 
 
