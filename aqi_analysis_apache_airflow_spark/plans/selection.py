@@ -1058,3 +1058,92 @@ def ks1_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         crit.alias("crit_value"),
         (ks > crit).alias("drift_detected"),
     )
+
+
+# --------------------------------------------------------------------------
+# ent1 — per-document token entropy (repetitiveness / gibberish gate)
+# --------------------------------------------------------------------------
+
+_ENT1_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+  FROM documents WHERE doc_id IS NOT NULL
+),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2
+),
+pd AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(CAST(round(log2(CAST(c AS DOUBLE)), 6)
+                       AS DECIMAL(18,6)) * c) AS DOUBLE) AS clogc
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       round(log2(CAST(n_tokens AS DOUBLE)), 6)
+         - (clogc / CAST(n_tokens AS DOUBLE)) AS token_entropy,
+       round(log2(CAST(n_distinct AS DOUBLE)), 6) AS max_entropy,
+       (round(log2(CAST(n_tokens AS DOUBLE)), 6)
+          - (clogc / CAST(n_tokens AS DOUBLE)))
+         / nullif(round(log2(CAST(n_distinct AS DOUBLE)), 6), 0.0)
+         AS entropy_ratio
+FROM pd
+"""
+
+
+@query("ent1_token_entropy", oracle=_ENT1_SQL)
+def ent1_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution, with
+    the normalized entropy ratio H / log2(|vocab|) — the classic
+    repetitiveness/gibberish gate: templated spam scores near 0,
+    natural prose near 1, and the ratio is length-independent where
+    qc2's top-bigram share is not. Zero-token and NULL-id docs emit
+    nothing (no distribution to score); single-distinct-token docs
+    get a NULL ratio (max_entropy 0 — nullif on both engines).
+
+    Determinism: computed via the identity
+    H = log2(n) − (Σ c·log2 c)/n, chosen over the textbook
+    −Σ p·log2 p SPECIFICALLY for parity: c·round(log2 c, 6) is an
+    exact integer×DECIMAL(18,6) product (nothing to round — the
+    naive p·log2 p form lands on exact 6dp halves for rational p,
+    where Spark's shortest-decimal HALF_UP and DuckDB's binary
+    rounding split, observed at 15/42 terms of one sf0.001 doc). The
+    decimal sum is order-independent; the way out is one cast, one
+    division and one subtraction — single correctly-rounded IEEE
+    steps both engines share. Only ``log2`` itself is rounded (6dp,
+    the t4/ret1 libm convention).
+
+    Scale shape: one map-side-combined groupBy on (doc_id, token),
+    then ONE per-doc rollup on the same doc_id partitioning — Spark
+    plans a single corpus Exchange reused by both aggregates."""
+    tf = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    pd_ = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(
+            F.round(F.log2(F.col("c").cast("double")), 6).cast("decimal(18,6)")
+            * F.col("c")
+        )
+        .cast("double")
+        .alias("clogc"),
+    )
+    h = F.round(F.log2(F.col("n_tokens").cast("double")), 6) - (
+        F.col("clogc") / F.col("n_tokens").cast("double")
+    )
+    max_h = F.round(F.log2(F.col("n_distinct").cast("double")), 6)
+    return pd_.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        h.alias("token_entropy"),
+        max_h.alias("max_entropy"),
+        (h / F.nullif(max_h, F.lit(0.0))).alias("entropy_ratio"),
+    )

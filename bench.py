@@ -196,6 +196,7 @@ HEADLINE = [
     "kcen1_kcenter_coreset",
     "mmr1_diversified_topk",
     "ks1_ks_drift",
+    "ent1_token_entropy",
 ]
 
 
