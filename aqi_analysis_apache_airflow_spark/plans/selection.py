@@ -1115,9 +1115,12 @@ def ent1_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps both engines share. Only ``log2`` itself is rounded (6dp,
     the t4/ret1 libm convention).
 
-    Scale shape: one map-side-combined groupBy on (doc_id, token),
-    then ONE per-doc rollup on the same doc_id partitioning — Spark
-    plans a single corpus Exchange reused by both aggregates."""
+    Scale shape: the corpus crosses the wire once, map-side combined,
+    into the (doc_id, token) tf groupBy; the second exchange (the
+    per-doc rollup) carries only the COMPRESSED tf stream — one row
+    per distinct (doc, token), already partially aggregated — never
+    the token stream itself. Two exchanges total, asserted in
+    tests/test_selection_plans.py."""
     tf = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull())

@@ -1,0 +1,155 @@
+"""Plan-structure proofs for the round-7 selection/diversity ops
+(plans/selection.py): each docstring's 100 TB claim about shuffles and
+broadcasts is asserted from the executed plan, not assumed — the
+test_scale_ops convention.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import functions as F
+
+from aqi_analysis_apache_airflow_spark.plans import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_winnow1_single_corpus_exchange(spark):
+    """winnow1's claim: rank, windowed min, and the per-doc rollup all
+    reuse ONE hash(doc_id) exchange of the k-gram stream."""
+    df = REGISTRY["winnow1_winnowing_fingerprints"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_ent1_two_exchanges_second_compressed(spark):
+    """ent1's claim: the raw token stream shuffles once (the tf
+    groupBy, map-side combined); the only other exchange carries the
+    compressed per-(doc, token) tf rows into the per-doc rollup."""
+    df = REGISTRY["ent1_token_entropy"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p
+
+
+def test_bloom1_bit_table_broadcasts(spark):
+    """bloom1's claim: the bounded (≤m-row) bit table reaches the
+    probe join as a broadcast, never a shuffled join of the corpus."""
+    df = REGISTRY["bloom1_bloom_membership"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert "BroadcastHashJoin" in p, p
+    # the probe-side explode must not be sort-merge joined
+    assert "SortMergeJoin" not in p, p
+
+
+def test_kcen1_centers_broadcast_every_round(spark):
+    """kcen1's claim: every greedy round broadcasts the ≤k×dim center
+    table onto the cached corpus — the exploded corpus is never the
+    build side of a shuffled join."""
+    df = REGISTRY["kcen1_kcenter_coreset"].fn(spark, SF_DIR)
+    p = _plan(df)
+    # one broadcast join per distance pass (k-1 greedy + 1 final)
+    assert p.count("BroadcastHashJoin") >= 5, p
+
+
+def test_rr1_fusion_join_is_bounded(spark):
+    """rr1's claim: the fused lists are bounded pools — the final
+    plan's top is a TakeOrdered/Limit over two ≤50-row ranked lists,
+    and each arm reduces via TakeOrderedAndProject, not a global
+    sort of the corpus."""
+    df = REGISTRY["rr1_rank_fusion"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_mmr1_pool_is_take_ordered(spark):
+    """mmr1's claim: the only corpus-sized reduction is the pool's
+    TakeOrderedAndProject; every greedy round joins broadcast
+    1-row/bounded sides."""
+    df = REGISTRY["mmr1_diversified_topk"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+
+
+def test_winnow1_density_guarantee(spark):
+    """Winnowing's published expectation: density ≈ 2/(w+1) = 0.333
+    for w=5 on random streams; every doc's realized density must lie
+    in (0, 1] and the corpus mean near the theoretical value (wide
+    ±0.15 band — the corpus vocabulary is small and skewed)."""
+    df = REGISTRY["winnow1_winnowing_fingerprints"].fn(spark, SF_DIR)
+    row = df.agg(
+        F.avg("density").alias("mean_d"),
+        F.min("density").alias("min_d"),
+        F.max("density").alias("max_d"),
+    ).collect()[0]
+    assert 0.0 < row["min_d"] <= row["max_d"] <= 1.0
+    assert abs(row["mean_d"] - 2.0 / 6.0) < 0.15, row["mean_d"]
+
+
+def test_bloom1_guarantee_holds(spark):
+    """The Bloom one-sided-error contract on real data: zero false
+    negatives, and the FPR at m=8192/k=3 for ~250 members stays far
+    from degenerate (< 50%)."""
+    row = REGISTRY["bloom1_bloom_membership"].fn(spark, SF_DIR).collect()[0]
+    assert row["no_false_negatives"] is True
+    assert row["n_false_negative"] == 0
+    if row["fpr"] is not None:
+        assert row["fpr"] < 0.5
+
+
+def test_kcen1_farthest_first_radius_shrinks(spark):
+    """Greedy k-center must cover at least as well as its own seed:
+    the max assigned distance with 5 centers is <= the max distance
+    to the seed alone (monotone coverage), and exactly k centers are
+    flagged."""
+    df = REGISTRY["kcen1_kcenter_coreset"].fn(spark, SF_DIR)
+    rows = df.agg(
+        F.max("dist2_scaled").alias("radius5"),
+        F.count_if("is_center").alias("k"),
+    ).collect()[0]
+    assert rows["k"] == 5
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    from aqi_analysis_apache_airflow_spark.plans.selection import _KC_K  # noqa: F401
+
+    # seed-only radius: distance of the farthest vector from vec 0
+    qx = emb.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
+        "vec_id", "pos", F.round(F.col("x").cast("double") * 1e7).cast("long").alias("q")
+    )
+    seed = qx.filter(F.col("vec_id") == 0).select(
+        "pos", F.col("q").alias("qc")
+    )
+    d0 = (
+        qx.join(F.broadcast(seed), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum((F.col("q") - F.col("qc")) * (F.col("q") - F.col("qc"))).alias("d2"))
+        .agg(F.max("d2").alias("radius1"))
+        .collect()[0]
+    )
+    assert rows["radius5"] <= d0["radius1"]
+
+
+def test_mmr1_selection_is_diverse(spark):
+    """MMR's defining property on this corpus: the five picks are
+    distinct, sel_order is 1..5, and every later pick's MMR score is
+    <= the seed's relevance-driven score (the greedy objective is
+    non-increasing in rounds for a fixed pool)."""
+    rows = (
+        REGISTRY["mmr1_diversified_topk"]
+        .fn(spark, SF_DIR)
+        .orderBy("sel_order")
+        .collect()
+    )
+    assert [r["sel_order"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    scores = [r["mmr_score"] for r in rows]
+    assert all(s <= scores[0] + 1e-12 for s in scores[1:])
