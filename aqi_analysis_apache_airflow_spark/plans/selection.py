@@ -1150,3 +1150,247 @@ def ent1_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_h.alias("max_entropy"),
         (h / F.nullif(max_h, F.lit(0.0))).alias("entropy_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# ndcg1 — ANN ranking-quality evaluation (NDCG@k curve)
+# --------------------------------------------------------------------------
+
+_NDCG_K = 20  # evaluated list depth
+_NDCG_PREFIX = 16  # Matryoshka prefix dims for the approximate ranker
+
+#: 6dp cosine over a bounded unnest (x, y) pair stream — shared by the
+#: exact and prefix arms
+_NDCG_EXACT_CTES = f"""
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+fp AS (
+  SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qv) AS y
+  FROM embeddings e, q WHERE e.vec_id <> 0
+),
+fsim AS (
+  SELECT vec_id, {_MMR_COS} AS sim FROM fp GROUP BY vec_id
+  HAVING SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                  AS DECIMAL(28,14))) > 0
+     AND SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                  AS DECIMAL(28,14))) > 0
+),
+exact AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rk
+  FROM (SELECT * FROM fsim ORDER BY sim DESC, vec_id LIMIT {_NDCG_K}) t
+),
+pp2 AS (
+  SELECT e.vec_id,
+         unnest(e.embedding[1:{_NDCG_PREFIX}]) AS x,
+         unnest(q.qv[1:{_NDCG_PREFIX}]) AS y
+  FROM embeddings e, q WHERE e.vec_id <> 0
+),
+psim AS (
+  SELECT vec_id, {_MMR_COS} AS sim FROM pp2 GROUP BY vec_id
+  HAVING SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                  AS DECIMAL(28,14))) > 0
+     AND SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                  AS DECIMAL(28,14))) > 0
+),
+approx AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rk
+  FROM (SELECT * FROM psim ORDER BY sim DESC, vec_id LIMIT {_NDCG_K}) t
+)"""
+
+_NDCG1_SQL = f"""
+WITH {_NDCG_EXACT_CTES},
+gains AS (
+  SELECT a.rk AS pos,
+         CAST(round(CAST(COALESCE({_NDCG_K + 1} - e.rk, 0) AS DOUBLE)
+                    / round(log2(CAST(a.rk + 1 AS DOUBLE)), 6), 6)
+              AS DECIMAL(28,6)) AS g
+  FROM approx a LEFT JOIN exact e ON a.vec_id = e.vec_id
+),
+igains AS (
+  SELECT rk AS pos,
+         CAST(round(CAST({_NDCG_K + 1} - rk AS DOUBLE)
+                    / round(log2(CAST(rk + 1 AS DOUBLE)), 6), 6)
+              AS DECIMAL(28,6)) AS g
+  FROM exact
+),
+curve AS (
+  SELECT g.pos AS k,
+         CAST(SUM(g.g) OVER (ORDER BY g.pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS dcg,
+         CAST(SUM(i.g) OVER (ORDER BY g.pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS idcg
+  FROM gains g JOIN igains i ON g.pos = i.pos
+)
+SELECT k, dcg, idcg, dcg / nullif(idcg, 0.0) AS ndcg
+FROM curve
+"""
+
+
+@query("ndcg1_ann_ranking_quality", oracle=_NDCG1_SQL)
+def ndcg1_ann_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k curve (Järvelin & Kekäläinen 2002) of the 16-dim
+    Matryoshka-prefix cosine ranking against the exact full-dim
+    ranking for the vec_id=0 query — the GRADED ranking-quality
+    evaluation that emb4's boolean recall flags cannot express: it
+    scores WHERE the approximate ranker puts the truly-relevant
+    vectors, position by position. Relevance is the linear gain
+    (k+1 − exact_rank, 0 outside the exact top-k); one row per depth
+    1..k with cumulative DCG, ideal DCG, and their ratio.
+
+    Scale shape: each arm is a corpus-wide cosine reduced by
+    TakeOrderedAndProject to a k-row pool (see sim_cosine_topk); rank
+    windows, the gain join, and the cumulative windows all run on
+    bounded ≤k-row lists. The prefix arm reads the SAME cached scan —
+    slicing the array costs no extra I/O; in a production layout the
+    16-d prefix would be its own column and the arm would scan 4× less.
+
+    Determinism: sims are 6dp decimal-dot cosines; gains are integer
+    relevance over a 6dp-rounded log2 discount, rounded at 6dp and
+    accumulated as DECIMAL (order-independent); the NDCG ratio is one
+    IEEE division (nullif-guarded for the degenerate empty-exact
+    case)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    base = emb.filter(F.col("vec_id") != 0).join(F.broadcast(qvec))
+
+    def arm(vec_expr, q_expr):
+        pool = (
+            base.select(
+                "vec_id", cosine(vec_expr, q_expr).alias("sim")
+            )
+            .filter(F.col("sim").isNotNull())
+            .orderBy(F.col("sim").desc(), "vec_id")
+            .limit(_NDCG_K)
+        )
+        return pool.select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("sim").desc(), "vec_id"))
+            .cast("int")
+            .alias("rk"),
+        )
+
+    exact = arm(F.col("embedding"), F.col("qv"))
+    pre = F.slice(F.col("embedding"), 1, _NDCG_PREFIX)
+    qpre = F.slice(F.col("qv"), 1, _NDCG_PREFIX)
+    approx = arm(pre, qpre)
+
+    disc = F.round(F.log2((F.col("rk") + 1).cast("double")), 6)
+    rel = F.coalesce(F.lit(_NDCG_K + 1) - F.col("erk"), F.lit(0))
+    gains = (
+        approx.join(
+            exact.select(F.col("vec_id"), F.col("rk").alias("erk")),
+            "vec_id",
+            "left_outer",
+        )
+        .select(
+            F.col("rk").alias("pos"),
+            F.round(rel.cast("double") / disc, 6)
+            .cast("decimal(28,6)")
+            .alias("g"),
+        )
+    )
+    igains = exact.select(
+        F.col("rk").alias("pos"),
+        F.round((F.lit(_NDCG_K + 1) - F.col("rk")).cast("double") / disc, 6)
+        .cast("decimal(28,6)")
+        .alias("ig"),
+    )
+    w = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        gains.join(igains, "pos")
+        .select(
+            F.col("pos").alias("k"),
+            F.sum("g").over(w).cast("double").alias("dcg"),
+            F.sum("ig").over(w).cast("double").alias("idcg"),
+        )
+    )
+    return curve.select(
+        "k",
+        "dcg",
+        "idcg",
+        (F.col("dcg") / F.nullif(F.col("idcg"), F.lit(0.0))).alias("ndcg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# domcap1 — per-source document cap (domain-cap downsampling)
+# --------------------------------------------------------------------------
+
+_DOMCAP_K = 50  # max docs kept per source
+
+_DOMCAP_CE = CE_HASH64_SQL.format(h="md5('cap|'||CAST(doc_id AS VARCHAR))")
+
+_DOMCAP1_SQL = f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars, {_DOMCAP_CE} AS h
+  FROM documents WHERE doc_id IS NOT NULL
+),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+  FROM keyed
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE rk <= {_DOMCAP_K}) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE rk > {_DOMCAP_K}) AS BIGINT) AS n_dropped,
+       count(*) > {_DOMCAP_K} AS cap_applied,
+       CAST(COALESCE(sum(n_chars) FILTER (WHERE rk <= {_DOMCAP_K}), 0)
+            AS BIGINT) AS kept_chars,
+       CAST(COALESCE(sum(n_chars) FILTER (WHERE rk > {_DOMCAP_K}), 0)
+            AS BIGINT) AS dropped_chars
+FROM ranked
+GROUP BY source
+"""
+
+
+@query("domcap1_source_cap", oracle=_DOMCAP1_SQL)
+def domcap1_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the domain-cap downsampling every
+    web-scale curation pipeline applies so a handful of boilerplate
+    farms can't dominate the mix — the CommonCrawl/C4 per-domain
+    limit): keep at most ``_DOMCAP_K`` docs per source, selected by a
+    deterministic content-independent hash rank (uniform over the
+    source, reproducible across runs, growth-stable in expectation),
+    and account for what the cap keeps/drops in docs and characters.
+
+    Scale shape: one exchange on source feeds the per-source rank
+    window and the rollup (same partitioning — Spark reuses it). A
+    pathologically hot source concentrates its rank sort in one task;
+    the snm1 range-partition + offset recipe is the documented
+    fallback if a single domain outgrows an executor. NULL doc_ids
+    are excluded by policy (their hash is NULL and cannot rank).
+
+    Determinism: ranks are integer row_numbers over (md5-hash,
+    doc_id); counts and character sums are exact BIGINTs (NULL
+    n_chars sums coalesce to 0 on both engines)."""
+    keyed = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            ce_hash64(
+                F.concat(F.lit("cap|"), F.col("doc_id").cast("string"))
+            ).alias("h"),
+        )
+    )
+    rk = F.row_number().over(Window.partitionBy("source").orderBy("h", "doc_id"))
+    ranked = keyed.withColumn("rk", rk)
+    kept = F.col("rk") <= _DOMCAP_K
+    z = F.lit(0).cast("long")
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(kept).alias("n_kept"),
+        F.count_if(~kept).alias("n_dropped"),
+        (F.count("*") > _DOMCAP_K).alias("cap_applied"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), z).alias("kept_chars"),
+        F.coalesce(F.sum(F.when(~kept, F.col("n_chars"))), z).alias(
+            "dropped_chars"
+        ),
+    )

@@ -197,6 +197,8 @@ HEADLINE = [
     "mmr1_diversified_topk",
     "ks1_ks_drift",
     "ent1_token_entropy",
+    "ndcg1_ann_ranking_quality",
+    "domcap1_source_cap",
 ]
 
 
