@@ -1394,3 +1394,201 @@ def domcap1_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dropped_chars"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# zipf1 — per-source Zipf rank-frequency fit
+# --------------------------------------------------------------------------
+
+_ZIPF_R = 100  # top ranks fitted
+
+#: ln rounded to 6dp, then scaled to an EXACT integer of micro-nats:
+#: the double round(ln*1e6) sits within 1e-9 of an integer, so the
+#: outer round-to-0dp can never land on a .5 boundary.
+_ZIPF_LN6_SQL = "CAST(round(round(ln(CAST({v} AS DOUBLE)), 6) * 1e6) AS BIGINT)"
+
+_ZIPF1_SQL = f"""
+WITH tf AS (
+  SELECT source, t.tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, regexp_extract_all(text, '\\S+') AS l FROM documents),
+       UNNEST(l) AS t(tok)
+  GROUP BY source, t.tok
+),
+ranked AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rk
+  FROM tf
+),
+pts AS (
+  SELECT source,
+         {_ZIPF_LN6_SQL.format(v="rk")} AS x,
+         {_ZIPF_LN6_SQL.format(v="c")} AS y
+  FROM ranked WHERE rk <= {_ZIPF_R}
+),
+sums AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS r,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pts GROUP BY source
+)
+SELECT source, r AS n_ranks,
+       CAST(r * sxy - sx * sy AS DOUBLE)
+         / nullif(CAST(r * sxx - sx * sx AS DOUBLE), 0.0) AS slope,
+       -(CAST(r * sxy - sx * sy AS DOUBLE)
+         / nullif(CAST(r * sxx - sx * sx AS DOUBLE), 0.0)) AS zipf_exponent,
+       (CAST(r * sxy - sx * sy AS DOUBLE) * CAST(r * sxy - sx * sy AS DOUBLE))
+         / nullif(CAST(r * sxx - sx * sx AS DOUBLE)
+                  * CAST(r * syy - sy * sy AS DOUBLE), 0.0) AS r2
+FROM sums
+"""
+
+
+@query("zipf1_rank_frequency_fit", oracle=_ZIPF1_SQL)
+def zipf1_rank_frequency_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf law fit (Zipf 1949): OLS slope of ln(freq) on
+    ln(rank) over the top-{r} vocabulary ranks, surfaced as the Zipf
+    exponent (natural text ≈ 1) with the fit's r². A corpus slice
+    whose exponent collapses toward 0 (flat — synthetic/shuffled
+    vocab) or explodes (a few tokens dominate — template spam) fails
+    the naturalness prior; pairs with div1/ent1 as the
+    per-ingest lexical-health dashboard.
+
+    Determinism: both logs are rounded to 6dp then scaled to EXACT
+    integer micro-nats (the double is within 1e-9 of an integer, so
+    the 0dp round has no boundary case); every OLS sum and the
+    slope's numerator/denominator are exact BIGINT arithmetic
+    (|x|,|y| ≤ 2e7 → all products ≤ ~4e18 at R=100); floats appear
+    only in the final divisions — fixed-order IEEE steps both
+    engines share. Rank ties break on the token string.
+
+    Scale shape: ONE map-side-combined groupBy on (source, token) is
+    the only corpus shuffle; the rank window runs over the compressed
+    per-source vocabulary (not the corpus), prunes to {r} rows per
+    source immediately, and the OLS rollup sees ≤ {r}·|sources|
+    rows."""
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("c").desc(), "tok")
+    )
+
+    def ln6(v):
+        return (
+            F.round(F.round(F.log(v.cast("double")), 6) * 1e6).cast("long")
+        )
+
+    pts = (
+        tf.withColumn("rk", rk)
+        .filter(F.col("rk") <= _ZIPF_R)
+        .select("source", ln6(F.col("rk")).alias("x"), ln6(F.col("c")).alias("y"))
+    )
+    sums = pts.groupBy("source").agg(
+        F.count("*").alias("r"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("r") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.nullif(
+        (F.col("r") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        F.lit(0.0),
+    )
+    deny = (F.col("r") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / den
+    return sums.select(
+        "source",
+        F.col("r").alias("n_ranks"),
+        slope.alias("slope"),
+        (-slope).alias("zipf_exponent"),
+        ((num * num) / F.nullif(den * deny, F.lit(0.0))).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dp1 — differentially-private per-source counts (geometric mechanism)
+# --------------------------------------------------------------------------
+
+_DP_M = 1 << 52  # uniform grid: (k+1)/2^52 is EXACT in double
+
+def _dp_u_sql(tag: str) -> str:
+    h = CE_HASH64_SQL.format(h=f"md5('{tag}|'||source)")
+    return (
+        f"(CAST((((({h}) % {_DP_M}) + {_DP_M}) % {_DP_M}) + 1 AS DOUBLE)"
+        f" / {float(_DP_M)})"
+    )
+
+
+_DP1_SQL = f"""
+WITH n AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY source
+),
+noise AS (
+  SELECT source, c,
+         CAST(floor(-round(ln({_dp_u_sql("dp1")}), 6)) AS BIGINT)
+           - CAST(floor(-round(ln({_dp_u_sql("dp2")}), 6)) AS BIGINT) AS z
+  FROM n
+)
+SELECT source,
+       c + z AS noisy_count,
+       greatest(c + z, 0) AS noisy_count_clamped,
+       CAST(1.0 AS DOUBLE) AS epsilon
+FROM noise
+"""
+
+
+@query("dp1_dp_source_counts", oracle=_DP1_SQL)
+def dp1_dp_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε=1 differentially-private per-source document counts via the
+    two-sided geometric mechanism (Ghosh–Roughgarden–Sundararajan
+    2012 — the discrete, utility-optimal counterpart of Laplace
+    noise): Z = G₁ − G₂ with Gᵢ ~ Geometric(1 − e^−ε), added to the
+    exact count — the release shape a curation pipeline uses to
+    publish corpus-composition dashboards without exposing exact
+    per-domain counts (pairs with anon1/gdpr1 in the governance
+    family). The raw noisy value is released alongside a
+    clamped-at-zero convenience column (standard post-processing,
+    privacy-free).
+
+    Replayability vs privacy: the inverse-CDF draw
+    Gᵢ = floor(−ln(uᵢ)) uses md5-derived uniforms on the 2^-52 grid
+    ((k+1)/2^52 — numerator ≤ 2^52, so the division is EXACT in
+    IEEE, and ln's 6dp rounding is shared), which makes the release
+    deterministic and oracle-verifiable; a production release swaps
+    in a secret per-release seed — determinism of the pipeline, not
+    of the mechanism, is what is being proven here.
+
+    Scale shape: one map-side-combined groupBy on source; the noise
+    arithmetic is a per-group projection. Nothing else touches the
+    corpus."""
+    n = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("c"))
+    )
+
+    def u(tag):
+        h = ce_hash64(F.concat(F.lit(f"{tag}|"), F.col("source")))
+        k = ((h % _DP_M) + _DP_M) % _DP_M
+        return (k + 1).cast("double") / F.lit(float(_DP_M))
+
+    def g(tag):
+        return F.floor(-F.round(F.log(u(tag)), 6)).cast("long")
+
+    z = g("dp1") - g("dp2")
+    noisy = F.col("c") + z
+    return n.select(
+        "source",
+        noisy.alias("noisy_count"),
+        F.greatest(noisy, F.lit(0).cast("long")).alias("noisy_count_clamped"),
+        F.lit(1.0).alias("epsilon"),
+    )

@@ -199,6 +199,8 @@ HEADLINE = [
     "ent1_token_entropy",
     "ndcg1_ann_ranking_quality",
     "domcap1_source_cap",
+    "zipf1_rank_frequency_fit",
+    "dp1_dp_source_counts",
 ]
 
 
