@@ -447,38 +447,47 @@ _WN_POS = 1 << 20  # stream-position bound (1M k-grams/doc)
 
 _WN_CE = CE_HASH64_SQL.format(h="md5('wn|'||g)")
 
-_WINNOW1_SQL = f"""
-WITH toks AS (
+def _wn_sel_ctes(rel: str, p: str = "") -> str:
+    """The winnowing selection CTE chain (tokens -> k-gram hashes ->
+    stream rank -> packed-key windowed min) over relation ``rel``
+    (must expose doc_id, text), CTE names prefixed with ``p`` so two
+    instantiations can coexist in one statement. Ends in ``{p}sel``
+    (doc_id, rn, selkey)."""
+    return f"""{p}toks AS (
   SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
-  FROM documents WHERE doc_id IS NOT NULL
+  FROM {rel}
 ),
-grams AS (
+{p}grams AS (
   SELECT doc_id, i,
          t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
-  FROM toks, UNNEST(range(1, greatest(len(t) - {_WN_K - 2}, 1))) AS u(i)
+  FROM {p}toks, UNNEST(range(1, greatest(len(t) - {_WN_K - 2}, 1))) AS u(i)
 ),
-hashed AS (
+{p}hashed AS (
   SELECT doc_id, i,
          ((({_WN_CE}) % {_WN_H_MOD}) + {_WN_H_MOD}) % {_WN_H_MOD} AS h
-  FROM grams
+  FROM {p}grams
 ),
-ranked AS (
+{p}ranked AS (
   SELECT doc_id, h,
          row_number() OVER (PARTITION BY doc_id ORDER BY i, h) AS rn
-  FROM hashed
+  FROM {p}hashed
 ),
-keyed AS (
+{p}keyed AS (
   SELECT doc_id, rn,
          h * {_WN_POS} + ({_WN_POS - 1} - rn) AS key
-  FROM ranked
+  FROM {p}ranked
 ),
-sel AS (
+{p}sel AS (
   SELECT doc_id, rn,
          min(key) OVER (
            PARTITION BY doc_id ORDER BY rn
            ROWS BETWEEN {_WN_W - 1} PRECEDING AND CURRENT ROW) AS selkey
-  FROM keyed
-)
+  FROM {p}keyed
+)"""
+
+
+_WINNOW1_SQL = f"""
+WITH {_wn_sel_ctes("(SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL)")}
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_kgrams,
        CAST(count(*) FILTER (WHERE rn >= {_WN_W}) AS BIGINT) AS n_windows,
@@ -491,6 +500,59 @@ SELECT doc_id,
 FROM sel
 GROUP BY doc_id
 """
+
+
+def _winnow_sel(docs: DataFrame) -> DataFrame:
+    """Winnowing selection stage over (doc_id, text): returns one row
+    per k-gram stream position with (doc_id, rn, selkey) where selkey
+    packs the window's (40-bit hash, flipped position) argmin; rows
+    with rn >= _WN_W carry a COMPLETE window's selection. Shared by
+    winnow1 and the cp2 fused pipeline."""
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    n = F.size(F.col("t"))
+    grams = F.when(
+        n >= _WN_K,
+        F.zip_with(
+            F.slice(F.col("t"), 1, n - (_WN_K - 1)),
+            F.zip_with(
+                F.slice(F.col("t"), 2, n - (_WN_K - 1)),
+                F.zip_with(
+                    F.slice(F.col("t"), 3, n - (_WN_K - 1)),
+                    F.slice(F.col("t"), 4, n - (_WN_K - 1)),
+                    lambda c, d: F.concat(c, F.lit(" "), d),
+                ),
+                lambda b, cd: F.concat(b, F.lit(" "), cd),
+            ),
+            lambda a, bcd: F.concat(a, F.lit(" "), bcd),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = toks.select(
+        "doc_id", F.posexplode(grams).alias("i0", "g")
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        (
+            (
+                (ce_hash64(F.concat(F.lit("wn|"), F.col("g"))) % _WN_H_MOD)
+                + _WN_H_MOD
+            )
+            % _WN_H_MOD
+        ).alias("h"),
+    )
+    w_doc = Window.partitionBy("doc_id")
+    rn = F.row_number().over(w_doc.orderBy("i", "h"))
+    keyed = hashed.select(
+        "doc_id",
+        rn.alias("rn"),
+        (F.col("h") * _WN_POS + (F.lit(_WN_POS - 1) - rn)).alias("key"),
+    )
+    return keyed.select(
+        "doc_id",
+        "rn",
+        F.min("key")
+        .over(w_doc.orderBy("rn").rowsBetween(-(_WN_W - 1), 0))
+        .alias("selkey"),
+    )
 
 
 @query("winnow1_winnowing_fingerprints", oracle=_WINNOW1_SQL)
@@ -527,52 +589,9 @@ def winnow1_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFram
     docs = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull())
-        .select("doc_id", tokens(F.col("text")).alias("t"))
+        .select("doc_id", "text")
     )
-    n = F.size(F.col("t"))
-    grams = F.when(
-        n >= _WN_K,
-        F.zip_with(
-            F.slice(F.col("t"), 1, n - (_WN_K - 1)),
-            F.zip_with(
-                F.slice(F.col("t"), 2, n - (_WN_K - 1)),
-                F.zip_with(
-                    F.slice(F.col("t"), 3, n - (_WN_K - 1)),
-                    F.slice(F.col("t"), 4, n - (_WN_K - 1)),
-                    lambda c, d: F.concat(c, F.lit(" "), d),
-                ),
-                lambda b, cd: F.concat(b, F.lit(" "), cd),
-            ),
-            lambda a, bcd: F.concat(a, F.lit(" "), bcd),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    hashed = docs.select(
-        "doc_id", F.posexplode(grams).alias("i0", "g")
-    ).select(
-        "doc_id",
-        (F.col("i0") + 1).alias("i"),
-        (
-            (
-                (ce_hash64(F.concat(F.lit("wn|"), F.col("g"))) % _WN_H_MOD)
-                + _WN_H_MOD
-            )
-            % _WN_H_MOD
-        ).alias("h"),
-    )
-    w_doc = Window.partitionBy("doc_id")
-    rn = F.row_number().over(w_doc.orderBy("i", "h"))
-    keyed = hashed.select(
-        "doc_id",
-        rn.alias("rn"),
-        (F.col("h") * _WN_POS + (F.lit(_WN_POS - 1) - rn)).alias("key"),
-    )
-    sel = keyed.select(
-        "doc_id",
-        "rn",
-        F.min("key")
-        .over(w_doc.orderBy("rn").rowsBetween(-(_WN_W - 1), 0))
-        .alias("selkey"),
-    )
+    sel = _winnow_sel(docs)
     complete = F.col("rn") >= _WN_W
     sel_if = F.when(complete, F.col("selkey"))
     n_sel = F.countDistinct(sel_if)
@@ -1064,23 +1083,31 @@ def ks1_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ent1 — per-document token entropy (repetitiveness / gibberish gate)
 # --------------------------------------------------------------------------
 
-_ENT1_SQL = """
-WITH tok AS (
+def _ent_ctes(rel: str, p: str = "") -> str:
+    """The token-entropy CTE chain over relation ``rel`` (doc_id,
+    text), names prefixed with ``p``; ends in ``{p}epd`` (doc_id,
+    n_tokens, n_distinct, clogc). Shared by ent1 and cp2."""
+    return f"""{p}etok AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
-  FROM documents WHERE doc_id IS NOT NULL
+  FROM {rel}
 ),
-tf AS (
+{p}etf AS (
   SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
-  FROM tok GROUP BY 1, 2
+  FROM {p}etok GROUP BY 1, 2
 ),
-pd AS (
+{p}epd AS (
   SELECT doc_id,
          CAST(SUM(c) AS BIGINT) AS n_tokens,
          CAST(count(*) AS BIGINT) AS n_distinct,
          CAST(SUM(CAST(round(log2(CAST(c AS DOUBLE)), 6)
                        AS DECIMAL(18,6)) * c) AS DOUBLE) AS clogc
-  FROM tf GROUP BY doc_id
-)
+  FROM {p}etf GROUP BY doc_id
+)"""
+
+
+_ENT1_SQL = f"""
+WITH {_ent_ctes("(SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL)")},
+pd AS (SELECT * FROM epd)
 SELECT doc_id, n_tokens, n_distinct,
        round(log2(CAST(n_tokens AS DOUBLE)), 6)
          - (clogc / CAST(n_tokens AS DOUBLE)) AS token_entropy,
@@ -1121,10 +1148,18 @@ def ent1_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per distinct (doc, token), already partially aggregated — never
     the token stream itself. Two exchanges total, asserted in
     tests/test_selection_plans.py."""
-    tf = (
+    return _entropy_per_doc(
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull())
-        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .select("doc_id", "text")
+    )
+
+
+def _entropy_per_doc(docs: DataFrame) -> DataFrame:
+    """ent1's computation over an arbitrary (doc_id, text) relation —
+    shared with the cp2 fused pipeline."""
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("c"))
     )
@@ -1591,4 +1626,163 @@ def dp1_dp_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         noisy.alias("noisy_count"),
         F.greatest(noisy, F.lit(0).cast("long")).alias("noisy_count_clamped"),
         F.lit(1.0).alias("epsilon"),
+    )
+
+
+# --------------------------------------------------------------------------
+# cp2 — fused round-7 curation pipeline: entropy gate → domain cap →
+#       winnowing keep-first dedup → per-source manifest
+# --------------------------------------------------------------------------
+
+_CP2_MIN_RATIO = "CAST(0.5 AS DOUBLE)"  # entropy-ratio gate
+_CP2_MIN_TOKENS = 5
+_CP2_CAP = 50  # per-source cap among gated docs
+
+_CP2_CE = CE_HASH64_SQL.format(h="md5('cp2|'||CAST(doc_id AS VARCHAR))")
+
+_CP2_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id IS NOT NULL
+),
+{_ent_ctes("base")},
+gate AS (
+  SELECT b.doc_id, b.source, b.text, e.n_tokens
+  FROM base b JOIN epd e ON b.doc_id = e.doc_id
+  WHERE (round(log2(CAST(e.n_tokens AS DOUBLE)), 6)
+           - (e.clogc / CAST(e.n_tokens AS DOUBLE)))
+          / nullif(round(log2(CAST(e.n_distinct AS DOUBLE)), 6), 0.0)
+        >= {_CP2_MIN_RATIO}
+    AND e.n_tokens >= {_CP2_MIN_TOKENS}
+),
+capped AS (
+  SELECT doc_id, source, text, n_tokens FROM (
+    SELECT g.*,
+           row_number() OVER (
+             PARTITION BY source ORDER BY {_CP2_CE}, doc_id) AS rk
+    FROM gate g) t
+  WHERE rk <= {_CP2_CAP}
+),
+{_wn_sel_ctes("(SELECT doc_id, text FROM capped)", p="w")},
+fps AS (
+  SELECT DISTINCT doc_id, selkey // {_WN_POS} AS fp
+  FROM wsel WHERE rn >= {_WN_W}
+),
+bmin AS (SELECT fp, min(doc_id) AS keep FROM fps GROUP BY fp),
+dropped AS (
+  SELECT DISTINCT f.doc_id
+  FROM fps f JOIN bmin b ON f.fp = b.fp
+  WHERE b.keep < f.doc_id
+),
+final AS (
+  SELECT c.* FROM capped c
+  WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = c.doc_id)
+),
+n_in AS (SELECT source, CAST(count(*) AS BIGINT) AS n_input
+         FROM base GROUP BY source),
+n_g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_gated
+        FROM gate GROUP BY source),
+n_c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_capped
+        FROM capped GROUP BY source),
+n_f AS (SELECT source, CAST(count(*) AS BIGINT) AS n_final,
+               CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) AS final_tokens
+        FROM final GROUP BY source)
+SELECT i.source,
+       i.n_input,
+       COALESCE(g.n_gated, 0) AS n_gated,
+       COALESCE(c.n_capped, 0) AS n_capped,
+       COALESCE(f.n_final, 0) AS n_final,
+       COALESCE(f.final_tokens, 0) AS final_tokens
+FROM n_in i
+LEFT JOIN n_g g ON g.source = i.source
+LEFT JOIN n_c c ON c.source = i.source
+LEFT JOIN n_f f ON f.source = i.source
+"""
+
+
+@query("cp2_selection_pipeline", oracle=_CP2_SQL)
+def cp2_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused round-7 curation pipeline — the composition proof that
+    the selection ops chain into ONE lazy plan (the cp1 precedent):
+    (1) quality gate: keep docs with ent1 normalized token entropy
+    ≥ 0.5 and ≥ 5 tokens (drops templated spam and fragments);
+    (2) domain cap: at most 50 gated docs per source by deterministic
+    hash rank (domcap1's rule, re-ranked AMONG SURVIVORS — capping
+    before gating would waste cap slots on spam);
+    (3) near-dup sweep: winnowing fingerprints (winnow1's selection)
+    bucket the survivors; within each shared fingerprint bucket only
+    the lowest doc_id survives (the cheap single-pass keep-first rule
+    — transitive-closure dedup is d6's job);
+    (4) per-source manifest of docs surviving each stage plus the
+    final token supply — the number mix1/lr1 budget from.
+
+    Scale shape: the gate is ent1's two exchanges; the cap windows
+    over gated survivors only; winnowing (one doc_id exchange) runs
+    on ≤ cap×|sources| docs; the fingerprint bucket join carries
+    ~2/(w+1) of the survivors' k-grams. Stage counts are conditional
+    rollups joined on the |sources|-sized spine. Docs sharing an id
+    (forbidden upstream) would fan out at the gate join — the
+    pipeline's declared grain is unique non-NULL doc_id.
+
+    Determinism: every stage reuses its parent op's exact-parity
+    arithmetic (ent1's decimal identity, md5 cap ranks, winnow's
+    packed-integer argmin); counts are BIGINTs."""
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "source", "text")
+    )
+    ent = _entropy_per_doc(base.select("doc_id", "text"))
+    gate = (
+        base.join(
+            ent.select("doc_id", "n_tokens", "entropy_ratio"), "doc_id"
+        )
+        .filter(
+            (F.col("entropy_ratio") >= 0.5)
+            & (F.col("n_tokens") >= _CP2_MIN_TOKENS)
+        )
+        .select("doc_id", "source", "text", "n_tokens")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            ce_hash64(
+                F.concat(F.lit("cp2|"), F.col("doc_id").cast("string"))
+            ),
+            "doc_id",
+        )
+    )
+    capped = gate.withColumn("rk", rk).filter(F.col("rk") <= _CP2_CAP).drop("rk")
+    wsel = _winnow_sel(capped.select("doc_id", "text"))
+    fps = (
+        wsel.filter(F.col("rn") >= _WN_W)
+        .select("doc_id", F.expr(f"selkey div {_WN_POS}").alias("fp"))
+        .distinct()
+    )
+    bmin = fps.groupBy("fp").agg(F.min("doc_id").alias("keep"))
+    dropped = (
+        fps.join(bmin, "fp")
+        .filter(F.col("keep") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    final = capped.join(dropped, "doc_id", "left_anti")
+    n_in = base.groupBy("source").agg(F.count("*").alias("n_input"))
+    n_g = gate.groupBy("source").agg(F.count("*").alias("n_gated"))
+    n_c = capped.groupBy("source").agg(F.count("*").alias("n_capped"))
+    z = F.lit(0).cast("long")
+    n_f = final.groupBy("source").agg(
+        F.count("*").alias("n_final"),
+        F.coalesce(F.sum("n_tokens"), z).alias("final_tokens"),
+    )
+    return (
+        n_in.join(n_g, "source", "left_outer")
+        .join(n_c, "source", "left_outer")
+        .join(n_f, "source", "left_outer")
+        .select(
+            "source",
+            "n_input",
+            F.coalesce(F.col("n_gated"), z).alias("n_gated"),
+            F.coalesce(F.col("n_capped"), z).alias("n_capped"),
+            F.coalesce(F.col("n_final"), z).alias("n_final"),
+            F.coalesce(F.col("final_tokens"), z).alias("final_tokens"),
+        )
     )

@@ -201,6 +201,7 @@ HEADLINE = [
     "domcap1_source_cap",
     "zipf1_rank_frequency_fit",
     "dp1_dp_source_counts",
+    "cp2_selection_pipeline",
 ]
 
 
