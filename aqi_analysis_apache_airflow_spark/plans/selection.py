@@ -1786,3 +1786,168 @@ def cp2_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("final_tokens"), z).alias("final_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dd1 — DDSketch-style log-bucket quantile sketch (deterministic,
+#       mergeable, self-verifying)
+# --------------------------------------------------------------------------
+
+_DD_G = 20001  # bucket width in micro-nats: ln(gamma) ~= 0.020001,
+# i.e. gamma = (1+a)/(1-a) at relative accuracy a ~= 1%
+_DD_PROBES = (250, 500, 750, 900, 990)  # permille quantiles
+
+_DD_L_SQL = "CAST(round(round(ln(CAST(v AS DOUBLE)), 6) * 1e6) AS BIGINT)"
+
+_DD1_SQL = f"""
+WITH vals AS (
+  SELECT l_extendedprice AS v FROM lineitem
+  WHERE l_extendedprice > 1
+),
+lv AS (SELECT v, {_DD_L_SQL} AS L FROM vals),
+bk AS (
+  SELECT (L + {_DD_G - 1}) // {_DD_G} AS bucket, CAST(count(*) AS BIGINT) AS c
+  FROM lv GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_buckets FROM bk),
+bcum AS (
+  SELECT bucket, SUM(c) OVER (ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM bk
+),
+probes AS (
+  SELECT q_pm, n, n_buckets,
+         (q_pm * n + 999) // 1000 AS target_rank
+  FROM (VALUES {", ".join(f"({q})" for q in _DD_PROBES)}) AS p(q_pm)
+  CROSS JOIN tot
+),
+sk AS (
+  SELECT p.q_pm, min(b.bucket) AS sketch_bucket
+  FROM probes p JOIN bcum b ON b.cum >= p.target_rank
+  GROUP BY p.q_pm
+),
+vcnt AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY v),
+vcum AS (
+  SELECT v, SUM(c) OVER (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM vcnt
+),
+tv AS (
+  SELECT p.q_pm, min(c.v) AS true_value
+  FROM probes p JOIN vcum c ON c.cum >= p.target_rank
+  GROUP BY p.q_pm
+)
+SELECT p.q_pm, p.n, p.n_buckets, p.target_rank,
+       s.sketch_bucket,
+       {_DD_G} * (s.sketch_bucket - 1) AS bucket_lo_mnats,
+       {_DD_G} * s.sketch_bucket AS bucket_hi_mnats,
+       t.true_value,
+       CAST(round(round(ln(CAST(t.true_value AS DOUBLE)), 6) * 1e6) AS BIGINT)
+         AS true_mnats,
+       {_DD_G} * (s.sketch_bucket - 1)
+           < CAST(round(round(ln(CAST(t.true_value AS DOUBLE)), 6) * 1e6)
+                  AS BIGINT)
+         AND CAST(round(round(ln(CAST(t.true_value AS DOUBLE)), 6) * 1e6)
+                  AS BIGINT)
+           <= {_DD_G} * s.sketch_bucket AS in_bucket,
+       CAST(0.020001 AS DOUBLE) AS log_bucket_width
+FROM probes p
+JOIN sk s ON s.q_pm = p.q_pm
+JOIN tv t ON t.q_pm = p.q_pm
+"""
+
+
+@query("dd1_ddsketch_quantiles", oracle=_DD1_SQL)
+def dd1_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-style log-bucket quantile sketch (Masson, Rim & Lee
+    VLDB 2019) over lineitem prices, DETERMINISTIC and mergeable by
+    construction: bucket(v) = ceil(L(v)/G) where L is ln in exact
+    integer micro-nats (the zipf1 scaling) and G = 20001 μnats
+    (γ ≈ 1.0202, ~1% relative accuracy); bucket counts merge by plain
+    addition — a groupBy-sum — so at 100 TB only the ~bounded bucket
+    histogram (log-range/G rows, a few hundred for any monetary
+    domain) ever shuffles or persists, never the corpus. Quantile
+    answers are bucket ranges read off the cumulative histogram.
+
+    Self-verifying oracle (the mg1 pattern): each probe row carries
+    the EXACT quantile value (computed from the value-domain spine —
+    verification work a production run would skip) and the boolean
+    ``in_bucket`` asserting the sketch's structural guarantee — the
+    true quantile's μnat image lies inside the sketch's answered
+    bucket. It can never fail: bucket assignment is monotone in v and
+    counts are exact, so the first bucket whose cumulative reaches
+    the target rank IS the true quantile's bucket. All guarantee
+    arithmetic is integer; ranks use the ceil convention
+    (q·n + 999) // 1000. Values ≤ 1 are excluded by policy (the
+    log-bucket domain; shift/scale first for general supports).
+
+    Scale shape: ONE map-side-combined groupBy on the bucket key is
+    the sketch; the probe joins are against the bounded histogram;
+    the exact-verification arm groups on the value domain (bounded
+    by price quantization, the mw1/ks1 argument)."""
+    li = load(spark, sf_dir, "lineitem")
+    vals = li.select(F.col("l_extendedprice").alias("v")).filter(F.col("v") > 1)
+    L = (
+        F.round(F.round(F.log(F.col("v").cast("double")), 6) * 1e6)
+        .cast("long")
+    )
+    bk = (
+        vals.select(L.alias("L"))
+        .select(F.expr(f"(L + {_DD_G - 1}) div {_DD_G}").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = bk.agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_buckets")
+    )
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    bcum = bk.select("bucket", F.sum("c").over(w_b).alias("cum"))
+    probes = tot.select(
+        F.explode(F.array(*[F.lit(q) for q in _DD_PROBES])).alias("q_pm"),
+        "n",
+        "n_buckets",
+    ).select(
+        "q_pm",
+        "n",
+        "n_buckets",
+        F.expr("(q_pm * n + 999) div 1000").alias("target_rank"),
+    )
+    sk = (
+        F.broadcast(probes)
+        .join(bcum, F.col("cum") >= F.col("target_rank"))
+        .groupBy("q_pm")
+        .agg(F.min("bucket").alias("sketch_bucket"))
+    )
+    vcnt = vals.groupBy("v").agg(F.count("*").alias("c"))
+    w_v = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    vcum = vcnt.select("v", F.sum("c").over(w_v).alias("cum"))
+    tv = (
+        F.broadcast(probes.select("q_pm", "target_rank"))
+        .join(vcum, F.col("cum") >= F.col("target_rank"))
+        .groupBy("q_pm")
+        .agg(F.min("v").alias("true_value"))
+    )
+    true_mnats = (
+        F.round(F.round(F.log(F.col("true_value").cast("double")), 6) * 1e6)
+        .cast("long")
+    )
+    lo = F.lit(_DD_G) * (F.col("sketch_bucket") - 1)
+    hi = F.lit(_DD_G) * F.col("sketch_bucket")
+    return (
+        probes.join(sk, "q_pm")
+        .join(tv, "q_pm")
+        .select(
+            "q_pm",
+            "n",
+            "n_buckets",
+            "target_rank",
+            "sketch_bucket",
+            lo.alias("bucket_lo_mnats"),
+            hi.alias("bucket_hi_mnats"),
+            "true_value",
+            true_mnats.alias("true_mnats"),
+            ((lo < true_mnats) & (true_mnats <= hi)).alias("in_bucket"),
+            F.lit(0.020001).alias("log_bucket_width"),
+        )
+    )

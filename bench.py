@@ -202,6 +202,7 @@ HEADLINE = [
     "zipf1_rank_frequency_fit",
     "dp1_dp_source_counts",
     "cp2_selection_pipeline",
+    "dd1_ddsketch_quantiles",
 ]
 
 
