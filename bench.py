@@ -203,6 +203,7 @@ HEADLINE = [
     "dp1_dp_source_counts",
     "cp2_selection_pipeline",
     "dd1_ddsketch_quantiles",
+    "kmv1_kmv_distinct",
 ]
 
 
