@@ -2079,3 +2079,111 @@ def kmv1_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         small.alias("exact_regime"),
     )
+
+
+# --------------------------------------------------------------------------
+# lpa1 — synchronous label propagation community detection
+# --------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+
+def _lpa1_oracle() -> str:
+    """Unrolled-CTE replay of the synchronous rounds (gr1/km1
+    precedent): labels are node ids (exact BIGINTs), each round's new
+    label is the neighbor-label mode with ties to the SMALLEST label
+    — an integer argmax both engines replay identically."""
+    ctes = [
+        """e0 AS (
+      SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS src,
+                      CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    lab0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e)""",
+    ]
+    for i in range(1, _LPA_ITERS + 1):
+        ctes.append(
+            f"""cnt{i} AS (
+      SELECT e.src AS node, l.lbl, CAST(count(*) AS BIGINT) AS c
+      FROM e JOIN lab{i - 1} l ON e.dst = l.node
+      GROUP BY 1, 2
+    ),
+    lab{i} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (
+                 PARTITION BY node ORDER BY c DESC, lbl) AS rk
+        FROM cnt{i}) t WHERE rk = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+                ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+           CASE WHEN lbl % 2 = 0 THEN 'c' || CAST(lbl // 2 AS VARCHAR)
+                ELSE 's' || CAST(lbl // 2 AS VARCHAR) END AS community
+    FROM lab{_LPA_ITERS}"""
+    )
+
+
+@query("lpa1_label_propagation", oracle=_lpa1_oracle())
+def lpa1_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan, Albert & Kumara 2007)
+    over the undirected customer–supplier order graph, 3 unrolled
+    rounds: every node adopts the most frequent label among its
+    neighbors (ties → smallest label). Where connected components
+    (d6) finds REACHABILITY clusters, LPA finds DENSITY communities —
+    the grouping a curation pipeline uses to bucket entangled
+    crawl/source neighborhoods before per-community sampling. Labels
+    init to node ids on the same parity-disjoint long encoding as
+    gr1 (customer 2k, supplier 2k+1), decoded to 'c…'/'s…' on the
+    way out.
+
+    Determinism: labels are exact BIGINTs; each round's mode is an
+    integer (count desc, label asc) argmax — min(struct(-c, lbl)) in
+    Spark, the identical ORDER BY in the oracle's unrolled CTEs.
+    Synchronous update (all nodes step together) makes the recurrence
+    a pure function of the previous round — no engine-dependent
+    visit order, unlike the asynchronous published variant.
+
+    Scale shape: the doubled edge list persists once, hash-partitioned
+    on the join key by the same window trick as gr1; each round is
+    ONE edge⋈label join + a (node, lbl) count + a (node) argmin, all
+    map-side combinable; the whole 3-round chain stays one lazy
+    plan (gr1's floor-bound A/B applies verbatim)."""
+    from pyspark.storagelevel import StorageLevel
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    e = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    lab = e.select(F.col("src").alias("node"), F.col("src").alias("lbl")).distinct()
+    for _ in range(_LPA_ITERS):
+        cnt = (
+            e.join(lab.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        lab = cnt.groupBy("node").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), "lbl")).alias("b")
+        ).select("node", F.col("b.lbl").alias("lbl"))
+
+    decode = lambda col: F.when(  # noqa: E731
+        F.col(col) % 2 == 0,
+        F.concat(F.lit("c"), F.expr(f"CAST({col} div 2 AS STRING)")),
+    ).otherwise(F.concat(F.lit("s"), F.expr(f"CAST({col} div 2 AS STRING)")))
+    return lab.select(
+        decode("node").alias("node"), decode("lbl").alias("community")
+    )

@@ -204,6 +204,7 @@ HEADLINE = [
     "cp2_selection_pipeline",
     "dd1_ddsketch_quantiles",
     "kmv1_kmv_distinct",
+    "lpa1_label_propagation",
 ]
 
 
