@@ -2187,3 +2187,117 @@ def lpa1_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lab.select(
         decode("node").alias("node"), decode("lbl").alias("community")
     )
+
+
+# --------------------------------------------------------------------------
+# ab1 — two-proportion z-test experiment readout
+# --------------------------------------------------------------------------
+
+#: chi-square(1) 95% critical value, times 1e6 for the exact integer gate
+_AB_CRIT_MICRO = 3_841_459  # 3.841459 * 1e6
+
+_AB1_SQL = f"""
+WITH per AS (
+  SELECT event_type,
+         CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS s_a,
+         CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS s_b
+  FROM events
+  GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(sum(s_a) AS BIGINT) AS n_a, CAST(sum(s_b) AS BIGINT) AS n_b
+  FROM per
+),
+z AS (
+  SELECT event_type, s_a, s_b, n_a, n_b,
+         CAST(n_a + n_b AS DECIMAL(38,0))
+           * CAST(s_a * n_b - s_b * n_a AS DECIMAL(38,0))
+           * CAST(s_a * n_b - s_b * n_a AS DECIMAL(38,0)) AS num,
+         CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
+           * CAST(s_a + s_b AS DECIMAL(38,0))
+           * CAST(n_a + n_b - s_a - s_b AS DECIMAL(38,0)) AS den
+  FROM per CROSS JOIN tot
+)
+SELECT event_type, n_a, s_a, n_b, s_b,
+       CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+       CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+       CAST(num AS DOUBLE) / nullif(CAST(den AS DOUBLE), 0.0) AS z_squared,
+       1000000 * num > {_AB_CRIT_MICRO} * den AS significant
+FROM z
+"""
+
+
+@query("ab1_experiment_readout", oracle=_AB1_SQL)
+def ab1_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test readout over the events stream: users are
+    split into arms by id parity (the standard hash-bucket assignment
+    an experimentation platform uses) and, for every event_type, the
+    share of the arm's traffic that is that type is compared across
+    arms — the launch-gate readout for "did the treatment shift the
+    click/purchase/error mix?". Surfaced per type: arm totals and
+    successes, the two proportions, z² (the squared z statistic, which
+    is the chi-square(1) form of the test — sqrt-free by design), and
+    the α=0.05 decision.
+
+    Exactness: with d = s_a·n_b − s_b·n_a, the identity
+    z² = N·d² / (n_a·n_b·S·(N−S)) (S = s_a+s_b, N = n_a+n_b) makes
+    both numerator and denominator exact integers; they are built in
+    DECIMAL(38,0) and the surfaced z² is ONE double division both
+    engines perform on identical operands. The significance gate never
+    touches floats at all: 1e6·num > 3841459·den in DECIMAL(38,0),
+    the drift1/emb5 cross-multiplied-threshold pattern, so a z² that
+    lands ON the 3.841459 boundary cannot flip between engines. Exact
+    up to per-cell counts ~1e8 (d² then nears the 38-digit cap); a
+    100 TB deployment with ~1e12-count cells would pre-aggregate per
+    shard or accept the double form, where d's magnitude makes the
+    1-ulp boundary risk irrelevant.
+
+    Scale shape: ONE map-side-combined groupBy(event_type) over a
+    two-column projection reduces the stream to ≤ n_types rows;
+    arm totals fold back in as a 1-row broadcast aggregate. No second
+    pass over the events table, no window, no skew exposure (arms are
+    conditional counts, not group keys)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 2 == 0).alias("a")
+    )
+    per = ev.groupBy("event_type").agg(
+        F.count_if(F.col("a")).alias("s_a"),
+        F.count_if(~F.col("a")).alias("s_b"),
+    )
+    tot = per.agg(
+        F.sum("s_a").cast("long").alias("n_a"),
+        F.sum("s_b").cast("long").alias("n_b"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    d = F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")
+    z = per.join(F.broadcast(tot)).select(
+        "event_type",
+        "s_a",
+        "s_b",
+        "n_a",
+        "n_b",
+        (dec(F.col("n_a") + F.col("n_b")) * dec(d) * dec(d)).alias("num"),
+        (
+            dec(F.col("n_a"))
+            * dec(F.col("n_b"))
+            * dec(F.col("s_a") + F.col("s_b"))
+            * dec(F.col("n_a") + F.col("n_b") - F.col("s_a") - F.col("s_b"))
+        ).alias("den"),
+    )
+    return z.select(
+        "event_type",
+        "n_a",
+        "s_a",
+        "n_b",
+        "s_b",
+        (F.col("s_a").cast("double") / F.col("n_a").cast("double")).alias("p_a"),
+        (F.col("s_b").cast("double") / F.col("n_b").cast("double")).alias("p_b"),
+        (
+            F.col("num").cast("double")
+            / F.nullif(F.col("den").cast("double"), F.lit(0.0))
+        ).alias("z_squared"),
+        (
+            F.lit(1_000_000).cast("decimal(38,0)") * F.col("num")
+            > F.lit(_AB_CRIT_MICRO).cast("decimal(38,0)") * F.col("den")
+        ).alias("significant"),
+    )

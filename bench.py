@@ -205,6 +205,7 @@ HEADLINE = [
     "dd1_ddsketch_quantiles",
     "kmv1_kmv_distinct",
     "lpa1_label_propagation",
+    "ab1_experiment_readout",
 ]
 
 
