@@ -2200,7 +2200,7 @@ _AB1_SQL = f"""
 WITH per AS (
   SELECT event_type,
          CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS s_a,
-         CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS s_b
+         CAST(count(*) FILTER (WHERE user_id % 2 <> 0) AS BIGINT) AS s_b
   FROM events
   GROUP BY event_type
 ),
@@ -2299,5 +2299,159 @@ def ab1_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.lit(1_000_000).cast("decimal(38,0)") * F.col("num")
             > F.lit(_AB_CRIT_MICRO).cast("decimal(38,0)") * F.col("den")
+        ).alias("significant"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ab2 — mean-shift z-test on event value (continuous-metric A/B readout)
+# --------------------------------------------------------------------------
+
+_AB2_SQL = f"""
+WITH per AS (
+  SELECT event_type,
+         CAST(count(*) FILTER (WHERE user_id % 2 = 0
+                               AND value IS NOT NULL) AS BIGINT) AS n_a,
+         CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (WHERE user_id % 2 = 0), 0) AS DECIMAL(38,0)) AS s_a,
+         CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)
+                           * CAST(round(value * 100) AS BIGINT))
+                FILTER (WHERE user_id % 2 = 0), 0) AS DECIMAL(38,0)) AS q_a,
+         CAST(count(*) FILTER (WHERE user_id % 2 <> 0
+                               AND value IS NOT NULL) AS BIGINT) AS n_b,
+         CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (WHERE user_id % 2 <> 0), 0) AS DECIMAL(38,0)) AS s_b,
+         CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)
+                           * CAST(round(value * 100) AS BIGINT))
+                FILTER (WHERE user_id % 2 <> 0), 0) AS DECIMAL(38,0)) AS q_b
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY event_type
+),
+z AS (
+  SELECT event_type, n_a, n_b, s_a, s_b,
+         (s_a * CAST(n_b AS DECIMAL(38,0))
+          - s_b * CAST(n_a AS DECIMAL(38,0))) AS d,
+         (CAST(n_a AS DECIMAL(38,0)) * q_a - s_a * s_a) AS ss_a,
+         (CAST(n_b AS DECIMAL(38,0)) * q_b - s_b * s_b) AS ss_b
+  FROM per
+),
+zz AS (
+  SELECT event_type, n_a, n_b, s_a, s_b,
+         CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+           d * d * CAST(n_a - 1 AS DECIMAL(38,0))
+                 * CAST(n_b - 1 AS DECIMAL(38,0))
+         END AS num,
+         CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+           ss_a * CAST(n_b AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
+                * CAST(n_b - 1 AS DECIMAL(38,0))
+           + ss_b * CAST(n_a AS DECIMAL(38,0)) * CAST(n_a AS DECIMAL(38,0))
+                  * CAST(n_a - 1 AS DECIMAL(38,0))
+         END AS den
+  FROM z
+)
+SELECT event_type, n_a, n_b,
+       CAST(s_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0)
+         AS mean_cents_a,
+       CAST(s_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0)
+         AS mean_cents_b,
+       CAST(num AS DOUBLE) / nullif(CAST(den AS DOUBLE), 0.0) AS z_squared,
+       CASE WHEN den > 0 THEN 1000000 * num > {_AB_CRIT_MICRO} * den
+       END AS significant
+FROM zz
+"""
+
+
+@query("ab2_mean_shift_ztest", oracle=_AB2_SQL)
+def ab2_mean_shift_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift z-test on event value — ab1's continuous-metric
+    sibling, the other half of every experiment readout ("did the
+    treatment move revenue per event?", not just the event mix).
+    Users split into arms by id parity; for each event_type the
+    per-event value means are compared with the large-sample
+    two-sample z statistic, squared (chi-square(1) form, sqrt-free).
+
+    Exactness: value is fixed-pointed to cents (exact 2dp corpus;
+    round(value·100) is >1e6 ulps from every .5 boundary, the fe1
+    argument), so the power sums s = Σc and q = Σc² are exact
+    integers carried in DECIMAL(38,0) (q would overflow BIGINT on the
+    adversarial 2e7 values). With d = s_a·n_b − s_b·n_a and
+    ss_i = n_i·q_i − s_i² (n² × the biased variance), the identity
+    z² = d²·(n_a−1)(n_b−1) / (ss_a·n_b²(n_b−1) + ss_b·n_a²(n_a−1))
+    keeps numerator and denominator exact; the surfaced z² is ONE
+    double division and the α=0.05 gate is the drift1/emb5
+    cross-multiplied integer comparison (1e6·num > 3841459·den) —
+    no float threshold. Arms with n < 2 (no variance estimate) and
+    zero-pooled-variance cells yield NULL, never a fabricated
+    decision; a singleton arm's ss is identically 0, so the algebra
+    degrades without special cases. NULL values are excluded from
+    both counts and sums on both engines; negative user ids land in
+    arm b via the sign-of-dividend `%` both engines share.
+
+    Scale shape: ONE map-side-combined groupBy(event_type) over a
+    three-column projection; all six conditional power sums reduce in
+    the same pass, so the stream is read once and no second shuffle,
+    window, or join exists at all. DECIMAL(38,0) keeps the algebra
+    exact up to per-cell Σc² ~ 1e19 with n ~ 1e9; a 100 TB deployment
+    beyond that pre-aggregates per shard or accepts the double form,
+    where d's magnitude dwarfs the 1-ulp boundary risk."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    a = F.col("user_id") % 2 == 0
+    c = F.round(F.col("value") * 100).cast("long")
+    dec = lambda x: x.cast("decimal(38,0)")  # noqa: E731
+    zero = F.lit(0).cast("decimal(38,0)")
+    per = ev.select("event_type", a.alias("a"), c.alias("c")).groupBy(
+        "event_type"
+    ).agg(
+        F.count_if(F.col("a")).alias("n_a"),
+        F.coalesce(F.sum(F.when(F.col("a"), dec(F.col("c")))), zero).alias("s_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("a"), dec(F.col("c") * F.col("c")))), zero
+        ).alias("q_a"),
+        F.count_if(~F.col("a")).alias("n_b"),
+        F.coalesce(F.sum(F.when(~F.col("a"), dec(F.col("c")))), zero).alias("s_b"),
+        F.coalesce(
+            F.sum(F.when(~F.col("a"), dec(F.col("c") * F.col("c")))), zero
+        ).alias("q_b"),
+    )
+    d = F.col("s_a") * dec(F.col("n_b")) - F.col("s_b") * dec(F.col("n_a"))
+    ss_a = dec(F.col("n_a")) * F.col("q_a") - F.col("s_a") * F.col("s_a")
+    ss_b = dec(F.col("n_b")) * F.col("q_b") - F.col("s_b") * F.col("s_b")
+    both = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    z = per.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "s_a",
+        "s_b",
+        F.when(
+            both, d * d * dec(F.col("n_a") - 1) * dec(F.col("n_b") - 1)
+        ).alias("num"),
+        F.when(
+            both,
+            ss_a * dec(F.col("n_b")) * dec(F.col("n_b")) * dec(F.col("n_b") - 1)
+            + ss_b * dec(F.col("n_a")) * dec(F.col("n_a")) * dec(F.col("n_a") - 1),
+        ).alias("den"),
+    )
+    return z.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (
+            F.col("s_a").cast("double")
+            / F.nullif(F.col("n_a").cast("double"), F.lit(0.0))
+        ).alias("mean_cents_a"),
+        (
+            F.col("s_b").cast("double")
+            / F.nullif(F.col("n_b").cast("double"), F.lit(0.0))
+        ).alias("mean_cents_b"),
+        (
+            F.col("num").cast("double")
+            / F.nullif(F.col("den").cast("double"), F.lit(0.0))
+        ).alias("z_squared"),
+        F.when(
+            F.col("den") > 0,
+            F.lit(1_000_000).cast("decimal(38,0)") * F.col("num")
+            > F.lit(_AB_CRIT_MICRO).cast("decimal(38,0)") * F.col("den"),
         ).alias("significant"),
     )

@@ -206,6 +206,7 @@ HEADLINE = [
     "kmv1_kmv_distinct",
     "lpa1_label_propagation",
     "ab1_experiment_readout",
+    "ab2_mean_shift_ztest",
 ]
 
 
