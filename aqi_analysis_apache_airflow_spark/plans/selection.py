@@ -2455,3 +2455,115 @@ def ab2_mean_shift_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(_AB_CRIT_MICRO).cast("decimal(38,0)") * F.col("den"),
         ).alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# kcore1 — k-core peeling on the customer–supplier graph
+# --------------------------------------------------------------------------
+
+_KCORE_K = 8
+_KCORE_ROUNDS = 3
+
+_KCORE_DECODE = """CASE WHEN {c} % 2 = 0 THEN 'c' || CAST({c} // 2 AS VARCHAR)
+            ELSE 's' || CAST({c} // 2 AS VARCHAR) END"""
+
+
+def _kcore1_oracle() -> str:
+    """Unrolled-CTE replay of the peeling rounds (gr1/lpa1 precedent):
+    all quantities are exact BIGINT degrees and set memberships."""
+    ctes = [
+        """e0 AS (
+      SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS src,
+                      CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    g0 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)""",
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(
+            f"""d{i} AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+      FROM g{i - 1} GROUP BY 1
+    ),
+    k{i} AS (SELECT node FROM d{i} WHERE deg >= {_KCORE_K}),
+    g{i} AS (
+      SELECT g.src, g.dst FROM g{i - 1} g
+      WHERE g.src IN (SELECT node FROM k{i})
+        AND g.dst IN (SELECT node FROM k{i})
+    )"""
+        )
+    last = _KCORE_ROUNDS
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    fin AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree
+      FROM g{last} GROUP BY 1
+    )
+    SELECT {_KCORE_DECODE.format(c="node")} AS node, core_degree
+    FROM fin"""
+    )
+
+
+@query("kcore1_kcore_peeling", oracle=_kcore1_oracle())
+def kcore1_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by synchronous peeling (Seidman 1983;
+    the distributed formulation of Montresor et al. 2013): repeatedly
+    delete nodes of degree < k and the edges they carry. The k-core
+    is the standard graph-quality filter a curation pipeline runs on
+    link/citation graphs — spam and orphan pages fall out of low
+    cores while densely-embedded content survives — and the densest-
+    region complement to lpa1's communities and d6's components.
+    Three unrolled rounds on the undirected customer–supplier order
+    graph (gr1's parity-disjoint long encoding); surfaced: surviving
+    nodes and their residual in-core degree.
+
+    Determinism: degrees are exact BIGINTs and membership is a set
+    predicate — no floats anywhere, so the unrolled-CTE oracle
+    (the gr1/km1/lpa1 precedent) replays the recurrence bit-exactly.
+    Bounded unrolling is the published synchronous schedule truncated
+    at R=3 (each round strictly shrinks the edge set, so the result
+    is a superset of the true k-core and exact once the peel
+    converges — production iterates to fixed point with d6's
+    control-plane convergence scalar).
+
+    Scale shape: the doubled edge list persists once; each round is
+    ONE map-side-combined degree aggregation plus two LEFT SEMI joins
+    hash-partitioned on the same endpoint keys (src, then dst) — no
+    windows, no collect, and the per-round edge set only shrinks, so
+    the 100 TB cost is front-loaded in round 1. AQE re-plans each
+    round's joins as survivors (often a small minority) drop below
+    the broadcast threshold."""
+    from pyspark.storagelevel import StorageLevel
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    g = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            g.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+        g = g.join(
+            keep.withColumnRenamed("node", "src"), "src", "left_semi"
+        ).join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+    fin = g.groupBy("src").agg(F.count("*").cast("long").alias("core_degree"))
+    node = F.col("src")
+    decoded = F.when(
+        node % 2 == 0,
+        F.concat(F.lit("c"), F.expr("CAST(src div 2 AS STRING)")),
+    ).otherwise(F.concat(F.lit("s"), F.expr("CAST(src div 2 AS STRING)")))
+    return fin.select(decoded.alias("node"), "core_degree")

@@ -207,6 +207,7 @@ HEADLINE = [
     "lpa1_label_propagation",
     "ab1_experiment_readout",
     "ab2_mean_shift_ztest",
+    "kcore1_kcore_peeling",
 ]
 
 
