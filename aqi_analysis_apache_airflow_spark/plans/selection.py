@@ -96,28 +96,12 @@ LIMIT {_RRF_TOPK}
 """
 
 
-@query("rr1_rank_fusion", oracle=_RR1_SQL)
-def rr1_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: reciprocal rank fusion (Cormack–Clarke–
-    Buettcher 2009, k=60) of a lexical BM25 ranker and a semantic
-    cosine ranker — the standard hybrid-search recipe for RAG corpus
-    slicing, fusing rankers whose scores live on incomparable scales
-    by rank alone. Docs surfaced by only one ranker score with the
-    other arm at 0 (the published convention).
-
-    Scale shape: each arm independently reduces the corpus to a
-    bounded ``_RRF_POOL``-row ranked list via TakeOrderedAndProject
-    (per-partition heap + driver merge — no global sort, no corpus
-    shuffle beyond the arms' own aggregations, see ret1 /
-    sim_cosine_topk for those). Rank assignment windows run on the
-    pooled ≤50-row lists (single partition over a bounded list — NOT
-    over the corpus), and the fusion join is a full-outer of two
-    bounded lists. At 100 TB nothing here grows with the corpus.
-
-    Determinism: BM25 scores are the ret1 decimal-summed form; cosine
-    is the 6dp-rounded decimal-dot form; ranks are integers; the RRF
-    score is two IEEE divisions and one addition with fixed operand
-    order — bit-identical in any engine. Ties break on doc_id."""
+def _ranked_arms(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The two bounded ranked lists shared by rr1 (fusion) and tau1
+    (agreement): BM25 lexical top-``_RRF_POOL`` and exact-cosine
+    semantic top-``_RRF_POOL`` against the vec_id=0 probe. Each arm
+    reduces the corpus via TakeOrderedAndProject; the rank windows run
+    on the pooled ≤50-row lists only."""
     lex = (
         bm25_doc_scores(spark, sf_dir)
         .orderBy(F.col("score").desc(), "doc_id")
@@ -150,6 +134,32 @@ def rr1_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "sem_rank")
     )
+    return lex, sem
+
+
+@query("rr1_rank_fusion", oracle=_RR1_SQL)
+def rr1_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal rank fusion (Cormack–Clarke–
+    Buettcher 2009, k=60) of a lexical BM25 ranker and a semantic
+    cosine ranker — the standard hybrid-search recipe for RAG corpus
+    slicing, fusing rankers whose scores live on incomparable scales
+    by rank alone. Docs surfaced by only one ranker score with the
+    other arm at 0 (the published convention).
+
+    Scale shape: each arm independently reduces the corpus to a
+    bounded ``_RRF_POOL``-row ranked list via TakeOrderedAndProject
+    (per-partition heap + driver merge — no global sort, no corpus
+    shuffle beyond the arms' own aggregations, see ret1 /
+    sim_cosine_topk for those). Rank assignment windows run on the
+    pooled ≤50-row lists (single partition over a bounded list — NOT
+    over the corpus), and the fusion join is a full-outer of two
+    bounded lists. At 100 TB nothing here grows with the corpus.
+
+    Determinism: BM25 scores are the ret1 decimal-summed form; cosine
+    is the 6dp-rounded decimal-dot form; ranks are integers; the RRF
+    score is two IEEE divisions and one addition with fixed operand
+    order — bit-identical in any engine. Ties break on doc_id."""
+    lex, sem = _ranked_arms(spark, sf_dir)
     arm = lambda r: F.coalesce(  # noqa: E731
         F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col(r).cast("double")), F.lit(0.0)
     )
@@ -2567,3 +2577,109 @@ def kcore1_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c"), F.expr("CAST(src div 2 AS STRING)")),
     ).otherwise(F.concat(F.lit("s"), F.expr("CAST(src div 2 AS STRING)")))
     return fin.select(decoded.alias("node"), "core_degree")
+
+
+# --------------------------------------------------------------------------
+# tau1 — Kendall-tau agreement between the lexical and semantic rankers
+# --------------------------------------------------------------------------
+
+_TAU1_SQL = f"""
+WITH {_BM25_CTES},
+lex_pool AS (
+  SELECT doc_id, score FROM bm
+  ORDER BY score DESC, doc_id
+  LIMIT {_RRF_POOL}
+),
+lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+           AS lex_rank
+  FROM lex_pool
+),
+{_SEM_CTES},
+common AS (
+  SELECT lex.doc_id, lex.lex_rank, sem.sem_rank
+  FROM lex JOIN sem ON lex.doc_id = sem.doc_id
+),
+pairs AS (
+  SELECT CAST(a.lex_rank - b.lex_rank AS BIGINT)
+           * CAST(a.sem_rank - b.sem_rank AS BIGINT) AS prod
+  FROM common a JOIN common b ON a.doc_id < b.doc_id
+),
+agg AS (
+  SELECT CAST(count(*) FILTER (WHERE prod > 0) AS BIGINT) AS concordant,
+         CAST(count(*) FILTER (WHERE prod < 0) AS BIGINT) AS discordant
+  FROM pairs
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM common)
+SELECT n.n_common,
+       n.n_common * (n.n_common - 1) // 2 AS n_pairs,
+       agg.concordant, agg.discordant,
+       CAST(agg.concordant - agg.discordant AS DOUBLE)
+         / nullif(CAST(n.n_common * (n.n_common - 1) // 2 AS DOUBLE), 0.0)
+         AS tau
+FROM agg CROSS JOIN n
+"""
+
+
+@query("tau1_ranker_agreement", oracle=_TAU1_SQL)
+def tau1_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall-tau rank agreement (Kendall 1938, tau-a) between the
+    BM25 lexical ranker and the exact-cosine semantic ranker over the
+    documents BOTH place in their top-``_RRF_POOL`` — the standard
+    diagnostic BEFORE fusing rankers (rr1): tau near 1 means the
+    rankers are redundant and fusion adds nothing; tau near 0 means
+    they see genuinely different relevance and RRF will help. Also
+    the regression gate for swapping a ranker implementation
+    ("does the new ANN arm still order candidates like the exact
+    one?" — the ndcg1 question asked between rankers instead of
+    against labels).
+
+    Exactness: ranks within each pool are distinct integers (score
+    desc, doc_id tiebreak — no ties, so tau-a needs no tie terms);
+    concordance is the SIGN of an integer product, and the surfaced
+    tau is ONE double division of exact integers (C − D over
+    n(n−1)/2). Intersections with n < 2 yield NULL tau, never a
+    fabricated agreement.
+
+    Scale shape: both arms reduce the corpus with
+    TakeOrderedAndProject heaps (the rr1/_ranked_arms shape — no
+    global sort); the pair enumeration is a nested-loop join of the
+    ≤50-row intersection against its broadcast self (≤1225 pairs),
+    then one 1-row aggregate. At 100 TB the pair cost is fixed by
+    the pool constant, not the corpus."""
+    lex, sem = _ranked_arms(spark, sf_dir)
+    both = lex.join(sem, "doc_id").select("doc_id", "lex_rank", "sem_rank")
+    a = both.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lex_rank").alias("la"),
+        F.col("sem_rank").alias("sa"),
+    )
+    b = both.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lex_rank").alias("lb"),
+        F.col("sem_rank").alias("sb"),
+    )
+    prod = (F.col("la") - F.col("lb")).cast("long") * (
+        F.col("sa") - F.col("sb")
+    ).cast("long")
+    agg = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(prod.alias("prod"))
+        .agg(
+            F.count_if(F.col("prod") > 0).alias("concordant"),
+            F.count_if(F.col("prod") < 0).alias("discordant"),
+        )
+    )
+    n = both.agg(F.count("*").cast("long").alias("n_common"))
+    n_pairs = (F.col("n_common") * (F.col("n_common") - 1) / 2).cast("long")
+    return agg.join(F.broadcast(n)).select(
+        "n_common",
+        n_pairs.alias("n_pairs"),
+        "concordant",
+        "discordant",
+        (
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.nullif(n_pairs.cast("double"), F.lit(0.0))
+        ).alias("tau"),
+    )

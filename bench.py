@@ -208,6 +208,7 @@ HEADLINE = [
     "ab1_experiment_readout",
     "ab2_mean_shift_ztest",
     "kcore1_kcore_peeling",
+    "tau1_ranker_agreement",
 ]
 
 
