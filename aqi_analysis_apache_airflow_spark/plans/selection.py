@@ -2683,3 +2683,109 @@ def tau1_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(n_pairs.cast("double"), F.lit(0.0))
         ).alias("tau"),
     )
+
+
+# --------------------------------------------------------------------------
+# cpd1 — CUSUM change-point detection on the daily event-count series
+# --------------------------------------------------------------------------
+
+_CPD1_SQL = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1
+),
+cum AS (
+  SELECT day, c,
+         CAST(SUM(c) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS g,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k
+  FROM d
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(c) AS BIGINT) AS s FROM d
+),
+cand AS (
+  SELECT day, k, g, nd, s, abs(g * nd - k * s) AS dev
+  FROM cum CROSS JOIN tot
+  WHERE k < nd
+),
+top AS (
+  SELECT * FROM cand ORDER BY dev DESC, day LIMIT 1
+)
+SELECT CAST(day AS VARCHAR) AS change_day, k AS days_before, g AS events_before,
+       nd AS n_days, s AS n_events, dev AS dev_numerator,
+       CAST(g AS DOUBLE) / CAST(k AS DOUBLE) AS mean_daily_before,
+       CAST(s - g AS DOUBLE) / CAST(nd - k AS DOUBLE) AS mean_daily_after
+FROM top
+"""
+
+
+@query("cpd1_changepoint_cusum", oracle=_CPD1_SQL)
+def cpd1_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline change-point detection on the daily event-count series
+    — the CUSUM / binary-segmentation first split (Page 1954; Scott &
+    Knott 1974): the day k whose prefix deviates most from the
+    homogeneous-rate expectation, i.e. argmax_k |G_k − k·(S/N)| over
+    proper splits (0 < k < N). This is the pipeline-monitoring
+    primitive behind "when did the feed's volume regime change?" —
+    the point drift1/ks1 (distribution drift) don't answer because
+    they test WHETHER, not WHEN. Surfaced: the split day, both
+    segment means, and the exact deviation numerator.
+
+    Exactness: the deviation is cross-multiplied to |G_k·N − k·S| —
+    exact BIGINTs (G ~ 1e12 daily-aggregated events × N ~ 1e4 days
+    stays far under 2^63), so the argmax is an integer comparison
+    with ties broken on the earlier day; the two segment means are
+    single double divisions of exact integers. No floats anywhere
+    else, so both engines pick the identical day.
+
+    Scale shape: ONE map-side-combined groupBy collapses the corpus
+    to the day spine (bounded by the calendar, not the data — the
+    ks1 argument); the cumulative window and the LIMIT-1 argmax run
+    on that spine, and totals attach as a 1-row broadcast. At 100 TB
+    the only corpus-sized work is the first aggregation."""
+    d = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = d.select(
+        "day",
+        F.sum("c").over(w).cast("long").alias("g"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("k"),
+    )
+    tot = d.agg(
+        F.count("*").cast("long").alias("nd"), F.sum("c").cast("long").alias("s")
+    )
+    cand = (
+        cum.join(F.broadcast(tot))
+        .filter(F.col("k") < F.col("nd"))
+        .select(
+            "day",
+            "k",
+            "g",
+            "nd",
+            "s",
+            F.abs(F.col("g") * F.col("nd") - F.col("k") * F.col("s")).alias("dev"),
+        )
+    )
+    top = cand.orderBy(F.col("dev").desc(), "day").limit(1)
+    return top.select(
+        F.col("day").cast("string").alias("change_day"),
+        F.col("k").alias("days_before"),
+        F.col("g").alias("events_before"),
+        F.col("nd").alias("n_days"),
+        F.col("s").alias("n_events"),
+        F.col("dev").alias("dev_numerator"),
+        (F.col("g").cast("double") / F.col("k").cast("double")).alias(
+            "mean_daily_before"
+        ),
+        (
+            (F.col("s") - F.col("g")).cast("double")
+            / (F.col("nd") - F.col("k")).cast("double")
+        ).alias("mean_daily_after"),
+    )

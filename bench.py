@@ -209,6 +209,7 @@ HEADLINE = [
     "ab2_mean_shift_ztest",
     "kcore1_kcore_peeling",
     "tau1_ranker_agreement",
+    "cpd1_changepoint_cusum",
 ]
 
 
