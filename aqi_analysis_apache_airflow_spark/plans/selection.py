@@ -2789,3 +2789,127 @@ def cpd1_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("nd") - F.col("k")).cast("double")
         ).alias("mean_daily_after"),
     )
+
+
+# --------------------------------------------------------------------------
+# read1 — Flesch reading-ease readability scoring
+# --------------------------------------------------------------------------
+
+_READ_WORD_RE = r"\S+"
+_READ_SENT_RE = r"[.!?]+"
+_READ_SYL_RE = r"[aeiouyAEIOUY]+"
+
+_READ1_SQL = f"""
+WITH c AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '{_READ_WORD_RE}')) AS BIGINT)
+           AS n_words,
+         CAST(len(regexp_extract_all(text, '{_READ_SENT_RE}')) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(text, '{_READ_SYL_RE}')) AS BIGINT)
+           AS n_syllable_groups
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, n_words, n_sentences, n_syllable_groups,
+         CAST(n_words AS DOUBLE)
+           / CAST(CASE WHEN n_sentences = 0 THEN 1 ELSE n_sentences END
+                  AS DOUBLE) AS words_per_sentence,
+         CAST(n_syllable_groups AS DOUBLE)
+           / nullif(CAST(n_words AS DOUBLE), 0.0) AS syllables_per_word
+  FROM c
+)
+SELECT doc_id, source, n_words, n_sentences, n_syllable_groups,
+       words_per_sentence, syllables_per_word,
+       CAST(206.835 AS DOUBLE)
+         - CAST(1.015 AS DOUBLE) * words_per_sentence
+         - CAST(84.6 AS DOUBLE) * syllables_per_word AS flesch,
+       CASE
+         WHEN CAST(206.835 AS DOUBLE)
+                - CAST(1.015 AS DOUBLE) * words_per_sentence
+                - CAST(84.6 AS DOUBLE) * syllables_per_word >= 90.0
+           THEN 'very_easy'
+         WHEN CAST(206.835 AS DOUBLE)
+                - CAST(1.015 AS DOUBLE) * words_per_sentence
+                - CAST(84.6 AS DOUBLE) * syllables_per_word >= 60.0
+           THEN 'standard'
+         WHEN CAST(206.835 AS DOUBLE)
+                - CAST(1.015 AS DOUBLE) * words_per_sentence
+                - CAST(84.6 AS DOUBLE) * syllables_per_word >= 30.0
+           THEN 'difficult'
+         WHEN CAST(206.835 AS DOUBLE)
+                - CAST(1.015 AS DOUBLE) * words_per_sentence
+                - CAST(84.6 AS DOUBLE) * syllables_per_word IS NOT NULL
+           THEN 'very_difficult'
+       END AS band
+FROM r
+"""
+
+
+@query("read1_flesch_readability", oracle=_READ1_SQL)
+def read1_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring (Flesch 1948; Kincaid et al. 1975
+    lineage) per document — the classic text-difficulty signal a
+    curation pipeline mixes into quality gates (qc1) and curriculum
+    ordering: 206.835 − 1.015·(words/sentence) − 84.6·(syllables/
+    word). Syllables use the standard vowel-GROUP approximation
+    counted on a case-inclusive ASCII class (no lower(): Unicode
+    case folding is the one string op the two engines may disagree
+    on for hostile text, and non-Latin scripts simply score 0
+    syllable groups rather than corrupting the count).
+
+    Exactness: the three counts are exact integers from the SAME RE2/
+    Java-compatible patterns proven in drift1/div1 ('\\S+') plus two
+    literal character classes; the score is division → two literal
+    multiplies → two subtractions, every literal CAST(… AS DOUBLE) on
+    the oracle side so DuckDB's decimal-literal parsing never
+    produces a different constant (the mmr1 lesson). Zero sentences
+    clamp to 1 (the published convention); zero words NULL the score
+    via nullif, never a NaN-vs-NULL split; NULL text propagates NULL
+    counts on both engines, and the band CASE falls through to NULL
+    with it.
+
+    Scale shape: a pure per-row projection — no shuffle, no window,
+    no join; whole-stage codegen over the narrow (doc_id, source,
+    text) scan. At 100 TB this is scan-bound, exactly as a
+    readability pass should be."""
+    docs = load(spark, sf_dir, "documents")
+    cnt = lambda pat: F.size(  # noqa: E731
+        F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+    ).cast("long")
+    c = docs.select(
+        "doc_id",
+        "source",
+        cnt(_READ_WORD_RE).alias("n_words"),
+        cnt(_READ_SENT_RE).alias("n_sentences"),
+        cnt(_READ_SYL_RE).alias("n_syllable_groups"),
+    )
+    wps = F.col("n_words").cast("double") / F.when(
+        F.col("n_sentences") == 0, F.lit(1)
+    ).otherwise(F.col("n_sentences")).cast("double")
+    spw = F.col("n_syllable_groups").cast("double") / F.nullif(
+        F.col("n_words").cast("double"), F.lit(0.0)
+    )
+    r = c.select(
+        "doc_id",
+        "source",
+        "n_words",
+        "n_sentences",
+        "n_syllable_groups",
+        wps.alias("words_per_sentence"),
+        spw.alias("syllables_per_word"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * F.col("words_per_sentence")
+        - F.lit(84.6) * F.col("syllables_per_word")
+    )
+    return r.select(
+        "*",
+        flesch.alias("flesch"),
+        F.when(flesch >= 90.0, F.lit("very_easy"))
+        .when(flesch >= 60.0, F.lit("standard"))
+        .when(flesch >= 30.0, F.lit("difficult"))
+        .when(flesch.isNotNull(), F.lit("very_difficult"))
+        .alias("band"),
+    )

@@ -210,6 +210,7 @@ HEADLINE = [
     "kcore1_kcore_peeling",
     "tau1_ranker_agreement",
     "cpd1_changepoint_cusum",
+    "read1_flesch_readability",
 ]
 
 
