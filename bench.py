@@ -211,6 +211,7 @@ HEADLINE = [
     "tau1_ranker_agreement",
     "cpd1_changepoint_cusum",
     "read1_flesch_readability",
+    "heaps1_vocab_growth",
 ]
 
 
