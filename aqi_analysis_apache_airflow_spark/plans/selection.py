@@ -3050,3 +3050,89 @@ def heaps1_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("tokens_cum").cast("double"), F.lit(0.0))
         ).alias("type_token_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# emb6 — per-dimension embedding statistics (normalization/whitening prep)
+# --------------------------------------------------------------------------
+
+_EMB6_SQL = """
+WITH el AS (
+  SELECT CAST(i AS BIGINT) AS dim,
+         CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+),
+s AS (
+  SELECT dim,
+         CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(round(x * 1e14) AS BIGINT)) AS sd,
+         SUM(CAST(round(x * x * 1e14) AS BIGINT)) AS qd,
+         min(x) AS min_x,
+         max(x) AS max_x
+  FROM el GROUP BY dim
+)
+SELECT dim, n,
+       CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) / 1e14 AS mean,
+       CAST(qd AS DOUBLE) / CAST(n AS DOUBLE) / 1e14
+         - (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) / 1e14)
+           * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) / 1e14) AS var_pop,
+       min_x, max_x
+FROM s
+"""
+
+
+@query("emb6_dimension_stats", oracle=_EMB6_SQL)
+def emb6_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics over the whole corpus —
+    mean, population variance, min, max for each of the 64 dims: the
+    prep table every normalization/whitening step consumes
+    (mean-centering, per-dim scaling, dead-dimension detection — a
+    dim whose variance ~0 carries no signal and is the first to prune
+    before PQ/Matryoshka truncation, cross-check pq1/emb4). emb2/emb5
+    aggregate per CLUSTER; this is the corpus-level marginal.
+
+    Exactness: each element (exact float32→double) and its square are
+    fixed-pointed by round(··1e14)→BIGINT — the dc3/cos-pair recipe
+    (plans/curation.py _LONG_PROD), the ONE double→integer path both
+    engines share (a direct double→DECIMAL(28,14) cast does NOT: Spark
+    converts the exact binary value HALF_UP while DuckDB scales in
+    double, and they split on ~1/500 float32 elements — measured on
+    this corpus' dim 10). The per-dim sums are exact integers (summed
+    past int64 in DECIMAL/HUGEINT); mean and E[x²] exit through the
+    identical (cast, /n, /1e14) IEEE sequence and var = E[x²] − mean²
+    is the same subtract/multiply in both engines. min/max are exact
+    float comparisons. NULL embeddings contribute no elements on
+    either engine (posexplode vs range-unnest both skip).
+
+    Scale shape: ONE shuffle on the 64-value dim key after a
+    map-side-combinable explode — partial sums collapse each
+    partition to ≤64 rows before the exchange. Skew-free by
+    construction (every vector feeds every dim equally). At 100 TB
+    the cost is the scan plus a 64-row reduce."""
+    emb = load(spark, sf_dir, "embeddings")
+    el = emb.select(
+        F.posexplode(F.col("embedding")).alias("pos", "xf")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    lf = lambda c: F.round(c * F.lit(1e14)).cast("long").cast(  # noqa: E731
+        "decimal(38,0)"
+    )
+    s = el.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(lf(F.col("x"))).alias("sd"),
+        F.sum(lf(F.col("x") * F.col("x"))).alias("qd"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+    )
+    mean = F.col("sd").cast("double") / F.col("n").cast("double") / F.lit(1e14)
+    m2 = F.col("qd").cast("double") / F.col("n").cast("double") / F.lit(1e14)
+    return s.select(
+        "dim",
+        "n",
+        mean.alias("mean"),
+        (m2 - mean * mean).alias("var_pop"),
+        "min_x",
+        "max_x",
+    )

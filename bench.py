@@ -212,6 +212,7 @@ HEADLINE = [
     "cpd1_changepoint_cusum",
     "read1_flesch_readability",
     "heaps1_vocab_growth",
+    "emb6_dimension_stats",
 ]
 
 
