@@ -3136,3 +3136,97 @@ def emb6_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_x",
         "max_x",
     )
+
+
+# --------------------------------------------------------------------------
+# mem1 — memorization-risk scoring via corpus-duplicated n-grams
+# --------------------------------------------------------------------------
+
+_MEM_K = 8  # the dc1/GPT-3 shingle width
+
+
+@query(
+    "mem1_memorization_risk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(l[i:i+{_MEM_K}-1], ' ')
+                            for i in range(1, len(l) - {_MEM_K} + 2)]) AS s
+      FROM toks WHERE len(l) >= {_MEM_K}
+    ),
+    g AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    df AS (
+      SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1
+    ),
+    per AS (
+      SELECT g.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(count(*) FILTER (WHERE df.df >= 2) AS BIGINT) AS n_shared
+      FROM g JOIN df USING (shingle)
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_shingles, n_shared,
+           CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+             AS memorization_risk,
+           2 * n_shared > n_shingles AS high_risk
+    FROM per
+    """,
+)
+def mem1_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk scoring: for every document, the fraction of
+    its distinct {k}-token shingles that occur in AT LEAST ONE OTHER
+    document — the duplicated-text exposure signal behind Carlini et
+    al. 2022/Lee et al. 2022's finding that repeated sequences are
+    what models memorize. Where dc1 scores overlap against a FIXED
+    eval set and sub1/d11 locate the spans, mem1 ranks training docs
+    by how much of each one is corpus-redundant, the per-doc
+    prioritization an upsampling/downweighting pass (ups1, ws1)
+    consumes. Flagged high_risk past 50% via the exact integer gate
+    2·n_shared > n_shingles (no float threshold).
+
+    Exactness: shingles are distinct-per-doc, so a shingle's document
+    frequency df counts DOCS; "shared" is the integer predicate
+    df ≥ 2; the surfaced risk is ONE double division of exact BIGINTs.
+    Docs with fewer than {k} tokens have no shingles and are excluded
+    (the dc1 convention).
+
+    Scale shape: explode → groupBy(shingle) df counts → join back on
+    the SAME shingle key (Catalyst reuses the exchange — the df and
+    join sides are co-partitioned) → one groupBy(doc_id). Raw
+    shingles cross the wire for oracle-exact semantics; the 100 TB
+    deployment swaps the join key to xxhash64(shingle) (8-byte keys,
+    ~1e-8 collision odds at 1e10 distinct shingles — the d3/d4
+    sketch argument) without touching the plan shape.""".format(
+        k=_MEM_K
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.dedup import word_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("text"), _MEM_K)).alias("shingle"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    df = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("df"))
+    per = (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.count_if(F.col("df") >= 2).cast("long").alias("n_shared"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        (
+            F.col("n_shared").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("memorization_risk"),
+        (2 * F.col("n_shared") > F.col("n_shingles")).alias("high_risk"),
+    )

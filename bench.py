@@ -213,6 +213,7 @@ HEADLINE = [
     "read1_flesch_readability",
     "heaps1_vocab_growth",
     "emb6_dimension_stats",
+    "mem1_memorization_risk",
 ]
 
 
