@@ -3242,3 +3242,98 @@ def mem1_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("memorization_risk"),
         (2 * F.col("n_shared") > F.col("n_shingles")).alias("high_risk"),
     )
+
+
+# --------------------------------------------------------------------------
+# gt1 — Good–Turing frequency spectrum and unseen-mass estimate
+# --------------------------------------------------------------------------
+
+_GT1_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+),
+tc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM tc
+),
+spec AS (
+  SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM tc GROUP BY c
+),
+small AS (
+  SELECT s.r, s.n_r, s2.n_r AS n_r_next
+  FROM spec s LEFT JOIN spec s2 ON s2.r = s.r + 1
+)
+SELECT small.r, small.n_r,
+       CAST((small.r + 1) * coalesce(small.n_r_next, 0) AS DOUBLE)
+         / CAST(small.n_r AS DOUBLE) AS r_star,
+       tot.n_tokens, tot.n_types,
+       CAST((SELECT n_r FROM spec WHERE r = 1) AS DOUBLE)
+         / CAST(tot.n_tokens AS DOUBLE) AS unseen_mass
+FROM small CROSS JOIN tot
+"""
+
+
+@query("gt1_good_turing", oracle=_GT1_SQL)
+def gt1_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing frequency spectrum (Good 1953; Gale & Sampson
+    1995's simple GT inputs): the count-of-counts table N_r — how
+    many token types occur exactly r times — every r present, each
+    with its smoothed count r* = (r+1)·N_(r+1)/N_r, plus corpus totals
+    and the GT unseen-probability mass P₀ = N₁/N. This is the
+    vocabulary-tail diagnostic behind smoothing, OOV-rate forecasting
+    (oov1's forward-looking complement) and "how much singleton junk
+    does this feed carry" (high N₁/N ⇒ noisy tokenization or fresh
+    vocabulary — read with heaps1's growth curve). zipf1 fits the
+    HEAD ranks; gt1 characterizes the TAIL.
+
+    Exactness: counts and the spectrum are exact BIGINTs; r* and P₀
+    are each ONE double division of exact integers ((r+1)·N_(r+1)
+    stays far under 2^63 — N_(r+1) ≤ vocab ~1e9, r ≤ N ~1e13). Missing
+    N_(r+1) (a gap in the spectrum) coalesces to 0 ⇒ r* = 0, the
+    published convention for unsmoothed gaps.
+
+    Scale shape: ONE token-key shuffle (map-side-combined counts) —
+    shared conceptually with t9/sw1 — then a second map-side-combined
+    groupBy on the count value collapses the vocab to the spectrum,
+    whose row count is bounded by the number of DISTINCT frequency
+    values ≤ √(2N) (their sum cannot exceed the corpus) — ~4.5M rows
+    even at 100 TB; the N_(r+1) self-join and the totals broadcast
+    run on that table."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tc = toks.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    tot = tc.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    spec = tc.groupBy(F.col("c").alias("r")).agg(
+        F.count("*").cast("long").alias("n_r")
+    )
+    nxt = spec.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next"))
+    small = spec.join(nxt, "r", "left_outer")
+    # always one row (NULL when no singleton types exist — matching
+    # the oracle's scalar subquery), never an empty-join row wipe
+    n1 = spec.agg(F.sum(F.when(F.col("r") == 1, F.col("n_r"))).alias("n_1"))
+    return (
+        small.join(F.broadcast(tot))
+        .join(F.broadcast(n1))
+        .select(
+            "r",
+            "n_r",
+            (
+                ((F.col("r") + 1) * F.coalesce(F.col("n_r_next"), F.lit(0)))
+                .cast("double")
+                / F.col("n_r").cast("double")
+            ).alias("r_star"),
+            "n_tokens",
+            "n_types",
+            (
+                F.col("n_1").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("unseen_mass"),
+        )
+    )

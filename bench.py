@@ -214,6 +214,7 @@ HEADLINE = [
     "heaps1_vocab_growth",
     "emb6_dimension_stats",
     "mem1_memorization_risk",
+    "gt1_good_turing",
 ]
 
 
