@@ -1923,3 +1923,162 @@ def dq8_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_rows") == F.col("n_keys")).alias("is_unique"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# bpe2 — three unrolled BPE training merges on the weighted vocab
+# --------------------------------------------------------------------------
+
+_BPE2_ROUNDS = 3
+
+
+def _bpe2_oracle() -> str:
+    """Unrolled replay of the merge rounds. The merge itself (collapse
+    left-to-right, non-overlapping) is expressed position-wise: in a
+    maximal RUN of consecutive candidate positions (only possible when
+    a = b, e.g. 'aaa'), exactly the even offsets merge — the same
+    result the Spark side's array fold produces."""
+    ctes = [
+        """w0 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS w
+            FROM documents)
+      GROUP BY w
+    ),
+    s0 AS (
+      SELECT w AS w_id, freq,
+             list_transform(range(1, length(w) + 1),
+                            i -> substring(w, CAST(i AS INTEGER), 1)) AS syms
+      FROM w0
+    )""",
+    ]
+    for i in range(1, _BPE2_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"""t{i} AS (
+      SELECT syms[j] AS a, syms[j + 1] AS b, CAST(sum(freq) AS BIGINT) AS c
+      FROM s{p}, UNNEST(range(1, len(syms))) AS u(j)
+      GROUP BY 1, 2
+      ORDER BY c DESC, a, b LIMIT 1
+    ),
+    pos{i} AS (
+      SELECT w_id, freq, syms, CAST(j AS BIGINT) AS j, syms[j] AS s
+      FROM s{p}, UNNEST(range(1, len(syms) + 1)) AS u(j)
+    ),
+    cand{i} AS (
+      SELECT pos.w_id, pos.j
+      FROM pos{i} pos JOIN t{i} t
+        ON pos.s = t.a AND pos.j < len(pos.syms) AND pos.syms[pos.j + 1] = t.b
+    ),
+    mrg{i} AS (
+      SELECT w_id, j FROM (
+        SELECT w_id, j, j - min(j) OVER (PARTITION BY w_id, grp) AS off
+        FROM (SELECT w_id, j,
+                     j - row_number() OVER (PARTITION BY w_id ORDER BY j)
+                       AS grp
+              FROM cand{i})
+      ) WHERE off % 2 = 0
+    ),
+    s{i} AS (
+      SELECT pos.w_id, any_value(pos.freq) AS freq,
+             list(CASE WHEN m.j IS NOT NULL
+                       THEN pos.s || pos.syms[pos.j + 1]
+                       ELSE pos.s END ORDER BY pos.j) AS syms
+      FROM pos{i} pos
+      LEFT JOIN mrg{i} m ON pos.w_id = m.w_id AND pos.j = m.j
+      LEFT JOIN mrg{i} m2 ON pos.w_id = m2.w_id AND pos.j = m2.j + 1
+      WHERE m2.j IS NULL
+      GROUP BY pos.w_id
+    )"""
+        )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {i} AS merge_no, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged, c AS pair_count FROM t{i}"
+        for i in range(1, _BPE2_ROUNDS + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + sel
+
+
+@query("bpe2_merge_training", oracle=_bpe2_oracle())
+def bpe2_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three unrolled rounds of REAL BPE tokenizer training (Sennrich
+    et al. 2016): count adjacent symbol pairs over the frequency-
+    weighted word vocabulary, merge the top pair everywhere
+    (left-to-right, non-overlapping — 'aaa' under merge (a,a) becomes
+    ['aa','a']), recount on the merged symbols, repeat. bpe1 is the
+    single counting kernel; bpe2 closes the loop the way a tokenizer
+    trainer actually runs it, emitting the learned merge table
+    (rank, pair, merged symbol, weighted count at selection time).
+
+    Determinism: pair counts are exact freq-weighted BIGINTs; the
+    per-round winner breaks ties (count DESC, a ASC, b ASC); the
+    merge is a pure left-to-right fold — in Spark an array aggregate
+    whose accumulator state makes overlap handling automatic (a
+    freshly merged 'aa' can't left-match another 'a'), in the oracle
+    the equivalent run-parity selection (even offsets within each
+    maximal run of candidate positions). An empty round (no pairs
+    anywhere) degrades to a no-op on both engines via the
+    null-propagating left join, never an empty-join row wipe.
+
+    Scale shape: BPE trains on the DISTINCT-word frequency table —
+    vocab-sized, not corpus-sized (the published trick): one corpus
+    token shuffle builds w0, and every round after runs on ≤|vocab|
+    rows — pair counting is a map-side-combined groupBy on an
+    alphabet²-bounded key space, the winner is a LIMIT 1, and the
+    merge is a narrow per-row fold with the 1-row winner broadcast.
+    At 100 TB only w0 touches the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    w0 = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    syms0 = F.transform(
+        F.sequence(F.lit(1), F.length(F.col("w"))),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    cur = w0.select("freq", syms0.alias("syms"))
+    tops = []
+    for rnd in range(1, _BPE2_ROUNDS + 1):
+        n = F.size(F.col("syms"))
+        pair_arr = F.zip_with(
+            F.slice(F.col("syms"), 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(F.col("syms"), 2, F.greatest(n - 1, F.lit(0))),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        )
+        top = (
+            cur.select("freq", F.explode(pair_arr).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("long").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+        )
+        tops.append(
+            top.select(
+                F.lit(rnd).alias("merge_no"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.concat("a", "b").alias("merged"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        folded = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("a"))
+                & (s == F.col("b")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.col("a"), F.col("b"))),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        cur = cur.join(F.broadcast(top), F.lit(True), "left_outer").select(
+            "freq", folded.alias("syms")
+        )
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionAll(t)
+    return out

@@ -215,6 +215,7 @@ HEADLINE = [
     "emb6_dimension_stats",
     "mem1_memorization_risk",
     "gt1_good_turing",
+    "bpe2_merge_training",
 ]
 
 
