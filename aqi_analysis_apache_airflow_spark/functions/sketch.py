@@ -95,3 +95,57 @@ def mg_partition_summaries(keyed: DataFrame, capacity: int) -> DataFrame:
         yield pd.concat([out, sentinel], ignore_index=True)
 
     return keyed.mapInPandas(_mg, MG_SCHEMA)
+
+
+def pca_partial_gram(chunk_rows: int = 1024, scale: float = 1e14):
+    """Factory for pca1's Arrow stage: per ≤``chunk_rows`` chunk of
+    embedding vectors, the exact int64 partial second-moment matrix
+    Σ round(x_i·x_j·scale) as (i, j, partial) rows — 1-based dims,
+    matching the oracle's UNNEST(range(1, len+1)).
+
+    Factory-produced closure (the ``_make_absorb`` pattern): the
+    returned function captures nothing from this module, so
+    cloudpickle ships it BY VALUE and the worker never needs to
+    import this package (the driver loads ``__spark_entry__.py`` by
+    path from a foreign cwd). Rounding is half-away-from-zero via
+    floor(p+0.5)/ceil(p−0.5) — exact for |p| < 2^52, identical to
+    both engines' SQL round() — NOT numpy's half-even ``rint``.
+    The chunk cap keeps each partial under int64 even for the
+    adversarial 25·1e14-per-term magnitudes (1024·2.5e15 ≈ 2.6e18 <
+    2^63)."""
+
+    def gram_chunks(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = [v for v in pdf["embedding"] if v is not None and len(v)]
+            if not vecs:
+                continue
+            # group by length so ragged corpora still produce exact
+            # per-dimension sums (dims beyond a short vector simply
+            # don't exist for it, matching the oracle's range-unnest)
+            by_len = {}
+            for v in vecs:
+                by_len.setdefault(len(v), []).append(v)
+            for d, group in by_len.items():
+                x = np.asarray(group, dtype=np.float64)
+                for s in range(0, x.shape[0], chunk_rows):
+                    c = x[s : s + chunk_rows]
+                    p = (c[:, :, None] * c[:, None, :]) * scale
+                    r = np.where(
+                        p >= 0, np.floor(p + 0.5), np.ceil(p - 0.5)
+                    ).astype(np.int64)
+                    part = r.sum(axis=0, dtype=np.int64)
+                    i, j = np.meshgrid(
+                        np.arange(1, d + 1), np.arange(1, d + 1), indexing="ij"
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "i": i.ravel(),
+                            "j": j.ravel(),
+                            "partial": part.ravel(),
+                        }
+                    )
+
+    return gram_chunks

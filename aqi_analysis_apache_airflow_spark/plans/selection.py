@@ -3337,3 +3337,200 @@ def gt1_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("unseen_mass"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# pca1 — dominant principal direction via exact power iteration
+# --------------------------------------------------------------------------
+
+_PCA_Q = 10**6  # per-iteration fixed-point requantization scale
+
+
+def _pca1_oracle() -> str:
+    """Unrolled replay: the second-moment matrix M is summed from the
+    SAME round(x_i·x_j·1e14)→BIGINT terms the Spark side's numpy
+    stage produces (identical IEEE multiply order: (x_i·x_j)·1e14),
+    and each iteration is exact integer M·q. Before ANY big integer
+    meets a double, v and max|v| are truncated to their top 15 digits
+    with exact integer arithmetic (digit-count-derived 10^k): DuckDB's
+    HUGEINT→DOUBLE cast is not correctly rounded past 2^53 while
+    Spark's BigDecimal path is — measured 1-ulp splits without the
+    truncation."""
+    tr = """mx{n} AS (SELECT max(abs(v)) AS mx FROM v{n}),
+    p{n} AS (
+      SELECT CAST(power(10.0, greatest(least(
+               length(CAST(mx AS VARCHAR)) - 15, 22), 0)) AS HUGEINT) AS p,
+             mx
+      FROM mx{n}
+    ),
+    t{n} AS (
+      SELECT i,
+             CASE WHEN v < 0 THEN -(abs(v) // p) ELSE abs(v) // p END AS vt,
+             mx // p AS mxt, p
+      FROM v{n} CROSS JOIN p{n}
+    )"""
+    it = (
+        """v{n} AS (
+      SELECT m.i, SUM(m.m * q{pr}.q) AS v
+      FROM m JOIN q{pr} ON m.j = q{pr}.i
+      GROUP BY m.i
+    ),
+    """
+        + tr
+        + """,
+    q{n} AS (
+      SELECT i, CAST(round(CAST(vt AS DOUBLE)
+                           / nullif(CAST(mxt AS DOUBLE), 0.0)
+                           * {q}) AS BIGINT) AS q
+      FROM t{n}
+    )"""
+    )
+    return f"""
+WITH el AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+),
+m AS (
+  SELECT a.i, b.i AS j,
+         SUM(CAST(round(a.x * b.x * 1e14) AS BIGINT)) AS m
+  FROM el a JOIN el b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+v1 AS (SELECT i, SUM(m) AS v FROM m GROUP BY i),
+{tr.format(n=1)},
+q1 AS (
+  SELECT i, CAST(round(CAST(vt AS DOUBLE)
+                       / nullif(CAST(mxt AS DOUBLE), 0.0)
+                       * {_PCA_Q}) AS BIGINT) AS q
+  FROM t1
+),
+{it.format(n=2, pr=1, q=_PCA_Q)},
+{it.format(n=3, pr=2, q=_PCA_Q)}
+SELECT i AS dim,
+       CAST(vt AS DOUBLE) / nullif(CAST(mxt AS DOUBLE), 0.0) AS component,
+       CAST(mxt AS DOUBLE) * CAST(p AS DOUBLE) / {_PCA_Q} / 1e14
+         AS eigenvalue_est
+FROM t3
+"""
+
+
+@query("pca1_power_iteration", oracle=_pca1_oracle())
+def pca1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the corpus embedding second-
+    moment matrix M = Σ x xᵀ by three power iterations (von Mises &
+    Pollaczek-Geiringer 1929) — the spectral diagnostic behind
+    embedding whitening, anisotropy measurement (embeddings collapsing
+    toward one direction is the classic representation-degeneration
+    symptom) and PCA-based dimension pruning (emb6's univariate stats
+    can't see cross-dim structure; this is the first multivariate
+    cut). Surfaced: the max-normalized direction and a Rayleigh-style
+    top-eigenvalue estimate.
+
+    Exactness: M's 64×64 entries are exact integer sums of
+    round(x_i·x_j·1e14) terms (the dc3/emb6 fixed-point recipe — the
+    numpy stage computes bit-identical terms to the oracle's SQL
+    because both run the same (x_i·x_j)·1e14 IEEE sequence, and
+    round-half-away is implemented as floor(p+0.5)/ceil(p−0.5), exact
+    for |p| < 2^52). Each iteration is an exact integer mat-vec
+    (DECIMAL(38,0) / HUGEINT — ≤1e20·1e6·64 ≈ 6e27 per term-sum).
+    Each normalize step first TRUNCATES v and max|v| to their top 15
+    digits by an exact integer 10^k division (k from the decimal
+    digit count, p = 10^k exact in double for k ≤ 22): integers past
+    2^53 must never meet a double directly — DuckDB's HUGEINT→DOUBLE
+    cast is not correctly rounded while Spark's BigDecimal path is
+    (measured 1-ulp component splits without this). The truncated
+    operands cast exactly, so the divide/round(·1e6) requantization
+    is engine-identical and the fixed-point recurrence never
+    accumulates float error. An all-zero corpus propagates NULL
+    components on both engines via nullif.
+
+    Scale shape: the corpus is reduced by an Arrow ``mapInPandas``
+    stage emitting ≤4096-row int64 partial outer-product sums per
+    ≤1024-row chunk (the mg1 per-partition-summary pattern: only
+    summaries shuffle, the corpus crosses the Python boundary once);
+    everything after runs on the 4096-row M and 64-row vectors. The
+    chunk cap keeps partials under int64 (1024·2.5e15 ≈ 2.6e18);
+    Spark re-sums them in DECIMAL(38,0)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.sketch import pca_partial_gram
+
+    # spread the single-row-group parquet across cores before the
+    # Arrow stage (the exploded_shingles precedent), and persist the
+    # 4096-row M: the iteration joins it three times and the gram
+    # stage is the only corpus-sized work (6.7s -> 3.9s at sf0.1;
+    # the remaining cost is the mandated per-pair rounding, which a
+    # sum-then-round matmul would not reproduce)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    emb = load(spark, sf_dir, "embeddings")
+    partials = (
+        emb.select("embedding")
+        .repartition(n_part)
+        .mapInPandas(pca_partial_gram(), "i long, j long, partial long")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = (
+        partials.groupBy("i", "j")
+        .agg(F.sum(dec(F.col("partial"))).alias("m"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    v = m.groupBy("i").agg(F.sum("m").alias("v"))
+
+    def truncated(vdf: DataFrame) -> DataFrame:
+        """(i, vt, mxt, p): v and max|v| truncated to ≤15 digits by an
+        exact integer 10^k division so the later double casts are
+        exact (k from mx's digit count; the decimal modulo makes the
+        quotient integral, so Spark's scale-6 division is lossless)."""
+        mx = vdf.agg(F.max(F.abs(F.col("v"))).alias("mx"))
+        k = F.greatest(
+            F.least(F.length(F.col("mx").cast("string")) - 15, F.lit(22)),
+            F.lit(0),
+        )
+        with_p = vdf.join(F.broadcast(mx)).withColumn(
+            "p", F.pow(F.lit(10.0), k).cast("decimal(38,0)")
+        )
+        tdiv = lambda c: (  # noqa: E731
+            (c - c % F.col("p")) / F.col("p")
+        ).cast("decimal(38,0)")
+        absdiv = tdiv(F.abs(F.col("v")))
+        return with_p.select(
+            "i",
+            F.when(F.col("v") < 0, -absdiv).otherwise(absdiv).alias("vt"),
+            tdiv(F.col("mx")).alias("mxt"),
+            "p",
+        )
+
+    def requant(vdf: DataFrame) -> DataFrame:
+        t = truncated(vdf)
+        return t.select(
+            "i",
+            F.round(
+                F.col("vt").cast("double")
+                / F.nullif(F.col("mxt").cast("double"), F.lit(0.0))
+                * F.lit(_PCA_Q)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+
+    for _ in range(2):
+        q = requant(v)
+        v = (
+            m.join(q.withColumnRenamed("i", "j"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("m") * F.col("q")).alias("v"))
+        )
+    t = truncated(v)
+    return t.select(
+        F.col("i").alias("dim"),
+        (
+            F.col("vt").cast("double")
+            / F.nullif(F.col("mxt").cast("double"), F.lit(0.0))
+        ).alias("component"),
+        (
+            F.col("mxt").cast("double")
+            * F.col("p").cast("double")
+            / F.lit(float(_PCA_Q))
+            / F.lit(1e14)
+        ).alias("eigenvalue_est"),
+    )

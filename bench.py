@@ -216,6 +216,7 @@ HEADLINE = [
     "mem1_memorization_risk",
     "gt1_good_turing",
     "bpe2_merge_training",
+    "pca1_power_iteration",
 ]
 
 
