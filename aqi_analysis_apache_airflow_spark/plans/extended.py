@@ -885,16 +885,14 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CE_TOK = _CEH.format(h="md5(tok)")
 
-
-@query(
-    "d4_simhash_neardup",
-    oracle=f"""
-    WITH toks AS (
+#: md5-family simhash fingerprints + Hamming≤3 candidate pairs —
+#: shared by d4 (candidates) and d4v (exact-Jaccard-verified form).
+_D4_FP_CTES = f"""simtok AS (
       SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
       FROM documents
     ),
     h AS (
-      SELECT doc_id, {_CE_TOK} AS th FROM toks
+      SELECT doc_id, {_CE_TOK} AS th FROM simtok
     ),
     votes AS (
       SELECT doc_id, i, SUM(CASE WHEN (th >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
@@ -908,11 +906,20 @@ _CE_TOK = _CEH.format(h="md5(tok)")
                     ELSE (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) END
                ELSE 0 END) AS BIGINT) AS simhash
       FROM votes GROUP BY 1
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    simcand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    )"""
+
+
+@query(
+    "d4_simhash_neardup",
+    oracle=f"""
+    WITH {_D4_FP_CTES}
+    SELECT doc_a, doc_b, hamming FROM simcand
     """,
 )
 def d4_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3018,4 +3025,66 @@ def d11_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("retention"),
         )
+    )
+
+
+@query(
+    "d4v_simhash_verified",
+    oracle=f"""
+    WITH {_D4_FP_CTES},
+    toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY 1),
+    inter_c AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS inter
+      FROM simcand c
+      JOIN shingles a ON a.doc_id = c.doc_a
+      JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b, c.hamming,
+           CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter)
+             AS jaccard
+    FROM inter_c
+    JOIN simcand c USING (doc_a, doc_b)
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.5
+    """,
+)
+def d4v_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidates exact-verified — d3v's candidate→verify
+    production shape with the OTHER sketch family: banded SimHash64
+    (Hamming ≤ 3) proposes pairs, exact 3-shingle Jaccard (≥ 0.5)
+    confirms them, and each surviving pair carries BOTH distances so
+    the two signals can be calibrated against each other (simhash
+    approximates weighted-token cosine, minhash approximates Jaccard
+    — pairs where they disagree are exactly the quote/template cases
+    d10 hunts). Unlike d3v, whose oracle is the exact all-pairs truth
+    (a recall proof), d4v's oracle REPLAYS the md5-family simhash
+    pipeline and then verifies in SQL — structural parity that holds
+    on any corpus, since simhash carries no Jaccard recall guarantee
+    to prove.
+
+    Scale shape: candidates come from the pigeonhole 16-bit band join
+    (never corpus-quadratic, :func:`...functions.dedup.
+    simhash_band_pairs`); verification is the array-intersect form
+    (:func:`...functions.dedup.exact_jaccard_for_pairs`) — linear in
+    candidate volume, shingle arrays built only for docs in some
+    pair. The hamming column rides along on the pair key."""
+    from ..functions.dedup import exact_jaccard_for_pairs, simhash_band_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    cands = simhash_band_pairs(docs, max_hamming=3)
+    verified = exact_jaccard_for_pairs(docs, cands, k=3).filter(
+        F.col("jaccard") >= 0.5
+    )
+    return verified.join(cands, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "hamming", "jaccard"
     )

@@ -217,6 +217,7 @@ HEADLINE = [
     "gt1_good_turing",
     "bpe2_merge_training",
     "pca1_power_iteration",
+    "d4v_simhash_verified",
 ]
 
 
