@@ -838,11 +838,11 @@ _KM1_K = 8  # k-means k; init centroids are the vectors with vec_id < k
 _KM1_ITERS = 3  # unrolled Lloyd's rounds
 
 
-def _km1_oracle() -> str:
-    """Unrolled-CTE replay of the 3 Lloyd's iterations (the gr1
-    fixed-point precedent): every quantity both engines compute is an
-    exact BIGINT or one correctly-rounded IEEE step, so the replay is
-    bit-identical, not approximately equal."""
+def _km1_ctes() -> str:
+    """WITH-body for the 3 unrolled Lloyd's iterations, shared by the
+    km1 oracle (assignment tail) and the sil1 oracle (silhouette
+    tail). Every quantity is an exact BIGINT or one correctly-rounded
+    IEEE step, so the replay is bit-identical (the gr1 precedent)."""
     ctes = [
         """qx AS (
       SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
@@ -879,9 +879,12 @@ def _km1_oracle() -> str:
       GROUP BY a.cid, e.pos
     )"""
             )
+    return "WITH " + ",\n".join(ctes)
+
+
+def _km1_oracle() -> str:
     return (
-        "WITH "
-        + ",\n".join(ctes)
+        _km1_ctes()
         + f"""
     SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
            CAST(d2 AS BIGINT) AS dist2_scaled
@@ -914,6 +917,19 @@ def km1_lloyd_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cid, pos) mean aggregate — shuffles carry per-group partial sums,
     never vectors. The long centroid sum overflows only past ~3e10
     members per cluster; shard the sum by a vec_id salt before that."""
+    _, _, asg = _km1_fit(spark, sf_dir)
+    return asg.select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cluster_id"),
+        F.col("d2").alias("dist2_scaled"),
+    )
+
+
+def _km1_fit(spark: SparkSession, sf_dir: str):
+    """The shared Lloyd's loop: returns (qx quantized explode,
+    d_final full distance table of the LAST round, asg_final nearest
+    assignment) — km1 surfaces asg; sil1 needs d_final for the
+    second-nearest distances."""
     from pyspark.storagelevel import StorageLevel
 
     emb = load(spark, sf_dir, "embeddings")
@@ -931,7 +947,7 @@ def km1_lloyd_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = qx.filter(F.col("vec_id") < _KM1_K).select(
         F.col("vec_id").alias("cid"), "pos", F.col("q").alias("qc")
     )
-    asg = None
+    d = asg = None
     for i in range(1, _KM1_ITERS + 1):
         diff = F.col("q") - F.col("qc")
         d = (
@@ -957,11 +973,7 @@ def km1_lloyd_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("qc")
                 )
             )
-    return asg.select(
-        "vec_id",
-        F.col("cid").cast("long").alias("cluster_id"),
-        F.col("d2").alias("dist2_scaled"),
-    )
+    return qx, d, asg
 
 
 km1_lloyd_kmeans.__doc__ = km1_lloyd_kmeans.__doc__.format(
@@ -3741,4 +3753,97 @@ def ovl1_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("overlap_seconds"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# sil1 — simplified-silhouette quality of the km1 clustering
+# --------------------------------------------------------------------------
+
+_SIL1_SQL = (
+    _km1_ctes()
+    + f"""
+    , rk AS (
+      SELECT vec_id, cid, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+      FROM d{_KM1_ITERS}
+    ),
+    ab AS (
+      SELECT a.vec_id, a.cid, a.d2 AS a2, b.d2 AS b2
+      FROM rk a LEFT JOIN rk b ON a.vec_id = b.vec_id AND b.rk = 2
+      WHERE a.rk = 1
+    ),
+    sq AS (
+      SELECT vec_id, cid,
+             CAST(round(CAST(b2 - a2 AS DOUBLE)
+                        / nullif(CAST(b2 AS DOUBLE), 0.0) * 1000000)
+                  AS BIGINT) AS s
+      FROM ab
+    )
+    SELECT CAST(cid AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(s) AS BIGINT) AS n_valid,
+           CAST(sum(s) AS DOUBLE) / CAST(count(s) AS DOUBLE) / 1000000
+             AS mean_silhouette,
+           CAST(min(s) AS BIGINT) AS min_s_micro,
+           CAST(max(s) AS BIGINT) AS max_s_micro
+    FROM sq GROUP BY cid
+"""
+)
+
+
+@query("sil1_cluster_silhouette", oracle=_SIL1_SQL)
+def sil1_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette (Hruschka et al. 2004's
+    centroid-based form, on km1's squared-distance grid): for every
+    vector, s = (b − a)/b with a = dist² to its own (nearest) centroid
+    and b = dist² to the second-nearest — 1 means deep inside its
+    cluster, 0 means sitting on a boundary. THE clustering-quality
+    gate: run after km1 and before trusting its buckets for
+    mix1-style reweighting or sdd1 semantic dedup; a cluster whose
+    mean silhouette ~0 is noise, not structure. Assignment is nearest
+    by construction, so s ∈ [0, 1] and no negative branch exists.
+
+    Exactness: a and b are km1's exact integer grid distances ranked
+    by the integer (d2, cid) order; each point's s quantizes through
+    ONE identical (divide, ·1e6, round)→BIGINT step per engine — the
+    zipf1/dp1 fixed-point convention that makes the per-cluster SUM
+    order-independent — and the surfaced mean divides exact integers
+    twice in a fixed sequence. Duplicate centroids (b = a) give s = 0;
+    a second centroid that no longer exists (k collapsed to 1) or
+    b = 0 (coincident zero-distance centroids) yields NULL, counted
+    apart via n_valid.
+
+    Scale shape: reuses km1's cached quantized explode and final
+    distance table (k rows per vector); the rank window partitions by
+    vec_id (k-row partitions, corpus-distributed), then ONE groupBy
+    on the ≤k cluster ids. Nothing new touches the corpus."""
+    _, d, _ = _km1_fit(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    rk = d.select("vec_id", "cid", "d2", F.row_number().over(w).alias("rk"))
+    a = rk.filter(F.col("rk") == 1).select(
+        "vec_id", "cid", F.col("d2").alias("a2")
+    )
+    b = rk.filter(F.col("rk") == 2).select("vec_id", F.col("d2").alias("b2"))
+    ab = a.join(b, "vec_id", "left_outer")
+    s = (
+        F.round(
+            (F.col("b2") - F.col("a2")).cast("double")
+            / F.nullif(F.col("b2").cast("double"), F.lit(0.0))
+            * F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("s")
+    )
+    sq = ab.select("cid", s)
+    return sq.groupBy(F.col("cid").cast("long").alias("cluster_id")).agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.count("s").cast("long").alias("n_valid"),
+        (
+            F.sum("s").cast("double")
+            / F.count("s").cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("mean_silhouette"),
+        F.min("s").cast("long").alias("min_s_micro"),
+        F.max("s").cast("long").alias("max_s_micro"),
     )

@@ -218,6 +218,7 @@ HEADLINE = [
     "bpe2_merge_training",
     "pca1_power_iteration",
     "d4v_simhash_verified",
+    "sil1_cluster_silhouette",
 ]
 
 
