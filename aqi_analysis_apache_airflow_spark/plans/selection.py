@@ -3534,3 +3534,99 @@ def pca1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e14)
         ).alias("eigenvalue_est"),
     )
+
+
+# --------------------------------------------------------------------------
+# sea1 — hour-of-day seasonality profile per event type
+# --------------------------------------------------------------------------
+
+_SEA1_SQL = """
+WITH h AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type,
+         min(CASE WHEN rk = 1 THEN hour_of_day END) AS peak_hour
+  FROM (
+    SELECT event_type, hour_of_day, n,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY n DESC, hour_of_day) AS rk
+    FROM h
+  ) GROUP BY 1
+)
+SELECT h.event_type, h.hour_of_day, h.n,
+       CAST(h.n AS DOUBLE) / CAST(t.n_type AS DOUBLE) AS traffic_share,
+       CAST(h.cents AS DOUBLE) / CAST(h.n AS DOUBLE) AS mean_cents,
+       h.hour_of_day = t.peak_hour AS is_peak
+FROM h JOIN tot t ON h.event_type = t.event_type
+"""
+
+
+@query("sea1_hourly_seasonality", oracle=_SEA1_SQL)
+def sea1_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type — the diurnal
+    fingerprint an ops/monitoring pipeline baselines before alerting
+    (cpd1 finds WHEN a regime changed; sea1 is the periodic shape
+    that must first be subtracted so nightly troughs don't page
+    anyone). Per (type, hour): volume, share of the type's traffic,
+    mean value (exact cents), and the peak-hour flag (ties to the
+    earliest hour).
+
+    Exactness: counts and cent sums are exact BIGINTs off one
+    conditional projection; traffic_share and mean_cents are single
+    double divisions; the peak is an integer argmax (n DESC, hour
+    ASC) — no floats decide anything. NULL ts/value rows are excluded
+    by policy on both engines.
+
+    Scale shape: ONE map-side-combined groupBy collapses the stream
+    to ≤ types×24 rows; the peak window and totals run on that tiny
+    table. Skew-free: hours are a bounded key set and the heavy
+    reduction happens in the partial aggregates."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.hour("ts").cast("long").alias("hour_of_day"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+    )
+    h = ev.groupBy("event_type", "hour_of_day").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), "hour_of_day"
+    )
+    tot = (
+        h.select(
+            "event_type",
+            "hour_of_day",
+            "n",
+            F.row_number().over(w).alias("rk"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_type"),
+            F.min(F.when(F.col("rk") == 1, F.col("hour_of_day"))).alias(
+                "peak_hour"
+            ),
+        )
+    )
+    return h.join(tot, "event_type").select(
+        "event_type",
+        "hour_of_day",
+        "n",
+        (F.col("n").cast("double") / F.col("n_type").cast("double")).alias(
+            "traffic_share"
+        ),
+        (F.col("cents").cast("double") / F.col("n").cast("double")).alias(
+            "mean_cents"
+        ),
+        (F.col("hour_of_day") == F.col("peak_hour")).alias("is_peak"),
+    )

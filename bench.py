@@ -219,6 +219,7 @@ HEADLINE = [
     "pca1_power_iteration",
     "d4v_simhash_verified",
     "sil1_cluster_silhouette",
+    "sea1_hourly_seasonality",
 ]
 
 
