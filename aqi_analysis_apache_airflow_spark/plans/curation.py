@@ -3847,3 +3847,182 @@ def sil1_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s").cast("long").alias("min_s_micro"),
         F.max("s").cast("long").alias("max_s_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# val1 — quality-gate × exact-dup independence audit (2×2 chi-square)
+# --------------------------------------------------------------------------
+
+#: qc1's Gopher gate as a reusable SQL predicate over `documents`
+_QC1_GATE_SQL = f"""(
+  CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER)
+    BETWEEN 50 AND 100000
+  AND CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+        / NULLIF(len(regexp_extract_all(text, '\\S+')), 0)
+    BETWEEN 3.0 AND 10.0
+  AND CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+        / NULLIF(length(text), 0) < 0.1
+  AND CAST(len(regexp_extract_all(lower(text), '{_STOPWORD_RE}'))
+           AS INTEGER) >= 2
+)"""
+
+_VAL1_SQL = f"""
+WITH f AS (
+  SELECT doc_id, coalesce({_QC1_GATE_SQL}, FALSE) AS pass,
+         md5(text) AS h
+  FROM documents WHERE text IS NOT NULL
+),
+hc AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY h),
+lab AS (
+  SELECT f.doc_id, f.pass, hc.n >= 2 AS dup
+  FROM f JOIN hc ON f.h = hc.h
+),
+cells AS (
+  SELECT pass, dup, CAST(count(*) AS BIGINT) AS o FROM lab GROUP BY 1, 2
+),
+m AS (
+  SELECT
+    CAST(coalesce(sum(o) FILTER (WHERE pass AND dup), 0) AS DECIMAL(38,0)) AS o11,
+    CAST(coalesce(sum(o) FILTER (WHERE pass AND NOT dup), 0) AS DECIMAL(38,0)) AS o10,
+    CAST(coalesce(sum(o) FILTER (WHERE NOT pass AND dup), 0) AS DECIMAL(38,0)) AS o01,
+    CAST(coalesce(sum(o) FILTER (WHERE NOT pass AND NOT dup), 0) AS DECIMAL(38,0)) AS o00,
+    CAST(sum(o) AS DECIMAL(38,0)) AS n
+  FROM cells
+),
+chi AS (
+  SELECT n,
+         n * (o11 * o00 - o10 * o01) * (o11 * o00 - o10 * o01) AS num,
+         (o11 + o10) * (o01 + o00) * (o11 + o01) * (o10 + o00) AS den
+  FROM m
+)
+SELECT c.pass AS quality_pass, c.dup AS is_dup, c.o AS n_docs,
+       CAST(c.o AS DOUBLE) / CAST(r.r AS DOUBLE) AS band_share,
+       CAST(c.o AS DOUBLE) * CAST(chi.n AS DOUBLE)
+         / nullif(CAST(r.r AS DOUBLE) * CAST(k.k AS DOUBLE), 0.0) AS lift,
+       CAST(chi.num AS DOUBLE) / nullif(CAST(chi.den AS DOUBLE), 0.0)
+         AS chi_squared,
+       CASE WHEN chi.den > 0 THEN 1000000 * chi.num > 3841459 * chi.den
+       END AS dependent
+FROM cells c
+JOIN (SELECT pass, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1) r
+  ON c.pass = r.pass
+JOIN (SELECT dup, CAST(sum(o) AS BIGINT) AS k FROM cells GROUP BY 1) k
+  ON c.dup = k.dup
+CROSS JOIN chi
+"""
+
+
+@query("val1_gate_dup_independence", oracle=_VAL1_SQL)
+def val1_gate_dup_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal-validation audit: the 2×2 contingency between qc1's
+    Gopher quality gate and exact-duplicate membership (d1's
+    md5-content groups, n ≥ 2), with the chi-square independence test
+    in its 2×2 closed form χ² = N·(o₁₁o₀₀ − o₁₀o₀₁)²/(r₁r₀c₁c₀).
+    This is the "is my quality signal confounded with duplication?"
+    check a curation pipeline runs before composing gates (cp1/cp2):
+    if passing docs are ALSO disproportionately duplicates, filtering
+    and deduping double-count the same removal, and mix1-style
+    reweighting over-corrects. Surfaced per cell: count, share of its
+    gate band, lift vs independence, and the corpus-level χ² with its
+    α=0.05 verdict.
+
+    Exactness: cells and margins are exact integers; χ²'s numerator
+    and denominator are exact DECIMAL(38,0) products (the ab1/ab2
+    convention) with the 1e6·num > 3841459·den integer significance
+    gate; band_share and lift are one and two exact-operand double
+    steps. NULL text is excluded by policy; a NULL gate (degenerate
+    docs) coalesces to FALSE on both engines; empty margins NULL the
+    χ² rather than fabricate one.
+
+    Scale shape: one narrow projection computes the gate and the
+    content hash in the same scan; ONE hash-keyed shuffle counts
+    copies (d1's shape); the join back is hash-co-partitioned; the
+    contingency reduce is 4 rows. At 100 TB this costs d1 + a scan."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    n_word_chars = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    n_symbol_chars = F.length(
+        F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")
+    )
+    gate = (
+        n_tokens.between(50, 100000)
+        & (n_word_chars.cast("double") / F.nullif(n_tokens, F.lit(0))).between(
+            3.0, 10.0
+        )
+        & (
+            n_symbol_chars.cast("double")
+            / F.nullif(F.length("text"), F.lit(0))
+            < 0.1
+        )
+        & (
+            F.size(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(_STOPWORD_RE), 0
+                )
+            )
+            >= 2
+        )
+    )
+    f = docs.select(
+        "doc_id",
+        F.coalesce(gate, F.lit(False)).alias("pass"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    hc = f.groupBy("h").agg(F.count("*").cast("long").alias("n"))
+    lab = f.join(hc, "h").select("pass", (F.col("n") >= 2).alias("dup"))
+    cells = lab.groupBy("pass", "dup").agg(F.count("*").cast("long").alias("o"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cell = lambda p, d: F.coalesce(  # noqa: E731
+        F.sum(F.when((F.col("pass") == p) & (F.col("dup") == d), F.col("o"))),
+        F.lit(0),
+    ).cast("decimal(38,0)")
+    m = cells.agg(
+        cell(True, True).alias("o11"),
+        cell(True, False).alias("o10"),
+        cell(False, True).alias("o01"),
+        cell(False, False).alias("o00"),
+        F.sum("o").cast("decimal(38,0)").alias("n"),
+    )
+    dd = F.col("o11") * F.col("o00") - F.col("o10") * F.col("o01")
+    chi = m.select(
+        "n",
+        (F.col("n") * dd * dd).alias("num"),
+        (
+            (F.col("o11") + F.col("o10"))
+            * (F.col("o01") + F.col("o00"))
+            * (F.col("o11") + F.col("o01"))
+            * (F.col("o10") + F.col("o00"))
+        ).alias("den"),
+    )
+    r = cells.groupBy("pass").agg(F.sum("o").cast("long").alias("r"))
+    k = cells.groupBy("dup").agg(F.sum("o").cast("long").alias("k"))
+    return (
+        cells.join(r, "pass")
+        .join(k, "dup")
+        .join(F.broadcast(chi))
+        .select(
+            F.col("pass").alias("quality_pass"),
+            F.col("dup").alias("is_dup"),
+            F.col("o").alias("n_docs"),
+            (F.col("o").cast("double") / F.col("r").cast("double")).alias(
+                "band_share"
+            ),
+            (
+                F.col("o").cast("double")
+                * F.col("n").cast("double")
+                / F.nullif(
+                    F.col("r").cast("double") * F.col("k").cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("lift"),
+            (
+                F.col("num").cast("double")
+                / F.nullif(F.col("den").cast("double"), F.lit(0.0))
+            ).alias("chi_squared"),
+            F.when(
+                F.col("den") > 0,
+                F.lit(1_000_000).cast("decimal(38,0)") * F.col("num")
+                > F.lit(3_841_459).cast("decimal(38,0)") * F.col("den"),
+            ).alias("dependent"),
+        )
+    )

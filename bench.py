@@ -220,6 +220,7 @@ HEADLINE = [
     "d4v_simhash_verified",
     "sil1_cluster_silhouette",
     "sea1_hourly_seasonality",
+    "val1_gate_dup_independence",
 ]
 
 
