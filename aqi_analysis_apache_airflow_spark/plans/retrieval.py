@@ -1194,3 +1194,67 @@ def rh1_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_grams"),
         F.sum("h9").alias("chunk_hash"),
     )
+
+
+# --------------------------------------------------------------------------
+# priv2 — l-diversity audit (the k-anonymity companion)
+# --------------------------------------------------------------------------
+
+_PRIV2_L = 3
+
+_PRIV2_SQL = f"""
+WITH sv AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         c_mktsegment,
+         CAST(count(*) AS BIGINT) AS c
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, bal_band,
+       CAST(sum(c) AS BIGINT) AS class_size,
+       CAST(count(*) AS BIGINT) AS n_sensitive_values,
+       count(*) >= {_PRIV2_L} AS l_diverse,
+       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share
+FROM sv
+GROUP BY 1, 2
+"""
+
+
+@query("priv2_l_diversity", oracle=_PRIV2_SQL)
+def priv2_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the
+    companion k-anonymity (anon1) needs: a class can be large enough
+    to pass k yet expose everyone in it because all members share ONE
+    sensitive value (the homogeneity attack). Quasi-identifiers are
+    (nation, balance band); the sensitive attribute is the market
+    segment; a class is l-diverse when ≥ l distinct sensitive
+    values appear (l = 3 here). top_share (the plurality sensitive value's
+    fraction) is the continuous signal behind the boolean — near 1.0
+    means homogeneity even when l technically passes.
+
+    Exactness: both levels are map-side-combined integer counts; the
+    flag is an integer compare; top_share is ONE double division of
+    exact BIGINTs. NULL segments count as a distinct value on
+    neither engine (count(*) over the grouped spine treats the NULL
+    group as a row on both — the groupBy keeps it — so the two
+    engines agree by construction).
+
+    Scale shape: two stacked groupBys on prefixes of the same key
+    (QI+sensitive, then QI) — Catalyst reuses the first exchange for
+    the second aggregate since the keys are a prefix; no join, no
+    window, no skew exposure beyond the QI classes themselves."""
+    c = load(spark, sf_dir, "customer")
+    sv = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+        "c_mktsegment",
+    ).agg(F.count("*").cast("long").alias("c"))
+    return sv.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("c").cast("long").alias("class_size"),
+        F.count("*").cast("long").alias("n_sensitive_values"),
+        (F.count("*") >= _PRIV2_L).alias("l_diverse"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "top_share"
+        ),
+    )

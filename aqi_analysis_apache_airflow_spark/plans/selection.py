@@ -3189,7 +3189,7 @@ _MEM_K = 8  # the dc1/GPT-3 shingle width
 )
 def mem1_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memorization-risk scoring: for every document, the fraction of
-    its distinct {k}-token shingles that occur in AT LEAST ONE OTHER
+    its distinct 8-token shingles that occur in AT LEAST ONE OTHER
     document — the duplicated-text exposure signal behind Carlini et
     al. 2022/Lee et al. 2022's finding that repeated sequences are
     what models memorize. Where dc1 scores overlap against a FIXED
@@ -3202,7 +3202,7 @@ def mem1_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: shingles are distinct-per-doc, so a shingle's document
     frequency df counts DOCS; "shared" is the integer predicate
     df ≥ 2; the surfaced risk is ONE double division of exact BIGINTs.
-    Docs with fewer than {k} tokens have no shingles and are excluded
+    Docs with fewer than 8 tokens have no shingles and are excluded
     (the dc1 convention).
 
     Scale shape: explode → groupBy(shingle) df counts → join back on
@@ -3211,9 +3211,7 @@ def mem1_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles cross the wire for oracle-exact semantics; the 100 TB
     deployment swaps the join key to xxhash64(shingle) (8-byte keys,
     ~1e-8 collision odds at 1e10 distinct shingles — the d3/d4
-    sketch argument) without touching the plan shape.""".format(
-        k=_MEM_K
-    )
+    sketch argument) without touching the plan shape."""
     from pyspark.storagelevel import StorageLevel
 
     from ..functions.dedup import word_shingles

@@ -221,6 +221,7 @@ HEADLINE = [
     "sil1_cluster_silhouette",
     "sea1_hourly_seasonality",
     "val1_gate_dup_independence",
+    "priv2_l_diversity",
 ]
 
 
