@@ -3628,3 +3628,84 @@ def sea1_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("hour_of_day") == F.col("peak_hour")).alias("is_peak"),
     )
+
+
+# --------------------------------------------------------------------------
+# fresh1 — per-type data-freshness / staleness audit
+# --------------------------------------------------------------------------
+
+_FRESH_STALE_US = 86_400_000_000  # 1 day
+
+_FRESH1_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS t
+  FROM events WHERE ts IS NOT NULL
+),
+per AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(min(t) AS BIGINT) AS first_us,
+         CAST(max(t) AS BIGINT) AS last_us
+  FROM ev GROUP BY 1
+),
+tot AS (SELECT CAST(max(t) AS BIGINT) AS corpus_last FROM ev)
+SELECT event_type, n_events, first_us, last_us,
+       tot.corpus_last - last_us AS staleness_us,
+       tot.corpus_last - last_us > {_FRESH_STALE_US} AS is_stale,
+       CAST(n_events AS DOUBLE) * 86400000000
+         / nullif(CAST(last_us - first_us AS DOUBLE), 0.0) AS events_per_day
+FROM per CROSS JOIN tot
+"""
+
+
+@query("fresh1_staleness_audit", oracle=_FRESH1_SQL)
+def fresh1_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed freshness audit: for every event type, its first/last
+    event time (exact epoch microseconds), the staleness lag against
+    the newest event anywhere in the corpus, a 1-day staleness flag,
+    and the average arrival rate over the feed's own span — the
+    ingest-health table a pipeline checks before trusting any
+    downstream window (a feed whose last event is a day behind the
+    rest means its connector died, and every as-of join silently
+    serves stale features; cpd1 then pinpoints WHEN). Timestamps are
+    surfaced as BIGINT micros, never engine-formatted datetimes.
+
+    Exactness: min/max/lag are exact integer microseconds; the flag
+    is an integer compare; events_per_day is the fixed IEEE sequence
+    (cast, ·86400e6, /span) on exact operands, NULL for single-event
+    feeds (zero span). NULL timestamps are excluded by policy.
+
+    Scale shape: ONE map-side-combined groupBy to ≤ n_types rows plus
+    a 1-row broadcast corpus max. Scan-bound at any scale."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        )
+    )
+    per = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("t").cast("long").alias("first_us"),
+        F.max("t").cast("long").alias("last_us"),
+    )
+    tot = ev.agg(F.max("t").cast("long").alias("corpus_last"))
+    return per.join(F.broadcast(tot)).select(
+        "event_type",
+        "n_events",
+        "first_us",
+        "last_us",
+        (F.col("corpus_last") - F.col("last_us")).alias("staleness_us"),
+        (
+            F.col("corpus_last") - F.col("last_us") > _FRESH_STALE_US
+        ).alias("is_stale"),
+        (
+            F.col("n_events").cast("double")
+            * F.lit(86_400_000_000)
+            / F.nullif(
+                (F.col("last_us") - F.col("first_us")).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("events_per_day"),
+    )

@@ -222,6 +222,7 @@ HEADLINE = [
     "sea1_hourly_seasonality",
     "val1_gate_dup_independence",
     "priv2_l_diversity",
+    "fresh1_staleness_audit",
 ]
 
 
