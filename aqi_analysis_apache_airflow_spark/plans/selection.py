@@ -3709,3 +3709,86 @@ def fresh1_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("events_per_day"),
     )
+
+
+# --------------------------------------------------------------------------
+# phr1 — exact phrase-match retrieval (positional adjacency)
+# --------------------------------------------------------------------------
+
+_PHR_TOPK = 20
+
+_PHR1_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+big AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+  FROM toks, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+),
+top1 AS (
+  SELECT g AS phrase, CAST(count(*) AS BIGINT) AS corpus_freq
+  FROM big GROUP BY g
+  ORDER BY corpus_freq DESC, phrase LIMIT 1
+),
+hits AS (
+  SELECT b.doc_id, t.phrase, t.corpus_freq,
+         CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM big b JOIN top1 t ON b.g = t.phrase
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, phrase, n_occurrences, corpus_freq
+FROM hits
+ORDER BY n_occurrences DESC, doc_id
+LIMIT {_PHR_TOPK}
+"""
+
+
+@query("phr1_phrase_retrieval", oracle=_PHR1_SQL)
+def phr1_phrase_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase-match retrieval — the positional-adjacency
+    primitive a bag-of-words ranker (ret1's BM25) cannot express:
+    "the quick fox" must appear as CONSECUTIVE tokens, not as three
+    scattered terms. The query phrase is derived deterministically as
+    the corpus' top bigram (count desc, lexicographic tiebreak — the
+    bpe1 winner rule lifted to words), then every document is scored
+    by its exact adjacency count and the top 20 are returned. The
+    same plan shape answers any externally-supplied phrase by
+    replacing the 1-row phrase relation with a literal.
+
+    Exactness: bigrams are exact strings off the shared '\\S+'
+    tokenizer; all scores are integer counts; ranking ties break on
+    doc_id. No floats at all.
+
+    Scale shape: the bigram explode is narrow (zip_with over two
+    shifted slices, the div1 form); the phrase winner is a map-side-
+    combined groupBy + LIMIT 1; the retrieval join is a BROADCAST of
+    the 1-row phrase against the bigram stream (no corpus shuffle —
+    the filter happens map-side, then only matching rows aggregate),
+    and the final top-k is TakeOrderedAndProject. In an IR deployment
+    the bigram stream would be a materialized positional index keyed
+    by gram — this is the query-time half of that plan."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    length = F.greatest(n - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice(toks, 1, length),
+        F.slice(toks, 2, length),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    big = docs.select("doc_id", F.explode(bg).alias("g"))
+    top1 = (
+        big.groupBy("g")
+        .agg(F.count("*").cast("long").alias("corpus_freq"))
+        .orderBy(F.col("corpus_freq").desc(), "g")
+        .limit(1)
+        .select(F.col("g").alias("phrase"), "corpus_freq")
+    )
+    hits = (
+        big.join(F.broadcast(top1), big.g == top1.phrase)
+        .groupBy("doc_id", "phrase", "corpus_freq")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+    )
+    return hits.select(
+        "doc_id", "phrase", "n_occurrences", "corpus_freq"
+    ).orderBy(F.col("n_occurrences").desc(), "doc_id").limit(_PHR_TOPK)

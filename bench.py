@@ -223,6 +223,7 @@ HEADLINE = [
     "val1_gate_dup_independence",
     "priv2_l_diversity",
     "fresh1_staleness_audit",
+    "phr1_phrase_retrieval",
 ]
 
 
