@@ -1932,8 +1932,9 @@ def dq8_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE2_ROUNDS = 3
 
 
-def _bpe2_oracle() -> str:
-    """Unrolled replay of the merge rounds. The merge itself (collapse
+def _bpe2_sql_ctes() -> str:
+    """Unrolled replay of the merge rounds (shared by the bpe2 winners
+    oracle and the bpe3 compression oracle). The merge itself (collapse
     left-to-right, non-overlapping) is expressed position-wise: in a
     maximal RUN of consecutive candidate positions (only possible when
     a = b, e.g. 'aaa'), exactly the even offsets merge — the same
@@ -1991,12 +1992,16 @@ def _bpe2_oracle() -> str:
       GROUP BY pos.w_id
     )"""
         )
+    return "WITH " + ",\n    ".join(ctes)
+
+
+def _bpe2_oracle() -> str:
     sel = "\n    UNION ALL ".join(
         f"SELECT {i} AS merge_no, a AS left_sym, b AS right_sym, "
         f"a || b AS merged, c AS pair_count FROM t{i}"
         for i in range(1, _BPE2_ROUNDS + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + sel
+    return _bpe2_sql_ctes() + "\n    " + sel
 
 
 @query("bpe2_merge_training", oracle=_bpe2_oracle())
@@ -2027,6 +2032,17 @@ def bpe2_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphabet²-bounded key space, the winner is a LIMIT 1, and the
     merge is a narrow per-row fold with the 1-row winner broadcast.
     At 100 TB only w0 touches the corpus."""
+    tops, _ = _bpe2_rounds(spark, sf_dir)
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionAll(t)
+    return out
+
+
+def _bpe2_rounds(spark: SparkSession, sf_dir: str):
+    """The shared BPE loop: returns (per-round winner DataFrames,
+    per-round symbolized word tables [round 0 .. round R]) — bpe2
+    surfaces the winners; bpe3 aggregates the word tables."""
     docs = load(spark, sf_dir, "documents")
     w0 = (
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
@@ -2038,6 +2054,7 @@ def bpe2_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.col("w").substr(i, F.lit(1)),
     )
     cur = w0.select("freq", syms0.alias("syms"))
+    rounds = [cur]
     tops = []
     for rnd in range(1, _BPE2_ROUNDS + 1):
         n = F.size(F.col("syms"))
@@ -2078,7 +2095,95 @@ def bpe2_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = cur.join(F.broadcast(top), F.lit(True), "left_outer").select(
             "freq", folded.alias("syms")
         )
-    out = tops[0]
-    for t in tops[1:]:
-        out = out.unionAll(t)
-    return out
+        rounds.append(cur)
+    return tops, rounds
+
+
+# --------------------------------------------------------------------------
+# bpe3 — tokenizer compression curve over the bpe2 merge rounds
+# --------------------------------------------------------------------------
+
+
+def _bpe3_oracle() -> str:
+    sts = []
+    for i in range(_BPE2_ROUNDS + 1):
+        sts.append(
+            f"""st{i} AS (
+      SELECT CAST({i} AS BIGINT) AS round,
+             CAST(SUM(freq * len(syms)) AS BIGINT) AS corpus_symbols,
+             (SELECT CAST(count(DISTINCT sym) AS BIGINT)
+              FROM (SELECT unnest(syms) AS sym FROM s{i}) q)
+               AS n_distinct_symbols
+      FROM s{i}
+    )"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM st{i}" for i in range(_BPE2_ROUNDS + 1)
+    )
+    return (
+        _bpe2_sql_ctes()
+        + ",\n    "
+        + ",\n    ".join(sts)
+        + f""",
+    allst AS ({union}),
+    base AS (SELECT corpus_symbols AS c0 FROM st0)
+    SELECT round, corpus_symbols, n_distinct_symbols,
+           CAST(corpus_symbols AS DOUBLE) / nullif(CAST(c0 AS DOUBLE), 0.0)
+             AS compression
+    FROM allst CROSS JOIN base"""
+    )
+
+
+@query("bpe3_compression_curve", oracle=_bpe3_oracle())
+def bpe3_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training evaluation: the corpus compression curve of
+    bpe2's merge sequence — after each merge round, the total corpus
+    symbol count (Σ freq·|symbols(word)|), the distinct-symbol
+    vocabulary size, and the compression ratio vs the character
+    baseline. THE tradeoff curve a tokenizer trainer actually reads
+    (vocab grows by 1 per merge; how much sequence length does each
+    merge buy?), and the fertility-style sanity check before shipping
+    a merge table (a merge that stops compressing means the alphabet's
+    head is exhausted).
+
+    Exactness: symbol counts are exact freq-weighted BIGINTs over the
+    same per-round word tables the bpe2 winners come from (shared
+    fold, shared oracle CTEs); compression is ONE double division of
+    exact integers. An empty corpus yields NULL sums on both engines.
+
+    Scale shape: identical to bpe2 (vocab-sized rounds; only the w0
+    token count touches the corpus) plus, per round, one sum over the
+    vocab table and one distinct over its exploded symbols — both
+    vocab-bounded."""
+    _, rounds = _bpe2_rounds(spark, sf_dir)
+    outs = []
+    for i, cur in enumerate(rounds):
+        st = cur.agg(
+            F.sum(F.col("freq") * F.size(F.col("syms")))
+            .cast("long")
+            .alias("corpus_symbols")
+        )
+        nd = (
+            cur.select(F.explode(F.col("syms")).alias("sym"))
+            .agg(F.count_distinct("sym").cast("long").alias("n_distinct_symbols"))
+        )
+        outs.append(
+            st.join(F.broadcast(nd)).select(
+                F.lit(i).cast("long").alias("round"),
+                "corpus_symbols",
+                "n_distinct_symbols",
+            )
+        )
+    allst = outs[0]
+    for o in outs[1:]:
+        allst = allst.unionAll(o)
+    base = outs[0].select(F.col("corpus_symbols").alias("c0"))
+    return allst.join(F.broadcast(base)).select(
+        "round",
+        "corpus_symbols",
+        "n_distinct_symbols",
+        (
+            F.col("corpus_symbols").cast("double")
+            / F.nullif(F.col("c0").cast("double"), F.lit(0.0))
+        ).alias("compression"),
+    )

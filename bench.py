@@ -224,6 +224,7 @@ HEADLINE = [
     "priv2_l_diversity",
     "fresh1_staleness_audit",
     "phr1_phrase_retrieval",
+    "bpe3_compression_curve",
 ]
 
 
