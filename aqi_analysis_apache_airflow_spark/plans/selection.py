@@ -3792,3 +3792,172 @@ def phr1_phrase_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "doc_id", "phrase", "n_occurrences", "corpus_freq"
     ).orderBy(F.col("n_occurrences").desc(), "doc_id").limit(_PHR_TOPK)
+
+
+# --------------------------------------------------------------------------
+# cmp1 — fused two-corpus diff report (ref vs cand halves)
+# --------------------------------------------------------------------------
+
+_CMP_BUCKET_W = 10
+_CMP_N_BUCKETS = 13
+
+_CMP1_SQL = f"""
+WITH g AS (
+  SELECT doc_id, text,
+         {_KS_GRP_SQL} = 'ref' AS is_ref,
+         least(CAST(floor(CAST(len(regexp_extract_all(text, '\\S+'))
+                               AS DOUBLE) / {_CMP_BUCKET_W}) AS BIGINT),
+               {_CMP_N_BUCKETS - 1}) AS bucket
+  FROM documents
+),
+nd AS (
+  SELECT CAST(count(*) FILTER (WHERE is_ref) AS BIGINT) AS n_ref,
+         CAST(count(*) FILTER (WHERE NOT is_ref) AS BIGINT) AS n_cand
+  FROM g
+),
+tok AS (
+  SELECT is_ref, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM g
+),
+tc AS (
+  SELECT tok,
+         CAST(count(*) FILTER (WHERE is_ref) AS BIGINT) AS ca,
+         CAST(count(*) FILTER (WHERE NOT is_ref) AS BIGINT) AS cb
+  FROM tok GROUP BY tok
+),
+voc AS (
+  SELECT CAST(count(*) FILTER (WHERE ca > 0) AS BIGINT) AS vocab_ref,
+         CAST(count(*) FILTER (WHERE cb > 0) AS BIGINT) AS vocab_cand,
+         CAST(count(*) FILTER (WHERE ca > 0 AND cb > 0) AS BIGINT) AS v_inter,
+         CAST(count(*) AS BIGINT) AS v_union,
+         CAST(coalesce(sum(cb) FILTER (WHERE ca = 0), 0) AS BIGINT) AS oov_occ,
+         CAST(coalesce(sum(cb), 0) AS BIGINT) AS cand_occ
+  FROM tc
+),
+lb AS (
+  SELECT bucket,
+         CAST(count(*) FILTER (WHERE is_ref) AS BIGINT) AS ba,
+         CAST(count(*) FILTER (WHERE NOT is_ref) AS BIGINT) AS bb
+  FROM g GROUP BY bucket
+),
+tvd AS (
+  SELECT CAST(sum(abs(ba * nd.n_cand - bb * nd.n_ref)) AS BIGINT) AS dsum
+  FROM lb CROSS JOIN nd
+)
+SELECT nd.n_ref AS n_docs_ref, nd.n_cand AS n_docs_cand,
+       voc.vocab_ref, voc.vocab_cand,
+       CAST(voc.v_inter AS DOUBLE) / nullif(CAST(voc.v_union AS DOUBLE), 0.0)
+         AS vocab_jaccard,
+       CAST(voc.oov_occ AS DOUBLE) / nullif(CAST(voc.cand_occ AS DOUBLE), 0.0)
+         AS oov_cand_rate,
+       CAST(tvd.dsum AS DOUBLE)
+         / nullif(2.0 * CAST(nd.n_ref AS DOUBLE) * CAST(nd.n_cand AS DOUBLE),
+                  0.0) AS length_tvd
+FROM nd CROSS JOIN voc CROSS JOIN tvd
+"""
+
+
+@query("cmp1_corpus_diff", oracle=_CMP1_SQL)
+def cmp1_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused two-corpus diff report — the single-row monitoring
+    readout comparing the ref/cand corpus halves (dq3/ks1's
+    naming-independent source-hash split standing in for
+    yesterday's-snapshot vs today's): document counts, vocabulary
+    sizes and their Jaccard overlap, the candidate side's one-way
+    OOV occurrence rate against the reference vocabulary (oov1's
+    forward direction), and the doc-length total-variation distance
+    (drift1's statistic, between the halves). One plan, one report —
+    the cp2-style composition proof for the MONITORING family: these
+    four signals normally run as four jobs; fused, the grouped
+    projection is computed once and each signal is one aggregate over
+    it.
+
+    Exactness: every count is an exact conditional BIGINT off shared
+    projections; jaccard/OOV/TVD are single double divisions
+    (TVD cross-multiplied to |b_a·N_cand − b_b·N_ref| before its one
+    division — the drift1 rule). NULL sources hash to 'cand', NULL
+    texts bucket to NULL and contribute no tokens, identically on
+    both engines.
+
+    Scale shape: the doc projection (split flag + length bucket) is
+    computed once; ONE token-key shuffle builds the two-sided
+    vocabulary table carrying both conditional counts (no second pass
+    per side); the bucket histogram is a map-side-combined groupBy on
+    ≤13 keys; everything joins as 1-row broadcasts."""
+    from ..functions.dedup import ce_hash64 as _ce
+
+    is_ref = (
+        ((_ce(F.concat(F.lit("dq3|"), F.col("source"))) % 2) + 2) % 2 == 0
+    )
+    g = load(spark, sf_dir, "documents").select(
+        "text",
+        F.coalesce(is_ref, F.lit(False)).alias("is_ref"),
+        F.least(
+            F.floor(
+                F.size(tokens(F.col("text"))).cast("double")
+                / F.lit(float(_CMP_BUCKET_W))
+            ).cast("long"),
+            F.lit(_CMP_N_BUCKETS - 1).cast("long"),
+        ).alias("bucket"),
+    )
+    nd = g.agg(
+        F.count_if(F.col("is_ref")).alias("n_ref"),
+        F.count_if(~F.col("is_ref")).alias("n_cand"),
+    )
+    tok = g.select("is_ref", F.explode(tokens(F.col("text"))).alias("tok"))
+    tc = tok.groupBy("tok").agg(
+        F.count_if(F.col("is_ref")).alias("ca"),
+        F.count_if(~F.col("is_ref")).alias("cb"),
+    )
+    voc = tc.agg(
+        F.count_if(F.col("ca") > 0).alias("vocab_ref"),
+        F.count_if(F.col("cb") > 0).alias("vocab_cand"),
+        F.count_if((F.col("ca") > 0) & (F.col("cb") > 0)).alias("v_inter"),
+        F.count("*").cast("long").alias("v_union"),
+        F.coalesce(
+            F.sum(F.when(F.col("ca") == 0, F.col("cb"))), F.lit(0)
+        ).cast("long").alias("oov_occ"),
+        F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("cand_occ"),
+    )
+    lb = g.groupBy("bucket").agg(
+        F.count_if(F.col("is_ref")).alias("ba"),
+        F.count_if(~F.col("is_ref")).alias("bb"),
+    )
+    tvd = (
+        lb.join(F.broadcast(nd))
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("ba") * F.col("n_cand") - F.col("bb") * F.col("n_ref")
+                )
+            )
+            .cast("long")
+            .alias("dsum")
+        )
+    )
+    return (
+        nd.join(F.broadcast(voc))
+        .join(F.broadcast(tvd))
+        .select(
+            F.col("n_ref").alias("n_docs_ref"),
+            F.col("n_cand").alias("n_docs_cand"),
+            "vocab_ref",
+            "vocab_cand",
+            (
+                F.col("v_inter").cast("double")
+                / F.nullif(F.col("v_union").cast("double"), F.lit(0.0))
+            ).alias("vocab_jaccard"),
+            (
+                F.col("oov_occ").cast("double")
+                / F.nullif(F.col("cand_occ").cast("double"), F.lit(0.0))
+            ).alias("oov_cand_rate"),
+            (
+                F.col("dsum").cast("double")
+                / F.nullif(
+                    F.lit(2.0)
+                    * F.col("n_ref").cast("double")
+                    * F.col("n_cand").cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("length_tvd"),
+        )
+    )

@@ -225,6 +225,7 @@ HEADLINE = [
     "fresh1_staleness_audit",
     "phr1_phrase_retrieval",
     "bpe3_compression_curve",
+    "cmp1_corpus_diff",
 ]
 
 
