@@ -3961,3 +3961,112 @@ def cmp1_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("length_tvd"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# imp1 — group-median imputation of masked values
+# --------------------------------------------------------------------------
+
+#: synthetic missingness mask (the d8 delta convention): every 7th
+#: event plays a row whose value failed to arrive
+_IMP_MASK = 7
+
+_IMP1_SQL = f"""
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         event_id % {_IMP_MASK} = 0 AS masked
+  FROM events
+  WHERE value IS NOT NULL
+),
+vc AS (
+  SELECT event_type, cents, CAST(count(*) AS BIGINT) AS c
+  FROM ev WHERE NOT masked
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, cents,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM vc
+),
+med AS (
+  SELECT event_type, CAST(min(cents) AS BIGINT) AS median_cents,
+         CAST(any_value(n) AS BIGINT) AS n_observed
+  FROM cum
+  WHERE 2 * f >= n + 1
+  GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, m.median_cents, m.n_observed
+FROM ev e JOIN med m ON e.event_type = m.event_type
+WHERE e.masked
+"""
+
+
+@query("imp1_group_median_impute", oracle=_IMP1_SQL)
+def imp1_group_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation by per-group exact median — the
+    feature-engineering repair step after dq2's null profiling finds
+    a column worth saving: rows whose value is missing (synthetic
+    mask: every 7th event, the d8 delta convention) receive their
+    event type's LOWER MEDIAN of the observed values. The lower
+    median (the ⌈n/2⌉-th order statistic) is chosen over the
+    interpolated form deliberately: it is an exact integer both
+    engines select identically, while midpoint interpolation between
+    engines is the an2/wmed1-documented float trap.
+
+    Exactness: values fix-point to cents; the median comes from a
+    cumulative count over the (type, cents) VALUE SPINE — median =
+    min cents with 2·F(cents) ≥ n+1 — all exact integers; the output
+    is the imputed rows with their fill value, directly joinable back
+    by event_id.
+
+    Scale shape: the spine trick (ks1/cpd1's argument) is the whole
+    design — no per-group sort of raw rows, no single-task percentile:
+    one map-side-combined (type, cents) groupBy bounds the window by
+    the VALUE DOMAIN, not the corpus, and the skewed 5-type partition
+    never materializes row-level data. The fill join broadcasts the
+    ≤n_types median table back onto the masked rows. A group too
+    value-diverse for a spine falls back to dd1's sketch quantiles —
+    same output contract."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            (F.col("event_id") % _IMP_MASK == 0).alias("masked"),
+        )
+    )
+    vc = (
+        ev.filter(~F.col("masked"))
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("event_type")
+    cum = vc.select(
+        "event_type",
+        "cents",
+        F.sum("c").over(wf).alias("f"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    med = (
+        cum.filter(2 * F.col("f") >= F.col("n") + 1)
+        .groupBy("event_type")
+        .agg(
+            F.min("cents").cast("long").alias("median_cents"),
+            F.any_value(F.col("n")).cast("long").alias("n_observed"),
+        )
+    )
+    return (
+        ev.filter(F.col("masked"))
+        .join(F.broadcast(med), "event_type")
+        .select("event_id", "event_type", "median_cents", "n_observed")
+    )

@@ -226,6 +226,7 @@ HEADLINE = [
     "phr1_phrase_retrieval",
     "bpe3_compression_curve",
     "cmp1_corpus_diff",
+    "imp1_group_median_impute",
 ]
 
 
