@@ -4070,3 +4070,133 @@ def imp1_group_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(med), "event_type")
         .select("event_id", "event_type", "median_cents", "n_observed")
     )
+
+
+# --------------------------------------------------------------------------
+# sax1 — SAX symbolization of the daily event-count series
+# --------------------------------------------------------------------------
+
+_SAX_W = 8  # PAA windows
+#: alphabet-4 Gaussian breakpoints (Lin et al. 2003)
+_SAX_BP = (-0.6745, 0.0, 0.6745)
+
+_SAX1_SQL = f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1
+),
+rk AS (
+  SELECT c, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS r FROM d
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS DECIMAL(38,0)) AS s,
+         CAST(sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS q
+  FROM d
+),
+win AS (
+  SELECT CAST(floor(CAST((r - 1) * {_SAX_W} AS DOUBLE)
+                    / CAST(tot.n AS DOUBLE)) AS BIGINT) + 1 AS w,
+         c
+  FROM rk CROSS JOIN tot
+),
+paa AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) AS BIGINT) AS cs
+  FROM win GROUP BY w
+),
+z AS (
+  SELECT paa.w, paa.n_days,
+         CAST(paa.cs AS DOUBLE) / CAST(paa.n_days AS DOUBLE) AS paa_mean,
+         (CAST(paa.cs AS DOUBLE) / CAST(paa.n_days AS DOUBLE)
+          - CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE))
+           / nullif(sqrt(CAST(CAST(tot.n AS DECIMAL(38,0)) * tot.q
+                              - tot.s * tot.s AS DOUBLE))
+                      / CAST(tot.n AS DOUBLE), 0.0) AS zz
+  FROM paa CROSS JOIN tot
+)
+SELECT w AS win, n_days, paa_mean, zz AS z,
+       CASE WHEN zz < CAST({_SAX_BP[0]} AS DOUBLE) THEN 'a'
+            WHEN zz < CAST({_SAX_BP[1]} AS DOUBLE) THEN 'b'
+            WHEN zz < CAST({_SAX_BP[2]} AS DOUBLE) THEN 'c'
+            WHEN zz IS NOT NULL THEN 'd' END AS symbol
+FROM z
+"""
+
+
+@query("sax1_sax_symbols", oracle=_SAX1_SQL)
+def sax1_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin, Keogh, Lonardi & Chiu 2003) of the
+    daily event-count series: PAA-average the day series into 8
+    equal-rank windows, z-normalize against the whole series, and map
+    each window to an alphabet-4 symbol at the published Gaussian
+    breakpoints (±0.6745, 0) — the discretized shape signature that
+    makes time series greppable (motif mining, regime fingerprints,
+    cheap similarity by symbol edit distance). cpd1 localizes ONE
+    change; the SAX word sketches the whole year's shape.
+
+    Determinism: the series, PAA sums, and power sums are exact
+    integers (DECIMAL(38,0) keeps N·Q − S² exact; its double cast is
+    correct below 2^53, i.e. daily counts to ~1e5 over decades —
+    past that pre-scale counts); z is the identical IEEE sequence
+    (two divisions, subtract, sqrt, divide) in both engines, the
+    breakpoints are CAST-literals (the mmr1 decimal-literal rule),
+    and a zero-variance series yields NULL z/symbol via nullif
+    rather than an engine-specific NaN.
+
+    Scale shape: ONE map-side-combined groupBy collapses the corpus
+    to the day spine; the rank window, PAA reduce, and z arithmetic
+    run on the spine and its 8-row summary (the ks1/cpd1 spine
+    argument). Scan-bound at any scale."""
+    d = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    rk = d.select(
+        "c", F.row_number().over(Window.orderBy("day")).cast("long").alias("r")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("s"),
+        F.sum(dec(F.col("c")) * dec(F.col("c")))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    win = rk.join(F.broadcast(tot)).select(
+        (
+            F.floor(
+                ((F.col("r") - 1) * _SAX_W).cast("double")
+                / F.col("n").cast("double")
+            ).cast("long")
+            + 1
+        ).alias("w"),
+        "c",
+    )
+    paa = win.groupBy("w").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("cs"),
+    )
+    j = paa.join(F.broadcast(tot))
+    paa_mean = F.col("cs").cast("double") / F.col("n_days").cast("double")
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    sigma = F.sqrt(
+        (dec(F.col("n")) * F.col("q") - F.col("s") * F.col("s")).cast("double")
+    ) / F.col("n").cast("double")
+    zz = (paa_mean - mu) / F.nullif(sigma, F.lit(0.0))
+    return j.select(
+        F.col("w").alias("win"),
+        "n_days",
+        paa_mean.alias("paa_mean"),
+        zz.alias("z"),
+        F.when(zz < F.lit(_SAX_BP[0]), F.lit("a"))
+        .when(zz < F.lit(_SAX_BP[1]), F.lit("b"))
+        .when(zz < F.lit(_SAX_BP[2]), F.lit("c"))
+        .when(zz.isNotNull(), F.lit("d"))
+        .alias("symbol"),
+    )

@@ -227,6 +227,7 @@ HEADLINE = [
     "bpe3_compression_curve",
     "cmp1_corpus_diff",
     "imp1_group_median_impute",
+    "sax1_sax_symbols",
 ]
 
 
