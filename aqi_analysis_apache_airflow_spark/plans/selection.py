@@ -4200,3 +4200,99 @@ def sax1_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(zz.isNotNull(), F.lit("d"))
         .alias("symbol"),
     )
+
+
+# --------------------------------------------------------------------------
+# dq9 — declarative data-contract validation
+# --------------------------------------------------------------------------
+
+#: (rule_id, human-readable contract clause, SQL violation predicate)
+_DQ9_RULES = (
+    ("value_nonnegative", "value >= 0", "value IS NOT NULL AND value < 0"),
+    (
+        "value_upper_bound",
+        "value <= 1000000",
+        "value IS NOT NULL AND value > 1000000",
+    ),
+    (
+        "event_type_enum",
+        "event_type IN (view, click, purchase, signup, error)",
+        "event_type IS NOT NULL AND event_type NOT IN "
+        "('view', 'click', 'purchase', 'signup', 'error')",
+    ),
+    (
+        "ts_in_window",
+        "ts in [2020-01-01, 2030-01-01)",
+        "ts IS NOT NULL AND (ts < TIMESTAMP '2020-01-01' "
+        "OR ts >= TIMESTAMP '2030-01-01')",
+    ),
+    ("user_id_present", "user_id IS NOT NULL", "user_id IS NULL"),
+)
+
+_DQ9_SQL = (
+    "WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, "
+    "value FROM events),\n"
+    "t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,\n"
+    + ",\n".join(
+        f"  CAST(count(*) FILTER (WHERE {pred}) AS BIGINT) AS v{i}"
+        for i, (_, _, pred) in enumerate(_DQ9_RULES)
+    )
+    + "\n  FROM ev)\n"
+    + "\nUNION ALL ".join(
+        f"SELECT '{rid}' AS rule_id, '{clause}' AS contract, n_rows, "
+        f"v{i} AS n_violations, "
+        f"CAST(v{i} AS DOUBLE) / nullif(CAST(n_rows AS DOUBLE), 0.0) "
+        f"AS violation_rate, v{i} = 0 AS passes FROM t"
+        for i, (rid, clause, _) in enumerate(_DQ9_RULES)
+    )
+)
+
+
+@query("dq9_contract_check", oracle=_DQ9_SQL)
+def dq9_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract validation — the ingest gate that
+    runs BEFORE any analytics trusts a feed: each contract clause
+    (non-negative values, value ceiling, event-type enum, timestamp
+    window, required user id) is counted as a violation predicate
+    over the stream and surfaced as one row with its violation count,
+    rate, and pass verdict. dq2 PROFILES columns; dq9 asserts an
+    agreed contract and is what a data SLA dashboard reads. NULLs
+    violate only the presence rule — every range/enum clause skips
+    them explicitly (three-valued logic made deliberate, the f4
+    lesson).
+
+    Exactness: all counts are conditional exact BIGINTs computed in
+    ONE aggregate pass; rates are single double divisions; verdicts
+    are integer compares.
+
+    Scale shape: one scan, one map-side-combined 1-row aggregate
+    carrying all clause counters simultaneously (never one pass per
+    rule), then a constant 5-row projection. Scan-bound at 100 TB;
+    adding a clause adds a counter, not a pass."""
+    ev = load(spark, sf_dir, "events")
+    t = ev.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        *[
+            F.count_if(F.expr(pred)).cast("long").alias(f"v{i}")
+            for i, (_, _, pred) in enumerate(_DQ9_RULES)
+        ],
+    )
+    rows = []
+    for i, (rid, clause, _) in enumerate(_DQ9_RULES):
+        rows.append(
+            t.select(
+                F.lit(rid).alias("rule_id"),
+                F.lit(clause).alias("contract"),
+                "n_rows",
+                F.col(f"v{i}").alias("n_violations"),
+                (
+                    F.col(f"v{i}").cast("double")
+                    / F.nullif(F.col("n_rows").cast("double"), F.lit(0.0))
+                ).alias("violation_rate"),
+                (F.col(f"v{i}") == 0).alias("passes"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

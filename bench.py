@@ -228,6 +228,7 @@ HEADLINE = [
     "cmp1_corpus_diff",
     "imp1_group_median_impute",
     "sax1_sax_symbols",
+    "dq9_contract_check",
 ]
 
 
