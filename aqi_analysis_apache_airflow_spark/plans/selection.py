@@ -4296,3 +4296,143 @@ def dq9_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# --------------------------------------------------------------------------
+# gap1 — inter-arrival gap statistics per event type
+# --------------------------------------------------------------------------
+
+_GAP1_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id, epoch_us(ts) AS t
+  FROM events WHERE ts IS NOT NULL
+),
+gaps AS (
+  SELECT event_type,
+         t - lag(t) OVER (PARTITION BY event_type
+                          ORDER BY t, event_id) AS gap
+  FROM ev
+),
+gv AS (
+  SELECT event_type, CAST(gap AS BIGINT) AS gap,
+         CAST(count(*) AS BIGINT) AS c
+  FROM gaps WHERE gap IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, gap,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY gap
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM gv
+),
+med AS (
+  SELECT event_type, CAST(min(gap) AS BIGINT) AS median_gap_us
+  FROM cum WHERE 2 * f >= n + 1
+  GROUP BY 1
+),
+p90 AS (
+  SELECT event_type, CAST(min(gap) AS BIGINT) AS p90_gap_us
+  FROM cum WHERE 10 * f >= 9 * n
+  GROUP BY 1
+),
+agg AS (
+  SELECT event_type,
+         CAST(sum(CAST(gap AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS gsum,
+         CAST(sum(c) AS BIGINT) AS n_gaps,
+         CAST(max(gap) AS BIGINT) AS max_gap_us
+  FROM gv GROUP BY 1
+)
+SELECT a.event_type, a.n_gaps,
+       CAST(a.gsum AS DOUBLE) / CAST(a.n_gaps AS DOUBLE) AS mean_gap_us,
+       m.median_gap_us, p.p90_gap_us, a.max_gap_us
+FROM agg a
+JOIN med m ON a.event_type = m.event_type
+JOIN p90 p ON a.event_type = p.event_type
+"""
+
+
+@query("gap1_interarrival_stats", oracle=_GAP1_SQL)
+def gap1_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics per event type — mean, exact
+    lower-median, exact p90 and max of the microsecond gaps between
+    consecutive events of each type: the arrival-process profile
+    behind watermark tuning (st-family delays), session-gap choice
+    (e2's 30-minute threshold should trace back to THIS table) and
+    fresh1's staleness threshold. A p90 far above the median means
+    bursty arrival — tune watermarks to the tail, not the mean.
+
+    Exactness: gaps are exact integer microsecond differences ordered
+    by (t, event_id) so timestamp ties don't reorder between engines;
+    median and p90 are exact order statistics via the (type, gap)
+    VALUE-SPINE cumulative (the imp1 rule — 2F ≥ n+1 and 10F ≥ 9n
+    integer gates, no interpolation); the mean sums gap·count in
+    DECIMAL(38,0) and divides once.
+
+    Scale shape: the lag window hash-partitions by event_type —
+    bounded type cardinality makes this the one corpus-sized exchange
+    — then the spine trick bounds every quantile by the gap-value
+    domain, not the event count. For high-cardinality keys the same
+    plan re-partitions by (type, day) first; for unbounded value
+    domains the dd1 sketch substitutes."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "event_id")
+    gaps = ev.select(
+        "event_type", (F.col("t") - F.lag("t").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    gv = gaps.groupBy("event_type", "gap").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("event_type")
+    cum = gv.select(
+        "event_type",
+        "gap",
+        F.sum("c").over(wf).alias("f"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    med = (
+        cum.filter(2 * F.col("f") >= F.col("n") + 1)
+        .groupBy("event_type")
+        .agg(F.min("gap").cast("long").alias("median_gap_us"))
+    )
+    p90 = (
+        cum.filter(10 * F.col("f") >= 9 * F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("gap").cast("long").alias("p90_gap_us"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = gv.groupBy("event_type").agg(
+        F.sum(dec(F.col("gap")) * dec(F.col("c")))
+        .cast("decimal(38,0)")
+        .alias("gsum"),
+        F.sum("c").cast("long").alias("n_gaps"),
+        F.max("gap").cast("long").alias("max_gap_us"),
+    )
+    return (
+        agg.join(med, "event_type")
+        .join(p90, "event_type")
+        .select(
+            "event_type",
+            "n_gaps",
+            (
+                F.col("gsum").cast("double") / F.col("n_gaps").cast("double")
+            ).alias("mean_gap_us"),
+            "median_gap_us",
+            "p90_gap_us",
+            "max_gap_us",
+        )
+    )

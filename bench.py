@@ -229,6 +229,7 @@ HEADLINE = [
     "imp1_group_median_impute",
     "sax1_sax_symbols",
     "dq9_contract_check",
+    "gap1_interarrival_stats",
 ]
 
 
