@@ -915,54 +915,66 @@ def mmr1_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("va", "vb", cosine(F.col("ea"), F.col("eb")).alias("s"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # The greedy rounds are data-dependent on a BOUNDED table (≤20
-    # pool rows, ≤380 pair sims): run them driver-side over the
-    # collected pool — the sanctioned control-plane-collect shape
-    # (sim_ivf's n_probe picks, d6's convergence scalar). The earlier
-    # in-plan form sequenced ~12 broadcast-gated micro-jobs and cost
-    # 7.7s of pure scheduling at sf0.1; this is ~2s, all of it the
-    # corpus-sized pool construction. Python float compares are the
-    # same IEEE doubles both engines rank, so picks are bit-identical.
-    pool_rows = pool.select("vec_id", "rel").collect()
-    sims = {}
-    for r in pp.select("va", "vb", "s").collect():
-        sims[(r.va, r.vb)] = r.s
-    rel = {r.vec_id: r.rel for r in pool_rows}
-    remaining = sorted(rel)
-    picks = []  # (vec_id, order, rel, redundancy)
-    if remaining:
-        seed = min(remaining, key=lambda v: (-rel[v], v))
-        picks.append((seed, 1, rel[seed], 0.0))
-        remaining.remove(seed)
-    for i in range(2, _MMR_SELECT + 1):
-        if not remaining:
-            break
-        best = None
-        for v in remaining:
-            pen = max(
-                (sims.get((v, sv), None) for sv, *_ in picks),
-                key=lambda x: float("-inf") if x is None else x,
-            )
-            if pen is None:
-                continue
-            score = (_MMR_LAM * rel[v]) - (_MMR_MU * pen)
-            key = (-score, v)
-            if best is None or key < best[0]:
-                best = (key, v, rel[v], pen)
-        if best is None:
-            break
-        _, v, rv, pen = best
-        picks.append((v, i, rv, pen))
-        remaining.remove(v)
-    out = spark.createDataFrame(
-        [
-            (v, o, rv, pen, (_MMR_LAM * rv) - (_MMR_MU * pen))
-            for v, o, rv, pen in picks
-        ],
-        "vec_id long, sel_order int, relevance double, redundancy double, "
-        "mmr_score double",
+    sel = (
+        pool.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select(
+            "vec_id",
+            F.lit(1).alias("sel_order"),
+            "rel",
+            F.lit(0.0).alias("redundancy"),
+        )
     )
-    return out
+    for i in range(2, _MMR_SELECT + 1):
+        sel_ids = sel.select("vec_id")
+        cand = (
+            pool.join(F.broadcast(sel_ids), "vec_id", "left_anti")
+            .join(pp, F.col("vec_id") == F.col("va"))
+            .join(
+                F.broadcast(sel_ids.withColumnRenamed("vec_id", "vb")), "vb"
+            )
+            .groupBy("vec_id", "rel")
+            .agg(F.max("s").alias("pen"))
+        )
+        score = (F.lit(_MMR_LAM) * F.col("rel")) - (F.lit(_MMR_MU) * F.col("pen"))
+        win = (
+            cand.select("vec_id", "rel", "pen", score.alias("score"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("score")).alias("ns"), "vec_id", "rel", "pen"
+                    )
+                ).alias("w")
+            )
+            .select(
+                F.col("w.vec_id").alias("vec_id"),
+                F.lit(i).alias("sel_order"),
+                F.col("w.rel").alias("rel"),
+                F.col("w.pen").alias("redundancy"),
+            )
+            # an empty cand round (pool exhausted) must contribute no
+            # row, not a NULL-winner row from the global aggregate
+            .filter(F.col("vec_id").isNotNull())
+        )
+        # persist each round's selection: sel_ids feeds TWO joins and
+        # the union's left arm — unpersisted, the lazy chain re-runs
+        # ~3x per round (the kcore1 lesson). A driver-side greedy over
+        # the collected pool was A/B'd here: faster in isolation
+        # (2.2s) but BIMODAL and slower under full-headline JVM
+        # pressure (8.2s vs 5.2s median, 90% raw spread) — the
+        # in-plan form keeps every round on executors and measures
+        # stably, so it stays.
+        sel = sel.unionAll(win).persist(StorageLevel.MEMORY_AND_DISK)
+    lamc = F.lit(_MMR_LAM)
+    return sel.select(
+        "vec_id",
+        F.col("sel_order").cast("int").alias("sel_order"),
+        F.col("rel").alias("relevance"),
+        "redundancy",
+        ((lamc * F.col("rel")) - (F.lit(_MMR_MU) * F.col("redundancy"))).alias(
+            "mmr_score"
+        ),
+    )
 
 
 # --------------------------------------------------------------------------
