@@ -3821,11 +3821,21 @@ def sil1_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, d, _ = _km1_fit(spark, sf_dir)
     w = Window.partitionBy("vec_id").orderBy("d2", "cid")
     rk = d.select("vec_id", "cid", "d2", F.row_number().over(w).alias("rk"))
-    a = rk.filter(F.col("rk") == 1).select(
-        "vec_id", "cid", F.col("d2").alias("a2")
+    # single pass: pivot rk 1 and 2 out of ONE window scan (≤k rows
+    # per vec_id) instead of filter-twice-and-join, which re-executed
+    # the whole unpersisted km1 distance lineage once per branch —
+    # the exact shared-subtree trap the kcore1/kcen1 commits fixed
+    # (advice r7). The conditional max() is exact: rk is unique per
+    # vec_id, so each bucket holds at most one value.
+    ab = (
+        rk.filter(F.col("rk") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("cid"))).alias("cid"),
+            F.max(F.when(F.col("rk") == 1, F.col("d2"))).alias("a2"),
+            F.max(F.when(F.col("rk") == 2, F.col("d2"))).alias("b2"),
+        )
     )
-    b = rk.filter(F.col("rk") == 2).select("vec_id", F.col("d2").alias("b2"))
-    ab = a.join(b, "vec_id", "left_outer")
     s = (
         F.round(
             (F.col("b2") - F.col("a2")).cast("double")

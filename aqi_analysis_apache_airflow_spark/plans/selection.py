@@ -484,7 +484,7 @@ def _wn_sel_ctes(rel: str, p: str = "") -> str:
 ),
 {p}keyed AS (
   SELECT doc_id, rn,
-         h * {_WN_POS} + ({_WN_POS - 1} - rn) AS key
+         h * {_WN_POS} + ({_WN_POS - 1} - least(rn, {_WN_POS - 1})) AS key
   FROM {p}ranked
 ),
 {p}sel AS (
@@ -551,10 +551,18 @@ def _winnow_sel(docs: DataFrame) -> DataFrame:
     )
     w_doc = Window.partitionBy("doc_id")
     rn = F.row_number().over(w_doc.orderBy("i", "h"))
+    # clamp the position term at 2^20-1 on BOTH engines: a doc past
+    # _WN_POS k-grams would otherwise drive the packed key's position
+    # term negative and silently corrupt the rightmost-tie argmin
+    # (advice r7). Past the clamp, oversized docs degrade to
+    # leftmost-tie within the overflow tail instead of mis-ordering.
     keyed = hashed.select(
         "doc_id",
         rn.alias("rn"),
-        (F.col("h") * _WN_POS + (F.lit(_WN_POS - 1) - rn)).alias("key"),
+        (
+            F.col("h") * _WN_POS
+            + (F.lit(_WN_POS - 1) - F.least(rn, F.lit(_WN_POS - 1)))
+        ).alias("key"),
     )
     return keyed.select(
         "doc_id",
@@ -583,8 +591,10 @@ def winnow1_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFram
     rightmost-tie rule is ONE windowed ``min`` over a packed BIGINT —
     hash folded to 40 bits (collision-tolerant by design: winnowing
     needs determinism, not injectivity) times 2^20 plus the
-    bit-flipped stream position (bounding docs at 1M k-grams), so
-    ordering by the packed key IS (hash asc, position desc). Stream
+    bit-flipped stream position — clamped at 2^20−1 on both engines,
+    so a doc past 1M k-grams degrades to leftmost-tie in its overflow
+    tail instead of corrupting the key's sign — so ordering by the
+    packed key IS (hash asc, position desc). Stream
     position is a row_number ordered by (token index, hash) — total
     even under adversarial duplicate doc_ids. Docs with no k-grams
     (under ``_WN_K`` tokens, or NULL text/ids — excluded by policy)
@@ -2696,7 +2706,9 @@ def tau1_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = both.agg(F.count("*").cast("long").alias("n_common"))
-    n_pairs = (F.col("n_common") * (F.col("n_common") - 1) / 2).cast("long")
+    # integer `div`, not IEEE `/`+cast: exact for any pool size (the
+    # double path is only exact while n(n-1) < 2^53 — advice r7)
+    n_pairs = F.expr("(n_common * (n_common - 1)) div 2")
     return agg.join(F.broadcast(n)).select(
         "n_common",
         n_pairs.alias("n_pairs"),
@@ -3094,14 +3106,31 @@ s AS (
          min(x) AS min_x,
          max(x) AS max_x
   FROM el GROUP BY dim
+),
+s2 AS (
+  SELECT dim, n, min_x, max_x, sd, qd,
+         CAST(power(10, greatest(least(
+           length(CAST(abs(sd) AS VARCHAR)) - 15, 22), 0)) AS HUGEINT) AS psd,
+         CAST(power(10, greatest(least(
+           length(CAST(abs(qd) AS VARCHAR)) - 15, 22), 0)) AS HUGEINT) AS pqd
+  FROM s
+),
+s3 AS (
+  SELECT dim, n, min_x, max_x, psd, pqd,
+         CAST(sign(sd) AS HUGEINT) * (abs(sd) // psd) AS sdt,
+         qd // pqd AS qdt
+  FROM s2
+),
+s4 AS (
+  SELECT dim, n, min_x, max_x,
+         CAST(sdt AS DOUBLE) * CAST(psd AS DOUBLE)
+           / CAST(n AS DOUBLE) / 1e14 AS mean,
+         CAST(qdt AS DOUBLE) * CAST(pqd AS DOUBLE)
+           / CAST(n AS DOUBLE) / 1e14 AS m2
+  FROM s3
 )
-SELECT dim, n,
-       CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) / 1e14 AS mean,
-       CAST(qd AS DOUBLE) / CAST(n AS DOUBLE) / 1e14
-         - (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) / 1e14)
-           * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) / 1e14) AS var_pop,
-       min_x, max_x
-FROM s
+SELECT dim, n, mean, m2 - mean * mean AS var_pop, min_x, max_x
+FROM s4
 """
 
 
@@ -3150,8 +3179,26 @@ def emb6_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x").alias("min_x"),
         F.max("x").alias("max_x"),
     )
-    mean = F.col("sd").cast("double") / F.col("n").cast("double") / F.lit(1e14)
-    m2 = F.col("qd").cast("double") / F.col("n").cast("double") / F.lit(1e14)
+
+    # pca1's 15-digit truncation exit (advice r7): the exact integer
+    # sums can exceed 2^53 at large n, and DuckDB's HUGEINT→DOUBLE
+    # cast is not correctly rounded while Spark's BigDecimal path is.
+    # Truncate each sum to its top 15 digits by an exact integer 10^k
+    # division first — then every operand meeting a double (≤15-digit
+    # integer, 10^k for k ≤ 22) casts exactly and the remaining IEEE
+    # sequence is engine-identical.
+    def tr(c):
+        a = F.abs(c)
+        k = F.greatest(
+            F.least(F.length(a.cast("string")) - 15, F.lit(22)), F.lit(0)
+        )
+        p = F.pow(F.lit(10.0), k).cast("decimal(38,0)")
+        t = ((a - a % p) / p).cast("decimal(38,0)")
+        signed = F.when(c < 0, -t).otherwise(t)
+        return signed.cast("double") * p.cast("double")
+
+    mean = tr(F.col("sd")) / F.col("n").cast("double") / F.lit(1e14)
+    m2 = tr(F.col("qd")) / F.col("n").cast("double") / F.lit(1e14)
     return s.select(
         "dim",
         "n",
