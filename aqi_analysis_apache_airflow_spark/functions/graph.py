@@ -135,3 +135,138 @@ def pagerank(
     # ed/nodes stay cached for the (lazy) returned plan; the session
     # cache-clear between registry queries releases them
     return ranks
+
+
+def lpa_propagate(
+    edges: DataFrame,
+    rounds: int | None = None,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan, Albert & Kumara 2007)
+    over a DOUBLED undirected edge list (src, dst): every node adopts
+    the most frequent label among its neighbors, ties to the smallest
+    label. Returns (node, lbl). Labels init to node ids.
+
+    Two modes (the verdict-r7 convergence-twin contract):
+
+    - ``rounds=N`` replays exactly N unrolled synchronous rounds as
+      ONE lazy plan with broadcast label joins — the oracle-parity
+      mode the lpa1 registry query uses (its DuckDB oracle unrolls
+      the identical recurrence as chained CTEs).
+    - ``rounds=None`` iterates to the synchronous fixed point using
+      the d6 control-plane convergence scalar: per-round persist, one
+      changed-flag aggregate per round, eager release of the previous
+      round. Capped at ``max_rounds`` because synchronous LPA can
+      2-cycle on bipartite structures (the classic oscillation — the
+      cap is the published remedy short of async updates, which would
+      break determinism).
+
+    Both modes run the identical per-round recurrence, so once the
+    label table reaches a round with zero changes the fixed point
+    equals any unrolled result of ≥ that many rounds (pytest-proven
+    on small fixtures in tests/test_graph_convergence.py).
+
+    Scale shape: labels are one row per node (≪ edges); broadcasting
+    them keeps the 2|E|-row edge list un-shuffled every round, and AQE
+    falls back to a hash join on the persisted edge layout if the
+    label table outgrows the broadcast threshold. Each round is ONE
+    edge⋈label join + a (node, lbl) count + a (node) argmin, all
+    map-side combinable.
+    """
+    from pyspark import StorageLevel
+
+    e = edges.select("src", "dst")
+
+    def one_round(lab: DataFrame) -> DataFrame:
+        cnt = (
+            e.join(F.broadcast(lab.withColumnRenamed("node", "dst")), "dst")
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        return (
+            cnt.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), "lbl")).alias("b"))
+            .select("node", F.col("b.lbl").alias("lbl"))
+        )
+
+    lab = e.select(F.col("src").alias("node"), F.col("src").alias("lbl")).distinct()
+    if rounds is not None:
+        for _ in range(rounds):
+            lab = one_round(lab)
+        return lab
+
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    lab = lab.persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(max_rounds):
+        new = one_round(lab)
+        # fold the convergence flag in BEFORE persisting so the driver
+        # check is one aggregate over the fresh cache (the d6 shape)
+        flagged = (
+            new.join(lab.select("node", F.col("lbl").alias("__old")), "node")
+            .select("node", "lbl", (F.col("lbl") != F.col("__old")).alias("__ch"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = flagged.agg(F.max("__ch")).collect()[0][0]
+        lab.unpersist()
+        lab = flagged
+        if not changed:
+            break
+    e.unpersist()
+    return lab.select("node", "lbl")
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = None,
+    max_rounds: int = 100,
+) -> DataFrame:
+    """k-core peeling (Seidman 1983; distributed schedule of Montresor
+    et al. 2013) over a DOUBLED undirected edge list (src, dst):
+    repeatedly delete nodes of degree < k and the edges they carry.
+    Returns the surviving doubled edge list.
+
+    - ``rounds=N`` peels exactly N synchronous rounds with a per-round
+      persist (Spark plans are trees: keep/drop and the next round's
+      join both consume each round's graph, so without the persist the
+      shared subtree re-executes ~2^N times — measured 14.7s → 3.3s on
+      the kcore1 registry query). The result is a SUPERSET of the true
+      k-core unless the peel has converged.
+    - ``rounds=None`` peels to the fixed point: peeling is MONOTONE
+      (the edge set only shrinks), so an empty drop set is exact
+      convergence — no oscillation cap needed; ``max_rounds`` is a
+      runaway backstop only. Per round the drop-set count doubles as
+      both the convergence scalar and the cache materializer.
+
+    Scale shape: each round is ONE map-side-combined degree
+    aggregation plus two LEFT ANTI joins hash-partitioned on the same
+    endpoint keys; the drop set (nodes BELOW k — typically a small
+    minority) broadcasts via AQE as the peel front shrinks.
+    """
+    from pyspark import StorageLevel
+
+    g = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    n = max_rounds if rounds is None else rounds
+    for _ in range(n):
+        drop = (
+            g.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") < k)
+            .select(F.col("src").alias("node"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if rounds is None and drop.count() == 0:
+            drop.unpersist()
+            break
+        ng = (
+            g.join(drop.withColumnRenamed("node", "src"), "src", "left_anti")
+            .join(drop.withColumnRenamed("node", "dst"), "dst", "left_anti")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if rounds is None:
+            # materialize the new round before releasing its inputs
+            ng.count()
+            g.unpersist()
+            drop.unpersist()
+        g = ng
+    return g

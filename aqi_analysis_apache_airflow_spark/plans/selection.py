@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.dedup import CE_HASH64_SQL, ce_hash64, tokens
+from ..functions.graph import kcore_peel, lpa_propagate
 from ..functions.similarity import cosine
 from .registry import load, query
 from .retrieval import _BM25_CTES, bm25_doc_scores
@@ -2201,21 +2202,12 @@ def lpa1_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e0.unionAll(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    lab = e.select(F.col("src").alias("node"), F.col("src").alias("lbl")).distinct()
-    for _ in range(_LPA_ITERS):
-        # labels are one row per NODE (≪ edges); broadcasting them
-        # keeps the 2|E|-row edge list un-shuffled all three rounds
-        # (measured 6.7s → 4.1s at sf0.1). At a scale where the label
-        # table outgrows the broadcast threshold AQE falls back to the
-        # hash join on the persisted edge layout.
-        cnt = (
-            e.join(F.broadcast(lab.withColumnRenamed("node", "dst")), "dst")
-            .groupBy(F.col("src").alias("node"), "lbl")
-            .agg(F.count("*").alias("c"))
-        )
-        lab = cnt.groupBy("node").agg(
-            F.min(F.struct((-F.col("c")).alias("nc"), "lbl")).alias("b")
-        ).select("node", F.col("b.lbl").alias("lbl"))
+    # labels are one row per NODE (≪ edges); broadcasting them keeps
+    # the 2|E|-row edge list un-shuffled all three rounds (measured
+    # 6.7s → 4.1s at sf0.1) — see functions/graph.py::lpa_propagate,
+    # whose rounds=None twin iterates the same recurrence to the
+    # synchronous fixed point (pytest-proven equal once converged).
+    lab = lpa_propagate(e, rounds=_LPA_ITERS)
 
     decode = lambda col: F.when(  # noqa: E731
         F.col(col) % 2 == 0,
@@ -2572,8 +2564,6 @@ def kcore1_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB cost is front-loaded in round 1. AQE re-plans each
     round's joins as survivors (often a small minority) drop below
     the broadcast threshold."""
-    from pyspark.storagelevel import StorageLevel
-
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     e0 = (
@@ -2584,26 +2574,18 @@ def kcore1_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    g = e0.unionAll(
+    g0 = e0.unionAll(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # Each round's g is persisted: keep/drop AND the next round's join
-    # both consume it, and Spark plans are trees — without the persist
-    # the shared subtree re-executes ~2^R times (measured 14.7s → 3.3s at sf0.1). The filter ships the DROP set (nodes BELOW
-    # k — typically a small minority) as two LEFT ANTI joins, which
-    # AQE turns into broadcasts once the peel front shrinks.
-    for _ in range(_KCORE_ROUNDS):
-        drop = (
-            g.groupBy("src")
-            .agg(F.count("*").alias("deg"))
-            .filter(F.col("deg") < _KCORE_K)
-            .select(F.col("src").alias("node"))
-        )
-        g = (
-            g.join(drop.withColumnRenamed("node", "src"), "src", "left_anti")
-            .join(drop.withColumnRenamed("node", "dst"), "dst", "left_anti")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+    )
+    # Each round's g is persisted inside kcore_peel: keep/drop AND the
+    # next round's join both consume it, and Spark plans are trees —
+    # without the persist the shared subtree re-executes ~2^R times
+    # (measured 14.7s → 3.3s at sf0.1). The drop set (nodes BELOW k —
+    # typically a small minority) ships as two LEFT ANTI joins, which
+    # AQE turns into broadcasts once the peel front shrinks. The
+    # rounds=None twin peels the same recurrence to the exact k-core
+    # (pytest-proven equal once converged).
+    g = kcore_peel(g0, _KCORE_K, rounds=_KCORE_ROUNDS)
     fin = g.groupBy("src").agg(F.count("*").cast("long").alias("core_degree"))
     node = F.col("src")
     decoded = F.when(

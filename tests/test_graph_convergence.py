@@ -1,0 +1,99 @@
+"""Convergence-mode twins for the unrolled graph registry queries
+(verdict r7 task 6): ``lpa_propagate`` / ``kcore_peel`` with
+``rounds=None`` iterate the IDENTICAL synchronous recurrence the
+unrolled lpa1/kcore1 registry plans replay for oracle parity, stopping
+at the fixed point via d6's control-plane convergence scalar. These
+fixtures prove the contract: once the recurrence converges, the fixed
+point equals any sufficiently long unrolled run — and where the
+registry's bounded unrolling has NOT converged, the fixed point keeps
+going and lands on the exact published result (the true k-core)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aqi_analysis_apache_airflow_spark.functions.graph import (
+    kcore_peel,
+    lpa_propagate,
+)
+
+
+def _doubled(spark, pairs):
+    """Doubled undirected edge list from (u, v) pairs."""
+    e0 = spark.createDataFrame(pairs, "src long, dst long")
+    return e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _lab(df):
+    return {r["node"]: r["lbl"] for r in df.collect()}
+
+
+def _edges(df):
+    return {(r["src"], r["dst"]) for r in df.collect()}
+
+
+# --------------------------------------------------------------------------
+# LPA
+# --------------------------------------------------------------------------
+
+
+def test_lpa_fixed_point_matches_unrolled_once_converged(spark):
+    # triangle {1,2,3}: r1 -> {1:2, 2:1, 3:1}, r2 -> {1:1, 2:1, 3:1},
+    # r3 -> no change. Fixed point == unrolled-3 == unrolled-7.
+    e = _doubled(spark, [(1, 2), (2, 3), (1, 3)])
+    fixed = _lab(lpa_propagate(e, rounds=None))
+    assert fixed == _lab(lpa_propagate(e, rounds=3))
+    assert fixed == _lab(lpa_propagate(e, rounds=7))
+    assert fixed == {1: 1, 2: 1, 3: 1}
+
+
+def test_lpa_two_components_converge_to_two_labels(spark):
+    # two disjoint triangles -> each floods to its own min label
+    e = _doubled(spark, [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)])
+    fixed = _lab(lpa_propagate(e, rounds=None))
+    assert fixed == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_lpa_bipartite_oscillation_respects_round_cap(spark):
+    # single edge {1,2}: synchronous LPA 2-cycles (1<->2 swap labels
+    # forever) — the documented bipartite oscillation. The cap must
+    # terminate the loop; with an EVEN cap the swap count is even and
+    # the result equals the unrolled-even run.
+    e = _doubled(spark, [(1, 2)])
+    capped = _lab(lpa_propagate(e, rounds=None, max_rounds=4))
+    assert capped == _lab(lpa_propagate(e, rounds=4))
+
+
+# --------------------------------------------------------------------------
+# k-core
+# --------------------------------------------------------------------------
+
+
+def test_kcore_fixed_point_matches_unrolled_once_converged(spark):
+    # 4-clique + pendant node, k=2: pendant (and its stub on node 1)
+    # peels in round 1, the clique is already a 3-core — converged
+    # well inside 3 rounds, so fixed point == the registry's unrolled-3.
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    e = _doubled(spark, clique + [(1, 99)])
+    fixed = _edges(kcore_peel(e, k=2, rounds=None))
+    assert fixed == _edges(kcore_peel(e, k=2, rounds=3))
+    assert fixed == _edges(_doubled(spark, clique))
+
+
+def test_kcore_fixed_point_goes_past_bounded_unrolling(spark):
+    # path 1-2-...-8 with k=2 peels one endpoint pair per round:
+    # unrolled-3 still holds the middle edge 4-5 (a SUPERSET of the
+    # true k-core, per the kcore1 docstring); the fixed point peels
+    # to the exact answer — empty.
+    path = [(i, i + 1) for i in range(1, 8)]
+    e = _doubled(spark, path)
+    assert _edges(kcore_peel(e, k=2, rounds=3)) == {(4, 5), (5, 4)}
+    assert _edges(kcore_peel(e, k=2, rounds=None)) == set()
+
+
+def test_kcore_fixed_point_on_stable_core_is_identity(spark):
+    # a triangle is its own 2-core: zero peel rounds, loop exits on
+    # the first empty drop set
+    tri = [(1, 2), (2, 3), (1, 3)]
+    e = _doubled(spark, tri)
+    assert _edges(kcore_peel(e, k=2, rounds=None)) == _edges(_doubled(spark, tri))
