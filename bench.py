@@ -36,6 +36,25 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 if _HERE not in sys.path:
     sys.path.insert(0, _HERE)
 
+# st7 (transformWithStateInPandas) needs google.protobuf in the
+# streaming driver worker: if no system protobuf exists, expose the
+# vendored pure-Python runtime to the driver AND the worker daemon —
+# must happen before the first SparkSession builds the JVM (the same
+# gate as tests/conftest.py).
+import importlib.util as _ilu
+
+try:
+    _HAVE_PROTOBUF = _ilu.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:
+    _HAVE_PROTOBUF = False
+if not _HAVE_PROTOBUF:
+    _VENDOR = os.path.join(_HERE, "vendor", "protobuf_py.zip")
+    if os.path.isfile(_VENDOR):
+        sys.path.insert(0, _VENDOR)
+        os.environ["PYTHONPATH"] = os.pathsep.join(
+            p for p in [_VENDOR, os.environ.get("PYTHONPATH", "")] if p
+        )
+
 from aqi_analysis_apache_airflow_spark.plans import REGISTRY
 from aqi_analysis_apache_airflow_spark.plans import extended as _extended  # noqa: F401
 from aqi_analysis_apache_airflow_spark.plans import queries as _queries  # noqa: F401
@@ -328,6 +347,60 @@ def main() -> None:
         s = sorted(xs)
         return 100 * (s[-1] - s[0]) / median(xs)
 
+    # ---- non-headline coverage (verdict r7 tasks 3 & 7) ----
+    # Streaming st1–st8: availableNow replay wall time, same
+    # warmup+interleave+median methodology as the headline (each fn()
+    # drives its stream to completion synchronously, so the timer
+    # captures the replay). Appendix: every remaining registry query
+    # gets ONE recorded pass — indicative-only (no warmup pass, no
+    # spread gate), so a silent 2× regression in any registry query is
+    # at least VISIBLE round-over-round even if noisy. Both skipped on
+    # SPARK_GRAFT_BENCH_ONLY partial runs and under
+    # SPARK_GRAFT_BENCH_SKIP_EXTRAS=1 (quick headline iteration).
+    st_detail: dict | None = None
+    appx_detail: dict | None = None
+    extras = not only and os.environ.get(
+        "SPARK_GRAFT_BENCH_SKIP_EXTRAS", ""
+    ) not in ("1", "true")
+    if extras:
+        st_names = sorted(
+            n for n in REGISTRY if n.startswith("st") and n not in HEADLINE
+        )
+        st_samples: dict[str, list[float]] = {n: [] for n in st_names}
+        for pass_no in range(n_passes + 1):  # pass 0 = uncounted warmup
+            for name in st_names:
+                q = REGISTRY[name]
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                if pass_no > 0:
+                    st_samples[name].append(time.perf_counter() - t0)
+        st_detail = {
+            "queries": {n: round(median(xs), 4) for n, xs in st_samples.items()},
+            "spread_pct": {
+                n: round(spread_pct(xs), 1) for n, xs in st_samples.items()
+            },
+            "total": round(sum(median(xs) for xs in st_samples.values()), 4),
+            "passes": n_passes,
+        }
+
+        appx_names = sorted(
+            n for n in REGISTRY if n not in HEADLINE and n not in st_names
+        )
+        appx: dict[str, float] = {}
+        for name in appx_names:
+            q = REGISTRY[name]
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            appx[name] = round(time.perf_counter() - t0, 4)
+        appx_detail = {
+            "queries": appx,
+            "total": round(sum(appx.values()), 4),
+            "passes": 1,
+            "note": "single cold pass, indicative only",
+        }
+
     timings = {name: round(median(xs), 4) for name, xs in samples.items()}
     spread = {name: round(spread_pct(xs), 1) for name, xs in samples.items()}
     raw_spread = {
@@ -354,6 +427,8 @@ def main() -> None:
                 "passes": n_passes,
                 "spread_pct": spread,
                 "raw_spread_pct": raw_spread,
+                **({"streaming": st_detail} if st_detail else {}),
+                **({"appendix": appx_detail} if appx_detail else {}),
             },
             fh,
             indent=1,
@@ -373,6 +448,14 @@ def main() -> None:
             "sf": sf,
             "passes": n_passes,
             "detail": detail_name,
+            **(
+                {"st_total": round(st_detail["total"], 2)} if st_detail else {}
+            ),
+            **(
+                {"appx_total": round(appx_detail["total"], 2)}
+                if appx_detail
+                else {}
+            ),
         }
         line = json.dumps(payload, separators=(",", ":"))
         if len(line) <= budget:
