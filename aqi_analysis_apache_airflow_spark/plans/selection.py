@@ -969,12 +969,22 @@ def mmr1_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # persist each round's selection: sel_ids feeds TWO joins and
         # the union's left arm — unpersisted, the lazy chain re-runs
-        # ~3x per round (the kcore1 lesson). A driver-side greedy over
-        # the collected pool was A/B'd here: faster in isolation
-        # (2.2s) but BIMODAL and slower under full-headline JVM
-        # pressure (8.2s vs 5.2s median, 90% raw spread) — the
-        # in-plan form keeps every round on executors and measures
-        # stably, so it stays.
+        # ~3x per round (the kcore1 lesson). FLOOR-BOUND, closed by
+        # three A/Bs: (1) driver-side greedy over the collected pool —
+        # faster in isolation (2.2s) but BIMODAL and slower under
+        # full-headline JVM pressure (8.2s vs 5.2s median, 90% raw
+        # spread, r7); (2) incremental-penalty restructure (one
+        # broadcast winner per round, pen = greatest(pen, s(d, win)) —
+        # fewer joins per round) measured 5.81s vs 5.45s current at
+        # sf0.1, 5 interleaved passes, 2026-08-15 — no win, so the
+        # cost is the 4 greedy rounds' tiny-stage scheduling, not join
+        # count; (3) a single-plan higher-order-function fold (pool
+        # and sims collapsed to 1-row arrays, rounds unrolled as
+        # nested transform/filter expressions) hung in
+        # analysis/evaluation even at 2 rounds — pathological for
+        # nested lambdas at this depth. The in-plan join form stays:
+        # ~1s/round scheduling floor at sf0.1, constant-bounded (pool
+        # ≤20 rows) and independent of corpus size at 100 TB.
         sel = sel.unionAll(win).persist(StorageLevel.MEMORY_AND_DISK)
     lamc = F.lit(_MMR_LAM)
     return sel.select(
@@ -2199,9 +2209,21 @@ def lpa1_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e = e0.unionAll(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persist the doubled edge list HASH-PARTITIONED ON src: with the
+    # labels broadcast, hash(src) satisfies the clustering of BOTH
+    # per-round aggregates (groupBy(src,lbl) and groupBy(src) — a
+    # hash(src) layout clusters any key list containing src), so every
+    # round runs exchange-free on the cached layout. A/B at sf0.1,
+    # 5 interleaved passes (2026-08-15): unpartitioned 4.91s median →
+    # 2.10s with the repartition — the two per-round count-stream
+    # exchanges were the remaining cost.
+    e = (
+        e0.unionAll(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # labels are one row per NODE (≪ edges); broadcasting them keeps
     # the 2|E|-row edge list un-shuffled all three rounds (measured
     # 6.7s → 4.1s at sf0.1) — see functions/graph.py::lpa_propagate,
