@@ -2038,12 +2038,10 @@ def _ivfm_assign_ctes(n_centroids: int) -> str:
 
 _IVFM_ASSIGN_CTES = _ivfm_assign_ctes(16)
 
-#: The md5-family IVF build + probe + rerank, replayed bit-for-bit in
-#: SQL — the oracle for BOTH sim_ivfm (inline) and sim_ivfd (on-disk
-#: partition-pruned probe of the identical index).
-_SIM_IVFM_SQL = f"""
-    WITH {_IVFM_ASSIGN_CTES},
-    qn AS (
+#: The md5-family IVF probe (query norm-guard, centroid ranking,
+#: n_probe=4 cell pick, candidate gather) — shared by the sim_ivfm /
+#: sim_ivfd oracle and rec1's recall audit.
+_IVFM_PROBE_CTES = f"""qn AS (
       SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
                       AS DECIMAL(28,14))) AS n2
       FROM (SELECT unnest(embedding) AS x FROM embeddings WHERE vec_id = 0)
@@ -2072,7 +2070,14 @@ _SIM_IVFM_SQL = f"""
     fpairs AS (
       SELECT c.vec_id, unnest(c.embedding) AS x, unnest(q.qv) AS y
       FROM cand c, q
-    )
+    )"""
+
+#: The md5-family IVF build + probe + rerank, replayed bit-for-bit in
+#: SQL — the oracle for BOTH sim_ivfm (inline) and sim_ivfd (on-disk
+#: partition-pruned probe of the identical index).
+_SIM_IVFM_SQL = f"""
+    WITH {_IVFM_ASSIGN_CTES},
+    {_IVFM_PROBE_CTES}
     SELECT vec_id, {_COS_SQL} AS cosine_sim
     FROM fpairs GROUP BY vec_id
     ORDER BY cosine_sim DESC, vec_id
@@ -2455,6 +2460,117 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_common") >= 2).alias("recall_ok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# rec1 — exact recall@k audit of the IVF probe (md5 family, oracle-replayed)
+# --------------------------------------------------------------------------
+
+_REC1_K = 50
+
+_REC1_SQL = f"""
+    WITH {_IVFM_ASSIGN_CTES},
+    {_IVFM_PROBE_CTES},
+    ivf AS (
+      SELECT vec_id, {_COS_SQL} AS s
+      FROM fpairs GROUP BY vec_id
+      ORDER BY s DESC, vec_id LIMIT {_REC1_K}
+    ),
+    epairs AS (
+      SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qv) AS y
+      FROM emb e, q
+    ),
+    exact AS (
+      SELECT vec_id, {_COS_SQL} AS s
+      FROM epairs GROUP BY vec_id
+      ORDER BY s DESC, vec_id LIMIT {_REC1_K}
+    )
+    SELECT CAST({_REC1_K} AS BIGINT) AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+           (SELECT CAST(count(*) AS BIGINT) FROM ivf) AS n_ivf,
+           (SELECT CAST(count(*) AS BIGINT)
+              FROM exact JOIN ivf USING (vec_id)) AS n_overlap,
+           CAST((SELECT count(*) FROM exact JOIN ivf USING (vec_id)) AS DOUBLE)
+             / CAST((SELECT count(*) FROM exact) AS DOUBLE) AS recall_at_k
+    """
+
+
+@query("rec1_ivf_recall", oracle=_REC1_SQL)
+def rec1_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT recall@k of the IVF probe — the ANN acceptance number an
+    index rollout is gated on (the standard ann-benchmarks metric):
+    |IVF top-k ∩ exact top-k| / |exact top-k| for the vec_id=0 query,
+    k={k}, over the md5-family index (probe 4 of 16 cells). Where
+    sim_ivf_topk asserts a loose recall FLOOR on the xxhash64
+    production index and ndcg1 scores rank quality, this surfaces the
+    exact recall FRACTION, hash-verified: the md5 hash family lets
+    DuckDB replay the entire index build + probe + both rankings
+    bit-for-bit, so the oracle pins the true number, not a bound.
+    Recall here is a DATA property (how clustered the corpus is
+    around the query), so the value doubles as a drift monitor: a
+    corpus regeneration that drops it signals the n_probe budget no
+    longer fits the data.
+
+    Exactness: both rankings use the decimal-summed 6dp cosine with
+    vec_id tiebreaks (no ties survive); counts are exact integers and
+    the surfaced recall is ONE double division.
+
+    Scale shape: two TakeOrderedAndProject heaps (candidate subset
+    and full corpus — the exact arm is the audit's cost, run at
+    rollout/monitor cadence, not per query) + a broadcast {k}-row
+    intersection + 1-row aggregates; nothing after the heaps grows
+    with the corpus."""
+    from pyspark import StorageLevel
+
+    from ..functions.dedup import ce_hash64  # noqa: F401  (family doc pointer)
+    from ..functions.similarity import brute_force_topk, cosine, dot_decimal
+
+    cents, assigned, qvec = _md5_ivf_parts(spark, sf_dir)
+    probed = (
+        cents.join(F.broadcast(qvec))
+        .select("centroid_id", cosine(F.col("cvec"), F.col("qv")).alias("__s"))
+        .orderBy(F.col("__s").desc(), "centroid_id")
+        .limit(4)
+        .select("centroid_id")
+    )
+    cand = assigned.join(
+        F.broadcast(probed), assigned.cluster == probed.centroid_id
+    ).select("vec_id", "embedding")
+    ivf = brute_force_topk(cand, qvec, k=_REC1_K).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    corpus = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != 0)
+        .filter(dot_decimal(F.col("embedding"), F.col("embedding")) > 0)
+    )
+    exact = brute_force_topk(corpus, qvec, k=_REC1_K).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ne = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    ni = ivf.agg(F.count("*").cast("long").alias("n_ivf"))
+    no = (
+        exact.select("vec_id")
+        .join(ivf.select("vec_id"), "vec_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        ne.join(F.broadcast(ni))
+        .join(F.broadcast(no))
+        .select(
+            F.lit(_REC1_K).cast("long").alias("k"),
+            "n_exact",
+            "n_ivf",
+            "n_overlap",
+            (
+                F.col("n_overlap").cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+rec1_ivf_recall.__doc__ = rec1_ivf_recall.__doc__.format(k=_REC1_K)
 
 
 @query(

@@ -631,6 +631,126 @@ def winnow1_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # --------------------------------------------------------------------------
+# winnow2 — near-dup candidate pairs via shared winnowing fingerprints
+# --------------------------------------------------------------------------
+
+_WN2_DF_CAP = 50  # drop boilerplate fingerprints shared by > this many docs
+_WN2_MIN_SHARED = 2  # pairs need >= 2 shared fingerprints (prunes collisions)
+
+_WINNOW2_SQL = f"""
+WITH {_wn_sel_ctes("(SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL)")},
+fps AS (
+  SELECT DISTINCT doc_id, selkey // {_WN_POS} AS fp
+  FROM sel WHERE rn >= {_WN_W}
+),
+dfc AS (SELECT fp, CAST(count(*) AS BIGINT) AS c FROM fps GROUP BY fp),
+kept AS (
+  SELECT f.doc_id, f.fp
+  FROM fps f JOIN dfc USING (fp) WHERE dfc.c <= {_WN2_DF_CAP}
+),
+nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM kept GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared_fps
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.shared_fps,
+       na.nf AS nf_a, nb.nf AS nf_b,
+       CAST(p.shared_fps AS DOUBLE)
+         / CAST(na.nf + nb.nf - p.shared_fps AS DOUBLE) AS jaccard_est
+FROM pairs p
+JOIN nf na ON p.doc_a = na.doc_id
+JOIN nf nb ON p.doc_b = nb.doc_id
+WHERE p.shared_fps >= {_WN2_MIN_SHARED}
+"""
+
+
+@query("winnow2_fingerprint_pairs", oracle=_WINNOW2_SQL)
+def winnow2_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CANDIDATE PAIRS from winnow1's fingerprint
+    sketch — the second half of the MOSS pipeline (Schleimer, Stolfo
+    & Aiken SIGMOD 2003): docs sharing selected fingerprints share
+    ≥ w+k−1-token substrings by the winnowing guarantee, so joining
+    on fingerprints surfaces near-dup/plagiarism candidates while
+    shuffling only the ~2/(w+1)-density sketch instead of the full
+    k-gram stream (the cheap front-end to d2's exact-Jaccard verify).
+    Surfaced per pair: shared fingerprint count, each side's sketch
+    size, and the sketch-resemblance estimate shared/(|A|+|B|−shared).
+
+    Robustness rules shared by both engines: fingerprints are the
+    per-doc DISTINCT selected 40-bit hashes (positions stripped);
+    boilerplate fingerprints appearing in > {cap} docs are dropped
+    BEFORE the pair join (the d-family's capped-fanout rule — one
+    ubiquitous header k-gram must not quadratically explode the
+    join), and pairs sharing fewer than {ms} fingerprints are pruned
+    as probable 40-bit collisions.
+
+    Scale shape: sketch build is winnow1's single doc-keyed exchange;
+    the pair join is banded by fingerprint with the df cap bounding
+    per-band fanout at {cap}² rows, never all-pairs; resemblance is
+    one double division of exact integers. fps/kept persist — each
+    feeds multiple consumers (df counts, sketch sizes, both join
+    sides) and Spark plans are trees."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "text")
+    )
+    fps = (
+        _winnow_sel(docs)
+        .filter(F.col("rn") >= _WN_W)
+        .select("doc_id", F.expr(f"selkey div {_WN_POS}").alias("fp"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfc = fps.groupBy("fp").agg(F.count("*").alias("c"))
+    kept = fps.join(
+        dfc.filter(F.col("c") <= _WN2_DF_CAP).select("fp"), "fp"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nf = kept.groupBy("doc_id").agg(F.count("*").cast("long").alias("nf"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= _WN2_MIN_SHARED)
+    )
+    return (
+        pairs.join(
+            nf.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("nf_a")),
+            "doc_a",
+        )
+        .join(
+            nf.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nf_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            "nf_a",
+            "nf_b",
+            (
+                F.col("shared_fps").cast("double")
+                / (F.col("nf_a") + F.col("nf_b") - F.col("shared_fps")).cast(
+                    "double"
+                )
+            ).alias("jaccard_est"),
+        )
+    )
+
+
+winnow2_fingerprint_pairs.__doc__ = winnow2_fingerprint_pairs.__doc__.format(
+    cap=_WN2_DF_CAP, ms=_WN2_MIN_SHARED
+)
+
+
+# --------------------------------------------------------------------------
 # kcen1 — greedy k-center coreset selection (farthest-first traversal)
 # --------------------------------------------------------------------------
 
@@ -4498,4 +4618,87 @@ def gap1_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_gap_us",
             "max_gap_us",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# ppx1 — per-doc unigram cross-entropy under the corpus LM (CCNet gate)
+# --------------------------------------------------------------------------
+
+_PPX1_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM toks GROUP BY w),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+lp AS (
+  SELECT t.doc_id,
+         CAST(round(round(ln(v.cw), 6) * 1000000) AS BIGINT)
+           - CAST(round(round(ln(tot.n), 6) * 1000000) AS BIGINT) AS lp_micro
+  FROM toks t JOIN vocab v USING (w) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(-sum(lp_micro) AS BIGINT) AS nll_micro,
+       CAST(-sum(lp_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000
+         AS cross_entropy_nats
+FROM lp GROUP BY doc_id
+"""
+
+
+@query("ppx1_unigram_cross_entropy", oracle=_PPX1_SQL)
+def ppx1_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram LM —
+    the CCNet quality/novelty gate (Wenzek et al., LREC 2020: docs are
+    bucketed by LM perplexity; head = fluent, tail = noise) in its
+    self-trained unigram form: H(d) = −(1/|d|)·Σ_w ln(c_w/N). Low H
+    means the doc is made of corpus-typical words (fluent or
+    boilerplate — cross-check d1/winnow2); high H flags rare-token
+    noise for the cal1/cp2 gate family. Complements ent1 (WITHIN-doc
+    entropy) — this scores each doc AGAINST the corpus distribution.
+
+    Exactness: each token's log-prob is composed from two
+    independently rounded logs — round(ln(c_w),6) and round(ln(N),6),
+    the t4/ret1 libm convention that holds across engines — scaled to
+    exact integer micro-nats BEFORE the subtraction and the per-doc
+    sum, so accumulation is order-independent exact integer math; the
+    surfaced per-token mean exits through one identical
+    (cast, /n, /1e6) IEEE sequence. nll_micro is surfaced raw so the
+    hash comparison pins the exact integers, not just the divided
+    double. NULL ids/text are excluded by policy; token-less docs
+    emit nothing on either engine.
+
+    Scale shape: ONE token explode (persisted — vocab, total and the
+    scoring join all consume it), a map-side-combinable vocab count,
+    a 1-row total that broadcasts, then the token stream joins the
+    vocab on the word key (AQE broadcasts the vocab while it fits;
+    at web scale it degrades to a hash join co-partitioned on w) and
+    ONE doc-keyed aggregate. No windows, no driver data."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    vocab = toks.groupBy("w").agg(F.count("*").cast("long").alias("cw"))
+    tot = toks.agg(F.count("*").cast("long").alias("n"))
+    micro = lambda c: F.round(  # noqa: E731
+        F.round(F.log(c.cast("double")), 6) * F.lit(1_000_000)
+    ).cast("long")
+    lp = (
+        toks.join(vocab, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", (micro(F.col("cw")) - micro(F.col("n"))).alias("lp_micro"))
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        (-F.sum("lp_micro")).cast("long").alias("nll_micro"),
+        (
+            (-F.sum("lp_micro")).cast("double")
+            / F.count("*").cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("cross_entropy_nats"),
     )

@@ -249,6 +249,10 @@ HEADLINE = [
     "sax1_sax_symbols",
     "dq9_contract_check",
     "gap1_interarrival_stats",
+    # round-8 additions
+    "winnow2_fingerprint_pairs",
+    "ppx1_unigram_cross_entropy",
+    "rec1_ivf_recall",
 ]
 
 
