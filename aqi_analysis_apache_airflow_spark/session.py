@@ -45,6 +45,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # the generated-class cache defaults to 100 entries; a
+        # 263-query registry run compiles far more distinct stages
+        # than that, so every bench pass recompiles almost every
+        # stage (shared-JVM pressure, measured in BENCH_PRESSURE.json)
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

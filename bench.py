@@ -23,7 +23,22 @@ emitted so a noisy measurement is visible as such. The session cache
 is cleared between queries: several registry plans persist
 intermediates (LSH signatures, candidate pairs), and without the
 clear a later pass would reuse a prior pass's cache and measure
-nothing."""
+nothing.
+
+Shared-JVM pressure is MEASURED, not assumed (BENCH_PRESSURE.json,
+2026-08-15): under Spark's DEFAULT 100-entry generated-class cache,
+the 65 queries common to rounds 6–8 ran 13.1% slower inside the full
+186-query headline than in a solo run with identical methodology —
+the r6→r7 +13.5% "drift" on common queries was codegen-cache thrash,
+not plan regressions. The session now sets
+spark.sql.codegen.cache.maxEntries=5000 (a 186-query pass compiles
+far more distinct stages than 100), which cut the identical headline
+271.8s → 185.7s (−32%) and the residual pressure ratio to 1.062.
+Compare totals only against runs of the SAME headline size and
+session config, or against the solo figures in BENCH_PRESSURE.json.
+Single cross-JVM runs on this box also swing ~±5% run-to-run
+(measured with identical configs back-to-back); one-query conclusions
+need interleaved same-process A/Bs."""
 
 from __future__ import annotations
 
