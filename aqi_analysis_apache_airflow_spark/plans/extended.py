@@ -1822,9 +1822,20 @@ def g6_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     A sketch drifting outside its documented bound (HLL beyond 5× rsd,
     approx-median outside the exact p45–p55 rank band) flips a boolean
     to false and fails the hash match — the tolerance test is part of
-    the correctness gate, not a separate weaker check."""
+    the correctness gate, not a separate weaker check.
+
+    The exact-percentile verify arms buffer every value, so the
+    map-side insert cost is the heavy stage — spread the often
+    single-row-group scan across cores first (the _md5_ivf_parts
+    precedent; measured 6.9s → 5.4s at sf0.1, spread halved). The
+    remaining floor is the per-group final merge, inherent to exact
+    percentile — the sketches being verified are precisely the
+    100 TB replacement for it."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     g = (
         load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_partkey", "l_extendedprice")
+        .repartition(n_part)
         .groupBy("l_returnflag")
         .agg(
             F.countDistinct("l_partkey").alias("n_parts"),
