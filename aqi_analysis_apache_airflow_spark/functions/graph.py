@@ -32,12 +32,13 @@ ONE_E12 = 10**12
 
 def pagerank(
     edges: DataFrame,
-    n_iterations: int = 5,
+    n_iterations: int | None = 5,
     damping_pct: int = 85,
     src_col: str = "src",
     dst_col: str = "dst",
+    max_rounds: int = 100,
 ) -> DataFrame:
-    """PageRank over a directed edge list, fixed iteration count.
+    """PageRank over a directed edge list.
 
     Returns (node, rank_e12: bigint) with rank_e12 ≈ rank·1e12. Nodes
     = every id appearing as src or dst; dangling nodes (no out-edges)
@@ -47,6 +48,17 @@ def pagerank(
     redistributes a 1-row aggregate and costs one extra broadcast join
     per round). ``damping_pct`` is an integer percentage so the damp
     step stays integral.
+
+    ``n_iterations=N`` replays exactly N rounds as one lazy plan (the
+    gr1 registry/oracle mode). ``n_iterations=None`` iterates to the
+    INTEGER fixed point (the lpa_propagate/kcore_peel convergence-twin
+    contract): per-round persist, one max|Δrank_e12| aggregate per
+    round, stop at Δ = 0. The damped integer recurrence is a
+    contraction down to the last integer unit, where floor-division
+    rounding can in principle sustain a ±1 flicker — ``max_rounds``
+    backstops that; on reaching Δ = 0 the result is a true fixed
+    point, so it equals ANY longer unrolled run (pytest-proven in
+    tests/test_graph_convergence.py).
     """
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
@@ -108,14 +120,15 @@ def pagerank(
     # 50+-round runs) is the correct shape anyway.
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_e12"))
     zero_mass = nodes.select("node", F.lit(0).cast("long").alias("c"))
-    for _ in range(n_iterations):
+
+    def one_round(r: DataFrame) -> DataFrame:
         # one join + one groupBy per round: instead of left-outer
         # joining the node list back to re-admit sink nodes (a second
         # join per round), every node contributes a zero row into the
         # same aggregation — the union is narrow and the groupBy was
         # already there
         contrib = (
-            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            ed.join(r.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 # integral divide: the per-edge mass, exact in any engine
@@ -125,15 +138,39 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("mass"))
         )
-        ranks = contrib.select(
+        return contrib.select(
             "node",
             (
                 F.lit(teleport).cast("long")
                 + F.expr(f"({damping_pct} * mass) div 100")
             ).alias("rank_e12"),
         )
-    # ed/nodes stay cached for the (lazy) returned plan; the session
-    # cache-clear between registry queries releases them
+
+    if n_iterations is not None:
+        for _ in range(n_iterations):
+            ranks = one_round(ranks)
+        # ed/nodes stay cached for the (lazy) returned plan; the session
+        # cache-clear between registry queries releases them
+        return ranks
+
+    # fixed-point mode: per-round persist + one max|Δ| control-plane
+    # scalar (the lpa_propagate/kcore_peel shape) — the recurrence is
+    # linear so each persisted round feeds exactly two consumers (the
+    # next round's join and the delta check)
+    ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(max_rounds):
+        new = one_round(ranks).persist(StorageLevel.MEMORY_AND_DISK)
+        delta = (
+            new.join(
+                ranks.select("node", F.col("rank_e12").alias("__old")), "node"
+            )
+            .agg(F.max(F.abs(F.col("rank_e12") - F.col("__old"))).alias("d"))
+            .collect()[0][0]
+        )
+        ranks.unpersist()
+        ranks = new
+        if delta == 0:
+            break
     return ranks
 
 

@@ -97,3 +97,55 @@ def test_kcore_fixed_point_on_stable_core_is_identity(spark):
     tri = [(1, 2), (2, 3), (1, 3)]
     e = _doubled(spark, tri)
     assert _edges(kcore_peel(e, k=2, rounds=None)) == _edges(_doubled(spark, tri))
+
+
+# --------------------------------------------------------------------------
+# PageRank
+# --------------------------------------------------------------------------
+
+
+def _ranks(df):
+    return {r["node"]: r["rank_e12"] for r in df.collect()}
+
+
+def test_pagerank_fixed_point_satisfies_recurrence(spark):
+    # small strongly-connected cycle + chord, low damping so the
+    # integer recurrence contracts fast. The fixed point is verified
+    # by an EXACT Python replay of one more synchronous round (same
+    # integer teleport / div-by-degree / damp steps): a true fixed
+    # point is unchanged by it, which transitively equals ANY longer
+    # unrolled run. (Deep unrolled lazy chains themselves are not a
+    # usable comparator — past ~15 rounds the plan tree OOMs the
+    # planner, which is exactly why the convergent mode exists.)
+    from aqi_analysis_apache_airflow_spark.functions.graph import (
+        ONE_E12,
+        pagerank,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    dp = 10
+    fixed = _ranks(pagerank(e, n_iterations=None, damping_pct=dp))
+    nodes = {n for ab in edges for n in ab}
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    teleport = (ONE_E12 * (100 - dp) // 100) // len(nodes)
+    mass = {n: 0 for n in nodes}
+    for s, d in edges:
+        mass[d] += fixed[s] // deg[s]
+    replay = {n: teleport + (dp * mass[n]) // 100 for n in nodes}
+    assert replay == fixed
+
+
+def test_pagerank_unrolled_mode_unchanged_by_twin(spark):
+    # the registry/oracle mode (n_iterations=5) must be byte-identical
+    # to the pre-twin behavior: fixed rank mass ordering on a star
+    from aqi_analysis_apache_airflow_spark.functions.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (9, 1)], "src long, dst long"
+    )
+    r = _ranks(pagerank(e, n_iterations=5))
+    assert set(r) == {1, 2, 3, 9}
+    assert r[9] == max(r.values())  # the hub absorbs the mass
