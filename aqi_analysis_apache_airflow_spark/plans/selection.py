@@ -4625,8 +4625,10 @@ def gap1_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ppx1 — per-doc unigram cross-entropy under the corpus LM (CCNet gate)
 # --------------------------------------------------------------------------
 
-_PPX1_SQL = r"""
-WITH toks AS (
+#: the shared unigram-LM scoring CTEs: per-doc exact token count and
+#: negative log-likelihood in integer micro-nats (ppx1 surfaces them
+#: per doc; cur1 bins them into curriculum stages)
+_PPX_DOC_CTES = r"""toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
   FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
 ),
@@ -4637,14 +4639,52 @@ lp AS (
          CAST(round(round(ln(v.cw), 6) * 1000000) AS BIGINT)
            - CAST(round(round(ln(tot.n), 6) * 1000000) AS BIGINT) AS lp_micro
   FROM toks t JOIN vocab v USING (w) CROSS JOIN tot
-)
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(-sum(lp_micro) AS BIGINT) AS nll_micro,
-       CAST(-sum(lp_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000
+),
+doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(-sum(lp_micro) AS BIGINT) AS nll_micro
+  FROM lp GROUP BY doc_id
+)"""
+
+_PPX1_SQL = f"""
+WITH {_PPX_DOC_CTES}
+SELECT doc_id, n_tokens, nll_micro,
+       CAST(nll_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000
          AS cross_entropy_nats
-FROM lp GROUP BY doc_id
+FROM doc
 """
+
+
+def _ppx_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (doc_id, n_tokens, nll_micro) under the corpus's own
+    unigram LM — exact integer micro-nats, the Spark twin of
+    ``_PPX_DOC_CTES`` (see ppx1's docstring for the engine-parity
+    argument and the scale shape)."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    vocab = toks.groupBy("w").agg(F.count("*").cast("long").alias("cw"))
+    tot = toks.agg(F.count("*").cast("long").alias("n"))
+    micro = lambda c: F.round(  # noqa: E731
+        F.round(F.log(c.cast("double")), 6) * F.lit(1_000_000)
+    ).cast("long")
+    lp = (
+        toks.join(vocab, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id", (micro(F.col("cw")) - micro(F.col("n"))).alias("lp_micro")
+        )
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        (-F.sum("lp_micro")).cast("long").alias("nll_micro"),
+    )
 
 
 @query("ppx1_unigram_cross_entropy", oracle=_PPX1_SQL)
@@ -4675,30 +4715,136 @@ def ppx1_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab on the word key (AQE broadcasts the vocab while it fits;
     at web scale it degrades to a hash join co-partitioned on w) and
     ONE doc-keyed aggregate. No windows, no driver data."""
-    from pyspark.storagelevel import StorageLevel
-
-    docs = load(spark, sf_dir, "documents").filter(
-        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
-    )
-    toks = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    vocab = toks.groupBy("w").agg(F.count("*").cast("long").alias("cw"))
-    tot = toks.agg(F.count("*").cast("long").alias("n"))
-    micro = lambda c: F.round(  # noqa: E731
-        F.round(F.log(c.cast("double")), 6) * F.lit(1_000_000)
-    ).cast("long")
-    lp = (
-        toks.join(vocab, "w")
-        .crossJoin(F.broadcast(tot))
-        .select("doc_id", (micro(F.col("cw")) - micro(F.col("n"))).alias("lp_micro"))
-    )
-    return lp.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_tokens"),
-        (-F.sum("lp_micro")).cast("long").alias("nll_micro"),
+    doc = _ppx_doc_scores(spark, sf_dir)
+    return doc.select(
+        "doc_id",
+        "n_tokens",
+        "nll_micro",
         (
-            (-F.sum("lp_micro")).cast("double")
-            / F.count("*").cast("double")
+            F.col("nll_micro").cast("double")
+            / F.col("n_tokens").cast("double")
             / F.lit(1_000_000.0)
         ).alias("cross_entropy_nats"),
+    )
+
+
+# --------------------------------------------------------------------------
+# cur1 — curriculum staging by unigram cross-entropy (quartile manifest)
+# --------------------------------------------------------------------------
+
+_CUR1_SQL = f"""
+WITH {_PPX_DOC_CTES},
+keyd AS (
+  SELECT doc_id, n_tokens, nll_micro // n_tokens AS ce_micro FROM doc
+),
+b AS (
+  SELECT round(CAST(quantile_cont(ce_micro, 0.25) AS DOUBLE), 6) AS q1,
+         round(CAST(quantile_cont(ce_micro, 0.50) AS DOUBLE), 6) AS q2,
+         round(CAST(quantile_cont(ce_micro, 0.75) AS DOUBLE), 6) AS q3
+  FROM keyd
+),
+staged AS (
+  SELECT k.doc_id, k.n_tokens, k.ce_micro,
+         CAST(CASE WHEN ce_micro <= q1 THEN 1
+                   WHEN ce_micro <= q2 THEN 2
+                   WHEN ce_micro <= q3 THEN 3
+                   ELSE 4 END AS INTEGER) AS stage
+  FROM keyd k, b
+),
+sagg AS (
+  SELECT stage,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(min(ce_micro) AS BIGINT) AS min_ce_micro,
+         CAST(max(ce_micro) AS BIGINT) AS max_ce_micro,
+         sum(ce_micro) AS sc
+  FROM staged GROUP BY stage
+),
+strunc AS (
+  SELECT stage, n_docs, total_tokens, min_ce_micro, max_ce_micro,
+         sc // CAST(power(10, greatest(least(
+           length(CAST(abs(sc) AS VARCHAR)) - 15, 22), 0)) AS HUGEINT) AS sct,
+         CAST(power(10, greatest(least(
+           length(CAST(abs(sc) AS VARCHAR)) - 15, 22), 0)) AS HUGEINT) AS p
+  FROM sagg
+)
+SELECT stage, n_docs, total_tokens, min_ce_micro, max_ce_micro,
+       CAST(sct AS DOUBLE) * CAST(p AS DOUBLE)
+         / CAST(n_docs AS DOUBLE) / 1000000 AS mean_ce_nats
+FROM strunc
+"""
+
+
+@query("cur1_curriculum_stages", oracle=_CUR1_SQL)
+def cur1_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning stage manifest: bin every doc by its
+    per-token unigram cross-entropy (ppx1's score, CCNet's perplexity
+    bucketing — Wenzek et al. 2020 split CommonCrawl into head/middle/
+    tail exactly this way) into four equi-depth stages, easy → hard,
+    and surface the per-stage manifest a staged training run consumes
+    (doc and token budgets per stage, score range, mean). Stage 1 =
+    most corpus-typical (fluent/boilerplate), stage 4 = rarest-token
+    docs — the standard easy-first ordering signal.
+
+    Exactness: the stage key is nll_micro // n_tokens — ONE integer
+    division of exact integers, engine-identical; quartile boundaries
+    follow qb1's convention (exact interpolated percentile rounded at
+    6dp before comparison, boundary ties to the LOWER stage in both
+    engines); stage aggregates are exact integers and the surfaced
+    mean exits through emb6's 15-digit truncation (the per-stage
+    ce sum can pass 2^53 near ~1e9 docs/stage, where DuckDB's
+    HUGEINT→DOUBLE cast is not correctly rounded) then one identical
+    (cast·p, /n, /1e6) IEEE sequence.
+
+    Scale shape: ppx1's scoring plan (one explode, one vocab join,
+    one doc aggregate), then the qb1 pattern — exact-percentile
+    boundaries from ONE aggregate pass and a zero-shuffle broadcast
+    CASE; no global sort, no ntile window. The final groupBy is over
+    4 stage keys. At 100 TB swap approx_percentile into the boundary
+    pass, same plan shape (qb1's documented path)."""
+    keyd = _ppx_doc_scores(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("nll_micro div n_tokens").alias("ce_micro"),
+    )
+    b = keyd.agg(
+        F.round(F.expr("percentile(ce_micro, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(ce_micro, 0.50)"), 6).alias("q2"),
+        F.round(F.expr("percentile(ce_micro, 0.75)"), 6).alias("q3"),
+    )
+    stage = (
+        F.when(F.col("ce_micro") <= F.col("q1"), 1)
+        .when(F.col("ce_micro") <= F.col("q2"), 2)
+        .when(F.col("ce_micro") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    sagg = (
+        keyd.join(F.broadcast(b))
+        .select("doc_id", "n_tokens", "ce_micro", stage.cast("int").alias("stage"))
+        .groupBy("stage")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("ce_micro").cast("long").alias("min_ce_micro"),
+            F.max("ce_micro").cast("long").alias("max_ce_micro"),
+            F.sum(F.col("ce_micro").cast("decimal(38,0)")).alias("sc"),
+        )
+    )
+    # emb6's 15-digit truncation exit before the double cast (the
+    # per-stage sum passes 2^53 around ~1e9 docs/stage)
+    a = F.abs(F.col("sc"))
+    k = F.greatest(F.least(F.length(a.cast("string")) - 15, F.lit(22)), F.lit(0))
+    p = F.pow(F.lit(10.0), k).cast("decimal(38,0)")
+    sct = ((a - a % p) / p).cast("decimal(38,0)")
+    return sagg.select(
+        "stage",
+        "n_docs",
+        "total_tokens",
+        "min_ce_micro",
+        "max_ce_micro",
+        (
+            sct.cast("double") * p.cast("double")
+            / F.col("n_docs").cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("mean_ce_nats"),
     )

@@ -268,6 +268,7 @@ HEADLINE = [
     "winnow2_fingerprint_pairs",
     "ppx1_unigram_cross_entropy",
     "rec1_ivf_recall",
+    "cur1_curriculum_stages",
 ]
 
 
