@@ -692,6 +692,12 @@ def winnow2_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one double division of exact integers. fps/kept persist — each
     feeds multiple consumers (df counts, sketch sizes, both join
     sides) and Spark plans are trees."""
+    return _winnow2_pairs(spark, sf_dir)
+
+
+def _winnow2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """winnow2's candidate-pair builder (doc_a, doc_b, shared_fps,
+    nf_a, nf_b, jaccard_est) — shared with wv1's recall audit."""
     from pyspark.storagelevel import StorageLevel
 
     docs = (
@@ -748,6 +754,109 @@ def winnow2_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 winnow2_fingerprint_pairs.__doc__ = winnow2_fingerprint_pairs.__doc__.format(
     cap=_WN2_DF_CAP, ms=_WN2_MIN_SHARED
 )
+
+
+# --------------------------------------------------------------------------
+# wv1 — winnowing-sketch recall audit vs exact capped-Jaccard pairs
+# --------------------------------------------------------------------------
+
+
+def _wv1_oracle() -> str:
+    from .extended import _D2B_CTES
+
+    return f"""
+WITH {_D2B_CTES},
+expairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.5
+),
+{_wn_sel_ctes("(SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL)", "w")},
+wfps AS (
+  SELECT DISTINCT doc_id, selkey // {_WN_POS} AS fp
+  FROM wsel WHERE rn >= {_WN_W}
+),
+wdfc AS (SELECT fp, CAST(count(*) AS BIGINT) AS c FROM wfps GROUP BY fp),
+wkept AS (
+  SELECT f.doc_id, f.fp
+  FROM wfps f JOIN wdfc USING (fp) WHERE wdfc.c <= {_WN2_DF_CAP}
+),
+wpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {_WN2_MIN_SHARED}
+),
+n1 AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs FROM expairs),
+n2 AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM wpairs),
+n3 AS (SELECT CAST(count(*) AS BIGINT) AS n_recovered
+       FROM expairs JOIN wpairs USING (doc_a, doc_b))
+SELECT n_exact_pairs, n_candidates, n_recovered,
+       CAST(n_recovered AS DOUBLE)
+         / nullif(CAST(n_exact_pairs AS DOUBLE), 0.0) AS recall
+FROM n1, n2, n3
+"""
+
+
+@query("wv1_winnowing_recall", oracle=_wv1_oracle())
+def wv1_winnowing_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the winnowing candidate front-end — the rec1
+    question asked of the OTHER sketch family: what fraction of the
+    exact capped-Jaccard near-dup pairs (3-word shingles, df ≤ 20,
+    J ≥ 0.5 — the d2b/d9 ground truth) does winnow2's fingerprint
+    pair join recover? The published winnowing guarantee covers
+    shared SUBSTRINGS of ≥ w+k−1 tokens, not set-level Jaccard, so
+    the recall fraction is a DATA property (how "runny" the corpus's
+    near-dups are) and the number an operator rollout is gated on
+    before swapping d2's shingle join for the ~2/(w+1)-density
+    sketch. Hash-pinned like rec1: both arms replay bit-for-bit in
+    the oracle, so the TRUE recall is verified, not a floor.
+
+    Scale shape: the exact arm is the d2b capped enumeration (the
+    audit's cost — rollout/monitor cadence, not per-ingest); the
+    sketch arm is winnow2's banded join; the intersection joins two
+    bounded pair sets on their keys. One-row output."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    exact = (
+        ngram_jaccard_pairs(
+            load(spark, sf_dir, "documents"),
+            threshold=0.5,
+            k=3,
+            max_doc_freq=20,
+        )
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand = (
+        _winnow2_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n1 = exact.agg(F.count("*").cast("long").alias("n_exact_pairs"))
+    n2 = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    n3 = exact.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count("*").cast("long").alias("n_recovered")
+    )
+    return (
+        n1.join(F.broadcast(n2))
+        .join(F.broadcast(n3))
+        .select(
+            "n_exact_pairs",
+            "n_candidates",
+            "n_recovered",
+            (
+                F.col("n_recovered").cast("double")
+                / F.nullif(
+                    F.col("n_exact_pairs").cast("double"), F.lit(0.0)
+                )
+            ).alias("recall"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

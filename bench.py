@@ -269,6 +269,7 @@ HEADLINE = [
     "ppx1_unigram_cross_entropy",
     "rec1_ivf_recall",
     "cur1_curriculum_stages",
+    "wv1_winnowing_recall",
 ]
 
 
