@@ -23,6 +23,8 @@ Floats only appear on the way OUT, if a caller casts for display.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -158,6 +160,8 @@ def pagerank(
     # linear so each persisted round feeds exactly two consumers (the
     # next round's join and the delta check)
     ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    converged = False
+    delta = None
     for _ in range(max_rounds):
         new = one_round(ranks).persist(StorageLevel.MEMORY_AND_DISK)
         delta = (
@@ -169,8 +173,23 @@ def pagerank(
         )
         ranks.unpersist()
         ranks = new
-        if delta == 0:
+        # delta is None only on an EMPTY graph (max over zero rows):
+        # vacuously converged — without this the loop would burn every
+        # round and report nothing (ADVICE r8)
+        if delta is None or delta == 0:
+            converged = True
             break
+    if not converged:
+        # the integer recurrence can flicker ±1 e-12 unit forever on
+        # some graphs (div truncation); surface the exhaustion instead
+        # of silently returning a possibly non-converged table
+        logging.getLogger(__name__).warning(
+            "pagerank fixed-point: max_rounds=%d exhausted without "
+            "delta==0 (last max|delta|=%s e-12 units); result is the "
+            "final round, not a proven fixed point",
+            max_rounds,
+            delta,
+        )
     return ranks
 
 
@@ -273,6 +292,13 @@ def kcore_peel(
       shared subtree re-executes ~2^N times — measured 14.7s → 3.3s on
       the kcore1 registry query). The result is a SUPERSET of the true
       k-core unless the peel has converged.
+
+    Both modes materialize each round eagerly and unpersist the
+    previous round's graph and drop set once the new round is cached,
+    so repeated library calls never accumulate executor storage
+    (ADVICE r8). Only the RETURNED edge list stays persisted — callers
+    that are done with it should ``unpersist()`` it (the bench's
+    clearCache-between-queries does this implicitly).
     - ``rounds=None`` peels to the fixed point: peeling is MONOTONE
       (the edge set only shrinks), so an empty drop set is exact
       convergence — no oscillation cap needed; ``max_rounds`` is a
@@ -313,10 +339,10 @@ def kcore_peel(
             .join(drop.withColumnRenamed("node", "dst"), "dst", "left_anti")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        if rounds is None:
-            # materialize the new round before releasing its inputs
-            ng.count()
-            g.unpersist()
-            drop.unpersist()
+        # materialize the new round before releasing its inputs — in
+        # BOTH modes, so per-round caches never outlive the round
+        ng.count()
+        g.unpersist()
+        drop.unpersist()
         g = ng
     return g

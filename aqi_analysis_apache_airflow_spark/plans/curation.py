@@ -2037,13 +2037,22 @@ def _dc3_sims_ivf(emb: DataFrame, probes: DataFrame) -> DataFrame:
             ),
         )
     )
+    # degenerate corpora can yield fewer than n_probe centroids (every
+    # vector in one cell): slice by the ACTUAL tail length, else
+    # slice(-4, 4) on a shorter array returns [] and the prefilter
+    # would silently report everything un-contaminated (ADVICE r8).
+    # slice(start=0) throws, so the zero-centroid case routes through
+    # an empty slice of the same element type.
+    n_take = F.least(F.size(ranked), F.lit(_DC3_IVF_NPROBE))
     probe_cells = (
         probes.filter(dot_fast(F.col("qv"), F.col("qv")) > 0)
         .join(F.broadcast(cents_row))
         .select(
             "eval_id",
             F.explode(
-                F.slice(ranked, -_DC3_IVF_NPROBE, _DC3_IVF_NPROBE)
+                F.when(n_take > 0, F.slice(ranked, -n_take, n_take)).otherwise(
+                    F.slice(ranked, 1, 0)
+                )
             ).alias("s"),
         )
         .select("eval_id", (-F.col("s.neg_id")).alias("cluster"))

@@ -1827,34 +1827,49 @@ def g6_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact-percentile verify arms buffer every value, so the
     map-side insert cost is the heavy stage — spread the often
     single-row-group scan across cores first (the _md5_ivf_parts
-    precedent; measured 6.9s → 5.4s at sf0.1, spread halved). The
-    remaining floor is the per-group final merge, inherent to exact
+    precedent; measured 6.9s → 5.4s at sf0.1, spread halved).
+
+    PLAN TRAP, fixed 2026-08-15: mixing ``countDistinct`` into the
+    same ``agg`` as the percentile arms makes Catalyst plan an Expand
+    (one row copy per distinct-group id) and run the FIRST aggregate
+    keyed on ``(l_returnflag, l_partkey, gid)`` — so every exact
+    percentile buffer was being built and merged across ~20k
+    per-partkey groups instead of 3 per-flag groups. Splitting the
+    exact distinct count into its own two-phase groupBy (map-side
+    combinable) and folding the three exact percentiles into ONE
+    array-argument call cut the interleaved same-JVM A/B from
+    5.0–5.7s to 2.2s at sf0.1 (identical rows). The remaining floor
+    is the per-group final percentile merge, inherent to exact
     percentile — the sketches being verified are precisely the
     100 TB replacement for it."""
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    g = (
+    li = (
         load(spark, sf_dir, "lineitem")
         .select("l_returnflag", "l_partkey", "l_extendedprice")
         .repartition(n_part)
-        .groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("__hll"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
-                "median_price"
-            ),
-            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
-                "__amed"
-            ),
-            F.percentile("l_extendedprice", F.lit(0.45)).alias("__p45"),
-            F.percentile("l_extendedprice", F.lit(0.55)).alias("__p55"),
-            F.count("*").alias("n_rows"),
-        )
     )
-    return g.select(
+    # exact distinct as its own two-phase aggregate: keeps the Expand
+    # (and its per-partkey percentile buffers) out of the verify agg
+    exact = (
+        li.groupBy("l_returnflag", "l_partkey")
+        .agg(F.lit(1))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_parts"))
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("__hll"),
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.45), F.lit(0.5), F.lit(0.55))
+        ).alias("__pcts"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "__amed"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+    return g.join(F.broadcast(exact), "l_returnflag").select(
         "l_returnflag",
         "n_parts",
-        "median_price",
+        F.round(F.col("__pcts")[1], 4).alias("median_price"),
         "n_rows",
         (
             F.abs(F.col("__hll") - F.col("n_parts"))
@@ -1869,7 +1884,10 @@ def g6_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rank-based, so the bound is vacuously satisfied by
         # construction and the check defers to it.
         (
-            ((F.col("__amed") >= F.col("__p45")) & (F.col("__amed") <= F.col("__p55")))
+            (
+                (F.col("__amed") >= F.col("__pcts")[0])
+                & (F.col("__amed") <= F.col("__pcts")[2])
+            )
             | (F.col("n_rows") < 1000)
         ).alias("approx_median_ok"),
     )

@@ -2847,6 +2847,122 @@ def kcore1_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# kcore2 — TRUE fixed-point k-core (the rounds=None convergence mode,
+# registry-visible; verdict-r8 task 6)
+# --------------------------------------------------------------------------
+
+_KCORE2_K = 7
+_KCORE2_PRED_SQL = "l.l_quantity <= 5"
+
+
+def _kcore2_oracle() -> str:
+    """Recursive-CTE replay of the peel TO CONVERGENCE: the working
+    table carries each round's surviving (iter-tagged) edge set; the
+    recursive term re-emits the survivors only when the round actually
+    SHRANK, so the recursion halts exactly at the fixed point and
+    ``max(iter)`` selects it. A NULL-keyed marker row travels with
+    every round so the transition to an EMPTY fixed point is still
+    representable (without it, a round whose survivors are empty emits
+    no rows and max(iter) would wrongly select the last NON-empty
+    round — caught live at sf0.001 during development). All quantities
+    are exact BIGINT degrees and set memberships — nothing to round."""
+    k = _KCORE2_K
+    keep = (
+        "SELECT src FROM peel WHERE src IS NOT NULL "
+        f"GROUP BY src HAVING count(*) >= {k}"
+    )
+    shrank = f"""(SELECT count(*) FROM peel q
+             WHERE q.src IN ({keep}) AND q.dst IN ({keep}))
+          < (SELECT count(*) FROM peel WHERE src IS NOT NULL)"""
+    return f"""
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS src,
+                      CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE {_KCORE2_PRED_SQL}
+    ),
+    g0 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    peel(iter, src, dst) AS (
+      SELECT 0, src, dst FROM g0
+      UNION ALL
+      SELECT 0, NULL, NULL
+      UNION ALL
+      SELECT t.iter + 1, t.src, t.dst FROM (
+        SELECT p.iter, p.src, p.dst
+        FROM peel p
+        WHERE p.src IN ({keep}) AND p.dst IN ({keep}) AND {shrank}
+        UNION ALL
+        SELECT m.iter, NULL, NULL FROM peel m
+        WHERE m.src IS NULL AND {shrank}
+      ) t
+    ),
+    fin AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree
+      FROM peel
+      WHERE iter = (SELECT max(iter) FROM peel) AND src IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT {_KCORE_DECODE.format(c="node")} AS node, core_degree
+    FROM fin"""
+
+
+@query("kcore2_fixed_point_core", oracle=_kcore2_oracle())
+def kcore2_fixed_point_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT k-core — ``kcore_peel(rounds=None)`` iterated to the
+    fixed point, registry-visible (kcore1 truncates at R=3 and returns
+    a superset; this is the production form its docstring promises).
+    The k-core is the unique maximal subgraph of minimum degree ≥ k,
+    so the result is schedule-independent: Spark's control-plane
+    convergence loop (one drop-set count per round, per-round persist
+    + eager release) and the oracle's recursive-CTE replay
+    (iter-tagged working table, recursion halts when a round stops
+    shrinking) MUST agree bit-for-bit — the convergence machinery
+    itself is what the hash match certifies.
+
+    Fixture shape: the customer–supplier graph restricted to
+    low-quantity line items (l_quantity ≤ 5), k=7 — the one corner of
+    this uniform-random bipartite graph where the peel both cascades
+    AND leaves a non-empty core (random graphs have sharp all-or-
+    nothing core thresholds; measured: 3 shrink rounds to a 34,260-
+    edge core at sf0.1, 1 round to a 3,292-edge core at sf0.01, 3
+    rounds to the EMPTY core at sf0.001 — the empty transition is the
+    case the oracle's marker row exists for).
+
+    Scale shape: identical to kcore1 per round (ONE map-side-combined
+    degree aggregate + two LEFT ANTI joins on the persisted
+    src-hash-partitioned layout; the shrinking drop set broadcasts via
+    AQE); the convergence scalar is one BIGINT count per round. The
+    number of rounds is data-dependent but each round strictly shrinks
+    the edge set, so total cost is front-loaded in round 1 exactly as
+    kcore1's docstring argues — at 100 TB the same peel runs with a
+    per-round checkpoint cadence instead of MEMORY_AND_DISK persist."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.filter(F.col("l_quantity") <= 5)  # keep in sync w/ _KCORE2_PRED_SQL
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    g0 = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    g = kcore_peel(g0, _KCORE2_K, rounds=None)
+    fin = g.groupBy("src").agg(F.count("*").cast("long").alias("core_degree"))
+    node = F.col("src")
+    decoded = F.when(
+        node % 2 == 0,
+        F.concat(F.lit("c"), F.expr("CAST(src div 2 AS STRING)")),
+    ).otherwise(F.concat(F.lit("s"), F.expr("CAST(src div 2 AS STRING)")))
+    return fin.select(decoded.alias("node"), "core_degree")
+
+
+# --------------------------------------------------------------------------
 # tau1 — Kendall-tau agreement between the lexical and semantic rankers
 # --------------------------------------------------------------------------
 

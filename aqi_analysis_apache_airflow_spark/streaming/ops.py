@@ -140,7 +140,16 @@ def run_to_memory(
     set only around stream start and restored after; pass ``None``
     to inherit the session value (production streams size state
     partitions to actual volume, exactly as ``tune_for_scale`` does
-    for batch)."""
+    for batch).
+
+    SINGLE-THREADED ASSUMPTION (ADVICE r8): the override mutates the
+    SESSION conf for the replay's duration, because a stateful stream
+    pins its state partition count from the session conf at first
+    batch and offers no per-query knob — so any batch query planned
+    CONCURRENTLY on the same session would silently plan with the
+    replay's shuffle-partition count. This helper is a test/bench
+    harness for synchronous bounded replays; do not call it from a
+    session shared with concurrent planners (pass ``None`` there)."""
     spark = stream_df.sparkSession
     old = None
     if shuffle_partitions is not None:
