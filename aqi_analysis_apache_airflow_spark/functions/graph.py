@@ -286,42 +286,53 @@ def kcore_peel(
     repeatedly delete nodes of degree < k and the edges they carry.
     Returns the surviving doubled edge list.
 
-    - ``rounds=N`` peels exactly N synchronous rounds with a per-round
-      persist (Spark plans are trees: keep/drop and the next round's
-      join both consume each round's graph, so without the persist the
-      shared subtree re-executes ~2^N times — measured 14.7s → 3.3s on
-      the kcore1 registry query). The result is a SUPERSET of the true
-      k-core unless the peel has converged.
-
-    Both modes materialize each round eagerly and unpersist the
-    previous round's graph and drop set once the new round is cached,
-    so repeated library calls never accumulate executor storage
-    (ADVICE r8). Only the RETURNED edge list stays persisted — callers
-    that are done with it should ``unpersist()`` it (the bench's
-    clearCache-between-queries does this implicitly).
+    - ``rounds=N`` peels exactly N synchronous rounds. The result is a
+      SUPERSET of the true k-core unless the peel has converged.
     - ``rounds=None`` peels to the fixed point: peeling is MONOTONE
-      (the edge set only shrinks), so an empty drop set is exact
-      convergence — no oscillation cap needed; ``max_rounds`` is a
-      runaway backstop only. Per round the drop-set count doubles as
-      both the convergence scalar and the cache materializer.
+      (the edge set only shrinks), so ``|ng| == |g|`` is exact
+      convergence (equal counts of nested sets ⟺ equal sets) — no
+      oscillation cap needed; ``max_rounds`` is a runaway backstop
+      only. ONE action per round: the new edge count doubles as both
+      the convergence scalar and the materializer.
+
+    Each round ends in a ``localCheckpoint`` (eager in fixed-point
+    mode where the count needs it, lazy otherwise), which does two
+    jobs at once. (1) It materializes the round so keep/drop and the
+    next round's join don't re-execute the shared subtree ~2^N times
+    (Spark plans are trees — measured 14.7s → 3.3s on kcore1 with a
+    persist). (2) Unlike persist, it TRUNCATES LINEAGE: with
+    persist-only rounds, the logical tree under each InMemoryRelation
+    still grows by one anti-join layer per round, and Catalyst
+    re-analyzes the whole accumulated tree on every action — measured
+    on kcore2 at sf0.1 (2026-08-15): the zero-change certify round
+    alone cost 6.2s driver-side against 34k cached rows; flat
+    localCheckpoint rounds run the full fixed point in 2.4-2.6s
+    (5.6× whole-query). Checkpointed rounds are released by the
+    ContextCleaner when unreferenced, so repeated library calls don't
+    accumulate executor storage (ADVICE r8).
 
     Scale shape: each round is ONE map-side-combined degree
     aggregation plus two LEFT ANTI joins hash-partitioned on the same
     endpoint keys; the drop set (nodes BELOW k — typically a small
     minority) broadcasts via AQE as the peel front shrinks. The edge
-    list persists HASH-PARTITIONED ON src, so the per-round degree
-    aggregate runs exchange-free on the cached layout (and the
-    broadcast anti joins preserve it into the next round) — A/B at
-    sf0.1, 5 interleaved passes (2026-08-15): 3.02s → 2.35s median
-    with a visibly tighter spread.
+    list checkpoints HASH-PARTITIONED ON src (LogicalRDD preserves
+    outputPartitioning), so the per-round degree aggregate runs
+    exchange-free on the stored layout. At 100 TB swap the
+    executor-local checkpoint for a reliable ``checkpoint()`` to the
+    cluster's checkpoint dir — localCheckpoint trades executor-loss
+    fault tolerance for speed, the right trade on a bench box and the
+    wrong one on a 1000-executor job.
     """
-    from pyspark import StorageLevel
-
-    g = (
-        edges.select("src", "dst")
-        .repartition("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # fixed-point mode needs each round materialized NOW (the count is
+    # the convergence scalar); rounds=N mode leaves materialization to
+    # the caller's one action — lazy checkpoints still truncate lineage
+    # and still deduplicate the shared subtree (A/B at sf0.1, 3
+    # interleaved passes: lazy 2.1-2.2s vs eager 2.4s on kcore1)
+    eager = rounds is None
+    g = edges.select("src", "dst").repartition("src").localCheckpoint(
+        eager=eager
     )
+    prev = g.count() if rounds is None else None
     n = max_rounds if rounds is None else rounds
     for _ in range(n):
         drop = (
@@ -329,20 +340,22 @@ def kcore_peel(
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") < k)
             .select(F.col("src").alias("node"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        if rounds is None and drop.count() == 0:
-            drop.unpersist()
-            break
+        # the two anti joins re-derive drop from the checkpointed g —
+        # one extra small aggregate per round, cheaper than a separate
+        # materialization action for it
         ng = (
             g.join(drop.withColumnRenamed("node", "src"), "src", "left_anti")
             .join(drop.withColumnRenamed("node", "dst"), "dst", "left_anti")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=eager)
         )
-        # materialize the new round before releasing its inputs — in
-        # BOTH modes, so per-round caches never outlive the round
-        ng.count()
-        g.unpersist()
-        drop.unpersist()
+        if rounds is None:
+            cnt = ng.count()
+            if cnt == prev:
+                # monotone peel: ng ⊆ g, equal counts mean equal sets —
+                # g IS the fixed point; the identical new round is left
+                # to the ContextCleaner
+                break
+            prev = cnt
         g = ng
     return g

@@ -2828,14 +2828,17 @@ def kcore1_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     g0 = e0.unionAll(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # Each round's g is persisted inside kcore_peel: keep/drop AND the
-    # next round's join both consume it, and Spark plans are trees —
-    # without the persist the shared subtree re-executes ~2^R times
-    # (measured 14.7s → 3.3s at sf0.1). The drop set (nodes BELOW k —
-    # typically a small minority) ships as two LEFT ANTI joins, which
-    # AQE turns into broadcasts once the peel front shrinks. The
-    # rounds=None twin peels the same recurrence to the exact k-core
-    # (pytest-proven equal once converged).
+    # Each round's g is localCheckpoint'ed inside kcore_peel: keep/drop
+    # AND the next round's join both consume it, and Spark plans are
+    # trees — without the materialization the shared subtree
+    # re-executes ~2^R times (measured 14.7s → 3.3s at sf0.1), and
+    # without the LINEAGE TRUNCATION Catalyst re-analyzes a tree that
+    # grows one anti-join layer per round (see kcore_peel docstring).
+    # The drop set (nodes BELOW k — typically a small minority) ships
+    # as two LEFT ANTI joins, which AQE turns into broadcasts once the
+    # peel front shrinks. The rounds=None twin peels the same
+    # recurrence to the exact k-core (kcore2 registry query +
+    # pytest-proven equal once converged).
     g = kcore_peel(g0, _KCORE_K, rounds=_KCORE_ROUNDS)
     fin = g.groupBy("src").agg(F.count("*").cast("long").alias("core_degree"))
     node = F.col("src")
