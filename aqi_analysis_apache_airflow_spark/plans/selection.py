@@ -5076,3 +5076,372 @@ def cur1_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1_000_000.0)
         ).alias("mean_ce_nats"),
     )
+
+
+# --------------------------------------------------------------------------
+# drm1 — DoReMi-lite domain reweighting by excess cross-entropy (round 9)
+# --------------------------------------------------------------------------
+
+_DRM_BUDGET = 1_000  # permille — the mixing weights a sampler consumes
+
+_DRM1_SQL = f"""
+WITH {_PPX_DOC_CTES},
+src AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(doc.n_tokens) AS BIGINT) AS n_tokens,
+         CAST(sum(doc.nll_micro) AS BIGINT) AS nll
+  FROM doc JOIN documents d USING (doc_id)
+  GROUP BY d.source
+),
+ce AS (
+  SELECT source, n_docs, n_tokens, nll // n_tokens AS ce_micro FROM src
+),
+m AS (SELECT min(ce_micro) AS mn FROM ce),
+ex AS (
+  SELECT source, n_docs, n_tokens, ce_micro,
+         ce_micro - mn AS excess_micro
+  FROM ce CROSS JOIN m
+),
+tex AS (SELECT CAST(sum(excess_micro) AS BIGINT) AS te FROM ex),
+q AS (
+  SELECT source, n_docs, n_tokens, ce_micro, excess_micro,
+         CASE WHEN te > 0
+              THEN ({_DRM_BUDGET} * excess_micro) // te END AS w0,
+         CASE WHEN te > 0
+              THEN ({_DRM_BUDGET} * excess_micro) % te END AS rem
+  FROM ex CROSS JOIN tex
+),
+lv AS (SELECT {_DRM_BUDGET} - sum(w0) AS leftover FROM q),
+r AS (
+  SELECT *, row_number() OVER (
+           ORDER BY rem DESC, source ASC NULLS FIRST) AS rk
+  FROM q
+)
+SELECT source, n_docs, n_tokens, ce_micro, excess_micro,
+       CASE WHEN w0 IS NULL THEN NULL
+            WHEN rk <= leftover THEN w0 + 1 ELSE w0 END AS weight_permille
+FROM r CROSS JOIN lv
+"""
+
+
+@query("drm1_domain_reweight", oracle=_DRM1_SQL)
+def drm1_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-lite domain reweighting: score every source by its mean
+    unigram cross-entropy under the corpus LM (ppx1's integer
+    micro-nats, aggregated per source), take each source's EXCESS over
+    the easiest source, and apportion a permille mixing budget
+    proportional to excess with largest-remainder (Hamilton) rounding
+    so the weights sum to exactly 1000. This is the shape of DoReMi
+    (Xie et al., NeurIPS 2023): domains where the proxy model's loss
+    exceeds the reference get upweighted; here the unigram LM plays
+    the proxy and the per-corpus minimum plays the reference — the
+    lite, deterministic form a data pipeline can run without training
+    a model (DoReMi's smoothing toward uniform is a documented knob, a
+    one-line coalesce on the excess).
+
+    Exactness: per-source CE is ONE integral division of exact
+    integer sums (nll // n_tokens); excess and the Hamilton quotas are
+    pure BIGINT div/mod (lr1's machinery over a 20-row table); the
+    leftover ranking tiebreaks (rem DESC, source ASC NULLS FIRST —
+    spelled on BOTH engines because their default NULL ordering
+    differs). Degenerate corpus (all sources at the minimum CE →
+    zero total excess) surfaces NULL weights rather than a 0/0.
+
+    Scale shape: ppx1's scoring plan (one explode, one vocab join,
+    one doc aggregate) plus a doc_id-keyed join of the DOC-level
+    score table back to documents for the source key — doc-count
+    sized, not token-sized; everything after runs on the
+    n_sources-row table (broadcast-sized at any corpus scale, the
+    lr1/mix1 convention)."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    src = (
+        _ppx_doc_scores(spark, sf_dir)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("nll_micro").cast("long").alias("nll"),
+        )
+    )
+    ce = src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("nll div n_tokens").alias("ce_micro"),
+    )
+    m = ce.agg(F.min("ce_micro").alias("mn"))
+    ex = ce.join(F.broadcast(m)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "ce_micro",
+        (F.col("ce_micro") - F.col("mn")).alias("excess_micro"),
+    )
+    tot = ex.agg(F.sum("excess_micro").cast("long").alias("te"))
+    scaled = F.lit(_DRM_BUDGET).cast("long") * F.col("excess_micro")
+    q = ex.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "ce_micro",
+        "excess_micro",
+        F.when(F.col("te") > 0, F.expr(f"({_DRM_BUDGET} * excess_micro) div te"))
+        .alias("w0"),
+        F.when(F.col("te") > 0, F.pmod(scaled, F.col("te"))).alias("rem"),
+    )
+    lv = q.agg((F.lit(_DRM_BUDGET) - F.sum("w0")).alias("leftover"))
+    wnd = Window.orderBy(F.col("rem").desc(), F.col("source").asc_nulls_first())
+    r = q.withColumn("rk", F.row_number().over(wnd))
+    return r.join(F.broadcast(lv)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "ce_micro",
+        "excess_micro",
+        F.when(F.col("w0").isNull(), F.lit(None).cast("long"))
+        .when(F.col("rk") <= F.col("leftover"), F.col("w0") + 1)
+        .otherwise(F.col("w0"))
+        .alias("weight_permille"),
+    )
+
+
+# --------------------------------------------------------------------------
+# kw1 — per-source distinctive keywords by exact likelihood-ratio lift
+# --------------------------------------------------------------------------
+
+_KW_TOPK = 5
+_KW_MIN_TF = 2
+
+_KW1_SQL = rf"""
+WITH toks AS (
+  SELECT d.source, unnest(regexp_extract_all(d.text, '\S+')) AS w
+  FROM documents d WHERE d.text IS NOT NULL
+),
+tf_s AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY source, w
+),
+len_s AS (SELECT source, CAST(count(*) AS BIGINT) AS st FROM toks GROUP BY source),
+tf_g AS (SELECT w, CAST(count(*) AS BIGINT) AS gf FROM toks GROUP BY w),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS gt FROM toks),
+lift AS (
+  SELECT t.source, t.w, t.tf,
+         CAST((CAST(t.tf AS HUGEINT) * gt * 1000000)
+              // (CAST(g.gf AS HUGEINT) * s.st) AS BIGINT) AS lift_micro
+  FROM tf_s t
+  JOIN len_s s USING (source)
+  JOIN tf_g g USING (w)
+  CROSS JOIN tot
+  WHERE t.tf >= {_KW_MIN_TF}
+),
+rk AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY source
+           ORDER BY lift_micro DESC, w ASC) AS rank
+  FROM lift
+)
+SELECT source, w AS keyword, tf, lift_micro, CAST(rank AS INTEGER) AS rank
+FROM rk WHERE rank <= {_KW_TOPK}
+"""
+
+
+@query("kw1_source_keywords", oracle=_KW1_SQL)
+def kw1_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive-keyword extraction: rank each source's
+    tokens by relative frequency LIFT against the whole corpus,
+    P(w|source)/P(w|corpus) — the monotone core of log-likelihood /
+    PMI keyword mining (Dunning 1993's keyness statistic orders by a
+    monotone transform of the same ratio at fixed tf; pmi1 applies the
+    identical trick to token PAIRS). The top-5 per source is the
+    domain-term profile a corpus card reports and a router/mixer uses
+    to label sources.
+
+    Exactness: the lift is ONE integral division of exact integer
+    cross-products — (tf_s · N_corpus · 10^6) div (tf_corpus ·
+    N_source) — computed in DECIMAL(38,0)/HUGEINT because the
+    numerator passes 2^63 on web-scale token counts; ordering
+    tiebreaks on the token. A min-tf floor of {mtf} drops hapax noise
+    (the published practice).
+
+    Scale shape: ONE token explode feeding three map-side-combinable
+    counts (per source+token, per source, per token — the same
+    exploded stream, so AQE reuses the exchange); the ranking window
+    partitions by source over VOCABULARY-sized groups (token types,
+    not tokens). At 100 TB the per-source window input is still only
+    that source's distinct vocabulary; a TakeOrdered pre-prune per
+    source is the documented swap if vocabularies explode."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+    tf_s = toks.groupBy("source", "w").agg(F.count("*").cast("long").alias("tf"))
+    len_s = toks.groupBy("source").agg(F.count("*").cast("long").alias("st"))
+    tf_g = toks.groupBy("w").agg(F.count("*").cast("long").alias("gf"))
+    tot = toks.agg(F.count("*").cast("long").alias("gt"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = dec(F.col("tf")) * dec(F.col("gt")) * F.lit(1_000_000).cast(
+        "decimal(38,0)"
+    )
+    den = dec(F.col("gf")) * dec(F.col("st"))
+    # decimal division rounds; exact floor = (num - num % den) / den
+    lift_micro = ((num - F.pmod(num, den)) / den).cast("decimal(38,0)").cast(
+        "long"
+    )
+    lift = (
+        tf_s.filter(F.col("tf") >= _KW_MIN_TF)
+        .join(len_s, "source")
+        .join(tf_g, "w")
+        .join(F.broadcast(tot))
+        .select("source", "w", "tf", lift_micro.alias("lift_micro"))
+    )
+    wnd = Window.partitionBy("source").orderBy(
+        F.col("lift_micro").desc(), F.col("w").asc()
+    )
+    return (
+        lift.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= _KW_TOPK)
+        .select(
+            "source",
+            F.col("w").alias("keyword"),
+            "tf",
+            "lift_micro",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# qc4 — duplicated-5-gram token coverage (Gopher repetition rule)
+# --------------------------------------------------------------------------
+
+_QC4_N = 5
+_QC4_FLAG_PCT = 15  # Rae et al. 2021 Table A1: dup-5-gram fraction 0.15
+
+_QC4_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+  FROM documents WHERE doc_id IS NOT NULL
+),
+base AS (
+  SELECT doc_id, CAST(coalesce(len(toks), 0) AS BIGINT) AS n_tokens, toks
+  FROM t
+),
+pos AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, n_tokens - {_QC4_N - 1})) AS p
+  FROM base WHERE n_tokens >= {_QC4_N}
+),
+grams AS (
+  SELECT doc_id, p, array_to_string(toks[p:p + {_QC4_N - 1}], ' ') AS g
+  FROM pos
+),
+dup AS (
+  SELECT doc_id, g, list(p) AS ps
+  FROM grams GROUP BY doc_id, g HAVING count(*) >= 2
+),
+occ AS (SELECT doc_id, unnest(ps) AS p FROM dup),
+cov AS (
+  SELECT DISTINCT doc_id, cp FROM (
+    SELECT doc_id, unnest(generate_series(p, p + {_QC4_N - 1})) AS cp
+    FROM occ
+  ) z
+),
+covered AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_covered FROM cov GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(coalesce(c.n_covered, 0) AS BIGINT) AS covered_tokens,
+       CASE WHEN b.n_tokens > 0
+            THEN CAST(coalesce(c.n_covered, 0) AS DOUBLE)
+                 / CAST(b.n_tokens AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS dup_fraction,
+       coalesce(c.n_covered, 0) * 100 > {_QC4_FLAG_PCT} * b.n_tokens
+         AS flagged
+FROM base b LEFT JOIN covered c USING (doc_id)
+"""
+
+
+@query("qc4_dup_ngram_coverage", oracle=_QC4_SQL)
+def qc4_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition audit: the fraction of token
+    positions covered by a 5-gram that occurs MORE THAN ONCE in the
+    same document — the Gopher repetition-removal family (Rae et al.
+    2021, Table A1: "duplicate 5-gram fraction", threshold 0.15),
+    in token-position form. Complements qc2 (top-bigram mass — one
+    hot phrase) and sub1/sub2 (CROSS-doc span duplication): this one
+    catches the looping/stutter failure mode where a doc repeats its
+    own phrases, the signature of template spam and broken crawls.
+
+    Coverage is the UNION of positions (a position under two distinct
+    duplicated grams counts once): per (doc, gram) the occurrence
+    list is kept only when it has ≥ 2 entries, each occurrence
+    expands to its {n} covered positions, and a DISTINCT collapses
+    overlaps — replayed verbatim in the oracle. Exactness: counts
+    are BIGINTs; the fraction is one division of exact integers; the
+    flag compares integer cross-products (covered·100 > 15·n), never
+    the double. Docs shorter than {n} tokens have zero grams and
+    surface 0.0/false.
+
+    Scale shape: the gram stream is ~n_tokens rows per doc (the t1/
+    sub1 explode shape) feeding ONE (doc, gram) aggregate whose
+    occurrence lists are per-doc-bounded; the coverage distinct and
+    final count re-aggregate on doc_id, so every shuffle key is
+    doc-local — no corpus-global state anywhere. The 100 TB form is
+    identical; skew (one enormous doc) is bounded by the per-doc
+    token count itself."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    base = docs.select(
+        "doc_id",
+        F.coalesce(F.size(tokens(F.col("text"))), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    n = _QC4_N
+    grams = base.filter(F.col("n_tokens") >= n).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, int(n_tokens) - {n - 1}), "
+                f"p -> struct(p AS p, concat_ws(' ', slice(toks, p, {n})) AS g))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.p").alias("p"), F.col("s.g").alias("g"))
+    dup = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.collect_list("p").alias("ps"), F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    cov = (
+        dup.select("doc_id", F.explode("ps").alias("p"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).alias("cp"),
+        )
+        .distinct()
+    )
+    covered = cov.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_covered")
+    )
+    return base.select("doc_id", "n_tokens").join(
+        covered, "doc_id", "left_outer"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_covered"), F.lit(0)).cast("long").alias(
+            "covered_tokens"
+        ),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.coalesce(F.col("n_covered"), F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
+        (
+            F.coalesce(F.col("n_covered"), F.lit(0)) * 100
+            > F.lit(_QC4_FLAG_PCT) * F.col("n_tokens")
+        ).alias("flagged"),
+    )

@@ -281,6 +281,9 @@ HEADLINE = [
     "g3_quantiles",
     "j11_salted_join",
     "kcore2_fixed_point_core",
+    "drm1_domain_reweight",
+    "kw1_source_keywords",
+    "qc4_dup_ngram_coverage",
 ]
 
 
