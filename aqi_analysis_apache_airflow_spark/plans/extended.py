@@ -3233,3 +3233,159 @@ def d4v_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.join(cands, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "hamming", "jaccard"
     )
+
+
+# --------------------------------------------------------------------------
+# cov1 — per-label embedding-space cell coverage (round 9)
+# --------------------------------------------------------------------------
+
+_COV1_CELLS = 16
+
+_COV1_SQL = f"""
+    WITH {{assign}},
+    lab AS (
+      SELECT a.cluster, e.label
+      FROM assigned a JOIN embeddings e USING (vec_id)
+    ),
+    pc AS (
+      SELECT label, cluster, CAST(count(*) AS BIGINT) AS cnt
+      FROM lab GROUP BY label, cluster
+    )
+    SELECT label,
+           CAST(sum(cnt) AS BIGINT) AS n_vecs,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           (1000 * CAST(count(*) AS BIGINT)) // {_COV1_CELLS}
+             AS coverage_permille,
+           arg_min(cluster, (-cnt) * 4294967296 + cluster) AS top_cluster,
+           (1000000 * max(cnt)) // CAST(sum(cnt) AS BIGINT)
+             AS top_cell_share_ppm
+    FROM pc GROUP BY label
+""".format(assign=_ivfm_assign_ctes(_COV1_CELLS))
+
+
+@query("cov1_embedding_cell_coverage", oracle=_COV1_SQL)
+def cov1_embedding_cell_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-space coverage audit: how many of the IVF
+    coarse cells does each label's vector population occupy, and how
+    concentrated is it in its top cell — the mode-collapse / diversity
+    signal a curation pipeline reads per class or per source before
+    sampling (a label whose vectors all land in one of 16 cells is a
+    near-duplicate cluster or a collapsed embedding, the SemDeDup
+    precondition sdd1 then acts on). Published shape: cluster-occupancy
+    diversity audits over quantized embeddings (the IVF occupancy
+    histogram every FAISS deployment inspects).
+
+    Exactness: the cell assignment is the md5-family IVF build DuckDB
+    replays bit-for-bit (``_md5_ivf_parts`` / ``_ivfm_assign_ctes`` —
+    the sim_ivfm/sdd1/rec1 machinery); occupancy counts are BIGINTs;
+    coverage and top-cell share are integral divisions; the top cell
+    tiebreaks through the proven (−cnt)·2³² + cluster integer encoding
+    (cluster ids are raw vec_ids, so the multiplier exceeds the id
+    domain). Zero-norm vectors and the query vector are excluded by
+    the same norm guard as every other consumer of the index.
+
+    Scale shape: the assignment is a narrow broadcast-argmin
+    projection on the embeddings scan (no ×16 fanout); the audit
+    itself is ONE (label, cluster) groupBy — at most
+    |labels|·n_cells rows — re-aggregated per label. Nothing here
+    grows with corpus size except the one pass over vectors."""
+    labels = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    _, assigned, _ = _md5_ivf_parts(spark, sf_dir, n_centroids=_COV1_CELLS)
+    pc = (
+        assigned.select("vec_id", "cluster")
+        .join(labels, "vec_id")
+        .groupBy("label", "cluster")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    top_key = (-F.col("cnt")) * F.lit(4294967296).cast("long") + F.col("cluster")
+    return pc.groupBy("label").agg(
+        F.sum("cnt").cast("long").alias("n_vecs"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.expr(f"(1000 * count(*)) div {_COV1_CELLS}").alias(
+            "coverage_permille"
+        ),
+        F.min_by("cluster", top_key).alias("top_cluster"),
+        F.expr("(1000000 * max(cnt)) div sum(cnt)").alias(
+            "top_cell_share_ppm"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# m4 — multimodal payload exact-dedup audit (round 9)
+# --------------------------------------------------------------------------
+
+_M4_SQL = """
+    WITH f AS (
+      SELECT doc_id, source,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             md5(text) AS cid
+      FROM documents
+      WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    c AS (SELECT cid, min(doc_id) AS canon FROM f GROUP BY cid)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_payloads,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(count(*) FILTER (doc_id <> canon) AS BIGINT) AS dup_payloads,
+           CAST(coalesce(sum(n_bytes) FILTER (doc_id <> canon), 0) AS BIGINT)
+             AS dup_bytes
+    FROM f JOIN c USING (cid)
+    GROUP BY source
+"""
+
+
+@query("m4_payload_dedup_audit", oracle=_M4_SQL)
+def m4_payload_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal exact-dedup planning report: per source, how many
+    opaque payloads are byte-identical copies of an earlier payload
+    (content-hash dedup on the m1 features — the step every
+    image/audio corpus runs on media hashes before any perceptual
+    dedup; LAION-style pipelines dedup on exact content digests
+    first) and how many bytes deleting the copies would reclaim.
+    Canonical = lowest doc_id per content hash (the d1/d7 keep-rule).
+
+    The content ids flow through the REAL multimodal path — the
+    Arrow-batched ``mapInPandas`` decode hook of m1
+    (``extract_binary_features``), not a SQL md5() — so this query
+    proves the plumbing composes: Python-stage features joining and
+    aggregating with JVM-side relational ops in one plan. The oracle
+    recomputes the same md5/octet_length on the text bytes.
+
+    Exactness: counts and byte sums are BIGINTs; the canonical pick
+    is an integer min. NULL payloads and NULL ids are excluded by
+    policy (a NULL payload is absence, not a duplicate of other
+    NULLs; m1 itself keeps them to prove NULL-safety).
+
+    Scale shape: ONE mapInPandas pass over payload bytes (the decode
+    stage a real deployment spends its cycles in), one content-hash
+    groupBy for canonicals (map-side combinable), one join back on
+    the hash, one per-source aggregate. The join key is the 32-char
+    digest — never payload bytes — so shuffle volume is metadata-
+    sized regardless of media size."""
+    from ..functions.multimodal import (
+        documents_as_media,
+        extract_binary_features,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    feats = extract_binary_features(documents_as_media(docs))
+    f = feats.join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id",
+        "source",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("content_id").alias("cid"),
+    )
+    canon = f.groupBy("cid").agg(F.min("doc_id").alias("canon"))
+    j = f.join(canon, "cid")
+    is_dup = F.col("doc_id") != F.col("canon")
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_payloads"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.count_if(is_dup).cast("long").alias("dup_payloads"),
+        F.coalesce(F.sum(F.when(is_dup, F.col("n_bytes"))), F.lit(0))
+        .cast("long")
+        .alias("dup_bytes"),
+    )

@@ -284,6 +284,8 @@ HEADLINE = [
     "drm1_domain_reweight",
     "kw1_source_keywords",
     "qc4_dup_ngram_coverage",
+    "cov1_embedding_cell_coverage",
+    "m4_payload_dedup_audit",
 ]
 
 
