@@ -153,3 +153,37 @@ def test_mmr1_selection_is_diverse(spark):
     assert len({r["vec_id"] for r in rows}) == len(rows)
     scores = [r["mmr_score"] for r in rows]
     assert all(s <= scores[0] + 1e-12 for s in scores[1:])
+
+
+def test_g6_percentile_agg_has_no_expand(spark):
+    """g6's round-9 fix: mixing countDistinct into the percentile
+    aggregation made Catalyst plan an Expand and build the exact-
+    percentile buffers per (flag, partkey) group instead of per flag
+    (22.4s cold / 5.4s interleaved → 2.2s at sf0.1). The exact
+    distinct count runs as its own two-phase groupBy joined back in —
+    so the plan must contain NO Expand node at all."""
+    df = REGISTRY["g6_approx_sketches"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert "Expand" not in p, p
+
+
+def test_qc4_shuffles_are_doc_keyed(spark):
+    """qc4's claim: every shuffle key is doc-local (the gram aggregate,
+    the coverage distinct, the final count) — no corpus-global window
+    or exchange-by-gram-alone appears anywhere."""
+    df = REGISTRY["qc4_dup_ngram_coverage"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert "Window" not in p, p
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "doc_id" in m.group(1), m.group(0)
+
+
+def test_kw1_windows_partition_by_source(spark):
+    """kw1's claim: the only window is the per-source rank over
+    vocabulary-sized groups — never an unpartitioned global window."""
+    df = REGISTRY["kw1_source_keywords"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert "Window" in p, p
+    assert "partitionBy=[source" in p.replace(" ", "") or re.search(
+        r"Window.*source", p, re.DOTALL
+    ), p
