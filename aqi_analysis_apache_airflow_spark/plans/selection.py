@@ -5445,3 +5445,183 @@ def qc4_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(_QC4_FLAG_PCT) * F.col("n_tokens")
         ).alias("flagged"),
     )
+
+
+# --------------------------------------------------------------------------
+# wm1 — LLM watermark detection audit (round 9)
+# --------------------------------------------------------------------------
+
+_WM_Z2_CRIT = 16  # z > 4 (z² > 16): Kirchenbauer et al.'s high-confidence bar
+
+_WM_CE = CE_HASH64_SQL.format(h="md5('wm|'||w)")
+
+_WM1_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+per AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(*) FILTER ((({_WM_CE}) % 2 + 2) % 2 = 0) AS BIGINT)
+           AS n_green
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_green,
+       (1000 * n_green) // n_tokens AS green_permille,
+       CAST((2 * n_green - n_tokens) * (2 * n_green - n_tokens) AS DOUBLE)
+         / CAST(n_tokens AS DOUBLE) AS z_squared,
+       2 * n_green > n_tokens
+         AND (2 * n_green - n_tokens) * (2 * n_green - n_tokens)
+             > {_WM_Z2_CRIT} * n_tokens
+         AS watermark_detected
+FROM per
+"""
+
+
+@query("wm1_watermark_detect", oracle=_WM1_SQL)
+def wm1_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-watermark detection audit (Kirchenbauer et al., ICML 2023
+    "A Watermark for Large Language Models"): a watermarking sampler
+    boosts tokens from a pseudorandom GREEN list (here: half the
+    vocabulary by a keyed hash), so watermarked text shows a
+    green-token fraction far above 1/2 and is detected by the
+    one-proportion z-test z = (g − n/2)/√(n/4) = (2g − n)/√n. A
+    training-data pipeline runs exactly this audit to keep
+    synthetic/model-generated text out of (or quarantined within) a
+    crawl corpus — the contamination direction dc1/dc3 cannot see.
+
+    Exactness: the green rule is the md5-derived cross-engine hash
+    parity (``ce_hash64('wm|'||token) mod 2``, sign-safe double-mod on
+    both engines); counts are BIGINTs; the detection flag compares
+    integer cross-products ((2g−n)² > 16n AND 2g>n — z > 4, the
+    paper's high-confidence regime) so no threshold ever touches a
+    float; z² itself is surfaced through one identical single
+    division. On natural text the green fraction concentrates at 1/2
+    and flags fire only at genuine-watermark rates — the audit's
+    false-positive math is the classical binomial tail.
+
+    Scale shape: ONE token explode and ONE per-doc conditional
+    aggregate (map-side combinable) — the same single-pass shape as
+    t1; nothing global, no joins, no windows."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    green = (
+        F.pmod(ce_hash64(F.concat(F.lit("wm|"), F.col("w"))), F.lit(2)) == 0
+    )
+    per = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.count_if(green).cast("long").alias("n_green"),
+    )
+    dev = 2 * F.col("n_green") - F.col("n_tokens")
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_green",
+        F.expr("(1000 * n_green) div n_tokens").alias("green_permille"),
+        ((dev * dev).cast("double") / F.col("n_tokens").cast("double")).alias(
+            "z_squared"
+        ),
+        (
+            (2 * F.col("n_green") > F.col("n_tokens"))
+            & (dev * dev > F.lit(_WM_Z2_CRIT) * F.col("n_tokens"))
+        ).alias("watermark_detected"),
+    )
+
+
+# --------------------------------------------------------------------------
+# kn1 — interpolated Kneser-Ney bigram probabilities, exact rational form
+# --------------------------------------------------------------------------
+
+_KN_MIN_C12 = 2  # surface bigrams seen at least twice (bounds the output)
+
+_KN1_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS pos,
+         unnest(regexp_extract_all(text, '\S+')) AS w
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+big AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+n1p AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1p FROM c12 GROUP BY w1),
+n1m AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1m FROM c12 GROUP BY w2),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM c12)
+SELECT b.w1, b.w2, b.c AS c12,
+       (4 * b.c - 3) * nt.nt + 3 * n1p.n1p * n1m.n1m AS p_num,
+       4 * c1.c1 * nt.nt AS p_den,
+       CAST((4 * b.c - 3) * nt.nt + 3 * n1p.n1p * n1m.n1m AS DOUBLE)
+         / CAST(4 * c1.c1 * nt.nt AS DOUBLE) AS p_kn
+FROM c12 b
+JOIN c1 USING (w1) JOIN n1p USING (w1) JOIN n1m USING (w2) CROSS JOIN nt
+WHERE b.c >= {minc}
+""".replace("{minc}", str(_KN_MIN_C12))
+
+
+@query("kn1_kneser_ney_bigram", oracle=_KN1_SQL)
+def kn1_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney
+    1995; the Chen & Goodman 1999 interpolated form with fixed
+    discount d = 0.75) — the smoothing every KenLM-style quality
+    filter actually ships, upgrading lm2's unsmoothed ML bigram:
+
+        P(w2|w1) = (c12 − d)/c1• + d·(N1+(w1·)/c1•)·(N1+(·w2)/NT)
+
+    where N1+(w1·)/N1+(·w2) are distinct-continuation counts and NT
+    the number of distinct bigram types. The continuation weighting is
+    the part ML cannot express: a w2 that follows MANY different w1
+    ("the") gets high unseen-context mass, a frequent-but-bound w2
+    ("Francisco") does not.
+
+    Exactness: with d = 3/4 the whole expression is ONE exact rational
+    — p = [(4·c12 − 3)·NT + 3·N1+(w1·)·N1+(·w2)] / (4·c1•·NT) — whose
+    BIGINT numerator and denominator are surfaced raw (the hash pins
+    them exactly); the probability itself exits through one identical
+    single division. No logs, no libm, nothing to round.
+
+    Scale shape: bigrams come from a positional self-join keyed on
+    (doc_id, pos) — the seq1/markov1 lag shape, shuffle keyed per doc;
+    the four count tables are map-side-combinable aggregates of the
+    BIGRAM TYPE table (vocabulary-squared bounded, not corpus
+    bounded); NT broadcasts as one row. The c12 ≥ {mc} floor bounds
+    the surfaced rows the way every n-gram LM prunes its model."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    )
+    a = toks.select("doc_id", "pos", F.col("w").alias("w1"))
+    b = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2")
+    )
+    big = a.join(b, ["doc_id", "pos"]).select("w1", "w2")
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c"))
+    c1 = c12.groupBy("w1").agg(F.sum("c").cast("long").alias("c1"))
+    n1p = c12.groupBy("w1").agg(F.count("*").cast("long").alias("n1p"))
+    n1m = c12.groupBy("w2").agg(F.count("*").cast("long").alias("n1m"))
+    nt = c12.agg(F.count("*").cast("long").alias("nt"))
+    j = (
+        c12.filter(F.col("c") >= _KN_MIN_C12)
+        .join(c1, "w1")
+        .join(n1p, "w1")
+        .join(n1m, "w2")
+        .join(F.broadcast(nt))
+    )
+    p_num = (4 * F.col("c") - 3) * F.col("nt") + 3 * F.col("n1p") * F.col("n1m")
+    p_den = 4 * F.col("c1") * F.col("nt")
+    return j.select(
+        "w1",
+        "w2",
+        F.col("c").alias("c12"),
+        p_num.alias("p_num"),
+        p_den.alias("p_den"),
+        (p_num.cast("double") / p_den.cast("double")).alias("p_kn"),
+    )

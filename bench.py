@@ -286,6 +286,8 @@ HEADLINE = [
     "qc4_dup_ngram_coverage",
     "cov1_embedding_cell_coverage",
     "m4_payload_dedup_audit",
+    "wm1_watermark_detect",
+    "kn1_kneser_ney_bigram",
 ]
 
 
