@@ -3389,3 +3389,94 @@ def m4_payload_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dup_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# m5 — cross-video duplicate-frame overlap pairs (round 9)
+# --------------------------------------------------------------------------
+
+_M5_FRAME_BYTES = 256
+_M5_DF_CAP = 20  # drop frame sigs shared by more docs (stop-frame prune)
+_M5_MIN_SHARED = 2
+
+_M5_SQL = f"""
+    WITH f AS (
+      SELECT DISTINCT doc_id,
+             md5(substr(text, CAST(i * {_M5_FRAME_BYTES} + 1 AS INTEGER),
+                        {_M5_FRAME_BYTES})) AS sig
+      FROM documents,
+           UNNEST(range(0, CAST(floor(length(text) / {_M5_FRAME_BYTES})
+                               AS BIGINT))) u(i)
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    keep AS (
+      SELECT sig FROM f GROUP BY sig
+      HAVING count(*) BETWEEN 2 AND {_M5_DF_CAP}
+    ),
+    fk AS (SELECT doc_id, sig FROM f JOIN keep USING (sig))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_frames
+    FROM fk a JOIN fk b ON a.sig = b.sig AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {_M5_MIN_SHARED}
+"""
+
+
+@query("m5_frame_overlap_pairs", oracle=_M5_SQL)
+def m5_frame_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video duplicate-frame detection: pairs of payloads that
+    share ≥ {_M5_MIN_SHARED} identical fixed-stride frames — the
+    frame-fingerprint near-dup pass a video corpus runs after m2's
+    sampling (re-encoded/re-uploaded clips keep byte-identical frames
+    long after container metadata diverges; frame-hash overlap is the
+    standard first-pass detector before any perceptual hash). The
+    winnow2 shape applied to the multimodal frame stream.
+
+    Scale shape: frames dedup to (doc, sig) once; frame sigs shared
+    by MORE than {_M5_DF_CAP} docs are dropped before the self-join
+    (the d2b/winnow2 stop-key prune — a black/padding frame appearing
+    everywhere is exactly the hot key that would explode the join),
+    so per-sig fanout is ≤ cap² and the pair stream stays bounded.
+    Counts are BIGINTs; pair order is pinned doc_a < doc_b; the
+    oracle replays the identical slicing, hashing, cap and join.
+
+    The text column stands in for payload bytes exactly as in m1/m2;
+    a real deployment swaps the substr framing for m2's
+    ``frame_sample`` over binary payloads — same plan shape."""
+    n = _M5_FRAME_BYTES
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    # guard the frame count: Spark's sequence(0, -1) counts BACKWARDS
+    # (the m2/frame_sample precedent), so sub-frame-length docs must
+    # route through an empty array, not a descending index range
+    f = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN length(text) >= {n} THEN "
+                    f"transform(sequence(0, int(floor(length(text) / {n})) - 1),"
+                    f" i -> md5(substr(text, i * {n} + 1, {n}))) "
+                    f"ELSE array() END"
+                )
+            ).alias("sig"),
+        )
+        .distinct()
+    )
+    keep = (
+        f.groupBy("sig")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _M5_DF_CAP))
+        .select("sig")
+    )
+    fk = f.join(keep, "sig")
+    a = fk.select(F.col("doc_id").alias("doc_a"), "sig")
+    b = fk.select(F.col("doc_id").alias("doc_b"), "sig")
+    return (
+        a.join(b, "sig")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= _M5_MIN_SHARED)
+    )

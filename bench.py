@@ -288,6 +288,7 @@ HEADLINE = [
     "m4_payload_dedup_audit",
     "wm1_watermark_detect",
     "kn1_kneser_ney_bigram",
+    "m5_frame_overlap_pairs",
 ]
 
 
