@@ -334,6 +334,7 @@ def kcore_peel(
     )
     prev = g.count() if rounds is None else None
     n = max_rounds if rounds is None else rounds
+    converged = rounds is not None  # rounds=N mode never claims a fixed point
     for _ in range(n):
         drop = (
             g.groupBy("src")
@@ -355,7 +356,20 @@ def kcore_peel(
                 # monotone peel: ng ⊆ g, equal counts mean equal sets —
                 # g IS the fixed point; the identical new round is left
                 # to the ContextCleaner
+                converged = True
                 break
             prev = cnt
         g = ng
+    if not converged:
+        # mirror pagerank's exhaustion signal: a max_rounds exit hands
+        # the caller a SUPERSET of the true core, not a proven one
+        logging.getLogger(__name__).warning(
+            "kcore_peel fixed-point: max_rounds=%d exhausted before the "
+            "peel stabilized (last edge count=%s); result is the final "
+            "round — a superset of the true %d-core, not a proven "
+            "fixed point",
+            max_rounds,
+            prev,
+            k,
+        )
     return g

@@ -1849,12 +1849,16 @@ def g6_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n_part)
     )
     # exact distinct as its own two-phase aggregate: keeps the Expand
-    # (and its per-partkey percentile buffers) out of the verify agg
+    # (and its per-partkey percentile buffers) out of the verify agg.
+    # NULL partkeys are filtered so the two-phase form stays equal to
+    # COUNT(DISTINCT l_partkey), which never counts a NULL group.
     exact = (
-        li.groupBy("l_returnflag", "l_partkey")
+        li.filter(F.col("l_partkey").isNotNull())
+        .groupBy("l_returnflag", "l_partkey")
         .agg(F.lit(1))
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_parts"))
+        .withColumnRenamed("l_returnflag", "__flag")
     )
     g = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("__hll"),
@@ -1866,14 +1870,20 @@ def g6_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_rows"),
     )
-    return g.join(F.broadcast(exact), "l_returnflag").select(
+    # NULL-safe left join keeps a NULL-returnflag group (oracle keeps
+    # it, with COUNT(DISTINCT)=0 when its partkeys are all NULL).
+    return g.join(
+        F.broadcast(exact),
+        F.col("l_returnflag").eqNullSafe(F.col("__flag")),
+        "left",
+    ).select(
         "l_returnflag",
-        "n_parts",
+        F.coalesce(F.col("n_parts"), F.lit(0)).alias("n_parts"),
         F.round(F.col("__pcts")[1], 4).alias("median_price"),
         "n_rows",
         (
-            F.abs(F.col("__hll") - F.col("n_parts"))
-            <= 0.1 * F.col("n_parts")
+            F.abs(F.col("__hll") - F.coalesce(F.col("n_parts"), F.lit(0)))
+            <= 0.1 * F.coalesce(F.col("n_parts"), F.lit(0))
         ).alias("hll_ok"),
         # the rank band only BINDS at scale: for a tiny group the
         # exact CONTINUOUS p45/p55 interpolate between elements while
@@ -3256,7 +3266,9 @@ _COV1_SQL = f"""
            CAST(count(*) AS BIGINT) AS n_cells,
            (1000 * CAST(count(*) AS BIGINT)) // {_COV1_CELLS}
              AS coverage_permille,
-           arg_min(cluster, (-cnt) * 4294967296 + cluster) AS top_cluster,
+           arg_min(cluster,
+                   CAST(-cnt AS HUGEINT) * 4294967296 + cluster)
+             AS top_cluster,
            (1000000 * max(cnt)) // CAST(sum(cnt) AS BIGINT)
              AS top_cell_share_ppm
     FROM pc GROUP BY label
@@ -3279,9 +3291,10 @@ def cov1_embedding_cell_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays bit-for-bit (``_md5_ivf_parts`` / ``_ivfm_assign_ctes`` —
     the sim_ivfm/sdd1/rec1 machinery); occupancy counts are BIGINTs;
     coverage and top-cell share are integral divisions; the top cell
-    tiebreaks through the proven (−cnt)·2³² + cluster integer encoding
-    (cluster ids are raw vec_ids, so the multiplier exceeds the id
-    domain). Zero-norm vectors and the query vector are excluded by
+    tiebreaks through the (−cnt)·2³² + cluster encoding evaluated in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so the key is exact for
+    ANY bigint cnt/cluster — no silent long wrap on either engine.
+    Zero-norm vectors and the query vector are excluded by
     the same norm guard as every other consumer of the index.
 
     Scale shape: the assignment is a narrow broadcast-argmin
@@ -3297,7 +3310,14 @@ def cov1_embedding_cell_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "cluster")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    top_key = (-F.col("cnt")) * F.lit(4294967296).cast("long") + F.col("cluster")
+    # DECIMAL(38,0)/HUGEINT keep the encoded key exact for ANY bigint
+    # cnt/cluster — Spark would silently wrap a long multiply past 2^63
+    # while DuckDB raises, so both engines now take the wide-int path.
+    top_key = (
+        (-F.col("cnt")).cast("decimal(38,0)")
+        * F.lit(4294967296).cast("decimal(38,0)")
+        + F.col("cluster")
+    )
     return pc.groupBy("label").agg(
         F.sum("cnt").cast("long").alias("n_vecs"),
         F.count("*").cast("long").alias("n_cells"),

@@ -499,6 +499,7 @@ def main() -> None:
         # assignment); the twin exists to keep that honest.
         _DC3_FLAG = "spark.graft.dc3.ivfPrefilter"
         dc3 = REGISTRY["dc3_semantic_decontamination"]
+        _dc3_prior = spark.conf.get(_DC3_FLAG, None)
         try:
             spark.conf.set(_DC3_FLAG, "true")
             xs = []
@@ -511,7 +512,13 @@ def main() -> None:
                 if pass_no > 0:
                     xs.append(time.perf_counter() - t0)
         finally:
-            spark.conf.set(_DC3_FLAG, "false")
+            # restore the PRIOR state, don't pin "false": if a future
+            # default flips the flag on, the bench must not silently
+            # turn it off for everything after this block (ADVICE r9)
+            if _dc3_prior is None:
+                spark.conf.unset(_DC3_FLAG)
+            else:
+                spark.conf.set(_DC3_FLAG, _dc3_prior)
         appx_detail["queries"]["dc3_semantic_decontamination__ivf_prefilter"] = (
             round(median(xs), 4)
         )

@@ -184,6 +184,11 @@ def test_kw1_windows_partition_by_source(spark):
     df = REGISTRY["kw1_source_keywords"].fn(spark, SF_DIR)
     p = _plan(df)
     assert "Window" in p, p
-    assert "partitionBy=[source" in p.replace(" ", "") or re.search(
-        r"Window.*source", p, re.DOTALL
-    ), p
+    # windowspecdefinition(partitionCols..., orderCols..., frame): the
+    # FIRST argument of every spec must be the bare source attribute —
+    # an unpartitioned window would lead with an order expression
+    # (e.g. "lift_micro#45L DESC NULLS LAST") instead.
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", p)
+    assert specs, p
+    for s in specs:
+        assert re.fullmatch(r"source#\d+", s.strip()), (s, p)
