@@ -39,6 +39,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     max_rounds: int = 100,
+    unit: int = ONE_E12,
 ) -> DataFrame:
     """PageRank over a directed edge list.
 
@@ -61,6 +62,13 @@ def pagerank(
     backstops that; on reaching Δ = 0 the result is a true fixed
     point, so it equals ANY longer unrolled run (pytest-proven in
     tests/test_graph_convergence.py).
+
+    ``unit`` sets the fixed-point scale (ranks are integer multiples
+    of 1/unit). A coarser unit makes Δ = 0 reachable in few rounds —
+    the gr2 registry query certifies the convergence machinery at
+    unit=1e6 — while the 1e-12 default maximizes resolution for
+    fixed-round replays. The output column keeps its ``rank_e12``
+    name regardless; coarse-unit callers alias it on the way out.
     """
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
@@ -98,8 +106,8 @@ def pagerank(
     )
 
     n = nodes.count()  # control-plane scalar: the teleport denominator
-    teleport = (ONE_E12 * (100 - damping_pct) // 100) // n
-    init = ONE_E12 // n
+    teleport = (unit * (100 - damping_pct) // 100) // n
+    init = unit // n
 
     # The recurrence is LINEAR — each round's ranks feed exactly one
     # consumer (the next round's contribution join), so no intermediate
@@ -155,24 +163,36 @@ def pagerank(
         # cache-clear between registry queries releases them
         return ranks
 
-    # fixed-point mode: per-round persist + one max|Δ| control-plane
-    # scalar (the lpa_propagate/kcore_peel shape) — the recurrence is
-    # linear so each persisted round feeds exactly two consumers (the
-    # next round's join and the delta check)
-    ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    # fixed-point mode: per-round localCheckpoint + one max|Δ|
+    # control-plane scalar (the kcore_peel shape). Checkpoint, not
+    # persist: each round feeds two consumers (next round's join + the
+    # delta check) and even LINEAR logical-tree growth over the
+    # window-annotated edge plan blew the driver's explain-string
+    # buffer by round ~13 when gr2 first ran with persist-only rounds
+    # — truncating lineage to a LogicalRDD leaf every round keeps
+    # re-analysis O(1); the ContextCleaner reclaims released rounds.
+    ranks = ranks.localCheckpoint()
     converged = False
     delta = None
     for _ in range(max_rounds):
-        new = one_round(ranks).persist(StorageLevel.MEMORY_AND_DISK)
-        delta = (
-            new.join(
+        # fold the Δ against the previous round INTO the checkpointed
+        # row (the lpa_propagate flagged shape): ONE materialization
+        # job per round, then the max|Δ| aggregate runs over the fresh
+        # in-memory checkpoint
+        flagged = (
+            one_round(ranks)
+            .join(
                 ranks.select("node", F.col("rank_e12").alias("__old")), "node"
             )
-            .agg(F.max(F.abs(F.col("rank_e12") - F.col("__old"))).alias("d"))
-            .collect()[0][0]
+            .select(
+                "node",
+                "rank_e12",
+                F.abs(F.col("rank_e12") - F.col("__old")).alias("__d"),
+            )
+            .localCheckpoint()
         )
-        ranks.unpersist()
-        ranks = new
+        delta = flagged.agg(F.max("__d")).collect()[0][0]
+        ranks = flagged.select("node", "rank_e12")
         # delta is None only on an EMPTY graph (max over zero rows):
         # vacuously converged — without this the loop would burn every
         # round and report nothing (ADVICE r8)
@@ -271,6 +291,101 @@ def lpa_propagate(
         lab = flagged
         if not changed:
             break
+    e.unpersist()
+    return lab.select("node", "lbl")
+
+
+def lpa_semisync(
+    edges: DataFrame,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Semi-synchronous label propagation (Cordasco & Gargano 2011,
+    "Community detection via semi-synchronous label propagation
+    algorithms") over a DOUBLED undirected edge list whose node ids
+    carry a 2-coloring in their parity (even/odd — the lpa1/gr1
+    customer-2k / supplier-2k+1 encoding of a bipartite graph).
+    Returns (node, lbl); labels init to node ids.
+
+    Each full round runs TWO half-steps: first every EVEN node adopts
+    the neighbor-label mode (ties → smallest label) while odd labels
+    stay fixed, then every ODD node updates against the refreshed even
+    labels. Within a color class no two nodes are adjacent, so each
+    half-step is order-independent (deterministic like the synchronous
+    rule) while the alternation breaks the synchronous 2-cycle that
+    bipartite graphs provoke — Cordasco-Gargano prove the colored
+    schedule converges where the fully synchronous one oscillates
+    (measured here: plain sync never converges on the order graph at
+    any SF; this reaches the fixed point in 4-7 full rounds).
+
+    Convergence machinery: ONE changed-flag aggregate per full round
+    over an eagerly ``localCheckpoint``-ed label table, ``max_rounds``
+    backstop with the kcore_peel/pagerank exhaustion warning. The
+    checkpoint (not persist) is load-bearing here: each half-step
+    references the incoming label table TWICE (keep-side filter +
+    update-side join), so a full round multiplies the logical tree by
+    4 — with persist-only rounds Catalyst re-analyzes a 4^R-node tree
+    and the driver dies building the explain string (observed live at
+    sf0.001); the checkpoint truncates lineage to a LogicalRDD leaf
+    every round, the kcore_peel lesson.
+
+    Scale shape: labels broadcast (one row per node ≪ edges), so the
+    2|E|-row edge list — persisted hash-partitioned on src — is never
+    reshuffled; each half-step is one edge⋈label join + a (node, lbl)
+    count + a (node) argmin restricted to half the srcs, all map-side
+    combinable.
+    """
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select("src", "dst")
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def half(lab: DataFrame, parity: int) -> DataFrame:
+        upd = (
+            e.filter(F.col("src") % 2 == parity)
+            .join(F.broadcast(lab.withColumnRenamed("node", "dst")), "dst")
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+            .groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), "lbl")
+                ).alias("b")
+            )
+            .select("node", F.col("b.lbl").alias("lbl"))
+        )
+        return lab.filter(F.col("node") % 2 != parity).unionByName(upd)
+
+    lab = (
+        e.select(F.col("src").alias("node"), F.col("src").alias("lbl"))
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_rounds):
+        new = half(half(lab, 0), 1)
+        flagged = (
+            new.join(lab.select("node", F.col("lbl").alias("__old")), "node")
+            .select(
+                "node", "lbl", (F.col("lbl") != F.col("__old")).alias("__ch")
+            )
+            .localCheckpoint()
+        )
+        changed = flagged.agg(F.max("__ch")).collect()[0][0]
+        lab = flagged.select("node", "lbl")  # projection on the checkpoint
+        # changed is None only on an EMPTY node table: vacuously converged
+        if not changed:
+            converged = True
+            break
+    if not converged:
+        logging.getLogger(__name__).warning(
+            "lpa_semisync: max_rounds=%d exhausted before the labels "
+            "stabilized; result is the final round, not a proven fixed "
+            "point",
+            max_rounds,
+        )
     e.unpersist()
     return lab.select("node", "lbl")
 

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.dedup import CE_HASH64_SQL, ce_hash64, tokens
-from ..functions.graph import kcore_peel, lpa_propagate
+from ..functions.graph import kcore_peel, lpa_propagate, lpa_semisync, pagerank
 from ..functions.similarity import cosine
 from .registry import load, query
 from .retrieval import _BM25_CTES, bm25_doc_scores
@@ -5625,3 +5625,244 @@ def kn1_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_den.alias("p_den"),
         (p_num.cast("double") / p_den.cast("double")).alias("p_kn"),
     )
+
+
+# --------------------------------------------------------------------------
+# lpa2 — TRUE fixed-point semi-synchronous label propagation (round 10:
+# the lpa1 convergence twin, kcore2 pattern)
+# --------------------------------------------------------------------------
+
+_LPA2_CAP = 40
+_LPA2_PRED_SQL = "l.l_quantity <= 2"
+#: integer argmin key for the neighbor-label mode (count desc, label
+#: asc) — evaluated in HUGEINT/DECIMAL(38,0) like cov1's tiebreak so
+#: the encoding is exact for any BIGINT count/label
+_LPA2_KEY_SQL = "CAST(-c AS HUGEINT) * 4294967296 + lbl"
+
+
+def _lpa2_oracle() -> str:
+    """Recursive-CTE replay of the semi-synchronous rounds TO
+    CONVERGENCE (the kcore2 machinery-certifying shape): the working
+    table carries each round's (iter-tagged) full label table; the
+    recursive term runs BOTH half-steps — even nodes update against
+    the previous round, odd nodes against the refreshed even labels —
+    and re-emits only when the full round actually changed a label,
+    so the recursion halts exactly at the fixed point and
+    ``max(iter)`` selects it. An ``iter < cap`` guard mirrors the
+    Spark loop's max_rounds backstop bit-for-bit, so even a
+    hypothetically oscillating fixture hash-matches. No NULL marker
+    is needed (unlike kcore2): the node set is constant, so no round
+    ever emits zero rows while changing."""
+    return f"""
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS src,
+                      CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE {_LPA2_PRED_SQL}
+    ),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    lab(iter, node, lbl) AS (
+      SELECT 0, src, src FROM (SELECT DISTINCT src FROM e) t0
+      UNION ALL
+      SELECT t.iter, t.node, t.lbl FROM (
+        WITH h0 AS (
+          SELECT node, lbl FROM lab WHERE node % 2 = 1
+          UNION ALL
+          SELECT node, arg_min(lbl, {_LPA2_KEY_SQL}) AS lbl FROM (
+            SELECT e.src AS node, l.lbl, CAST(count(*) AS BIGINT) AS c
+            FROM e JOIN lab l ON e.dst = l.node
+            WHERE e.src % 2 = 0 GROUP BY 1, 2) g0
+          GROUP BY node
+        ),
+        h1 AS (
+          SELECT node, lbl FROM h0 WHERE node % 2 = 0
+          UNION ALL
+          SELECT node, arg_min(lbl, {_LPA2_KEY_SQL}) AS lbl FROM (
+            SELECT e.src AS node, h.lbl, CAST(count(*) AS BIGINT) AS c
+            FROM e JOIN h0 h ON e.dst = h.node
+            WHERE e.src % 2 = 1 GROUP BY 1, 2) g1
+          GROUP BY node
+        )
+        SELECT (SELECT max(iter) FROM lab) + 1 AS iter, h1.node, h1.lbl
+        FROM h1
+        WHERE EXISTS (SELECT 1 FROM h1 x JOIN lab o ON x.node = o.node
+                      WHERE x.lbl <> o.lbl)
+          AND (SELECT max(iter) FROM lab) < {_LPA2_CAP}
+      ) t
+    )
+    SELECT {_KCORE_DECODE.format(c="node")} AS node,
+           {_KCORE_DECODE.format(c="lbl")} AS community
+    FROM lab WHERE iter = (SELECT max(iter) FROM lab)"""
+
+
+@query("lpa2_fixed_point_communities", oracle=_lpa2_oracle())
+def lpa2_fixed_point_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Label propagation iterated to the TRUE fixed point — the lpa1
+    convergence twin the r9 verdict asked for (kcore2 precedent).
+    Plain synchronous LPA cannot converge here: on a bipartite graph
+    it 2-cycles (measured: the order graph oscillates forever at
+    every SF), which is exactly why lpa1 truncates at 3 rounds. The
+    published remedy is Cordasco & Gargano 2011's SEMI-synchronous
+    schedule — update one color class per half-step; node-id parity
+    IS a 2-coloring of this customer/supplier graph — which provably
+    terminates while keeping every half-step order-independent
+    (within a color class no two nodes are adjacent), so the result
+    stays engine-replayable.
+
+    Fixture shape: the order graph restricted to l_quantity ≤ 2 so
+    communities are non-trivial (measured: converges in 5/7/4 full
+    rounds to 1/91/984 communities at sf0.001/0.01/0.1 — the denser
+    full graph floods to ONE giant label, the known LPA behavior on
+    structureless random graphs).
+
+    The hash match certifies the convergence machinery itself: Spark's
+    control-plane loop (one changed-count aggregate per round,
+    per-round persist with eager release, max_rounds backstop) and
+    the oracle's recursive-CTE replay (iter-tagged working table,
+    recursion halts when a full round stops changing, identical cap
+    guard) MUST agree on both the round count and every label.
+
+    Scale shape: per lpa_semisync — labels broadcast, the doubled
+    edge list persists hash-partitioned on src and is never
+    reshuffled; each half-step is one broadcast join + two map-side-
+    combinable aggregates over half the srcs; the convergence scalar
+    is one BIGINT max per full round."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.filter(F.col("l_quantity") <= 2)  # keep in sync w/ _LPA2_PRED_SQL
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    e = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    lab = lpa_semisync(e, max_rounds=_LPA2_CAP)
+
+    decode = lambda col: F.when(  # noqa: E731
+        F.col(col) % 2 == 0,
+        F.concat(F.lit("c"), F.expr(f"CAST({col} div 2 AS STRING)")),
+    ).otherwise(F.concat(F.lit("s"), F.expr(f"CAST({col} div 2 AS STRING)")))
+    return lab.select(
+        decode("node").alias("node"), decode("lbl").alias("community")
+    )
+
+
+# --------------------------------------------------------------------------
+# gr2 — TRUE fixed-point PageRank (round 10: the gr1 convergence twin)
+# --------------------------------------------------------------------------
+
+_GR2_CAP = 60
+_GR2_UNIT = 10**6
+_GR2_DAMP = 50
+
+
+def _gr2_oracle() -> str:
+    """Recursive-CTE replay of the damped integer recurrence TO the
+    Δ=0 fixed point (kcore2/lpa2 pattern): the working table carries
+    each round's (iter-tagged) rank table; the recursive term computes
+    the next round and re-emits only while some rank still moved, with
+    the same ``iter < cap`` backstop as the Spark loop — so the hash
+    match certifies the convergence machinery whether or not the
+    ±1-unit flicker path is taken. All arithmetic is the BIGINT
+    fixed-point recurrence of functions/graph.py::pagerank (integral
+    divides, rational damping) — nothing to round on either engine."""
+    teleport = f"({_GR2_UNIT * (100 - _GR2_DAMP) // 100} // (SELECT n FROM nn))"
+    return f"""
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+    ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)),
+    r(iter, node, rank_u) AS (
+      SELECT 0, node, CAST({_GR2_UNIT} // (SELECT n FROM nn) AS BIGINT)
+      FROM nodes
+      UNION ALL
+      SELECT t.iter, t.node, t.rank_u FROM (
+        WITH nr AS (
+          SELECT n.node,
+                 CAST({teleport}
+                      + ({_GR2_DAMP} * COALESCE(m.mass, 0)) // 100
+                   AS BIGINT) AS rank_u
+          FROM nodes n LEFT JOIN (
+            SELECT ed.dst AS node, SUM(r2.rank_u // ed.deg) AS mass
+            FROM ed JOIN r r2 ON ed.src = r2.node
+            GROUP BY 1) m USING (node)
+        )
+        SELECT (SELECT max(iter) FROM r) + 1 AS iter, nr.node, nr.rank_u
+        FROM nr
+        WHERE EXISTS (SELECT 1 FROM nr x JOIN r o ON x.node = o.node
+                      WHERE x.rank_u <> o.rank_u)
+          AND (SELECT max(iter) FROM r) < {_GR2_CAP}
+      ) t
+    )
+    SELECT node, rank_u AS rank_micro
+    FROM r WHERE iter = (SELECT max(iter) FROM r)"""
+
+
+@query("gr2_fixed_point_pagerank", oracle=_gr2_oracle())
+def gr2_fixed_point_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank iterated to the TRUE integer fixed point
+    (``pagerank(n_iterations=None)``, registry-visible — the gr1
+    convergence twin the r9 verdict asked for). Two fixture choices
+    make Δ=0 actually reachable, measured before committing:
+
+    - the UNDIRECTED (doubled) order graph — the directed
+      customer→supplier form is a depth-1 DAG whose suppliers are
+      dangling sinks, trivially stable after 2 rounds; the doubled
+      graph has real cycles so rank genuinely recirculates;
+    - ``unit=1e6`` with damping 50/100 — at the 1e-12 default the
+      contraction needs ~170 rounds to shrink the initial mass below
+      one unit and the last-unit floor-division flicker can sustain
+      ±1 forever (measured: the l_quantity≤2 subgraph NEVER reaches
+      Δ=0 at any SF/scale — the exhaustion path pagerank now warns
+      about); at micro-resolution the full graph reaches a bit-exact
+      fixed point in 13/9/3 rounds at sf0.001/0.01/0.1.
+
+    The oracle replays the recurrence as a recursive CTE with the
+    IDENTICAL stop rule (Δ=0 or the max_rounds cap), so the hash
+    match certifies the convergence machinery itself — round count,
+    backstop, and every rank unit.
+
+    Scale shape: per pagerank's fixed-point mode — the degree-
+    annotated edge list persists once hash-partitioned on src, each
+    round is one join + one map-side-combined aggregate plus a 1-row
+    max|Δ| control-plane scalar; rounds shrink as O(log unit)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    e = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    r = pagerank(
+        e,
+        n_iterations=None,
+        damping_pct=_GR2_DAMP,
+        max_rounds=_GR2_CAP,
+        unit=_GR2_UNIT,
+    )
+    return r.select("node", F.col("rank_e12").alias("rank_micro"))

@@ -149,3 +149,62 @@ def test_pagerank_unrolled_mode_unchanged_by_twin(spark):
     r = _ranks(pagerank(e, n_iterations=5))
     assert set(r) == {1, 2, 3, 9}
     assert r[9] == max(r.values())  # the hub absorbs the mass
+
+
+# --------------------------------------------------------------------------
+# semi-synchronous LPA (lpa2's engine — Cordasco & Gargano 2011)
+# --------------------------------------------------------------------------
+
+
+def test_lpa_semisync_converges_where_sync_oscillates(spark):
+    # single edge {even 2, odd 3}: synchronous LPA 2-cycles forever;
+    # the colored schedule settles in one round — even node 2 keeps
+    # its label (its only neighbor 3 still carries lbl 3 > 2? no:
+    # mode of {3} = 3, so 2 adopts 3? ties to smallest is moot with
+    # one neighbor) ... then odd node 3 updates against the refreshed
+    # even labels. Replay by hand: h0: 2 <- mode{lbl(3)=3} = 3;
+    # h1: 3 <- mode{lbl(2)=3} = 3. Round 2: no change. Fixed point
+    # {2: 3, 3: 3}.
+    from aqi_analysis_apache_airflow_spark.functions.graph import lpa_semisync
+
+    e = _doubled(spark, [(2, 3)])
+    fixed = _lab(lpa_semisync(e))
+    assert fixed == {2: 3, 3: 3}
+
+
+def test_lpa_semisync_fixed_point_is_stable(spark):
+    # a fixed point must be unchanged by one more full colored round,
+    # replayed by hand in Python (the pagerank test's comparator)
+    from aqi_analysis_apache_airflow_spark.functions.graph import lpa_semisync
+
+    pairs = [(2, 3), (2, 5), (4, 3), (4, 5), (6, 7), (8, 7)]
+    e = _doubled(spark, pairs)
+    fixed = _lab(lpa_semisync(e))
+
+    adj: dict[int, list[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+
+    def half(lab, parity):
+        out = dict(lab)
+        for n, nbrs in adj.items():
+            if n % 2 != parity:
+                continue
+            cnt: dict[int, int] = {}
+            for m in nbrs:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            out[n] = min(cnt, key=lambda l: (-cnt[l], l))
+        return out
+
+    assert half(half(fixed, 0), 1) == fixed
+
+
+def test_lpa_semisync_two_components(spark):
+    # two disjoint even-odd squares flood to their own min labels
+    from aqi_analysis_apache_airflow_spark.functions.graph import lpa_semisync
+
+    e = _doubled(spark, [(2, 3), (4, 3), (4, 5), (2, 5), (10, 11), (12, 11)])
+    fixed = _lab(lpa_semisync(e))
+    assert len(set(fixed.values())) == 2
+    assert set(fixed) == {2, 3, 4, 5, 10, 11, 12}
