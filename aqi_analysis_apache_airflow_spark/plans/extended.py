@@ -3500,3 +3500,166 @@ def m5_frame_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("shared_frames"))
         .filter(F.col("shared_frames") >= _M5_MIN_SHARED)
     )
+
+
+# --------------------------------------------------------------------------
+# aniso1 — embedding anisotropy / class separation via the sum-vector
+# identity (round 10)
+# --------------------------------------------------------------------------
+
+#: quantized unit-vector scale (micro-units) and the floor-shift that
+#: keeps every integral division non-negative: |mean cosine| ≤ 1 plus
+#: a < 2e-5 quantization slack, so shifting by 1e12 + 1e8 per pair
+#: covers the whole range
+_ANISO1_SHIFT = 10**12 + 10**8
+
+_ANISO1_SQL = f"""
+WITH base AS (
+  SELECT label,
+         embedding,
+         sqrt(CAST(CAST(list_sum(list_transform(embedding,
+              x -> COALESCE(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                       * 1e14) AS BIGINT), 0)))
+              AS BIGINT) AS DOUBLE)) AS ns
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+b2 AS (SELECT label, embedding, ns FROM base WHERE ns > 0),
+el AS (
+  SELECT label, CAST(i AS INTEGER) AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e13 / ns) AS BIGINT)
+           AS qv
+  FROM b2, UNNEST(generate_series(1, len(embedding))) AS t(i)
+),
+ld AS (
+  SELECT label, pos,
+         SUM(CAST(qv AS HUGEINT)) AS s,
+         SUM(CAST(qv AS HUGEINT) * qv) AS ss
+  FROM el GROUP BY label, pos
+),
+g AS (SELECT pos, SUM(s) AS gs FROM ld GROUP BY pos),
+per AS (
+  SELECT ld.label,
+         SUM(ld.s * ld.s) - SUM(ld.ss) AS within_num,
+         SUM(ld.s * (g.gs - ld.s)) AS between_num
+  FROM ld JOIN g USING (pos) GROUP BY ld.label
+),
+nl AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM b2 GROUP BY label),
+nn AS (SELECT SUM(n) AS nt FROM nl)
+SELECT p.label,
+       nl.n AS n_vecs,
+       CAST(CASE WHEN nl.n >= 2 THEN
+         (p.within_num + CAST(nl.n AS HUGEINT) * (nl.n - 1) * {_ANISO1_SHIFT})
+           // (CAST(nl.n AS HUGEINT) * (nl.n - 1) * 1000000)
+           - {_ANISO1_SHIFT // 10**6}
+       END AS BIGINT) AS within_cos_ppm,
+       CAST(CASE WHEN nn.nt > nl.n THEN
+         (p.between_num + CAST(nl.n AS HUGEINT) * (nn.nt - nl.n)
+            * {_ANISO1_SHIFT})
+           // (CAST(nl.n AS HUGEINT) * (nn.nt - nl.n) * 1000000)
+           - {_ANISO1_SHIFT // 10**6}
+       END AS BIGINT) AS between_cos_ppm
+FROM per p JOIN nl USING (label) CROSS JOIN nn
+"""
+
+
+@query("aniso1_embedding_anisotropy", oracle=_ANISO1_SQL)
+def aniso1_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding anisotropy / class-separation audit: the
+    mean pairwise cosine WITHIN each label and BETWEEN the label and
+    the rest of the corpus, in exact ppm. Ethayarajh 2019 ("How
+    Contextual are Contextualized Word Representations?") defines
+    anisotropy as the expected cosine between random embeddings; a
+    label whose within-mean ≈ 1 is collapsed (near-duplicate cluster
+    or degenerate encoder — the sdd1/cov1 precondition), and
+    within ≫ between is exactly the separation a linear probe needs.
+
+    The 100 TB trick is the SUM-VECTOR IDENTITY: for unit vectors,
+    Σ_{{i≠j∈L}} uᵢ·uⱼ = ‖Σ_{{i∈L}} uᵢ‖² − Σ_{{i∈L}}‖uᵢ‖², and the
+    between-class sum is S_L·(S_corpus − S_L) — so BOTH statistics
+    come from one per-(label, dim) aggregate with NO pairwise join of
+    any kind: the only corpus-scale work is one explode + one
+    map-side-combinable groupBy to ≤ |labels|·64 rows.
+
+    Exactness: each vector is unit-normalized once — the norm is the
+    knn1/long_prod integer-quantized self-dot (Σ round(x²·1e14) →
+    BIGINT, then one sqrt both engines round identically) — and the
+    normalized components are quantized by FLOOR(u·1e6) (floor of the
+    same IEEE double is binary-exact in both engines, immune to the
+    ent1 shortest-decimal-half rounding trap). From there everything
+    is exact HUGEINT/DECIMAL(38,0) integer arithmetic; the ppm exit
+    is the kw1 exact-floor division, shifted non-negative first
+    because Spark's decimal division truncates toward zero while
+    DuckDB's // floors (they disagree on negatives). Zero-norm
+    vectors are excluded by the established guard; labels with n < 2
+    (no within pair) and labels covering the whole corpus (no between
+    pair) surface NULL, never 0/0. NULL array elements count as 0 in
+    the norm on both engines and their qv drops out of every SUM."""
+    emb = load(spark, sf_dir, "embeddings").select("label", "embedding")
+    nd2 = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.coalesce(
+                F.round(
+                    x.cast("double") * x.cast("double") * F.lit(1e14)
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    base = (
+        emb.filter(F.col("embedding").isNotNull())
+        .withColumn("ns", F.sqrt(nd2.cast("double")))
+        .filter(F.col("ns") > 0)
+    )
+    qarr = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1e13) / F.col("ns")).cast(
+            "long"
+        ),
+    )
+    el = base.select("label", F.posexplode(qarr).alias("pos", "qv"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ld = el.groupBy("label", "pos").agg(
+        F.sum(dec(F.col("qv"))).alias("s"),
+        F.sum(dec(F.col("qv")) * F.col("qv")).alias("ss"),
+    )
+    g = ld.groupBy("pos").agg(F.sum("s").alias("gs"))
+    per = (
+        ld.join(F.broadcast(g), "pos")
+        .groupBy("label")
+        .agg(
+            (F.sum(F.col("s") * F.col("s")) - F.sum("ss")).alias(
+                "within_num"
+            ),
+            F.sum(F.col("s") * (F.col("gs") - F.col("s"))).alias(
+                "between_num"
+            ),
+        )
+    )
+    nl = base.groupBy("label").agg(F.count("*").cast("long").alias("n"))
+    nn = nl.agg(F.sum("n").cast("long").alias("nt"))
+
+    # kw1 exact floor on the shifted (guaranteed non-negative) numerator
+    def ppm(num, d):
+        den = dec(d) * F.lit(10**6).cast("decimal(38,0)")
+        a = num + dec(d) * F.lit(_ANISO1_SHIFT).cast("decimal(38,0)")
+        fl = ((a - F.pmod(a, den)) / den).cast("decimal(38,0)")
+        return (
+            F.when(d > 0, fl.cast("long") - F.lit(_ANISO1_SHIFT // 10**6))
+            .cast("long")
+        )
+
+    d_w = F.col("n") * (F.col("n") - 1)
+    d_b = F.col("n") * (F.col("nt") - F.col("n"))
+    return (
+        per.join(nl, "label")
+        .join(F.broadcast(nn))
+        .select(
+            "label",
+            F.col("n").alias("n_vecs"),
+            ppm(F.col("within_num"), d_w).alias("within_cos_ppm"),
+            ppm(F.col("between_num"), d_b).alias("between_cos_ppm"),
+        )
+    )

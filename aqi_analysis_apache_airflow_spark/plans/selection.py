@@ -5874,3 +5874,196 @@ def gr2_fixed_point_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit=_GR2_UNIT,
     )
     return r.select("node", F.col("rank_e12").alias("rank_micro"))
+
+
+# --------------------------------------------------------------------------
+# lp1 — link prediction scores (common neighbors + resource allocation)
+# --------------------------------------------------------------------------
+
+_LP1_PRED_SQL = "l.l_quantity <= 1"
+_LP1_DF_CAP = 30  # stop-supplier prune: wedge centers above this skip
+_LP1_MIN_COMMON = 2
+_LP1_TOPK = 100
+
+_LP1_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE {_LP1_PRED_SQL}
+),
+d AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY s),
+hub AS (SELECT s, deg FROM d WHERE deg BETWEEN 2 AND {_LP1_DF_CAP}),
+w AS (
+  SELECT a.c AS cust_a, b.c AS cust_b, h.deg
+  FROM e a JOIN e b ON a.s = b.s AND a.c < b.c
+  JOIN hub h ON a.s = h.s
+),
+sc AS (
+  SELECT cust_a, cust_b,
+         CAST(count(*) AS BIGINT) AS common_suppliers,
+         CAST(SUM(1000000 // deg) AS BIGINT) AS ra_micro
+  FROM w GROUP BY 1, 2
+)
+SELECT cust_a, cust_b, common_suppliers, ra_micro
+FROM sc WHERE common_suppliers >= {_LP1_MIN_COMMON}
+ORDER BY ra_micro DESC, common_suppliers DESC, cust_a, cust_b
+LIMIT {_LP1_TOPK}
+"""
+
+
+@query("lp1_link_prediction", oracle=_LP1_SQL)
+def lp1_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction scores for customer pairs over the bipartite
+    customer–supplier order graph: common-neighbor count plus the
+    Resource Allocation index (Zhou, Lü & Zhang 2009, "Predicting
+    missing links via local information") — RA = Σ_{{z ∈ N(a)∩N(b)}}
+    1/deg(z), the strongest of the published local indices because a
+    promiscuous hub contributes almost nothing while an exclusive
+    shared neighbor contributes a lot. This is the entity-resolution /
+    recommendation primitive ("customers likely to share a future
+    supplier"), and on a doc–shingle graph the identical plan scores
+    near-duplicate candidates.
+
+    Exactness: RA is summed in exact per-neighbor micro-units —
+    1000000 div deg(z) is one integral division per wedge center,
+    identical in both engines (no float ever); common_suppliers is a
+    BIGINT count; the top-100 orders by the unique (ra desc, cn desc,
+    a, b) key so ties cannot split the cut.
+
+    Scale shape: wedges enumerate ONLY through capped centers (deg ∈
+    [2, {_LP1_DF_CAP}] — the d2b/m5 stop-key prune; degrees are
+    computed on the FULL graph first so RA weights stay true), so the
+    self-join fan-out is ≤ cap² per supplier instead of quadratic in
+    the hub degree; the pair aggregate is map-side combinable and the
+    top-100 is a TakeOrderedAndProject, never a global sort. At 100 TB
+    the cap is the knob: raising it adds wedges through busier hubs
+    whose RA contribution is already ≤ 1/deg each."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.filter(F.col("l_quantity") <= 1)  # keep in sync w/ _LP1_PRED_SQL
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = e.groupBy("s").agg(F.count("*").cast("long").alias("deg"))
+    hub = deg.filter(
+        (F.col("deg") >= 2) & (F.col("deg") <= _LP1_DF_CAP)
+    )
+    a = e.select(F.col("c").alias("cust_a"), "s")
+    b = e.select(F.col("c").alias("cust_b"), "s")
+    w = (
+        a.join(b, "s")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .join(F.broadcast(hub), "s")  # suppliers are dimension-bounded
+    )
+    sc = (
+        w.groupBy("cust_a", "cust_b")
+        .agg(
+            F.count("*").cast("long").alias("common_suppliers"),
+            F.sum(F.expr("1000000 div deg")).cast("long").alias("ra_micro"),
+        )
+        .filter(F.col("common_suppliers") >= _LP1_MIN_COMMON)
+    )
+    return sc.orderBy(
+        F.col("ra_micro").desc(),
+        F.col("common_suppliers").desc(),
+        "cust_a",
+        "cust_b",
+    ).limit(_LP1_TOPK)
+
+
+# --------------------------------------------------------------------------
+# sb1 — Self-BLEU bigram-precision corpus diversity
+# --------------------------------------------------------------------------
+
+_SB1_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS pos,
+         unnest(regexp_extract_all(text, '\S+')) AS w
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+big AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS g
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+cd AS (
+  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY 1, 2
+),
+tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS ct FROM cd GROUP BY g)
+SELECT cd.doc_id,
+       CAST(sum(cd.c) AS BIGINT) AS n_bigrams,
+       CAST(sum(least(cd.c, t.ct - cd.c)) AS BIGINT) AS clipped_hits,
+       CAST(sum(least(cd.c, t.ct - cd.c)) AS DOUBLE)
+         / CAST(sum(cd.c) AS DOUBLE) AS self_bleu2
+FROM cd JOIN tot t USING (g)
+GROUP BY cd.doc_id
+"""
+
+
+@query("sb1_self_bleu_bigram", oracle=_SB1_SQL)
+def sb1_self_bleu_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Self-BLEU, bigram-precision component (Zhu et al.
+    2018, "Texygen: A Benchmarking Platform for Text Generation
+    Models"): each document is scored as a BLEU hypothesis against
+    the REST of the corpus as reference — the standard mode-collapse
+    metric for generated corpora (a synthetic corpus whose generator
+    loops emits near-identical docs and scores ≈ 1; a diverse corpus
+    scores low). div1 measures diversity as corpus-level distinct-n;
+    Self-BLEU is the per-document dual that localizes WHICH documents
+    are the repeated ones, so a curation gate can drop them.
+
+    Exactness: modified (clipped) bigram precision is pure integer
+    arithmetic — per-doc bigram counts c, corpus totals ct, and the
+    leave-one-out reference count ct − c are BIGINTs; the clipped
+    numerator Σ min(c, ct − c) and the denominator Σ c are exact, and
+    self_bleu2 exits through ONE double division both engines perform
+    identically. (The full BLEU geometric mean over n = 1..4 with
+    brevity penalty needs exp/ln — the bigram precision component is
+    the published metric's core and keeps the oracle libm-free.)
+    Documents with fewer than 2 tokens have no bigrams and no row —
+    by construction in both engines.
+
+    Scale shape: bigrams come from the kn1 array-native zip_with (one
+    pass, no positional self-join); the (doc, gram) count is map-side
+    combinable; the gram-total table is vocabulary²-bounded and joins
+    back on the gram key — one corpus-sized exchange — before the
+    final per-doc rollup. No pairwise document comparison anywhere:
+    the leave-one-out reference count makes Self-BLEU O(corpus), not
+    O(corpus²)."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    arr = tokens(F.col("text"))
+    pairs = F.zip_with(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    big = docs.select("doc_id", F.explode(pairs).alias("g"))
+    cd = big.groupBy("doc_id", "g").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = cd.groupBy("g").agg(F.sum("c").cast("long").alias("ct"))
+    return (
+        cd.join(tot, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.least(F.col("c"), F.col("ct") - F.col("c")))
+            .cast("long")
+            .alias("clipped_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "clipped_hits",
+            (
+                F.col("clipped_hits").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("self_bleu2"),
+        )
+    )
