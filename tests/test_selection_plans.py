@@ -192,3 +192,38 @@ def test_kw1_windows_partition_by_source(spark):
     assert specs, p
     for s in specs:
         assert re.fullmatch(r"source#\d+", s.strip()), (s, p)
+
+
+def test_lp1_topk_is_take_ordered(spark):
+    """lp1's claim: the top-100 exits through TakeOrderedAndProject,
+    never a global sort, and no unbounded cartesian/window appears —
+    the wedge fan-out is bounded by the hub df-cap, not by plan luck."""
+    df = REGISTRY["lp1_link_prediction"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Window" not in p, p
+
+
+def test_sb1_no_pairwise_document_join(spark):
+    """sb1's claim: Self-BLEU is O(corpus) — the leave-one-out clip
+    happens through the vocab²-bounded gram-total join (broadcast),
+    never a doc×doc comparison; no sort-merge join of two corpus-sized
+    relations and no window anywhere."""
+    df = REGISTRY["sb1_self_bleu_bigram"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Window" not in p, p
+
+
+def test_aniso1_no_pairwise_join(spark):
+    """aniso1's claim: the sum-vector identity removes ALL pairwise
+    work — the plan contains only broadcast joins of bounded
+    aggregates (≤ labels×64 rows), no sort-merge join, no cartesian
+    product, no window."""
+    df = REGISTRY["aniso1_embedding_anisotropy"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Window" not in p, p
