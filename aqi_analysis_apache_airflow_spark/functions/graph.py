@@ -230,9 +230,11 @@ def lpa_propagate(
       mode the lpa1 registry query uses (its DuckDB oracle unrolls
       the identical recurrence as chained CTEs).
     - ``rounds=None`` iterates to the synchronous fixed point using
-      the d6 control-plane convergence scalar: per-round persist, one
-      changed-flag aggregate per round, eager release of the previous
-      round. Capped at ``max_rounds`` because synchronous LPA can
+      the d6 control-plane convergence scalar: per-round eager
+      ``localCheckpoint`` (each round references the label table
+      twice, so persist-only rounds would grow the logical tree 2^R —
+      the lpa_semisync lesson), one changed-flag aggregate per round.
+      Capped at ``max_rounds`` because synchronous LPA can
       2-cycle on bipartite structures (the classic oscillation — the
       cap is the published remedy short of async updates, which would
       break determinism).
@@ -276,19 +278,24 @@ def lpa_propagate(
         return lab
 
     e = e.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
-    lab = lab.persist(StorageLevel.MEMORY_AND_DISK)
+    # localCheckpoint, not persist, for the per-round label table: each
+    # round references lab TWICE (the contribution join + the old-label
+    # flag join), so persist-only rounds grow the logical tree 2^R and
+    # Catalyst's re-analysis dies past ~15 rounds (the lpa_semisync /
+    # gr2 lesson) — the checkpoint truncates lineage to a leaf
+    lab = lab.localCheckpoint()
     for _ in range(max_rounds):
         new = one_round(lab)
-        # fold the convergence flag in BEFORE persisting so the driver
-        # check is one aggregate over the fresh cache (the d6 shape)
+        # fold the convergence flag in BEFORE materializing so the
+        # driver check is one aggregate over the fresh checkpoint (the
+        # d6 shape)
         flagged = (
             new.join(lab.select("node", F.col("lbl").alias("__old")), "node")
             .select("node", "lbl", (F.col("lbl") != F.col("__old")).alias("__ch"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
         )
         changed = flagged.agg(F.max("__ch")).collect()[0][0]
-        lab.unpersist()
-        lab = flagged
+        lab = flagged.select("node", "lbl")
         if not changed:
             break
     e.unpersist()
