@@ -675,15 +675,19 @@ def connected_components(
     rounds, which for near-dup graphs is tiny (dup clusters are dense
     cliques, diameter ≲ 3). The driver-side convergence check is one
     count per round — this is a genuinely iterative algorithm, the
-    sanctioned use of a driver loop. Labels persist per round and the
-    previous round's cache is released eagerly; the edge list is
-    released at convergence (by then the returned labels are fully
-    materialized in their own cache — the convergence check scans
-    every partition — so dropping edges cannot trigger a recompute).
-    The RETURNED DataFrame is persisted (the caller's plan reads the
-    cache): callers that are done with it should ``.unpersist()`` it;
-    lazy registry plans instead rely on the per-query
-    ``spark.catalog.clearCache()`` in bench.py.
+    sanctioned use of a driver loop. Each round ``localCheckpoint``s
+    its label table (the kcore2/lpa_semisync lineage-truncation rule:
+    one_round references the labels twice, so persist-only rounds
+    grow the logical tree 4× per iteration and pay Catalyst
+    re-analysis on every action — A/B at sf0.1, 4 passes each,
+    2026-08-15: persist 2.86-3.37s warm vs checkpoint 2.35-2.56s on
+    d6; the mid-round table checkpoints lazily, it has two consumers
+    inside the same job). The edge list is released at convergence
+    (the returned labels are a materialized LogicalRDD leaf, so
+    dropping edges cannot trigger a recompute); checkpointed rounds
+    are ContextCleaner-released when unreferenced. At cluster scale
+    swap for a reliable ``checkpoint()`` — the kcore_peel note
+    applies verbatim.
     """
     from pyspark import StorageLevel
 
@@ -760,13 +764,9 @@ def connected_components(
     # dense graphs near-dup clusters produce. The mid-round result is
     # persisted lazily — it has two consumers inside the same job.
     for _ in range(max(1, max_iterations // 2)):
-        mid = one_round(labels).persist(StorageLevel.MEMORY_AND_DISK)
-        new_labels = one_round(mid).persist(StorageLevel.MEMORY_AND_DISK)
-        # the agg scans every partition, so the cache is fully
-        # materialized before the previous rounds are released
+        mid = one_round(labels).localCheckpoint(eager=False)
+        new_labels = one_round(mid).localCheckpoint()
         changed = new_labels.agg(F.max("__ch")).collect()[0][0]
-        labels.unpersist()
-        mid.unpersist()
         labels = new_labels
         if not changed:
             break

