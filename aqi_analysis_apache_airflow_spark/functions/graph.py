@@ -348,6 +348,14 @@ def lpa_semisync(
         .repartition("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # each full round's label table is keep-filter ∪ update ∪ keep ∪
+    # update — a UNION whose partition count is the sum of its
+    # branches, and the broadcast flag-join PRESERVES it, so without a
+    # bound the checkpointed table gains ~2× the edge partition count
+    # every round (observed: 200-partition vanilla session reached
+    # 2200-task label stages by round 5). coalesce is shuffle-free and
+    # the table is node-sized.
+    n_part = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
     def half(lab: DataFrame, parity: int) -> DataFrame:
         upd = (
@@ -378,6 +386,7 @@ def lpa_semisync(
             .select(
                 "node", "lbl", (F.col("lbl") != F.col("__old")).alias("__ch")
             )
+            .coalesce(n_part)
             .localCheckpoint()
         )
         changed = flagged.agg(F.max("__ch")).collect()[0][0]
