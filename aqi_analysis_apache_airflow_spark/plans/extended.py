@@ -3747,3 +3747,120 @@ def da1_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             " NOT NULL THEN 1 END)) div nullif(count(*), 0) AS BIGINT)"
         ).alias("agreement_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# m6 — video scene-change segmentation over the frame stream (round 10)
+# --------------------------------------------------------------------------
+
+_M6_FB = 48  # frame stride (bytes of the stand-in payload per frame)
+_M6_T = 3000  # cut threshold on the per-mille mean-byte feature delta
+
+_M6_SQL = f"""
+WITH f AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+         substr(text, CAST(i * {_M6_FB} + 1 AS INTEGER), {_M6_FB}) AS frame
+  FROM documents,
+       UNNEST(range(0, CAST(floor(length(text) / {_M6_FB}) AS BIGINT))) u(i)
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+feat AS (
+  SELECT doc_id, frame_idx,
+         (1000 * list_sum(list_transform(
+              range(1, CAST(length(frame) AS INTEGER) + 1),
+              i -> ord(substr(frame, CAST(i AS INTEGER), 1)))))
+           // length(frame) AS f
+  FROM f
+),
+lagged AS (
+  SELECT doc_id, frame_idx, f,
+         CASE WHEN frame_idx > 0
+                   AND abs(f - lag(f) OVER (PARTITION BY doc_id
+                                            ORDER BY frame_idx)) > {_M6_T}
+              THEN 1 ELSE 0 END AS cut
+  FROM feat
+),
+scened AS (
+  SELECT doc_id, frame_idx,
+         CAST(SUM(cut) OVER (PARTITION BY doc_id
+                             ORDER BY frame_idx) AS BIGINT) AS scene_id
+  FROM lagged
+)
+SELECT doc_id, scene_id,
+       CAST(min(frame_idx) AS INTEGER) AS start_frame,
+       CAST(max(frame_idx) AS INTEGER) AS end_frame,
+       CAST(count(*) AS BIGINT) AS n_frames
+FROM scened GROUP BY doc_id, scene_id
+"""
+
+
+@query("m6_scene_segments", oracle=_M6_SQL)
+def m6_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-change segmentation over m2's frame stream: a cut
+    fires where consecutive frames' content feature jumps by more
+    than a threshold, and the running cut count becomes the scene id
+    (gaps-and-islands, the itv1 shape) — the shot-boundary-detection
+    preprocessing every video curation pipeline runs before per-scene
+    sampling/captioning (published shape: threshold-on-frame-
+    difference shot detection, the classic pre-neural baseline).
+    The document text stands in for the byte payload exactly as in
+    m1/m2/m4/m5; the feature is the per-mille mean byte value — the
+    integer analog of the mean-luma difference real shot detectors
+    threshold.
+
+    Exactness: the feature is ONE integral division of the exact
+    per-frame code-point sum (both engines substring by CHARACTER and
+    agree on code points); the cut predicate compares exact BIGINTs
+    against the integer threshold; scene ids are running BIGINT sums
+    over the (doc, frame_idx) order, which is unique per doc — no
+    tie, no float, nothing to round.
+
+    Scale shape: the frame expansion is m2's narrow generate (no
+    shuffle); the per-frame feature is a codegen'd character fold;
+    the lag and running-sum windows are BOTH doc-keyed (frames per
+    doc are bounded by payload size, so no skewed window), and the
+    final per-(doc, scene) rollup is map-side combinable on the same
+    key. One doc-keyed exchange end to end."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    from ..functions.multimodal import frame_sample
+
+    frames = frame_sample(
+        docs.select("doc_id", F.col("text").alias("payload")),
+        frame_bytes=_M6_FB,
+    )
+    feat = frames.select(
+        "doc_id",
+        "frame_idx",
+        F.expr(
+            "(1000 * aggregate(transform(sequence(1, length(frame)),"
+            " i -> ascii(substring(frame, i, 1))), 0L, (a, x) -> a + x))"
+            " div length(frame)"
+        ).alias("f"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    lagged = feat.select(
+        "doc_id",
+        "frame_idx",
+        F.when(
+            (F.col("frame_idx") > 0)
+            & (F.abs(F.col("f") - F.lag("f").over(w)) > _M6_T),
+            1,
+        )
+        .otherwise(0)
+        .alias("cut"),
+    )
+    scened = lagged.select(
+        "doc_id",
+        "frame_idx",
+        F.sum("cut")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("scene_id"),
+    )
+    return scened.groupBy("doc_id", "scene_id").agg(
+        F.min("frame_idx").cast("int").alias("start_frame"),
+        F.max("frame_idx").cast("int").alias("end_frame"),
+        F.count("*").cast("long").alias("n_frames"),
+    )
