@@ -4167,3 +4167,120 @@ def val1_gate_dup_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dependent"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ts4 — seasonal-naive forecast error (MASE) per event type (round 10)
+# --------------------------------------------------------------------------
+
+_TS4_M = 7  # weekly seasonality on the daily event-count series
+
+_TS4_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+),
+spine AS (
+  SELECT b.event_type, CAST(u.g AS DATE) AS d
+  FROM bounds b, UNNEST(generate_series(CAST(b.d0 AS TIMESTAMP),
+                                        CAST(b.d1 AS TIMESTAMP),
+                                        INTERVAL 1 DAY)) u(g)
+),
+dense AS (
+  SELECT s.event_type, s.d, COALESCE(dy.y, 0) AS y
+  FROM spine s LEFT JOIN daily dy USING (event_type, d)
+),
+lagged AS (
+  SELECT event_type, d, y,
+         lag(y, 1) OVER (PARTITION BY event_type ORDER BY d) AS y1,
+         lag(y, {_TS4_M}) OVER (PARTITION BY event_type ORDER BY d) AS ym
+  FROM dense
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN ym IS NOT NULL THEN abs(y - ym) END) AS BIGINT)
+         AS seasonal_abs_err,
+       CAST(SUM(CASE WHEN y1 IS NOT NULL THEN abs(y - y1) END) AS BIGINT)
+         AS naive_abs_err,
+       CAST((1000000
+             * SUM(CASE WHEN ym IS NOT NULL THEN abs(y - ym) END)
+             * (count(*) - 1))
+            // NULLIF(SUM(CASE WHEN y1 IS NOT NULL THEN abs(y - y1) END)
+                      * (count(*) - {_TS4_M}), 0) AS BIGINT) AS mase_ppm
+FROM lagged
+GROUP BY event_type
+"""
+
+
+@query("ts4_seasonal_mase", oracle=_TS4_SQL)
+def ts4_seasonal_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast-error audit per event type: MASE
+    (Hyndman & Koehler 2006, "Another look at measures of forecast
+    accuracy") of the weekly seasonal-naive forecast ŷ_t = y_{{t−7}}
+    on the gap-filled daily count series, scaled by the one-step
+    naive MAE — the scale-free forecast-quality number a monitoring
+    pipeline tracks per series before trusting a seasonality
+    assumption (MASE < 1e6 ppm means weekly-lag beats carry-forward;
+    ≫ 1e6 means the series has no weekly structure). Completes the
+    time-series family: ts1 gap-fills, sea1 finds the seasonal
+    profile, cpd1 finds breaks — ts4 scores whether the seasonal
+    structure actually PREDICTS.
+
+    Exactness: counts are BIGINTs on the ts1-style gap-filled spine
+    (a missing day is a real zero for count series, and the ROW lag
+    over the dense spine IS the calendar lag); both error sums are
+    exact integer Σ|Δ|; MASE exits as ONE integral division in ppm —
+    (10⁶·Σ|y−y₋₇|·(n−1)) div (Σ|y−y₋₁|·(n−7)) — NULL when the
+    denominator is empty or zero (constant series, <2 days) and the
+    numerator-side CASE leaves short series NULL rather than 0/0.
+
+    Scale shape: one (type, date) groupBy (map-side combinable), the
+    spine generate is dimension-sized, both lags ride ONE type-keyed
+    window sort, and the final rollup reuses the same key — series
+    count × horizon rows, corpus-independent after the first
+    aggregate."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("long").alias("y"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1")).alias("d"),
+    )
+    full = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce(F.col("y"), F.lit(0)).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = full.select(
+        "event_type",
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", _TS4_M).over(w).alias("ym"),
+    )
+    num = F.sum(
+        F.when(F.col("ym").isNotNull(), F.abs(F.col("y") - F.col("ym")))
+    ).cast("long")
+    den = F.sum(
+        F.when(F.col("y1").isNotNull(), F.abs(F.col("y") - F.col("y1")))
+    ).cast("long")
+    n = F.count("*").cast("long")
+    return lagged.groupBy("event_type").agg(
+        n.alias("n_days"),
+        num.alias("seasonal_abs_err"),
+        den.alias("naive_abs_err"),
+        F.expr(
+            f"CAST((1000000 * SUM(CASE WHEN ym IS NOT NULL THEN abs(y - ym)"
+            f" END) * (count(*) - 1)) div nullif(SUM(CASE WHEN y1 IS NOT"
+            f" NULL THEN abs(y - y1) END) * (count(*) - {_TS4_M}), 0)"
+            " AS BIGINT)"
+        ).alias("mase_ppm"),
+    )
