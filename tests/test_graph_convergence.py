@@ -208,3 +208,47 @@ def test_lpa_semisync_two_components(spark):
     fixed = _lab(lpa_semisync(e))
     assert len(set(fixed.values())) == 2
     assert set(fixed) == {2, 3, 4, 5, 10, 11, 12}
+
+
+def test_lpa_semisync_random_bipartite_property(spark):
+    """Property sweep (bounded hypothesis-style, seeded): on random
+    small bipartite graphs the colored schedule must (1) terminate
+    within the cap and (2) return a labeling that is a FIXED POINT of
+    one more hand-replayed full round — the Cordasco-Gargano
+    guarantee the lpa2 oracle certifies on the big fixture."""
+    import random
+
+    from aqi_analysis_apache_airflow_spark.functions.graph import lpa_semisync
+
+    rng = random.Random(20260815)
+    for trial in range(5):
+        n_even = rng.randint(2, 6)
+        n_odd = rng.randint(2, 6)
+        evens = [2 * i for i in range(1, n_even + 1)]
+        odds = [2 * i + 1 for i in range(1, n_odd + 1)]
+        pairs = sorted(
+            {
+                (rng.choice(evens), rng.choice(odds))
+                for _ in range(rng.randint(2, 12))
+            }
+        )
+        e = _doubled(spark, pairs)
+        fixed = _lab(lpa_semisync(e, max_rounds=30))
+
+        adj: dict[int, list[int]] = {}
+        for u, v in pairs:
+            adj.setdefault(u, []).append(v)
+            adj.setdefault(v, []).append(u)
+
+        def half(lab, parity):
+            out = dict(lab)
+            for node, nbrs in adj.items():
+                if node % 2 != parity:
+                    continue
+                cnt: dict[int, int] = {}
+                for m in nbrs:
+                    cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+                out[node] = min(cnt, key=lambda l: (-cnt[l], l))
+            return out
+
+        assert half(half(fixed, 0), 1) == fixed, (trial, pairs, fixed)
