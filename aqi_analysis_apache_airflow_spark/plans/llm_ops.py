@@ -1532,3 +1532,148 @@ def sw1_stopword_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), "token")
         .limit(_SW_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# hits1 — HITS hubs & authorities (round 10)
+# --------------------------------------------------------------------------
+
+_HITS_ROUNDS = 3
+_HITS_SCALE = 10**6
+
+
+def _hits_oracle(n_iter: int = _HITS_ROUNDS) -> str:
+    """Unrolled-CTE replay of the L1-normalized integer HITS
+    recurrence (gr1 precedent): every round is two exact steps —
+    authority mass summed from hubs then renormalized to 1e6 total
+    by ONE integral division, and symmetrically for hubs — so the
+    whole chain is BIGINT/HUGEINT arithmetic with nothing to round."""
+    head = f"""
+    WITH e AS (
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+                      's' || CAST(l.l_suppkey AS VARCHAR) AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    h0 AS (SELECT DISTINCT c AS node, CAST({_HITS_SCALE} AS BIGINT) AS score
+           FROM e)"""
+    step = f""",
+    ar{{k}} AS (
+      SELECT e.s AS node, CAST(SUM(h.score) AS HUGEINT) AS raw
+      FROM e JOIN h{{k}} h ON e.c = h.node GROUP BY 1
+    ),
+    a{{k1}} AS (
+      SELECT node, CAST(({_HITS_SCALE} * raw)
+             // NULLIF(SUM(raw) OVER (), 0) AS BIGINT) AS score
+      FROM ar{{k}}
+    ),
+    hr{{k}} AS (
+      SELECT e.c AS node, CAST(SUM(a.score) AS HUGEINT) AS raw
+      FROM e JOIN a{{k1}} a ON e.s = a.node GROUP BY 1
+    ),
+    h{{k1}} AS (
+      SELECT node, CAST(({_HITS_SCALE} * raw)
+             // NULLIF(SUM(raw) OVER (), 0) AS BIGINT) AS score
+      FROM hr{{k}}
+    )"""
+    body = "".join(step.format(k=k, k1=k + 1) for k in range(n_iter))
+    return (
+        head
+        + body
+        + f"""
+    SELECT node, 'hub' AS role, score AS score_micro FROM h{n_iter}
+    UNION ALL
+    SELECT node, 'authority' AS role, score AS score_micro FROM a{n_iter}"""
+    )
+
+
+@query("hits1_hubs_authorities", oracle=_hits_oracle())
+def hits1_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, "Authoritative sources
+    in a hyperlinked environment"), 3 unrolled rounds over the
+    customer→supplier order graph — the canonical bipartite fixture:
+    customers are pure hubs (only out-edges), suppliers pure
+    authorities. Where gr1's PageRank scores global random-walk mass,
+    HITS separates "good pointer" from "good target" — on a doc-link
+    or source-citation graph this is the mutual-reinforcement scoring
+    a curation pipeline uses to weight aggregator sources (hubs)
+    differently from primary sources (authorities).
+
+    Exactness: the published L2 normalization needs sqrt, so this
+    implementation normalizes each half-step to a TOTAL of 1e6 micro
+    units (L1) — scale-equivalent ranking (normalization constants
+    cancel in the recurrence's ordering), and every step becomes
+    exact integer arithmetic: BIGINT mass sums, ONE integral division
+    per half-step against the broadcast 1-row total (HUGEINT /
+    DECIMAL(38,0) cross-products so nothing wraps), NULL-guarded on
+    the degenerate empty-mass case. The oracle unrolls the identical
+    recurrence as chained CTEs — bit-for-bit, the gr1 contract.
+
+    Scale shape: the distinct edge list persists once (longs, the gr1
+    parity encoding, decoded on the way out); each half-step is one
+    edge⋈score join where the score table (one row per node ≪ edges)
+    broadcasts, one map-side-combinable SUM, and a 1-row total
+    broadcast back — the whole 3-round chain is one lazy plan."""
+    from pyspark import StorageLevel
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("c"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("s"),
+        )
+        .distinct()
+        .repartition("c")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+
+    def normalize(raw: DataFrame) -> DataFrame:
+        # unpartitioned-window total, NOT a 1-row agg joined back: the
+        # join form references `raw` twice and the six chained
+        # normalizations would re-execute the shared subtree 2^6 times
+        # in this ONE lazy plan (the mmr1/kcore lesson); the window
+        # keeps the chain single-reference, and its single-partition
+        # exchange carries only the node-sized score table
+        return raw.select(
+            "node",
+            F.expr(
+                f"CAST((CAST({_HITS_SCALE} AS DECIMAL(38,0)) * raw)"
+                " div nullif(sum(raw) over (), 0) AS BIGINT)"
+            ).alias("score"),
+        )
+
+    hub = e.select(F.col("c").alias("node")).distinct().select(
+        "node", F.lit(_HITS_SCALE).cast("long").alias("score")
+    )
+    auth = None
+    for _ in range(_HITS_ROUNDS):
+        araw = (
+            e.join(F.broadcast(hub.withColumnRenamed("node", "c")), "c")
+            .groupBy(F.col("s").alias("node"))
+            .agg(dec(F.sum("score")).alias("raw"))
+        )
+        auth = normalize(araw)
+        hraw = (
+            e.join(F.broadcast(auth.withColumnRenamed("node", "s")), "s")
+            .groupBy(F.col("c").alias("node"))
+            .agg(dec(F.sum("score")).alias("raw"))
+        )
+        hub = normalize(hraw)
+
+    decode = lambda col: F.when(  # noqa: E731
+        F.col(col) % 2 == 0,
+        F.concat(F.lit("c"), F.expr(f"CAST({col} div 2 AS STRING)")),
+    ).otherwise(F.concat(F.lit("s"), F.expr(f"CAST({col} div 2 AS STRING)")))
+    return hub.select(
+        decode("node").alias("node"),
+        F.lit("hub").alias("role"),
+        F.col("score").alias("score_micro"),
+    ).unionByName(
+        auth.select(
+            decode("node").alias("node"),
+            F.lit("authority").alias("role"),
+            F.col("score").alias("score_micro"),
+        )
+    )
