@@ -1648,13 +1648,18 @@ def hits1_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.lit(_HITS_SCALE).cast("long").alias("score")
     )
     auth = None
-    for _ in range(_HITS_ROUNDS):
+    for r in range(_HITS_ROUNDS):
         araw = (
             e.join(F.broadcast(hub.withColumnRenamed("node", "c")), "c")
             .groupBy(F.col("s").alias("node"))
             .agg(dec(F.sum("score")).alias("raw"))
         )
         auth = normalize(araw)
+        if r == _HITS_ROUNDS - 1:
+            # the last round's authority table feeds BOTH the final hub
+            # half-step and the output union — a lazy checkpoint dedups
+            # the shared 5-half-step subtree at runtime (2x otherwise)
+            auth = auth.localCheckpoint(eager=False)
         hraw = (
             e.join(F.broadcast(auth.withColumnRenamed("node", "s")), "s")
             .groupBy(F.col("c").alias("node"))
