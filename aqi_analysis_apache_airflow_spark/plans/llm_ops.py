@@ -1682,3 +1682,149 @@ def hits1_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").alias("score_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# card1 — per-source dataset card (round-10 composition proof)
+# --------------------------------------------------------------------------
+
+_CARD1_SQL = r"""
+WITH d AS (
+  SELECT doc_id, source, lang, text,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_chr,
+         md5(text) AS h
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+hc AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY h),
+flagged AS (
+  SELECT d.*,
+         CASE WHEN hc.c >= 2 THEN 1 ELSE 0 END AS is_dup,
+         CASE WHEN d.n_tok >= 20 AND d.n_chr <= 12 * d.n_tok
+              THEN 1 ELSE 0 END AS qpass
+  FROM d JOIN hc USING (h)
+),
+lm AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c FROM flagged
+  GROUP BY source, lang
+),
+toplang AS (
+  SELECT source, lang AS top_lang, n_langs
+  FROM (SELECT source, lang, c,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, lang) AS rk,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_langs
+        FROM lm) t
+  WHERE rk = 1
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(n_chr) AS BIGINT) AS n_chars,
+         CAST(sum(is_dup) AS BIGINT) AS dup_docs,
+         CAST(sum(qpass) AS BIGINT) AS qpass_docs
+  FROM flagged GROUP BY source
+)
+SELECT a.source, a.n_docs, a.n_tokens, a.n_chars,
+       a.dup_docs,
+       CAST((1000 * a.dup_docs) // a.n_docs AS BIGINT) AS dup_permille,
+       a.qpass_docs,
+       CAST((1000 * a.qpass_docs) // a.n_docs AS BIGINT) AS qpass_permille,
+       CAST((1000 * a.n_tokens) // a.n_docs AS BIGINT) AS tokens_per_doc_milli,
+       t.n_langs, t.top_lang
+FROM agg a JOIN toplang t USING (source)
+"""
+
+
+@query("card1_source_dataset_card", oracle=_CARD1_SQL)
+def card1_source_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DATASET CARD — the one-row-per-source corpus report
+    a data-governance process publishes (Gebru et al. 2021,
+    "Datasheets for Datasets" / the HF dataset-card convention):
+    volume (docs, tokens, chars), cross-corpus exact-duplicate rate
+    (a doc is dup if its payload hash occurs ≥ 2 ANYWHERE — so two
+    sources mirroring each other both show it), language count +
+    plurality language, a Gopher-style quick quality gate (≥ 20
+    tokens, mean word length ≤ 12 chars via the integer cross-product
+    n_chars ≤ 12·n_tokens), and tokens/doc. The round-10 composition
+    proof: d1's corpus hash table, t1's token stats, t2's language
+    profile and qc1's rule-gate shape fused into ONE lazy plan.
+
+    Exactness: every figure is a BIGINT count or sum; the three rates
+    exit as integral permille divisions (n_docs ≥ 1 per group by
+    construction); the plurality language ties to the smallest lang
+    via a fully-tiebroken rank window over the (source, lang) table.
+
+    Scale shape: one scan computes tokens/chars/hash per doc; the
+    only corpus-sized shuffles are the hash groupBy (d1's) and its
+    join back, plus one source groupBy — the (source, lang) table and
+    its rank window are dimension-sized. At 100 TB the hash join is
+    the dedup pipeline's existing artifact; everything else is
+    map-side combinable."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    from ..functions.dedup import tokens
+
+    d = docs.select(
+        "source",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        F.length("text").cast("long").alias("n_chr"),
+        F.md5("text").alias("h"),
+    )
+    hc = d.groupBy("h").agg(F.count("*").cast("long").alias("c"))
+    flagged = d.join(hc, "h").select(
+        "source",
+        "lang",
+        "n_tok",
+        "n_chr",
+        F.when(F.col("c") >= 2, 1).otherwise(0).alias("is_dup"),
+        F.when(
+            (F.col("n_tok") >= 20) & (F.col("n_chr") <= 12 * F.col("n_tok")),
+            1,
+        )
+        .otherwise(0)
+        .alias("qpass"),
+    )
+    lm = flagged.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wrk = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("lang").asc()
+    )
+    wn = Window.partitionBy("source")
+    toplang = (
+        lm.withColumn("rk", F.row_number().over(wrk))
+        .withColumn("n_langs", F.count("*").over(wn).cast("long"))
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "n_langs")
+    )
+    agg = flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_chr").cast("long").alias("n_chars"),
+        F.sum("is_dup").cast("long").alias("dup_docs"),
+        F.sum("qpass").cast("long").alias("qpass_docs"),
+    )
+    return agg.join(F.broadcast(toplang), "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "dup_docs",
+        F.expr("CAST((1000 * dup_docs) div n_docs AS BIGINT)").alias(
+            "dup_permille"
+        ),
+        "qpass_docs",
+        F.expr("CAST((1000 * qpass_docs) div n_docs AS BIGINT)").alias(
+            "qpass_permille"
+        ),
+        F.expr("CAST((1000 * n_tokens) div n_docs AS BIGINT)").alias(
+            "tokens_per_doc_milli"
+        ),
+        "n_langs",
+        "top_lang",
+    )
