@@ -252,3 +252,19 @@ def test_lpa_semisync_random_bipartite_property(spark):
             return out
 
         assert half(half(fixed, 0), 1) == fixed, (trial, pairs, fixed)
+
+
+def test_lpa_semisync_label_partitions_stay_bounded(spark):
+    """Regression gate for the round-10 partition-accumulation fix:
+    each full round's keep∪update union adds the edge table's
+    partition count and the broadcast flag-join preserves it, so
+    without the coalesce the label table reached round_count×2×
+    edge-partitions (2200-task stages under a 200-partition session).
+    The returned labeling must sit at or below the session's shuffle
+    partition count regardless of round count."""
+    from aqi_analysis_apache_airflow_spark.functions.graph import lpa_semisync
+
+    pairs = [(2, 3), (2, 5), (4, 3), (4, 5), (6, 7), (8, 7), (6, 9)]
+    lab = lpa_semisync(_doubled(spark, pairs), max_rounds=30)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert lab.rdd.getNumPartitions() <= n_part, lab.rdd.getNumPartitions()
