@@ -1828,3 +1828,134 @@ def card1_source_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_langs",
         "top_lang",
     )
+
+
+# --------------------------------------------------------------------------
+# basket1 — association-rule mining (frequent 2-itemsets) (round 10)
+# --------------------------------------------------------------------------
+
+_BK1_MINSUP = 2
+_BK1_TOPK = 100
+
+_BK1_SQL = f"""
+WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+nn AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM it),
+cx AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM it GROUP BY p),
+pr AS (
+  SELECT a.p AS part_a, b.p AS part_b
+  FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+),
+cc AS (
+  SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS sup
+  FROM pr GROUP BY 1, 2
+  HAVING count(*) >= {_BK1_MINSUP}
+)
+SELECT cc.part_a, cc.part_b, cc.sup AS pair_support,
+       CAST((1000000 * CAST(cc.sup AS HUGEINT) * nn.n)
+            // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_ppm,
+       CAST((1000 * cc.sup) // ca.c AS BIGINT) AS conf_ab_permille,
+       CAST((1000 * cc.sup) // cb.c AS BIGINT) AS conf_ba_permille
+FROM cc
+JOIN cx ca ON ca.p = cc.part_a
+JOIN cx cb ON cb.p = cc.part_b
+CROSS JOIN nn
+ORDER BY lift_ppm DESC, pair_support DESC, part_a, part_b
+LIMIT {_BK1_TOPK}
+"""
+
+
+@query("basket1_association_rules", oracle=_BK1_SQL)
+def basket1_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 2-itemset association rules over order baskets
+    (Agrawal, Imieliński & Swami 1993, "Mining association rules
+    between sets of items in large databases"): parts co-ordered in
+    the same order, scored by support, both-direction confidence, and
+    lift — the market-basket / co-retrieval primitive (on a query log
+    the identical plan mines co-clicked documents; on a corpus,
+    co-cited sources). Top-{_BK1_TOPK} by lift over the ≥{_BK1_MINSUP}
+    -support pairs.
+
+    Exactness: support and item counts are BIGINTs; lift exits as ONE
+    integral ppm division of HUGEINT/DECIMAL(38,0) cross-products
+    (c_xy·N vs c_x·c_y — the kw1 convention), confidences as integral
+    permille divisions (item counts ≥ 1 by construction); the top-k
+    orders by the fully-tiebroken (lift, support, part_a, part_b) key.
+
+    Scale shape: the within-order pair join is naturally bounded by
+    basket size (TPC-H orders hold ≤ 7 line items, so fan-out ≤ 21
+    pairs/order; a 100 TB log with power-law baskets applies the lp1
+    df-cap on basket size first — same prune, same place); the pair
+    aggregate is map-side combinable; item counts broadcast; the
+    top-k is a TakeOrderedAndProject, never a global sort."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    it = (
+        li.filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    nn = it.agg(F.countDistinct("o").cast("long").alias("n"))
+    cx = it.groupBy("p").agg(F.count("*").cast("long").alias("c"))
+    a = it.select("o", F.col("p").alias("part_a"))
+    b = it.select("o", F.col("p").alias("part_b"))
+    cc = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("sup"))
+        .filter(F.col("sup") >= _BK1_MINSUP)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    out = (
+        cc.join(
+            F.broadcast(cx.select(F.col("p").alias("part_a"),
+                                  F.col("c").alias("ca"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(cx.select(F.col("p").alias("part_b"),
+                                  F.col("c").alias("cb"))),
+            "part_b",
+        )
+        .join(F.broadcast(nn))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("sup").alias("pair_support"),
+            (
+                (dec(F.lit(1000000)) * F.col("sup") * F.col("n"))
+                - F.pmod(
+                    dec(F.lit(1000000)) * F.col("sup") * F.col("n"),
+                    dec(F.col("ca")) * F.col("cb"),
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("__lnum"),
+            F.expr("CAST((1000 * sup) div ca AS BIGINT)").alias(
+                "conf_ab_permille"
+            ),
+            F.expr("CAST((1000 * sup) div cb AS BIGINT)").alias(
+                "conf_ba_permille"
+            ),
+            (dec(F.col("ca")) * F.col("cb")).alias("__lden"),
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "pair_support",
+            (F.col("__lnum") / F.col("__lden"))
+            .cast("decimal(38,0)")
+            .cast("long")
+            .alias("lift_ppm"),
+            "conf_ab_permille",
+            "conf_ba_permille",
+        )
+    )
+    return out.orderBy(
+        F.col("lift_ppm").desc(),
+        F.col("pair_support").desc(),
+        "part_a",
+        "part_b",
+    ).limit(_BK1_TOPK)
