@@ -6067,3 +6067,117 @@ def sb1_self_bleu_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("self_bleu2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ppmi1 — windowed co-occurrence SPPMI pairs (round 10)
+# --------------------------------------------------------------------------
+
+_PPMI_K = 5  # the SGNS negative-sampling shift (Levy & Goldberg 2014)
+_PPMI_MIN_C = 3
+_PPMI_TOPK = 100
+
+_PPMI_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS pos,
+         unnest(regexp_extract_all(text, '\S+')) AS w
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+co AS (
+  SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+),
+cxy AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM co GROUP BY 1, 2
+),
+marg AS (
+  SELECT w, CAST(sum(c) AS BIGINT) AS m FROM (
+    SELECT w1 AS w, c FROM cxy UNION ALL SELECT w2, c FROM cxy
+  ) GROUP BY w
+),
+dd AS (SELECT CAST(sum(c) AS BIGINT) AS d FROM cxy)
+SELECT x.w1, x.w2, x.c AS cooc,
+       CAST((1000000 * CAST(x.c AS HUGEINT) * dd.d)
+            // (CAST(m1.m AS HUGEINT) * m2.m * {_PPMI_K}) AS BIGINT)
+         AS sppmi_lift_micro
+FROM cxy x
+JOIN marg m1 ON m1.w = x.w1
+JOIN marg m2 ON m2.w = x.w2
+CROSS JOIN dd
+WHERE x.c >= {_PPMI_MIN_C}
+ORDER BY sppmi_lift_micro DESC, w1, w2
+LIMIT {_PPMI_TOPK}
+"""
+
+
+@query("ppmi1_sppmi_pairs", oracle=_PPMI_SQL)
+def ppmi1_sppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence SPPMI pairs (Levy & Goldberg 2014,
+    "Neural Word Embedding as Implicit Matrix Factorization"): the
+    symmetric ±2-token co-occurrence matrix whose shifted-positive-PMI
+    cells SGNS/word2vec implicitly factorizes — THE classical
+    embedding-training prep table. pmi1 scores ADJACENT collocations;
+    this is the windowed matrix form with the k-shift, surfacing the
+    top pairs by the monotone SPPMI lift c_xy·D/(c_x·c_y·k) — the cell
+    is SPPMI-positive iff the lift exceeds 1 (1e6 in micro units), no
+    ln needed for ranking (the pmi1/kw1 monotone-transform rule).
+
+    Exactness: co-occurrence counts, pair-occurrence marginals and the
+    grand total are BIGINTs; the lift is ONE integral division of
+    HUGEINT/DECIMAL(38,0) cross-products; the top-{_PPMI_TOPK} orders
+    by the fully-tiebroken (lift, w1, w2) key.
+
+    Scale shape: pairs come from TWO array-native zip_withs (offsets
+    1 and 2 — the kn1 adjacent-pair build, one pass, no positional
+    self-join and no (doc, pos) shuffle); the (w1, w2) count is
+    map-side combinable and vocabulary²-bounded from there on;
+    marginals re-aggregate the compressed cell table, never the
+    corpus. The oracle's positional self-join is equivalent row-wise
+    (b.pos − a.pos ∈ [1, 2] ≡ the two offset zips)."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    arr = tokens(F.col("text"))
+
+    def offset_pairs(k: int):
+        n = F.greatest(F.size(arr) - k, F.lit(0))
+        return F.zip_with(
+            F.slice(arr, 1, n),
+            F.slice(arr, 1 + k, n),
+            lambda x, y: F.struct(
+                F.least(x, y).alias("w1"), F.greatest(x, y).alias("w2")
+            ),
+        )
+
+    co = docs.select(
+        F.explode(F.concat(offset_pairs(1), offset_pairs(2))).alias("p")
+    ).select("p.w1", "p.w2")
+    cxy = co.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c"))
+    marg = (
+        cxy.select(F.col("w1").alias("w"), "c")
+        .unionAll(cxy.select(F.col("w2").alias("w"), "c"))
+        .groupBy("w")
+        .agg(F.sum("c").cast("long").alias("m"))
+    )
+    dd = cxy.agg(F.sum("c").cast("long").alias("d"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = dec(F.lit(1000000)) * F.col("c") * F.col("d")
+    den = dec(F.col("m1")) * F.col("m2") * F.lit(_PPMI_K)
+    lift = ((num - F.pmod(num, den)) / den).cast("decimal(38,0)").cast("long")
+    out = (
+        cxy.filter(F.col("c") >= _PPMI_MIN_C)
+        .join(marg.select(F.col("w").alias("w1"), F.col("m").alias("m1")), "w1")
+        .join(marg.select(F.col("w").alias("w2"), F.col("m").alias("m2")), "w2")
+        .join(F.broadcast(dd))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("cooc"),
+            lift.alias("sppmi_lift_micro"),
+        )
+    )
+    return out.orderBy(
+        F.col("sppmi_lift_micro").desc(), "w1", "w2"
+    ).limit(_PPMI_TOPK)
