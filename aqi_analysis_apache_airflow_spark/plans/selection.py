@@ -6181,3 +6181,176 @@ def ppmi1_sppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.col("sppmi_lift_micro").desc(), "w1", "w2"
     ).limit(_PPMI_TOPK)
+
+
+# --------------------------------------------------------------------------
+# perm1 — randomization test for the A/B mean difference (round 10)
+# --------------------------------------------------------------------------
+
+_PERM_K = 20  # deterministic pseudo-random reassignments
+
+_PERM_HASH_SQL = CE_HASH64_SQL.format(
+    h="md5('perm|' || CAST(k AS VARCHAR) || '|' || CAST(event_id AS VARCHAR))"
+)
+
+_PERM_SQL = f"""
+WITH base AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         user_id % 2 = 0 AS grp_a
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+obs AS (
+  SELECT event_type,
+         CAST(count(*) FILTER (grp_a) AS BIGINT) AS n_a,
+         CAST(coalesce(sum(cents) FILTER (grp_a), 0) AS HUGEINT) AS s_a,
+         CAST(count(*) FILTER (NOT grp_a) AS BIGINT) AS n_b,
+         CAST(coalesce(sum(cents) FILTER (NOT grp_a), 0) AS HUGEINT) AS s_b
+  FROM base GROUP BY event_type
+),
+tobs AS (
+  SELECT event_type, n_a, n_b,
+         abs(s_a * n_b - s_b * n_a) AS t_obs
+  FROM obs
+),
+perm AS (
+  SELECT b.event_type, u.k,
+         CASE WHEN (({_PERM_HASH_SQL}) & 1) = 0
+              THEN TRUE ELSE FALSE END AS pa,
+         b.cents
+  FROM base b, UNNEST(range(1, {_PERM_K} + 1)) u(k)
+),
+pt AS (
+  SELECT event_type, k,
+         abs(CAST(coalesce(sum(cents) FILTER (pa), 0) AS HUGEINT)
+               * count(*) FILTER (NOT pa)
+             - CAST(coalesce(sum(cents) FILTER (NOT pa), 0) AS HUGEINT)
+               * count(*) FILTER (pa)) AS t_k
+  FROM perm GROUP BY event_type, k
+)
+SELECT t.event_type, t.n_a, t.n_b,
+       CAST(t.t_obs AS BIGINT) AS t_obs,
+       CAST(count(*) FILTER (p.t_k >= t.t_obs) AS BIGINT) AS n_extreme,
+       CAST((1000 * (1 + count(*) FILTER (p.t_k >= t.t_obs)))
+            // ({_PERM_K} + 1) AS BIGINT) AS p_permille
+FROM tobs t JOIN pt p USING (event_type)
+GROUP BY t.event_type, t.n_a, t.n_b, t.t_obs
+"""
+
+
+@query("perm1_randomization_test", oracle=_PERM_SQL)
+def perm1_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for the per-type A/B mean difference
+    (Edgington & Onghena, "Randomization Tests"; Fisher 1935): the
+    observed cross-multiplied mean-gap statistic |s_A·n_B − s_B·n_A|
+    is compared against {_PERM_K} deterministic random REASSIGNMENTS
+    of events to arms, and the Monte-Carlo p-value is
+    (1 + #extreme)/({_PERM_K} + 1) — the distribution-free companion
+    to ab2's normal-theory z-test (which assumes large-n normality
+    this test does not need). Reassignments draw from the md5-family
+    hash of (round, event_id) — the dp1/samp1 deterministic-
+    randomness rule — so both engines replay the identical "random"
+    splits bit-for-bit. (Bernoulli reassignment rather than exact
+    size-preserving permutation — Edgington's randomization-test
+    variant; the cross-multiplied statistic is size-free, so unequal
+    split sizes cost variance, not bias.)
+
+    Exactness: values fix-point to cents (the ab1/ab2 rule); every
+    statistic is exact HUGEINT/DECIMAL(38,0) integer arithmetic; the
+    p-value is one integral permille division by the constant
+    {_PERM_K}+1. NULL-valued events are excluded on both engines;
+    NULL event_ids hash to NULL and land in arm B by the same CASE.
+
+    Scale shape: the only fan-out is events × {_PERM_K} feeding ONE
+    map-side-combinable (type, k) aggregate — partial sums collapse
+    each partition to ≤ types·{_PERM_K} rows before the exchange; the
+    observed arm is one more pass of the same shape; the final join
+    touches types×{_PERM_K} rows. No sort, no window, no pairwise."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("user_id") % 2 == 0).alias("grp_a"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def arm_sums(df, flag):
+        return [
+            F.count(F.when(flag, 1)).cast("long"),
+            F.coalesce(F.sum(F.when(flag, F.col("cents"))), F.lit(0)).cast(
+                "decimal(38,0)"
+            ),
+        ]
+
+    na, sa = arm_sums(base, F.col("grp_a"))
+    nb, sb = arm_sums(base, ~F.col("grp_a"))
+    tobs = base.groupBy("event_type").agg(
+        na.alias("n_a"), sa.alias("s_a"), nb.alias("n_b"), sb.alias("s_b")
+    ).select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")
+        ).alias("t_obs"),
+    )
+    perm = base.select(
+        "event_type",
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(_PERM_K))).alias("k"),
+        "event_id",
+    ).select(
+        "event_type",
+        "k",
+        "cents",
+        (
+            ce_hash64(
+                F.concat(
+                    F.lit("perm|"),
+                    F.col("k").cast("string"),
+                    F.lit("|"),
+                    F.col("event_id").cast("string"),
+                )
+            ).bitwiseAND(F.lit(1))
+            == 0
+        ).alias("pa"),
+    )
+    pna, psa = arm_sums(perm, F.col("pa"))
+    pnb, psb = arm_sums(perm, ~F.col("pa"))
+    pt = perm.groupBy("event_type", "k").agg(
+        pna.alias("pn_a"), psa.alias("ps_a"), pnb.alias("pn_b"), psb.alias("ps_b")
+    ).select(
+        "event_type",
+        "k",
+        F.abs(
+            F.col("ps_a") * F.col("pn_b") - F.col("ps_b") * F.col("pn_a")
+        ).alias("t_k"),
+    )
+    return (
+        tobs.join(pt, "event_type")
+        .groupBy("event_type", "n_a", "n_b", "t_obs")
+        .agg(
+            F.count(F.when(F.col("t_k") >= F.col("t_obs"), 1))
+            .cast("long")
+            .alias("n_extreme"),
+            F.expr(
+                f"CAST((1000 * (1 + count(CASE WHEN t_k >= t_obs THEN 1 END)))"
+                f" div ({_PERM_K} + 1) AS BIGINT)"
+            ).alias("p_permille"),
+        )
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            # BIGINT exit (DECIMAL(38,0) fetches as float via pandas):
+            # |s·n| is bounded well under 2^63 at any bench SF; the
+            # HUGEINT/DECIMAL comparison arithmetic above stays wide
+            F.col("t_obs").cast("long").alias("t_obs"),
+            "n_extreme",
+            "p_permille",
+        )
+    )
