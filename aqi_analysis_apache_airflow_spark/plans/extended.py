@@ -3864,3 +3864,95 @@ def m6_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("frame_idx").cast("int").alias("end_frame"),
         F.count("*").cast("long").alias("n_frames"),
     )
+
+
+# --------------------------------------------------------------------------
+# emb10 — distance-concentration (relative contrast) audit (round 10)
+# --------------------------------------------------------------------------
+
+_EMB10_SQL = """
+WITH q AS (
+  SELECT CAST(i AS INTEGER) AS pos,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT) AS qc
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
+  WHERE vec_id = 0
+),
+x AS (
+  SELECT vec_id, CAST(i AS INTEGER) AS pos,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT) AS xc
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
+  WHERE vec_id <> 0 AND vec_id IS NOT NULL
+),
+d AS (
+  SELECT x.vec_id,
+         CAST(SUM(CAST((x.xc - q.qc) AS HUGEINT) * (x.xc - q.qc))
+           AS HUGEINT) AS d2
+  FROM x JOIN q USING (pos) GROUP BY x.vec_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(d2) AS BIGINT) AS d2_min,
+       CAST(max(d2) AS BIGINT) AS d2_max,
+       CAST((1000000 * (max(d2) - min(d2))) // NULLIF(min(d2), 0) AS BIGINT)
+         AS contrast_ppm
+FROM d
+"""
+
+
+@query("emb10_distance_concentration", oracle=_EMB10_SQL)
+def emb10_distance_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distance-concentration audit (Beyer, Goldstein, Ramakrishnan &
+    Shaft 1999, "When is 'nearest neighbor' meaningful?"): the
+    RELATIVE CONTRAST (Dmax − Dmin)/Dmin of all corpus distances to
+    the reference vector — the published meaningfulness criterion for
+    nearest-neighbor search. As dimension grows (or an encoder
+    degenerates toward a shell), contrast → 0 and every ANN structure
+    (sim_ivf, hn1, knn1) returns noise; a pipeline checks this number
+    BEFORE trusting top-k similarity. Squared L2 keeps the ratio
+    monotone-equivalent (contrast is scale-free either way).
+
+    Exactness: coordinates quantize once to the km1/kcen1 1e-7 grid
+    (round of a raw float32→double element, the emb6-proven path);
+    squared distances are exact HUGEINT/DECIMAL sums; min/max are
+    integer comparisons and the contrast exits as ONE integral ppm
+    division, NULL when Dmin = 0 (a duplicate of the reference —
+    contrast undefined, exactly when NN is trivially meaningful).
+
+    Scale shape: ONE pass — the 64-row reference broadcasts onto the
+    exploded corpus, per-vector distances are a map-side-combinable
+    groupBy, and the audit is a 1-row aggregate. No pairwise join:
+    contrast against a fixed reference is the Beyer et al. query-
+    centric form."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        "vec_id",
+        "pos",
+        F.round(F.col("xf").cast("double") * F.lit(1e7))
+        .cast("long")
+        .alias("c"),
+    )
+    q = ex.filter(F.col("vec_id") == 0).select(
+        "pos", F.col("c").alias("qc")
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    d = (
+        ex.filter(F.col("vec_id").isNotNull() & (F.col("vec_id") != 0))
+        .join(F.broadcast(q), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(dec(F.col("c") - F.col("qc")) * (F.col("c") - F.col("qc")))
+            .alias("d2")
+        )
+    )
+    return d.agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.min("d2").cast("long").alias("d2_min"),
+        F.max("d2").cast("long").alias("d2_max"),
+        F.expr(
+            "CAST((1000000 * (max(d2) - min(d2))) div nullif(min(d2), 0)"
+            " AS BIGINT)"
+        ).alias("contrast_ppm"),
+    )
