@@ -6354,3 +6354,156 @@ def perm1_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_permille",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# surv1 — Kaplan-Meier user-retention survival curve (round 10)
+# --------------------------------------------------------------------------
+
+_SURV_CENS_DAYS = 7  # right-censoring horizon: still-active tail window
+
+_SURV_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+mx AS (SELECT max(d) AS mxd FROM ev),
+u AS (
+  SELECT user_id,
+         CAST(date_diff('day', min(d), max(d)) AS BIGINT) AS lt,
+         date_diff('day', max(d), (SELECT mxd FROM mx))
+           < {_SURV_CENS_DAYS} AS cens
+  FROM ev GROUP BY user_id
+),
+lt AS (
+  SELECT lt,
+         CAST(count(*) FILTER (NOT cens) AS BIGINT) AS d,
+         CAST(count(*) FILTER (cens) AS BIGINT) AS c
+  FROM u GROUP BY lt
+),
+r AS (
+  SELECT lt, d, c,
+         CAST(sum(d + c) OVER (
+           ORDER BY lt DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS n_risk
+  FROM lt
+),
+t AS (
+  SELECT lt, d, c, n_risk,
+         CASE
+           WHEN d > 0 AND d < n_risk THEN
+             CAST(round(round(ln(CAST(n_risk - d AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE)), 6) * 1e6)
+                  AS BIGINT)
+           WHEN d = 0 THEN CAST(0 AS BIGINT)
+           ELSE NULL
+         END AS term,
+         CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dead
+  FROM r
+)
+SELECT lt AS lt_days, n_risk, d AS n_churn, c AS n_censored,
+       CASE WHEN max(dead) OVER (
+              ORDER BY lt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+            THEN NULL
+            ELSE CAST(coalesce(sum(term) OVER (
+              ORDER BY lt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+              AS BIGINT)
+       END AS log_surv_micro
+FROM t
+"""
+
+
+@query("surv1_kaplan_meier", oracle=_SURV_SQL)
+def surv1_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-retention survival curve (Kaplan & Meier
+    1958, "Nonparametric estimation from incomplete observations"):
+    per-user lifetime = days between first and last event; users whose
+    last event falls within the final {_SURV_CENS_DAYS} days of the
+    corpus window are RIGHT-CENSORED at their observed lifetime (they
+    may still be active — dropping them would bias retention low, the
+    exact problem KM's risk-set construction solves). At each distinct
+    lifetime t: n_risk = users with lifetime >= t, n_churn = observed
+    churns at t, and S(t) = prod_(s<=t) (1 - d_s/n_s) — surfaced in
+    LOG space as cumulative micro-nats (sum of round(1e6*ln((n-d)/n)),
+    the zipf1/dd1/ppx1 idiom: (n-d) and n are exact BIGINTs <= 2^53,
+    their ONE IEEE division is bit-identical in both engines, and the
+    6dp-then-1e6 double-round pins the libm ln). The curve goes to
+    S = 0 exactly when the largest lifetime is an uncensored churn
+    (d = n_risk): log is undefined there, so the row and everything
+    after carry NULL via a running max-of-dead flag — never -inf, and
+    never a silently-skipped term.
+
+    Scale shape: one (user) groupBy (map-side combinable min/max), a
+    1-row broadcast corpus max-date, one (lifetime) groupBy, then
+    windows over the LIFETIME SPINE ONLY — bounded by the corpus
+    calendar span (<= days, here <= 30), never by users or events; the
+    unpartitioned window is the gap1/cpd1 bounded-spine precedent.
+    This is the churn/retention readout a training-data freshness or
+    engagement pipeline runs; censoring-aware unlike a naive
+    'fraction alive at t' which ignores the observation boundary."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    days = ev.select("user_id", F.to_date("ts").alias("d"))
+    mx = days.agg(F.max("d").alias("mxd"))
+    u = (
+        days.groupBy("user_id")
+        .agg(F.min("d").alias("fd"), F.max("d").alias("ld"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff("ld", "fd").cast("long").alias("lt"),
+            (F.datediff("mxd", "ld") < _SURV_CENS_DAYS).alias("cens"),
+        )
+    )
+    lt = u.groupBy("lt").agg(
+        F.count(F.when(~F.col("cens"), 1)).cast("long").alias("d"),
+        F.count(F.when(F.col("cens"), 1)).cast("long").alias("c"),
+    )
+    w_desc = Window.orderBy(F.col("lt").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = lt.select(
+        "lt",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(w_desc).cast("long").alias(
+            "n_risk"
+        ),
+    )
+    term = (
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+            F.round(
+                F.round(
+                    F.log(
+                        (F.col("n_risk") - F.col("d")).cast("double")
+                        / F.col("n_risk").cast("double")
+                    ),
+                    6,
+                )
+                * 1e6
+            ).cast("long"),
+        )
+        .when(F.col("d") == 0, F.lit(0).cast("long"))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    dead = F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    t = r.select("lt", "d", "c", "n_risk", term.alias("term"),
+                 dead.alias("dead"))
+    w_asc = Window.orderBy("lt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return t.select(
+        F.col("lt").alias("lt_days"),
+        "n_risk",
+        F.col("d").alias("n_churn"),
+        F.col("c").alias("n_censored"),
+        F.when(F.max("dead").over(w_asc) == 1, F.lit(None).cast("long"))
+        .otherwise(
+            F.coalesce(F.sum("term").over(w_asc), F.lit(0)).cast("long")
+        )
+        .alias("log_surv_micro"),
+    )
