@@ -6507,3 +6507,153 @@ def surv1_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("log_surv_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# emd1 — exact 1-D Wasserstein (earth-mover) length drift per source
+# --------------------------------------------------------------------------
+
+_EMD_SQL = """
+WITH docs AS (
+  SELECT source, n_chars AS v FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+srcs AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_a FROM docs GROUP BY source
+),
+spine AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS cnt_t FROM docs GROUP BY v
+),
+spine_cum AS (
+  SELECT v, cnt_t,
+         CAST(sum(cnt_t) OVER (
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_t,
+         CAST(coalesce(lead(v) OVER (ORDER BY v) - v, 0) AS BIGINT) AS gap
+  FROM spine
+),
+sv AS (
+  SELECT source, v, CAST(count(*) AS BIGINT) AS cnt_a
+  FROM docs GROUP BY source, v
+),
+grid AS (
+  SELECT s.source, s.n_a, p.v, p.cum_t, p.gap,
+         CAST(sum(coalesce(sv.cnt_a, 0)) OVER (
+           PARTITION BY s.source ORDER BY p.v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_a
+  FROM srcs s CROSS JOIN spine_cum p
+  LEFT JOIN sv ON sv.source = s.source AND sv.v = p.v
+)
+SELECT g.source, g.n_a AS n_docs,
+       CAST(sum(abs(CAST(g.cum_a AS HUGEINT) * (t.n - g.n_a)
+                    - CAST(g.cum_t - g.cum_a AS HUGEINT) * g.n_a)
+                * g.gap) AS BIGINT) AS w1_num,
+       CAST((1000000 * CAST(sum(abs(CAST(g.cum_a AS HUGEINT) * (t.n - g.n_a)
+                    - CAST(g.cum_t - g.cum_a AS HUGEINT) * g.n_a)
+                * g.gap) AS HUGEINT))
+            // NULLIF(CAST(g.n_a AS HUGEINT) * (t.n - g.n_a), 0)
+            AS BIGINT) AS w1_chars_micro
+FROM grid g CROSS JOIN tot t
+GROUP BY g.source, g.n_a, t.n
+"""
+
+
+@query("emd1_wasserstein_length_drift", oracle=_EMD_SQL)
+def emd1_wasserstein_length_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between each
+    source's document-length distribution and the REST of the corpus
+    (leave-one-source-out), via the closed form W1 = integral of
+    |F_A(x) - F_B(x)| dx (Vallender 1974; the Cramer/EMD identity for
+    the real line): sum over consecutive spine values of the
+    cross-multiplied CDF gap |cumA*N_B - cumB*N_A| times the value gap
+    to the next spine point. Complements ks1 (sup-norm CDF gap: a
+    LOCAL worst-point statistic) and drift1 (bucketed TVD: bucket-
+    width-sensitive) — W1 is the metric that feels HOW FAR the mass
+    moved, the standard distribution-shift monitor for data-mixture
+    rebalancing.
+
+    Exactness: counts are BIGINTs; the CDF gap cross-multiplies to
+    HUGEINT/DECIMAL(38,0) (never a float CDF); the only division is
+    the final integral micro division by N_A*N_B (all-non-negative, so
+    Spark's truncating div == DuckDB's flooring //), NULL for a
+    single-source corpus (N_B = 0).
+
+    Scale shape: two map-side-combinable groupBys build the value
+    spine (bounded by the length DOMAIN, ~500 values here, never by
+    docs) and the per-(source, value) counts; the grid is
+    sources x spine (bounded x bounded) built from a broadcast-sized
+    cross join; windows partition by source over the bounded spine.
+    At 100 TB the length domain stays bounded (cap or bucket the tail)
+    and every corpus-sized pass is a counting aggregate."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull() & F.col("n_chars").isNotNull())
+        .select("source", F.col("n_chars").alias("v"))
+    )
+    tot = docs.agg(F.count("*").cast("long").alias("n"))
+    srcs = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_a"))
+    spine = docs.groupBy("v").agg(F.count("*").cast("long").alias("cnt_t"))
+    w_spine = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    spine_cum = spine.select(
+        "v",
+        F.sum("cnt_t").over(w_spine).cast("long").alias("cum_t"),
+        F.coalesce(
+            F.lead("v").over(Window.orderBy("v")) - F.col("v"), F.lit(0)
+        )
+        .cast("long")
+        .alias("gap"),
+    )
+    sv = docs.groupBy("source", "v").agg(
+        F.count("*").cast("long").alias("cnt_a")
+    )
+    grid = (
+        srcs.crossJoin(F.broadcast(spine_cum))
+        .join(sv, ["source", "v"], "left")
+        .select(
+            "source",
+            "n_a",
+            "v",
+            "cum_t",
+            "gap",
+            F.coalesce(F.col("cnt_a"), F.lit(0)).alias("cnt_a"),
+        )
+        .withColumn(
+            "cum_a",
+            F.sum("cnt_a")
+            .over(
+                Window.partitionBy("source")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .cast("long"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    term = (
+        F.abs(
+            dec(F.col("cum_a")) * (F.col("n") - F.col("n_a"))
+            - dec(F.col("cum_t") - F.col("cum_a")) * F.col("n_a")
+        )
+        * F.col("gap")
+    )
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .groupBy("source", "n_a", "n")
+        .agg(F.sum(term).alias("w1"))
+        .select(
+            "source",
+            F.col("n_a").alias("n_docs"),
+            F.col("w1").cast("long").alias("w1_num"),
+            F.expr(
+                "CAST((1000000 * w1) div"
+                " nullif(CAST(n_a AS DECIMAL(38,0)) * (n - n_a), 0)"
+                " AS BIGINT)"
+            ).alias("w1_chars_micro"),
+        )
+    )
