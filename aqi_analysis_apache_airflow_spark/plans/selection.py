@@ -6657,3 +6657,95 @@ def emd1_wasserstein_length_drift(
             ).alias("w1_chars_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# loo1 — leave-one-source-out corpus ablation deltas (round 10)
+# --------------------------------------------------------------------------
+
+_LOO_SQL = """
+WITH docs AS (
+  SELECT source, CAST(n_chars AS HUGEINT) AS ch FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+),
+tot AS (
+  SELECT CAST(count(*) AS HUGEINT) AS d, CAST(sum(ch) AS HUGEINT) AS c
+  FROM docs
+),
+src AS (
+  SELECT source, CAST(count(*) AS HUGEINT) AS d_s,
+         CAST(sum(ch) AS HUGEINT) AS c_s
+  FROM docs GROUP BY source
+)
+SELECT s.source,
+       CAST(s.d_s AS BIGINT) AS n_docs,
+       CAST(s.c_s AS BIGINT) AS n_chars,
+       CAST((1000000 * t.c) // t.d AS BIGINT) AS base_mean_micro,
+       CAST((1000000 * (t.c - s.c_s)) // NULLIF(t.d - s.d_s, 0) AS BIGINT)
+         AS loo_mean_micro,
+       CASE WHEN t.c * s.d_s > s.c_s * t.d THEN 1
+            WHEN t.c * s.d_s < s.c_s * t.d THEN -1 ELSE 0 END AS delta_sign,
+       CAST((1000000 * abs(t.c * s.d_s - s.c_s * t.d))
+            // NULLIF(t.d * (t.d - s.d_s), 0) AS BIGINT)
+         AS abs_delta_micro
+FROM src s CROSS JOIN tot t
+"""
+
+
+@query("loo1_source_ablation", oracle=_LOO_SQL)
+def loo1_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out ablation of the corpus mean document
+    length: for every source, what the corpus-level metric becomes
+    when that source is REMOVED — the cheapest member of the
+    data-ablation family (Ilyas et al. datamodels / influence-style
+    source attribution reduced to an exact closed form for a mean
+    statistic). A mixture designer reads delta_sign/abs_delta to see
+    which sources pull the corpus composition where, BEFORE paying for
+    a retraining-based ablation; the same shape applies to any
+    sum-over-count metric (quality rate, token budget, dup rate).
+
+    Exactness: the LOO delta (C - c_s)/(D - d_s) - C/D cross-
+    multiplies to (C*d_s - c_s*D) / (D*(D - d_s)) — numerator sign is
+    an exact integer comparison (no subtraction of floored values),
+    magnitude exits as ONE integral micro division of non-negative
+    integers (Spark div == DuckDB // on non-negatives; sign carried
+    separately because the two engines floor negatives differently —
+    the aniso1 rule). NULLs for a single-source corpus.
+
+    Scale shape: one map-side-combinable (source) groupBy plus a 1-row
+    corpus total broadcast-cross-joined onto the n_sources-row table;
+    everything after the two counting passes is bounded by the source
+    count. Zero windows, zero per-doc joins."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull() & F.col("n_chars").isNotNull())
+        .select("source", F.col("n_chars").cast("decimal(38,0)").alias("ch"))
+    )
+    tot = docs.agg(
+        F.count("*").cast("decimal(38,0)").alias("d"),
+        F.sum("ch").cast("decimal(38,0)").alias("c"),
+    )
+    src = docs.groupBy("source").agg(
+        F.count("*").cast("decimal(38,0)").alias("d_s"),
+        F.sum("ch").cast("decimal(38,0)").alias("c_s"),
+    )
+    return src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("d_s").cast("long").alias("n_docs"),
+        F.col("c_s").cast("long").alias("n_chars"),
+        F.expr("CAST((1000000 * c) div d AS BIGINT)").alias(
+            "base_mean_micro"
+        ),
+        F.expr(
+            "CAST((1000000 * (c - c_s)) div nullif(d - d_s, 0) AS BIGINT)"
+        ).alias("loo_mean_micro"),
+        F.when(F.col("c") * F.col("d_s") > F.col("c_s") * F.col("d"), 1)
+        .when(F.col("c") * F.col("d_s") < F.col("c_s") * F.col("d"), -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("delta_sign"),
+        F.expr(
+            "CAST((1000000 * abs(c * d_s - c_s * d))"
+            " div nullif(d * (d - d_s), 0) AS BIGINT)"
+        ).alias("abs_delta_micro"),
+    )
