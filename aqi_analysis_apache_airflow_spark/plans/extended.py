@@ -3956,3 +3956,88 @@ def emb10_distance_concentration(
             " AS BIGINT)"
         ).alias("contrast_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# d12 — exact-duplicate cluster-size spectrum (round 10)
+# --------------------------------------------------------------------------
+
+_D12_SQL = """
+WITH docs AS (
+  SELECT md5(text) AS h, CAST(length(text) AS BIGINT) AS ch
+  FROM documents WHERE text IS NOT NULL
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+cl AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS k, CAST(sum(ch) AS BIGINT) AS ch
+  FROM docs GROUP BY h
+)
+SELECT cl.k AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cl.k) AS BIGINT) AS n_docs,
+       CAST(sum(cl.k - 1) AS BIGINT) AS n_dup_docs,
+       CAST(sum(cl.ch) AS BIGINT) AS n_chars,
+       CAST((1000 * sum(cl.k)) // t.n AS BIGINT) AS docs_permille
+FROM cl CROSS JOIN tot t
+GROUP BY cl.k, t.n
+"""
+
+
+@query("d12_dup_cluster_spectrum", oracle=_D12_SQL)
+def d12_dup_cluster_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate CLUSTER-SIZE SPECTRUM: how many content
+    clusters exist at each multiplicity k, and how many documents,
+    removable duplicates, and characters they hold — the dup-
+    accounting table C4 (Raffel et al. 2020) and FineWeb (Penedo et
+    al. 2024) publish before choosing a dedup policy: a corpus whose
+    mass sits in k=2 clusters behaves differently from one with a few
+    giant boilerplate clusters, and n_dup_docs = sum(k-1) IS the
+    deletion budget exact dedup (d1) would spend. Complements d1
+    (per-cluster keep rule) and m4 (payload bytes reclaimable) with
+    the corpus-level distribution over multiplicities.
+
+    Exactness: pure BIGINT counting off md5 content groups (the d1
+    key); the only division is one integral permille share by the
+    broadcast corpus total (non-negative, div == //). NULL texts are
+    excluded — NULL has no content identity to cluster on (d1 keeps
+    its NULL group because its unit is the keep-decision, not the
+    cluster census).
+
+    Scale shape: two map-side-combinable groupBys — (hash) then
+    (cluster size); the second input is one row per DISTINCT content,
+    the spectrum is bounded by the largest multiplicity. The 1-row
+    total broadcasts. Never shuffles payload text, only 32-char
+    digests — the m4 rule."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.md5(F.col("text").cast("binary")).alias("h"),
+            F.length("text").cast("long").alias("ch"),
+        )
+    )
+    tot = docs.agg(F.count("*").cast("long").alias("n"))
+    cl = docs.groupBy("h").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ch").cast("long").alias("ch"),
+    )
+    return (
+        cl.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("k").alias("cluster_size"), "n")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("k").cast("long").alias("n_docs"),
+            F.sum(F.col("k") - 1).cast("long").alias("n_dup_docs"),
+            F.sum("ch").cast("long").alias("n_chars"),
+        )
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            "n_dup_docs",
+            "n_chars",
+            F.expr("CAST((1000 * n_docs) div n AS BIGINT)").alias(
+                "docs_permille"
+            ),
+        )
+    )
