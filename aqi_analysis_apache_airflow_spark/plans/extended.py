@@ -4041,3 +4041,109 @@ def d12_dup_cluster_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# erank1 — participation-ratio effective rank of the embedding space
+# --------------------------------------------------------------------------
+
+_ERANK_SHIFT = 1_000_000_000  # scale floor keeping (sum v')^2 * 1e6 < 10^38
+
+
+_ERANK_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+),
+x AS (
+  SELECT CAST(i AS INTEGER) AS pos,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT) AS c
+  FROM base, UNNEST(generate_series(1, len(embedding))) t(i)
+),
+dims AS (
+  SELECT pos,
+         CAST(count(c) AS HUGEINT) AS n,
+         CAST(coalesce(sum(c), 0) AS HUGEINT) AS s,
+         CAST(coalesce(sum(CAST(c AS HUGEINT) * c), 0) AS HUGEINT) AS q
+  FROM x GROUP BY pos
+),
+v AS (
+  SELECT pos, (n * q - s * s) // {_ERANK_SHIFT} AS vp
+  FROM dims
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_vecs,
+       CAST(count(*) AS BIGINT) AS n_dims,
+       CAST(sum(vp) AS BIGINT) AS sum_var_scaled,
+       CAST((1000000 * CAST(sum(vp) AS HUGEINT) * sum(vp))
+            // NULLIF(sum(CAST(vp AS HUGEINT) * vp), 0) AS BIGINT)
+         AS pr_micro
+FROM v
+"""
+
+
+@query("erank1_participation_ratio", oracle=_ERANK_SQL)
+def erank1_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Participation-ratio effective rank of the embedding space:
+    PR = (sum_d var_d)^2 / sum_d var_d^2 over the per-dimension
+    variances (the covariance DIAGONAL) — the standard effective-
+    dimensionality readout of a representation (Gao et al. 2017
+    "theory of multineuronal dimensionality"; Recanatesi et al. 2019;
+    effective rank per Roy & Vetterli 2007 is the entropy variant).
+    PR = n_dims means isotropic variance (every dimension carries
+    signal), PR -> 1 means variance collapsed onto one axis — the
+    embedding-collapse failure mode that silently breaks every
+    downstream cosine/ANN operator (sim_*, sdd1, hn1); run THIS gate
+    alongside emb10's distance-contrast and aniso1's mean-cosine
+    before trusting similarity search. Diagonal-only by design: the
+    full-spectrum version is pca1's power iteration; the diagonal PR
+    needs just ONE counting pass.
+
+    Exactness: coordinates quantize once to the 1e-7 grid (the
+    emb6/emb10 path); per-dim variance NUMERATORS n*Q - S^2 are exact
+    HUGEINT/DECIMAL(38,0) (n_d per dim, so ragged adversarial vectors
+    stay well-defined); each scales down by ONE integral division by
+    {_ERANK_SHIFT} (non-negative: n*Q >= S^2 by Cauchy-Schwarz, so
+    div == //), sized so (sum v')^2 * 1e6 stays inside DECIMAL(38,0)
+    through sf1; PR exits as one integral micro division, NULL for a
+    zero-variance (constant) corpus.
+
+    Scale shape: ONE pass — posexplode feeds a map-side-combinable
+    (dim) groupBy bounded by n_dims rows, and the PR is a 1-row
+    aggregate over those 64 rows. No pairwise anything, no windows."""
+    base = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    nvec = base.agg(F.count("*").cast("long").alias("n_vecs"))
+    x = base.select(
+        F.posexplode("embedding").alias("pos0", "xf")
+    ).select(
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.round(F.col("xf").cast("double") * F.lit(1e7))
+        .cast("long")
+        .alias("c"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dims = x.groupBy("pos").agg(
+        F.count("c").cast("decimal(38,0)").alias("n"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("decimal(38,0)").alias("s"),
+        F.coalesce(F.sum(dec(F.col("c")) * F.col("c")), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    v = dims.select(
+        F.expr(
+            f"CAST((n * q - s * s) div {_ERANK_SHIFT} AS DECIMAL(38,0))"
+        ).alias("vp")
+    )
+    return (
+        v.agg(
+            F.count("*").cast("long").alias("n_dims"),
+            F.sum("vp").cast("long").alias("sum_var_scaled"),
+            F.expr(
+                "CAST((1000000 * CAST(sum(vp) AS DECIMAL(38,0)) * sum(vp))"
+                " div nullif(sum(CAST(vp AS DECIMAL(38,0)) * vp), 0)"
+                " AS BIGINT)"
+            ).alias("pr_micro"),
+        )
+        .crossJoin(F.broadcast(nvec))
+        .select("n_vecs", "n_dims", "sum_var_scaled", "pr_micro")
+    )
