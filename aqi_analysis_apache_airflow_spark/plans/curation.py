@@ -4284,3 +4284,178 @@ def ts4_seasonal_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("mase_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# acf1 — autocorrelation function of the daily count series (round 10)
+# --------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+_ACF_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+),
+spine AS (
+  SELECT b.event_type, CAST(u.g AS DATE) AS d
+  FROM bounds b, UNNEST(generate_series(CAST(b.d0 AS TIMESTAMP),
+                                        CAST(b.d1 AS TIMESTAMP),
+                                        INTERVAL 1 DAY)) u(g)
+),
+dense AS (
+  SELECT s.event_type, s.d, COALESCE(dy.y, 0) AS y
+  FROM spine s LEFT JOIN daily dy USING (event_type, d)
+),
+stats AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(y) AS HUGEINT) AS s
+  FROM dense GROUP BY event_type
+),
+den AS (
+  SELECT d.event_type,
+         CAST(sum((st.n * d.y - st.s) * (st.n * d.y - st.s)) AS HUGEINT)
+           AS den
+  FROM dense d JOIN stats st USING (event_type)
+  GROUP BY d.event_type
+),
+pairs AS (
+  SELECT a.event_type, CAST(k.lag AS BIGINT) AS lag,
+         a.y AS y_t, b.y AS y_tk
+  FROM dense a
+  CROSS JOIN (SELECT unnest(range(1, {_ACF_MAX_LAG} + 1)) AS lag) k
+  JOIN dense b ON b.event_type = a.event_type
+              AND b.d = a.d - CAST(k.lag AS INTEGER)
+),
+num AS (
+  SELECT p.event_type, p.lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum((st.n * p.y_t - st.s) * (st.n * p.y_tk - st.s))
+              AS HUGEINT) AS num
+  FROM pairs p JOIN stats st USING (event_type)
+  GROUP BY p.event_type, p.lag
+)
+SELECT n.event_type, n.lag,
+       CAST(st.n AS BIGINT) AS n_days,
+       n.n_pairs,
+       CASE WHEN n.num > 0 THEN 1 WHEN n.num < 0 THEN -1 ELSE 0 END
+         AS acf_sign,
+       CAST((1000000 * abs(n.num)) // NULLIF(d.den, 0) AS BIGINT)
+         AS abs_acf_micro
+FROM num n
+JOIN stats st USING (event_type)
+JOIN den d USING (event_type)
+"""
+
+
+@query("acf1_daily_autocorrelation", oracle=_ACF_SQL)
+def acf1_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function r_k, k = 1..{_ACF_MAX_LAG}, of
+    each event type's gap-filled daily count series (Box & Jenkins;
+    the correlogram every time-series treatment starts from): the lag
+    structure that tells a monitoring pipeline whether sea1's
+    hour-of-day profile and ts4's weekly-lag forecast are backed by
+    real serial dependence, and which lag to difference at. r_7 high
+    = weekly cycle; all lags ~ 0 = white noise, so drift alarms on
+    the raw series are honest; r_1 near 1 = a trending series whose
+    day-over-day deltas are the stationary object.
+
+    Exactness: the mean never becomes a float — deviations cross-
+    multiply by n per the loo1/ab1 rule ((n·y_t − S)(n·y_{{t−k}} − S)
+    with S = Σy), numerator and denominator are exact HUGEINT/
+    DECIMAL(38,0) sums, sign is an integer comparison carried
+    separately, and |r_k| exits as ONE integral micro division
+    (non-negative, div == //), NULL for a constant series (den = 0).
+    The denominator is the full-series Σ(n·y − S)² — the standard
+    biased-normalization ACF, so |r_k| <= 1e6 micro always.
+
+    Scale shape: everything after the one (type, date) counting
+    groupBy runs on the bounded calendar spine (days × types rows):
+    the lag pairing is a spine-sized self-join against a
+    {_ACF_MAX_LAG}-row literal lag table, stats/den are spine-sized
+    aggregates, and the output is types × lags rows. At 100 TB the
+    only corpus-sized pass is the first count."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    dense = (
+        bounds.select(
+            "event_type", F.explode(F.sequence("d0", "d1")).alias("d")
+        )
+        .join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type", "d", F.coalesce(F.col("y"), F.lit(0)).alias("y")
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = dense.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("s"),
+    )
+    den = (
+        dense.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (dec(F.col("n") * F.col("y") - F.col("s")))
+                * (F.col("n") * F.col("y") - F.col("s"))
+            ).alias("den")
+        )
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    pairs = (
+        dense.alias("a")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            dense.alias("b"),
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.d") == F.date_sub(F.col("a.d"), F.col("lag"))),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("lag").cast("long").alias("lag"),
+            F.col("a.y").alias("y_t"),
+            F.col("b.y").alias("y_tk"),
+        )
+    )
+    num = (
+        pairs.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(
+                (dec(F.col("n") * F.col("y_t") - F.col("s")))
+                * (F.col("n") * F.col("y_tk") - F.col("s"))
+            ).alias("num"),
+        )
+    )
+    return (
+        num.join(F.broadcast(stats), "event_type")
+        .join(F.broadcast(den), "event_type")
+        .select(
+            "event_type",
+            "lag",
+            F.col("n").cast("long").alias("n_days"),
+            "n_pairs",
+            F.when(F.col("num") > 0, 1)
+            .when(F.col("num") < 0, -1)
+            .otherwise(0)
+            .cast("int")
+            .alias("acf_sign"),
+            F.expr(
+                "CAST((1000000 * abs(num)) div nullif(den, 0) AS BIGINT)"
+            ).alias("abs_acf_micro"),
+        )
+    )
