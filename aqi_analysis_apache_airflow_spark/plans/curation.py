@@ -4459,3 +4459,107 @@ def acf1_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_acf_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# qc5 — per-source encoding & whitespace sanity profile (round 10)
+# --------------------------------------------------------------------------
+
+_QC5_SQL = """
+WITH docs AS (
+  SELECT source,
+         CAST(length(text) AS BIGINT) AS chars,
+         CAST(strlen(text) AS BIGINT) AS bytes,
+         CAST(length(text) - length(replace(text, chr(10), ''))
+              AS BIGINT) AS nl,
+         CAST(length(text) - length(replace(text, chr(13), ''))
+              AS BIGINT) AS cr,
+         CAST(length(text) - length(replace(text, chr(9), ''))
+              AS BIGINT) AS tab,
+         CAST(length(text) - length(replace(text, chr(65533), ''))
+              AS BIGINT) AS repl
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(chars) AS BIGINT) AS n_chars,
+       CAST(sum(bytes) AS BIGINT) AS n_bytes,
+       CAST(sum(bytes - chars) AS BIGINT) AS multibyte_extra_bytes,
+       CAST(sum(nl) AS BIGINT) AS n_newlines,
+       CAST(sum(cr) AS BIGINT) AS n_carriage_returns,
+       CAST(sum(tab) AS BIGINT) AS n_tabs,
+       CAST(sum(repl) AS BIGINT) AS n_replacement_chars,
+       CAST((1000 * sum(bytes - chars)) // NULLIF(sum(bytes), 0) AS BIGINT)
+         AS multibyte_permille,
+       CAST((1000000 * sum(nl + cr + tab))
+            // NULLIF(sum(chars), 0) AS BIGINT) AS whitespace_ctl_micro
+FROM docs GROUP BY source
+"""
+
+
+@query("qc5_encoding_profile", oracle=_QC5_SQL)
+def qc5_encoding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding & whitespace sanity profile — the mojibake
+    / double-encoding / CRLF-contamination monitor a web-scale ingest
+    runs per feed (the UTF-8 health check behind CCNet's and C4's
+    encoding cleanup steps): multibyte pressure comes REGEX-FREE from
+    the UTF-8 identity bytes(text) - chars(text) = continuation bytes
+    (0 for pure ASCII; a sudden rise on an English feed = mojibake or
+    double-encoding), U+FFFD REPLACEMENT CHARACTER counts surface
+    upstream decode failures directly, and newline/CR/tab counts are
+    exact char-drop differences length(x) - length(replace(x, c, ''))
+    — no regex dialect is involved anywhere, so Spark's Java and
+    DuckDB's RE2 engines have nothing to disagree on.
+
+    Exactness: every figure is a BIGINT count; the two rates exit as
+    integral permille/micro divisions of non-negative integers
+    (div == //). Control characters are addressed as chr(N) code
+    points in the oracle so no raw control bytes live inside SQL
+    string literals.
+
+    Scale shape: ONE map-side-combinable (source) groupBy over
+    per-row projections; no joins, no windows, no explode — the
+    cheapest possible full-corpus pass, which is the point: this
+    gate runs on EVERY ingest batch before any tokenization."""
+    txt = F.col("text")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(txt.isNotNull() & F.col("source").isNotNull())
+        .select(
+            "source",
+            F.length(txt).cast("long").alias("chars"),
+            F.octet_length(txt).cast("long").alias("bytes"),
+            (F.length(txt) - F.length(F.translate(txt, "\n", "")))
+            .cast("long")
+            .alias("nl"),
+            (F.length(txt) - F.length(F.translate(txt, "\r", "")))
+            .cast("long")
+            .alias("cr"),
+            (F.length(txt) - F.length(F.translate(txt, "\t", "")))
+            .cast("long")
+            .alias("tab"),
+            (F.length(txt) - F.length(F.translate(txt, "�", "")))
+            .cast("long")
+            .alias("repl"),
+        )
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("n_chars"),
+        F.sum("bytes").cast("long").alias("n_bytes"),
+        F.sum(F.col("bytes") - F.col("chars"))
+        .cast("long")
+        .alias("multibyte_extra_bytes"),
+        F.sum("nl").cast("long").alias("n_newlines"),
+        F.sum("cr").cast("long").alias("n_carriage_returns"),
+        F.sum("tab").cast("long").alias("n_tabs"),
+        F.sum("repl").cast("long").alias("n_replacement_chars"),
+        F.expr(
+            "CAST((1000 * sum(bytes - chars)) div nullif(sum(bytes), 0)"
+            " AS BIGINT)"
+        ).alias("multibyte_permille"),
+        F.expr(
+            "CAST((1000000 * sum(nl + cr + tab)) div nullif(sum(chars), 0)"
+            " AS BIGINT)"
+        ).alias("whitespace_ctl_micro"),
+    )
