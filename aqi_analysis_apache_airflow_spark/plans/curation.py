@@ -4563,3 +4563,220 @@ def qc5_encoding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("whitespace_ctl_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# mk1 — Mann-Kendall trend test + Theil-Sen slope (round 10)
+# --------------------------------------------------------------------------
+
+# slope quantization shift: slope_micro = floor(1e6*dy/dx) computed as
+# (1e6*dy + OFF*dx) div dx - OFF, exact for any sign of dy because the
+# numerator is shifted non-negative first (valid while |dy| <= 1e6*dx,
+# i.e. day-over-day count deltas below one million — document at sf10+)
+_MK_OFF = 1_000_000_000_000
+
+_MK_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+),
+spine AS (
+  SELECT b.event_type, CAST(u.g AS DATE) AS d
+  FROM bounds b, UNNEST(generate_series(CAST(b.d0 AS TIMESTAMP),
+                                        CAST(b.d1 AS TIMESTAMP),
+                                        INTERVAL 1 DAY)) u(g)
+),
+dense AS (
+  SELECT s.event_type, s.d, COALESCE(dy.y, 0) AS y
+  FROM spine s LEFT JOIN daily dy USING (event_type, d)
+),
+n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM dense GROUP BY 1),
+ties AS (
+  SELECT event_type,
+         CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie18
+  FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS t
+        FROM dense GROUP BY event_type, y)
+  GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sg,
+         CAST(b.y - a.y AS BIGINT) AS dy,
+         CAST(date_diff('day', a.d, b.d) AS BIGINT) AS dx
+  FROM dense a JOIN dense b
+    ON b.event_type = a.event_type AND b.d > a.d
+),
+slopes AS (
+  SELECT event_type,
+         (1000000 * dy + {_MK_OFF} * dx) // dx - {_MK_OFF} AS sm
+  FROM pairs
+),
+med AS (
+  SELECT event_type, CAST(sm AS BIGINT) AS theil_sen_slope_micro
+  FROM (SELECT event_type, sm,
+               row_number() OVER (PARTITION BY event_type ORDER BY sm) AS r,
+               count(*) OVER (PARTITION BY event_type) AS m
+        FROM slopes)
+  WHERE r = (m + 1) // 2
+),
+mk AS (
+  SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_stat,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY event_type
+)
+SELECT mk.event_type, n.n AS n_days, mk.n_pairs, mk.s_stat,
+       CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie18 AS BIGINT) AS var18,
+       CASE WHEN 10000 * 18 * mk.s_stat * mk.s_stat
+                 > 38416 * (n.n * (n.n - 1) * (2 * n.n + 5) - t.tie18)
+            THEN 1 ELSE 0 END AS trend_sig_05,
+       m.theil_sen_slope_micro
+FROM mk
+JOIN n USING (event_type)
+JOIN ties t USING (event_type)
+JOIN med m USING (event_type)
+"""
+
+
+@query("mk1_trend_test", oracle=_MK_SQL)
+def mk1_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope per event type on the
+    gap-filled daily count series — THE standard distribution-free
+    trend pair (Mann 1945 / Kendall's S; Theil 1950 / Sen 1968 for
+    the slope): S = sum of sign(y_j - y_i) over ordered day pairs
+    detects monotone trend with no normality or linearity assumption,
+    and the Theil-Sen slope (median of all pairwise slopes, 29.3%
+    breakdown) is the robust trend magnitude a monitoring pipeline
+    alarms on where g13's OLS would chase one outlier day. The
+    significance gate is the tie-corrected MK variance
+    Var(S) = (n(n-1)(2n+5) - sum t(t-1)(2t+5))/18 (ties REAL here:
+    zero-filled days tie), tested at alpha = .05 by integer cross-
+    multiplication: 10000*18*S^2 > 38416*Var18 (1.96^2 = 3.8416
+    exactly — the ab1 no-float-threshold rule).
+
+    Exactness: S, Var18 and the gate are pure BIGINT integer
+    arithmetic; pairwise slopes quantize by ONE floor division made
+    sign-safe with the {_MK_OFF} shift ((1e6*dy + OFF*dx) div dx -
+    OFF = floor(1e6*dy/dx) exactly while |dy| <= 1e6*dx, far above
+    any per-type daily count delta through sf10); the median is the
+    LOWER median by row_number over the bounded slope set — a total
+    order on integers, no float and no interpolation anywhere.
+
+    Scale shape: after the one corpus-sized (type, date) counting
+    groupBy, every relation is calendar-bounded: the pair join is
+    spine x spine within type (~n^2/2 = 435 rows/type at 30 days),
+    the median window partitions by type over those bounded pairs,
+    and ties/n are spine-sized aggregates. The 100 TB cost is the
+    first count; the statistics are corpus-independent."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    dense = (
+        bounds.select(
+            "event_type", F.explode(F.sequence("d0", "d1")).alias("d")
+        )
+        .join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type", "d", F.coalesce(F.col("y"), F.lit(0)).alias("y")
+        )
+    )
+    n = dense.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ties = (
+        dense.groupBy("event_type", "y")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    pairs = (
+        dense.alias("a")
+        .join(
+            dense.alias("b"),
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.d") > F.col("a.d")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.when(F.col("b.y") > F.col("a.y"), 1)
+            .when(F.col("b.y") < F.col("a.y"), -1)
+            .otherwise(0)
+            .alias("sg"),
+            (F.col("b.y") - F.col("a.y")).cast("long").alias("dy"),
+            F.datediff(F.col("b.d"), F.col("a.d")).cast("long").alias("dx"),
+        )
+    )
+    slopes = pairs.select(
+        "event_type",
+        F.expr(
+            f"CAST((1000000 * dy + {_MK_OFF} * dx) div dx - {_MK_OFF}"
+            " AS BIGINT)"
+        ).alias("sm"),
+    )
+    wm = Window.partitionBy("event_type").orderBy("sm")
+    med = (
+        slopes.select(
+            "event_type",
+            "sm",
+            F.row_number().over(wm).alias("r"),
+            F.count("*")
+            .over(Window.partitionBy("event_type"))
+            .alias("m"),
+        )
+        .filter(F.col("r") == F.floor((F.col("m") + 1) / 2))
+        .select(
+            "event_type", F.col("sm").alias("theil_sen_slope_micro")
+        )
+    )
+    mk = pairs.groupBy("event_type").agg(
+        F.sum("sg").cast("long").alias("s_stat"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    return (
+        mk.join(n, "event_type")
+        .join(ties, "event_type")
+        .join(med, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "n_pairs",
+            "s_stat",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie18")
+            )
+            .cast("long")
+            .alias("var18"),
+            F.when(
+                F.lit(10000 * 18) * F.col("s_stat") * F.col("s_stat")
+                > F.lit(38416)
+                * (
+                    F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                    - F.col("tie18")
+                ),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("trend_sig_05"),
+            "theil_sen_slope_micro",
+        )
+    )
