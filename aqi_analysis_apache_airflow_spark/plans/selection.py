@@ -6749,3 +6749,162 @@ def loo1_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div nullif(d * (d - d_s), 0) AS BIGINT)"
         ).alias("abs_delta_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# did1 — difference-in-differences readout (round 10)
+# --------------------------------------------------------------------------
+
+_DID_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         user_id % 2 = 0 AS treat,
+         CAST(ts AS DATE) AS d
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND event_type IS NOT NULL AND user_id IS NOT NULL
+),
+cut AS (
+  SELECT min(d) + CAST(date_diff('day', min(d), max(d)) // 2
+                       AS INTEGER) AS c
+  FROM ev
+),
+cells AS (
+  SELECT e.event_type,
+         CAST(count(*) FILTER (e.treat AND e.d > t.c) AS HUGEINT) AS n_t1,
+         CAST(coalesce(sum(e.cents) FILTER (e.treat AND e.d > t.c), 0)
+              AS HUGEINT) AS s_t1,
+         CAST(count(*) FILTER (e.treat AND e.d <= t.c) AS HUGEINT) AS n_t0,
+         CAST(coalesce(sum(e.cents) FILTER (e.treat AND e.d <= t.c), 0)
+              AS HUGEINT) AS s_t0,
+         CAST(count(*) FILTER (NOT e.treat AND e.d > t.c) AS HUGEINT)
+           AS n_c1,
+         CAST(coalesce(sum(e.cents) FILTER (NOT e.treat AND e.d > t.c), 0)
+              AS HUGEINT) AS s_c1,
+         CAST(count(*) FILTER (NOT e.treat AND e.d <= t.c) AS HUGEINT)
+           AS n_c0,
+         CAST(coalesce(sum(e.cents) FILTER (NOT e.treat AND e.d <= t.c), 0)
+              AS HUGEINT) AS s_c0
+  FROM ev e CROSS JOIN cut t
+  GROUP BY e.event_type
+),
+num AS (
+  SELECT event_type, n_t1, n_t0, n_c1, n_c0,
+         s_t1 * n_t0 * n_c1 * n_c0
+           - s_t0 * n_t1 * n_c1 * n_c0
+           - s_c1 * n_t1 * n_t0 * n_c0
+           + s_c0 * n_t1 * n_t0 * n_c1 AS nm,
+         n_t1 * n_t0 * n_c1 * n_c0 AS dn
+  FROM cells
+)
+SELECT event_type,
+       CAST(n_t1 AS BIGINT) AS n_treat_post,
+       CAST(n_t0 AS BIGINT) AS n_treat_pre,
+       CAST(n_c1 AS BIGINT) AS n_ctrl_post,
+       CAST(n_c0 AS BIGINT) AS n_ctrl_pre,
+       CASE WHEN nm > 0 THEN 1 WHEN nm < 0 THEN -1 ELSE 0 END AS did_sign,
+       CAST((1000000 * abs(nm)) // NULLIF(dn, 0) AS BIGINT)
+         AS abs_did_cents_micro
+FROM num
+"""
+
+
+@query("did1_diff_in_diff", oracle=_DID_SQL)
+def did1_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout per event type (Card &
+    Krueger 1994; the workhorse panel-data causal estimator):
+    DiD = (mean_treat_post - mean_treat_pre) -
+    (mean_ctrl_post - mean_ctrl_pre) on exact-cents event values,
+    with the deterministic user-parity arm (the ab1/ab2/perm1
+    pre-registered assignment) and the corpus-midpoint date as the
+    intervention cut. Where ab2 compares two arms at one time, DiD
+    nets out the SHARED time trend — the estimator an experimentation
+    pipeline reaches for when the rollout was staggered rather than
+    randomized per-event.
+
+    Exactness: the four cell means never materialize as floats — the
+    DiD collapses over the common denominator n_t1*n_t0*n_c1*n_c0
+    into ONE exact HUGEINT/DECIMAL(38,0) numerator (four products of
+    a cents-sum with three counts), sign by integer comparison,
+    magnitude by one integral micro division of non-negatives
+    (div == //), NULL when any cell is empty. The midpoint cut is
+    pure date integer arithmetic off the 1-row corpus bounds.
+
+    Scale shape: one 1-row bounds aggregate broadcast onto the
+    stream, then ONE map-side-combinable (type) groupBy computing all
+    eight FILTERed cell aggregates in a single pass — no self-join,
+    no window, no second scan."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        F.to_date("ts").alias("d"),
+    )
+    cut = ev.agg(
+        F.expr(
+            "date_add(min(d), CAST(datediff(max(d), min(d)) div 2 AS INT))"
+        ).alias("c")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def cell(flag, agg):
+        if agg == "n":
+            return F.count(F.when(flag, 1)).cast("decimal(38,0)")
+        return F.coalesce(
+            F.sum(F.when(flag, F.col("cents"))), F.lit(0)
+        ).cast("decimal(38,0)")
+
+    post = F.col("d") > F.col("c")
+    t = F.col("treat")
+    cells = (
+        ev.crossJoin(F.broadcast(cut))
+        .groupBy("event_type")
+        .agg(
+            cell(t & post, "n").alias("n_t1"),
+            cell(t & post, "s").alias("s_t1"),
+            cell(t & ~post, "n").alias("n_t0"),
+            cell(t & ~post, "s").alias("s_t0"),
+            cell(~t & post, "n").alias("n_c1"),
+            cell(~t & post, "s").alias("s_c1"),
+            cell(~t & ~post, "n").alias("n_c0"),
+            cell(~t & ~post, "s").alias("s_c0"),
+        )
+    )
+    nm = (
+        F.col("s_t1") * F.col("n_t0") * F.col("n_c1") * F.col("n_c0")
+        - F.col("s_t0") * F.col("n_t1") * F.col("n_c1") * F.col("n_c0")
+        - F.col("s_c1") * F.col("n_t1") * F.col("n_t0") * F.col("n_c0")
+        + F.col("s_c0") * F.col("n_t1") * F.col("n_t0") * F.col("n_c1")
+    )
+    dn = F.col("n_t1") * F.col("n_t0") * F.col("n_c1") * F.col("n_c0")
+    return cells.select(
+        "event_type",
+        F.col("n_t1").cast("long").alias("n_treat_post"),
+        F.col("n_t0").cast("long").alias("n_treat_pre"),
+        F.col("n_c1").cast("long").alias("n_ctrl_post"),
+        F.col("n_c0").cast("long").alias("n_ctrl_pre"),
+        F.when(nm > 0, 1).when(nm < 0, -1).otherwise(0).cast("int").alias(
+            "did_sign"
+        ),
+        (
+            (F.lit(1000000).cast("decimal(38,0)") * F.abs(nm))
+            .cast("decimal(38,0)")
+        ).alias("_num_tmp"),
+        dn.alias("_den_tmp"),
+    ).select(
+        "event_type",
+        "n_treat_post",
+        "n_treat_pre",
+        "n_ctrl_post",
+        "n_ctrl_pre",
+        "did_sign",
+        F.expr(
+            "CAST(_num_tmp div nullif(_den_tmp, 0) AS BIGINT)"
+        ).alias("abs_did_cents_micro"),
+    )
