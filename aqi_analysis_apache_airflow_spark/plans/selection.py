@@ -6908,3 +6908,223 @@ def did1_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(_num_tmp div nullif(_den_tmp, 0) AS BIGINT)"
         ).alias("abs_did_cents_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# bh1 — Benjamini-Hochberg FDR over per-source drift tests (round 10)
+# --------------------------------------------------------------------------
+
+_BH_K = 20  # Monte-Carlo reassignment rounds per hypothesis
+_BH_GRID = 1_048_576  # 2^20 rate-matching grid for the null assignment
+
+_BH_HASH_SQL = CE_HASH64_SQL.format(
+    h="md5('bh|' || s.source || '|' || CAST(u.k AS VARCHAR) || '|'"
+    " || CAST(b.doc_id AS VARCHAR))"
+)
+
+_BH_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, CAST(n_chars AS HUGEINT) AS ch
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL AND doc_id IS NOT NULL
+),
+tot AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(ch) AS HUGEINT) AS t
+  FROM base
+),
+srcs AS (
+  SELECT source, CAST(count(*) AS HUGEINT) AS n_a,
+         CAST(sum(ch) AS HUGEINT) AS s_a
+  FROM base GROUP BY source
+),
+obs AS (
+  SELECT s.source, s.n_a, s.s_a,
+         abs(s.s_a * (t.n - s.n_a) - (t.t - s.s_a) * s.n_a) AS t_obs,
+         ({_BH_GRID} * s.n_a) // t.n AS thr
+  FROM srcs s CROSS JOIN tot t
+),
+perm AS (
+  SELECT s.source, u.k,
+         CAST(count(*) FILTER (({_BH_HASH_SQL}) & {_BH_GRID - 1} < s.thr)
+              AS HUGEINT) AS pn_a,
+         CAST(coalesce(sum(b.ch) FILTER (
+                ({_BH_HASH_SQL}) & {_BH_GRID - 1} < s.thr), 0)
+              AS HUGEINT) AS ps_a
+  FROM base b
+  CROSS JOIN obs s
+  CROSS JOIN UNNEST(range(1, {_BH_K} + 1)) u(k)
+  GROUP BY s.source, u.k
+),
+pvals AS (
+  SELECT o.source, o.n_a, o.t_obs,
+         CAST((1000 * (1 + count(*) FILTER (
+                abs(p.ps_a * (t.n - p.pn_a) - (t.t - p.ps_a) * p.pn_a)
+                  >= o.t_obs)))
+              // ({_BH_K} + 1) AS BIGINT) AS p_permille
+  FROM obs o
+  JOIN perm p USING (source)
+  CROSS JOIN tot t
+  GROUP BY o.source, o.n_a, o.t_obs, t.n, t.t
+),
+ranked AS (
+  SELECT source, n_a, p_permille,
+         row_number() OVER (ORDER BY p_permille, source) AS rk,
+         count(*) OVER () AS m
+  FROM pvals
+),
+kmax AS (
+  SELECT coalesce(max(rk) FILTER (p_permille * m <= 50 * rk), 0) AS kx
+  FROM ranked
+)
+SELECT r.source, CAST(r.n_a AS BIGINT) AS n_docs, r.p_permille,
+       CAST(r.rk AS BIGINT) AS bh_rank,
+       CASE WHEN r.rk <= k.kx THEN 1 ELSE 0 END AS rejected
+FROM ranked r CROSS JOIN kmax k
+"""
+
+
+@query("bh1_fdr_source_drift", oracle=_BH_SQL)
+def bh1_fdr_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR-controlled per-source drift discovery
+    (Benjamini & Hochberg 1995, the most-used multiple-testing
+    procedure in existence): each source is tested for a mean-length
+    shift against the rest of the corpus with a perm1-style
+    deterministic Monte-Carlo randomization test, and the resulting
+    p-values pass through the BH STEP-UP rule — reject the k lowest
+    p-values where k is the largest rank with p_(k) <= alpha*k/m —
+    so a 20-source monitor does not fire 1-in-20 false alarms every
+    run the way 20 naive alpha = .05 tests would. The null
+    reassignment is RATE-MATCHED: a doc joins the pseudo-arm when its
+    md5-family hash lands under floor(2^20 * n_a/N) on the 2^20 grid,
+    preserving the observed arm size in expectation (fixing the
+    variance mismatch a 50/50 Bernoulli null would have against a
+    5%-sized source arm).
+
+    Exactness: the test statistic |s_A*n_B - s_B*n_A| is the exact
+    cross-multiplied mean gap in HUGEINT/DECIMAL(38,0); p-values are
+    one integral permille division by the constant {_BH_K}+1; the BH
+    inequality p/1000 <= 0.05*k/m clears denominators to the pure
+    integer form p*m <= 50*k; ties on p break by source name
+    identically in both engines, and step-up rejects by rank <= max
+    passing rank, so tie order cannot change the rejection SET.
+
+    Scale shape: the corpus-sized work is ONE pass over
+    docs x sources x {_BH_K} rounds feeding a map-side-combinable
+    (source, k) aggregate (partials collapse to m*{_BH_K} rows per
+    partition before the exchange); everything after — p-values,
+    ranking, step-up — runs on the m-row table with windows over m
+    rows. At 100 TB with bounded m the fan-out stays linear in the
+    corpus."""
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter(
+            F.col("source").isNotNull()
+            & F.col("n_chars").isNotNull()
+            & F.col("doc_id").isNotNull()
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("decimal(38,0)").alias("ch"),
+        )
+    )
+    tot = base.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("ch").cast("decimal(38,0)").alias("t"),
+    )
+    srcs = base.groupBy("source").agg(
+        F.count("*").cast("decimal(38,0)").alias("n_a"),
+        F.sum("ch").cast("decimal(38,0)").alias("s_a"),
+    )
+    obs = srcs.crossJoin(F.broadcast(tot)).select(
+        F.col("source").alias("s_hyp"),
+        "n_a",
+        F.abs(
+            F.col("s_a") * (F.col("n") - F.col("n_a"))
+            - (F.col("t") - F.col("s_a")) * F.col("n_a")
+        ).alias("t_obs"),
+        F.expr(f"CAST(({_BH_GRID} * n_a) div n AS BIGINT)").alias("thr"),
+    )
+    h = ce_hash64(
+        F.concat(
+            F.lit("bh|"),
+            F.col("s_hyp"),
+            F.lit("|"),
+            F.col("k").cast("string"),
+            F.lit("|"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    in_arm = (h.bitwiseAND(F.lit(_BH_GRID - 1))) < F.col("thr")
+    perm = (
+        base.crossJoin(
+            F.broadcast(
+                obs.select(
+                    "s_hyp",
+                    "thr",
+                    F.explode(
+                        F.sequence(F.lit(1), F.lit(_BH_K))
+                    ).alias("k"),
+                )
+            )
+        )
+        .groupBy("s_hyp", "k")
+        .agg(
+            F.count(F.when(in_arm, 1)).cast("decimal(38,0)").alias("pn_a"),
+            F.coalesce(F.sum(F.when(in_arm, F.col("ch"))), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("ps_a"),
+        )
+    )
+    t_k = F.abs(
+        F.col("ps_a") * (F.col("n") - F.col("pn_a"))
+        - (F.col("t") - F.col("ps_a")) * F.col("pn_a")
+    )
+    pvals = (
+        obs.join(perm, "s_hyp")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("s_hyp", "n_a", "t_obs")
+        .agg(
+            F.expr(
+                f"CAST((1000 * (1 + count(CASE WHEN"
+                f" abs(ps_a * (n - pn_a) - (t - ps_a) * pn_a) >= t_obs"
+                f" THEN 1 END))) div ({_BH_K} + 1) AS BIGINT)"
+            ).alias("p_permille")
+        )
+    )
+    ranked = pvals.select(
+        F.col("s_hyp").alias("source"),
+        "n_a",
+        "p_permille",
+        F.row_number()
+        .over(Window.orderBy("p_permille", "s_hyp"))
+        .alias("rk"),
+        F.count("*")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("m"),
+    )
+    kmax = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_permille") * F.col("m") <= 50 * F.col("rk"),
+                    F.col("rk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("kx")
+    )
+    return ranked.crossJoin(F.broadcast(kmax)).select(
+        "source",
+        F.col("n_a").cast("long").alias("n_docs"),
+        "p_permille",
+        F.col("rk").cast("long").alias("bh_rank"),
+        F.when(F.col("rk") <= F.col("kx"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("rejected"),
+    )
