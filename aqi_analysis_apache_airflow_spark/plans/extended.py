@@ -4147,3 +4147,72 @@ def erank1_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nvec))
         .select("n_vecs", "n_dims", "sum_var_scaled", "pr_micro")
     )
+
+
+# --------------------------------------------------------------------------
+# fert1 — tokenizer fertility per language (round 10)
+# --------------------------------------------------------------------------
+
+_FERT_SQL = f"""
+WITH toks AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+           AS n_sub,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_sub) AS BIGINT) AS n_subtokens,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST((1000000 * sum(n_sub)) // NULLIF(sum(n_words), 0) AS BIGINT)
+         AS fertility_micro
+FROM toks GROUP BY lang
+"""
+
+
+@query("fert1_tokenizer_fertility", oracle=_FERT_SQL)
+def fert1_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — subword tokens produced per
+    whitespace word (Rust et al. 2021, "How good is your tokenizer?";
+    the metric the BLOOM/NLLB tokenizer audits report per language):
+    a language whose fertility is 2x another's pays 2x the context
+    window and 2x the compute for the same text, so a multilingual
+    data pipeline reads THIS table before setting per-language token
+    budgets (ups1/lr1) or sampling temperatures (mix1). Uses the t5
+    cross-engine pretokenizer as the subword proxy and t1's
+    whitespace rule as the word denominator — both already
+    oracle-pinned.
+
+    Exactness: two regexp_extract_all counts per row (constructs
+    chosen identical in Java regex and RE2, the t5 rule), summed as
+    BIGINTs; fertility exits as one integral micro division of
+    non-negatives (div == //), NULL for a language with zero words
+    (whitespace-only adversarial docs).
+
+    Scale shape: ONE map-side-combinable (lang) groupBy over per-row
+    projections — no explode (counts come from array length, the
+    token arrays never leave the row), no joins, no windows."""
+    txt = F.col("text")
+    toks = (
+        load(spark, sf_dir, "documents")
+        .filter(txt.isNotNull() & F.col("lang").isNotNull())
+        .select(
+            "lang",
+            F.size(F.regexp_extract_all(txt, F.lit(_BPE_RE), 0))
+            .cast("long")
+            .alias("n_sub"),
+            F.size(F.regexp_extract_all(txt, F.lit(r"\S+"), 0))
+            .cast("long")
+            .alias("n_words"),
+        )
+    )
+    return toks.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_sub").cast("long").alias("n_subtokens"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.expr(
+            "CAST((1000000 * sum(n_sub)) div nullif(sum(n_words), 0)"
+            " AS BIGINT)"
+        ).alias("fertility_micro"),
+    )
