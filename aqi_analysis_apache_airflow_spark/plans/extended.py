@@ -4216,3 +4216,126 @@ def fert1_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("fertility_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# hill1 — Hill tail-index estimator of the length distribution (round 10)
+# --------------------------------------------------------------------------
+
+_HILL_K = 20  # order statistics in the tail estimate
+
+
+_HILL_SQL = f"""
+WITH docs AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS x
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL AND doc_id IS NOT NULL
+),
+ranked AS (
+  SELECT source, x,
+         row_number() OVER (
+           PARTITION BY source ORDER BY x DESC, doc_id) AS r,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM docs
+),
+kth AS (
+  SELECT source, x AS x_k1, n FROM ranked
+  WHERE r = {_HILL_K} + 1 AND x > 0
+),
+terms AS (
+  SELECT r.source, k.n, k.x_k1,
+         CAST(round(round(ln(CAST(r.x AS DOUBLE)
+                            / CAST(k.x_k1 AS DOUBLE)), 6) * 1e6)
+              AS BIGINT) AS t
+  FROM ranked r JOIN kth k USING (source)
+  WHERE r.r <= {_HILL_K}
+)
+SELECT source,
+       CAST(any_value(n) AS BIGINT) AS n_docs,
+       CAST(any_value(x_k1) AS BIGINT) AS x_k1,
+       CAST(sum(t) AS BIGINT) AS sum_ln_micro,
+       CAST({1000000 * _HILL_K * 1000000}
+            // NULLIF(sum(t), 0) AS BIGINT) AS alpha_micro
+FROM terms GROUP BY source
+"""
+
+
+@query("hill1_tail_index", oracle=_HILL_SQL)
+def hill1_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator (Hill 1975) of each source's
+    document-length distribution over its top {_HILL_K}+1 order
+    statistics: alpha-hat = k / sum_(i<=k) ln(x_(i)/x_(k+1)) — the
+    standard heavy-tail exponent gauge. Doc-length tails drive
+    sequence-packing waste (pack1/trunc1) and shuffle skew (dq6): a
+    source with alpha < 2 has INFINITE length variance, so its mean-
+    based capacity plans lie; this estimator reads the tail directly
+    where zipf1 fits the token-frequency body and mk1/ks1 watch
+    location shifts. Only the tail pool is examined — the textbook
+    estimator's k-largest-order-statistics form.
+
+    Exactness: order statistics pick by an exact total order
+    (length desc, doc_id tiebreak); each log term is the micro-nat
+    idiom (ONE IEEE division of two exact BIGINTs, then the
+    6dp-then-1e6 double-round pinning libm ln — zipf1/dd1/surv1
+    precedent); the estimate exits as one integral micro division.
+    Sources with fewer than {_HILL_K}+1 docs, or whose (k+1)-th
+    length is zero, have no defined tail and emit no row — the same
+    WHERE in both engines.
+
+    Scale shape: the per-source rank window is the w1 top-k-per-group
+    shape (at 100 TB swap in the two-phase banded global-rank trick
+    snm1 documents if a single source outgrows a partition); the
+    {_HILL_K}-row-per-source term table and the final groupBy are
+    source-bounded. One corpus pass, one window, one bounded join."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(
+            F.col("source").isNotNull()
+            & F.col("n_chars").isNotNull()
+            & F.col("doc_id").isNotNull()
+        )
+        .select("source", "doc_id", F.col("n_chars").cast("long").alias("x"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("x").desc(), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "source",
+        "x",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    kth = ranked.filter(
+        (F.col("r") == _HILL_K + 1) & (F.col("x") > 0)
+    ).select("source", F.col("x").alias("x_k1"), "n")
+    terms = (
+        ranked.filter(F.col("r") <= _HILL_K)
+        .drop("n")
+        .join(F.broadcast(kth), "source")
+        .select(
+            "source",
+            "n",
+            "x_k1",
+            F.round(
+                F.round(
+                    F.log(
+                        F.col("x").cast("double")
+                        / F.col("x_k1").cast("double")
+                    ),
+                    6,
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.any_value(F.col("n")).cast("long").alias("n_docs"),
+        F.any_value(F.col("x_k1")).cast("long").alias("x_k1"),
+        F.sum("t").cast("long").alias("sum_ln_micro"),
+        F.expr(
+            f"CAST(CAST({1000000 * _HILL_K * 1000000} AS BIGINT)"
+            " div nullif(sum(t), 0) AS BIGINT)"
+        ).alias("alpha_micro"),
+    )
