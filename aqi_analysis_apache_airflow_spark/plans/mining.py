@@ -2187,3 +2187,125 @@ def bpe3_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("c0").cast("double"), F.lit(0.0))
         ).alias("compression"),
     )
+
+
+# --------------------------------------------------------------------------
+# dq10 — cross-table order-total reconciliation audit (round 10)
+# --------------------------------------------------------------------------
+
+_DQ10_SQL = """
+WITH recomputed AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+           AS r_cents,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+  GROUP BY l_orderkey
+),
+joined AS (
+  SELECT o.o_orderstatus,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_cents,
+         r.r_cents
+  FROM orders o LEFT JOIN recomputed r ON r.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey IS NOT NULL AND o.o_totalprice IS NOT NULL
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (r_cents IS NULL) AS BIGINT)
+         AS n_missing_lineitems,
+       CAST(count(*) FILTER (r_cents = o_cents) AS BIGINT) AS n_exact,
+       CAST(count(*) FILTER (r_cents IS NOT NULL
+              AND 100 * abs(r_cents - o_cents) <= o_cents) AS BIGINT)
+         AS n_within_1pct,
+       CAST(max(abs(r_cents - o_cents)) AS BIGINT) AS max_abs_diff_cents,
+       CAST(coalesce(sum(abs(r_cents - o_cents)), 0) AS BIGINT)
+         AS total_abs_diff_cents
+FROM joined GROUP BY o_orderstatus
+"""
+
+
+@query("dq10_order_reconciliation", oracle=_DQ10_SQL)
+def dq10_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table RECONCILIATION audit: recompute every order's total
+    from its line items (sum of round-to-cents
+    l_extendedprice·(1−l_discount)·(1+l_tax)) and compare against the
+    stored o_totalprice — the classic double-entry consistency check
+    (TPC-H specifies exactly this derivation for O_TOTALPRICE, §4.2.3
+    of the spec) that catches partial loads, lost updates, and
+    rounding-policy drift between pipelines writing the two tables.
+    Where dq1 checks KEY integrity (orphans) and dq5 diffs snapshots
+    of ONE table, dq10 checks VALUE consistency across the
+    relationship, reported as a per-status distribution: exact
+    matches, within-1%, missing-detail orders, and the worst/total
+    absolute drift.
+
+    Exactness: each line quantizes ONCE through the identical
+    left-associated IEEE chain ext·(1−disc)·(1+tax)·100 then
+    round→BIGINT in both engines (the ab2 exact-cents rule applied
+    per addend BEFORE summation, so the sum is integer-exact and
+    order-free); the 1% gate cross-multiplies to
+    100·|diff| <= o_cents. Orders with no line items count separately
+    rather than vanishing (LEFT join + FILTER).
+
+    Scale shape: one map-side-combinable (orderkey) aggregate over
+    lineitem, one equi-join on the natural key (co-partitioned /
+    bucketed in a real warehouse — zero extra exchange under the
+    tests/test_scale_ops.py bucketed layout), one (status) rollup.
+    No windows, no fan-out."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & F.col("l_discount").isNotNull()
+        & F.col("l_tax").isNotNull()
+    )
+    recomputed = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (F.lit(1) - F.col("l_discount"))
+                * (F.lit(1) + F.col("l_tax"))
+                * 100
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("r_cents"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    joined = orders.join(
+        recomputed,
+        orders["o_orderkey"] == recomputed["l_orderkey"],
+        "left",
+    ).select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+        "r_cents",
+    )
+    diff = F.abs(F.col("r_cents") - F.col("o_cents"))
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.count(F.when(F.col("r_cents").isNull(), 1))
+        .cast("long")
+        .alias("n_missing_lineitems"),
+        F.count(F.when(F.col("r_cents") == F.col("o_cents"), 1))
+        .cast("long")
+        .alias("n_exact"),
+        F.count(
+            F.when(
+                F.col("r_cents").isNotNull()
+                & (100 * diff <= F.col("o_cents")),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("n_within_1pct"),
+        F.max(diff).cast("long").alias("max_abs_diff_cents"),
+        F.coalesce(F.sum(diff), F.lit(0))
+        .cast("long")
+        .alias("total_abs_diff_cents"),
+    )
