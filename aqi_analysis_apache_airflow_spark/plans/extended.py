@@ -2916,6 +2916,59 @@ def ovr1_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _snm_ranked(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Scalable global rank on the SNM sort key over ``docs``: returns
+    the persisted (doc_id, sz, rn) table snm1/snm2 pair from. See
+    snm1's docstring for the range-partition + per-partition offset
+    recipe; factored so the snm2 recall audit replays the IDENTICAL
+    ranking machinery rather than a single-partition window twin."""
+    from pyspark import StorageLevel
+
+    from ..functions.dedup import word_shingles
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    key = F.coalesce(
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), 1, 40
+        ),
+        F.lit(""),
+    )
+    slim = (
+        docs.select("doc_id", "text")
+        .repartition(n_part)
+        .select(
+            "doc_id",
+            key.alias("key"),
+            F.size(word_shingles(F.col("text"), 3)).alias("sz"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    keyed = (
+        slim.repartitionByRange(n_part, "key", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in keyed.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    local_rn = F.row_number().over(
+        Window.partitionBy("pid").orderBy("key", "doc_id")
+    )
+    return keyed.select(
+        "doc_id",
+        "sz",
+        (local_rn + off_map[F.col("pid")]).cast("long").alias("rn"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
 # NULL text → '' key (not NULL): Spark sorts NULLS FIRST ascending,
 # DuckDB row_number defaults to NULLS LAST — coalescing to the empty
 # string pins tokenless docs to the front of the sort in BOTH engines
@@ -2976,67 +3029,13 @@ def snm1_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer rank after a w-way sequence explode — linear in n*w."""
     from pyspark import StorageLevel
 
-    docs = load(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    key = F.coalesce(
-        F.substring(
-            F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), 1, 40
-        ),
-        F.lit(""),
-    )
-    from ..functions.dedup import exact_jaccard_for_pairs, word_shingles
+    from ..functions.dedup import exact_jaccard_for_pairs
 
-    # shingle-set size rides along from the same scan that computes the
-    # key: the size-ratio prune below needs it per candidate side, and
-    # computing it here costs one array pass on a scan already in flight.
-    # The slim (id, key, sz) table is materialized BEFORE the range
-    # shuffle: the bench corpus arrives as one row group, so without the
-    # round-robin repartition the regex/shingle CPU would run on a
-    # single task — and repartitionByRange's sampling pass would then
-    # run that serial compute a second time. Persisting the slim form
-    # makes the sampling pass and the range shuffle both read the
-    # (parallel-computed) cache.
-    slim = (
-        docs.select("doc_id", "text")
-        .repartition(n_part)
-        .select(
-            "doc_id",
-            key.alias("key"),
-            F.size(word_shingles(F.col("text"), 3)).alias("sz"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # localCheckpoint, NOT persist: the pid→offset map below is only
-    # valid for THIS materialization. A MEMORY_AND_DISK persist can
-    # silently recompute an evicted/lost partition, re-running
-    # repartitionByRange with a fresh boundary-sampling job — pid and
-    # offset would desync and ranks go quietly wrong. Checkpointing
-    # truncates the lineage: a lost block fails the job (fail-stop)
-    # instead of recomputing under different boundaries.
-    keyed = (
-        slim.repartitionByRange(n_part, "key", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    counts = {
-        r["pid"]: r["cnt"]
-        for r in keyed.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
-    local_rn = F.row_number().over(
-        Window.partitionBy("pid").orderBy("key", "doc_id")
-    )
-    ranked = keyed.select(
-        "doc_id",
-        "sz",
-        (local_rn + off_map[F.col("pid")]).cast("long").alias("rn"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    docs = load(spark, sf_dir, "documents")
+    # ranking machinery factored into _snm_ranked (shared with snm2's
+    # recall audit); see that helper and the comments inside it for the
+    # slim-persist / localCheckpoint / offset-map reasoning.
+    ranked = _snm_ranked(spark, docs)
     left = ranked.select(
         F.col("doc_id").alias("id_l"),
         F.col("sz").alias("sz_l"),
@@ -4338,4 +4337,119 @@ def hill1_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(CAST({1000000 * _HILL_K * 1000000} AS BIGINT)"
             " div nullif(sum(t), 0) AS BIGINT)"
         ).alias("alpha_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# snm2 — sorted-neighborhood blocking-recall audit (round 10)
+# --------------------------------------------------------------------------
+
+_SNM2_SQL = f"""
+WITH {_D2B_CTES},
+expairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.5
+),
+keyed AS (
+  SELECT doc_id, {_SNM_KEY_SQL} AS key FROM documents
+  WHERE doc_id IS NOT NULL
+),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS rn
+  FROM keyed
+),
+cand AS (
+  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+         greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM ranked a JOIN ranked b
+    ON b.rn > a.rn AND b.rn <= a.rn + 10
+),
+n1 AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs FROM expairs),
+n2 AS (SELECT CAST(count(*) AS BIGINT) AS n_window_pairs FROM cand),
+n3 AS (SELECT CAST(count(*) AS BIGINT) AS n_recovered
+       FROM expairs JOIN cand USING (doc_a, doc_b))
+SELECT n_exact_pairs, n_window_pairs, n_recovered,
+       CAST((1000 * n_recovered) // NULLIF(n_exact_pairs, 0) AS BIGINT)
+         AS recall_permille
+FROM n1, n2, n3
+"""
+
+
+@query("snm2_blocking_recall", oracle=_SNM2_SQL)
+def snm2_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of sorted-neighborhood BLOCKING — the rec1/wv1
+    question asked of the third candidate-generation family: what
+    fraction of the exact capped-Jaccard near-dup pairs (3-word
+    shingles, df <= 20, J >= 0.5 — the d2b/d9/wv1 ground truth) land
+    inside snm1's w=10 sort window at all? SNM's recall is purely a
+    DATA property (do near-dups share 40-char normalized prefixes?),
+    unlike MinHash-LSH whose banding gives a probabilistic curve — so
+    this number is the rollout gate for choosing snm1 over d3 on a
+    given corpus, and its drift over ingests signals the prefix
+    assumption decaying (e.g. templated headers disappearing).
+    Hash-pinned like rec1/wv1: both arms replay bit-for-bit in the
+    oracle, so the TRUE recall is certified, not a floor.
+
+    The candidate arm is the PURE window pair set (no size-ratio
+    prune, no Jaccard verify): blocking recall measures the window,
+    and the prune is J-lossless so auditing upstream of it measures
+    the same gate snm1's output passes through. NULL doc_ids are
+    excluded from the ranking here (both engines) — the two engines
+    order NULL tiebreaks differently, and a NULL id cannot name a
+    pair; snm1 itself is unaffected because its NULL-id pairs drop in
+    the verify join.
+
+    Scale shape: the exact arm is the d2b capped enumeration (audit
+    cadence, as wv1/rec1); the window arm replays snm1's factored
+    range-partition rank machinery (_snm_ranked — never a single-
+    partition window) plus one rank-band self-join; the intersection
+    joins two bounded pair sets. One-row output."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    exact = (
+        ngram_jaccard_pairs(docs, threshold=0.5, k=3, max_doc_freq=20)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ranked = _snm_ranked(
+        spark, docs.filter(F.col("doc_id").isNotNull())
+    ).select("doc_id", "rn")
+    left = ranked.select(
+        F.col("doc_id").alias("id_l"),
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("off"),
+        F.col("rn"),
+    ).select("id_l", (F.col("rn") + F.col("off")).alias("rn"))
+    cand = (
+        left.join(
+            ranked.select(F.col("doc_id").alias("id_r"), "rn"), "rn"
+        )
+        .select(
+            F.least("id_l", "id_r").alias("doc_a"),
+            F.greatest("id_l", "id_r").alias("doc_b"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n1 = exact.agg(F.count("*").cast("long").alias("n_exact_pairs"))
+    n2 = cand.agg(F.count("*").cast("long").alias("n_window_pairs"))
+    n3 = exact.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count("*").cast("long").alias("n_recovered")
+    )
+    return (
+        n1.join(F.broadcast(n2))
+        .join(F.broadcast(n3))
+        .select(
+            "n_exact_pairs",
+            "n_window_pairs",
+            "n_recovered",
+            F.expr(
+                "CAST((1000 * n_recovered) div nullif(n_exact_pairs, 0)"
+                " AS BIGINT)"
+            ).alias("recall_permille"),
+        )
     )
