@@ -7128,3 +7128,198 @@ def bh1_fdr_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rejected"),
     )
+
+
+# --------------------------------------------------------------------------
+# lrk1 — log-rank test between two retention arms (round 10)
+# --------------------------------------------------------------------------
+
+# sign-safe exact floor of (1e6*num)/den for den > 0 (the mk1 OFF-shift):
+# (1e6*num + OFF*den) div den - OFF == floor(1e6*num/den) while
+# 1e6*|num| <= OFF*den — OFF = 1e12 holds through one million at-risk users
+_LRK_OFF = 1_000_000_000_000
+
+_LRK_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+mx AS (SELECT max(d) AS mxd FROM ev),
+u AS (
+  SELECT user_id,
+         user_id % 2 = 0 AS arm_a,
+         CAST(date_diff('day', min(d), max(d)) AS BIGINT) AS lt,
+         date_diff('day', max(d), (SELECT mxd FROM mx))
+           < {_SURV_CENS_DAYS} AS cens
+  FROM ev GROUP BY user_id
+),
+lt AS (
+  SELECT lt,
+         CAST(count(*) FILTER (arm_a AND NOT cens) AS BIGINT) AS d1,
+         CAST(count(*) FILTER (arm_a AND cens) AS BIGINT) AS c1,
+         CAST(count(*) FILTER (NOT arm_a AND NOT cens) AS BIGINT) AS d2,
+         CAST(count(*) FILTER (NOT arm_a AND cens) AS BIGINT) AS c2
+  FROM u GROUP BY lt
+),
+r AS (
+  SELECT lt, d1, d2,
+         CAST(sum(d1 + c1) OVER (
+           ORDER BY lt DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS n1,
+         CAST(sum(d2 + c2) OVER (
+           ORDER BY lt DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS n2
+  FROM lt
+),
+terms AS (
+  SELECT lt, d1, d2, n1, n2, n1 + n2 AS nt, d1 + d2 AS dt
+  FROM r WHERE d1 + d2 > 0
+),
+q AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+         CAST(sum((1000000 * (d1 * nt - dt * n1) + {_LRK_OFF} * nt)
+                  // nt - {_LRK_OFF}) AS BIGINT) AS oe_micro,
+         CAST(coalesce(sum(CASE WHEN nt > 1 THEN
+                (1000000 * CAST(dt * n1 AS HUGEINT) * n2 * (nt - dt))
+                // (CAST(nt AS HUGEINT) * nt * (nt - 1)) END), 0)
+              AS BIGINT) AS var_micro
+  FROM terms
+),
+arms AS (
+  SELECT CAST(count(*) FILTER (arm_a) AS BIGINT) AS n_users_a,
+         CAST(count(*) FILTER (NOT arm_a) AS BIGINT) AS n_users_b
+  FROM u
+)
+SELECT a.n_users_a, a.n_users_b, q.n_event_times, q.oe_micro, q.var_micro,
+       CASE WHEN CAST(1000000 AS HUGEINT) * q.oe_micro * q.oe_micro
+                 > CAST(3841459000000 AS HUGEINT) * q.var_micro
+            THEN 1 ELSE 0 END AS chi2_sig_05
+FROM q CROSS JOIN arms a
+"""
+
+
+@query("lrk1_logrank_test", oracle=_LRK_SQL)
+def lrk1_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing the retention curves of
+    the two deterministic user arms (Mantel 1966; Peto & Peto 1972) —
+    the censoring-aware complement to ab2's mean test: at every churn
+    time t the observed arm-A churns d1_t are compared against the
+    hypergeometric expectation dt*n1_t/nt given the at-risk sets, and
+    Z^2 = (sum(O-E))^2 / sum(V) with V_t = dt*n1*n2*(nt-dt) /
+    (nt^2*(nt-1)). A naive end-of-window churn-rate comparison is
+    biased by exactly the censoring surv1 models; the log-rank
+    statistic is the standard fix and THE standard two-sample
+    survival test.
+
+    Exactness: risk sets and churn counts are BIGINTs off surv1's
+    lifetime/censoring construction; each O-E term quantizes by ONE
+    sign-safe exact floor ((1e6*num + OFF*nt) div nt - OFF =
+    floor(1e6*num/nt), the mk1 shift — never a trunc-vs-floor
+    negative split); each variance term is a non-negative integral
+    micro division (div == //, skipped when nt = 1 where V = 0); the
+    alpha = .05 gate clears denominators into the pure integer form
+    1e6*oe^2 > 3841459e6*var (chi-square(1) critical value 3.841459,
+    the ab1 constant). No doubles anywhere.
+
+    Scale shape: identical to surv1 — one (user) groupBy, a 1-row
+    broadcast max-date, one (lifetime) groupBy, then windows over the
+    calendar-bounded lifetime spine and a 1-row output. The arm split
+    doubles the spine columns, not the passes."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    days = ev.select("user_id", F.to_date("ts").alias("d"))
+    mx = days.agg(F.max("d").alias("mxd"))
+    u = (
+        days.groupBy("user_id")
+        .agg(F.min("d").alias("fd"), F.max("d").alias("ld"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("user_id") % 2 == 0).alias("arm_a"),
+            F.datediff("ld", "fd").cast("long").alias("lt"),
+            (F.datediff("mxd", "ld") < _SURV_CENS_DAYS).alias("cens"),
+        )
+    )
+    lt = u.groupBy("lt").agg(
+        F.count(F.when(F.col("arm_a") & ~F.col("cens"), 1))
+        .cast("long")
+        .alias("d1"),
+        F.count(F.when(F.col("arm_a") & F.col("cens"), 1))
+        .cast("long")
+        .alias("c1"),
+        F.count(F.when(~F.col("arm_a") & ~F.col("cens"), 1))
+        .cast("long")
+        .alias("d2"),
+        F.count(F.when(~F.col("arm_a") & F.col("cens"), 1))
+        .cast("long")
+        .alias("c2"),
+    )
+    w_desc = Window.orderBy(F.col("lt").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = lt.select(
+        "lt",
+        "d1",
+        "d2",
+        F.sum(F.col("d1") + F.col("c1")).over(w_desc).cast("long").alias(
+            "n1"
+        ),
+        F.sum(F.col("d2") + F.col("c2")).over(w_desc).cast("long").alias(
+            "n2"
+        ),
+    )
+    terms = r.select(
+        "d1",
+        "d2",
+        "n1",
+        "n2",
+        (F.col("n1") + F.col("n2")).alias("nt"),
+        (F.col("d1") + F.col("d2")).alias("dt"),
+    ).filter(F.col("dt") > 0)
+    q = terms.agg(
+        F.count("*").cast("long").alias("n_event_times"),
+        F.sum(
+            F.expr(
+                f"(1000000 * (d1 * nt - dt * n1) + {_LRK_OFF} * nt)"
+                f" div nt - {_LRK_OFF}"
+            )
+        )
+        .cast("long")
+        .alias("oe_micro"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "CASE WHEN nt > 1 THEN"
+                    " (1000000 * CAST(dt * n1 AS DECIMAL(38,0)) * n2"
+                    " * (nt - dt))"
+                    " div (CAST(nt AS DECIMAL(38,0)) * nt * (nt - 1)) END"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("var_micro"),
+    )
+    arms = u.agg(
+        F.count(F.when(F.col("arm_a"), 1)).cast("long").alias("n_users_a"),
+        F.count(F.when(~F.col("arm_a"), 1)).cast("long").alias("n_users_b"),
+    )
+    return q.crossJoin(F.broadcast(arms)).select(
+        "n_users_a",
+        "n_users_b",
+        "n_event_times",
+        "oe_micro",
+        "var_micro",
+        F.when(
+            F.lit(1000000).cast("decimal(38,0)")
+            * F.col("oe_micro")
+            * F.col("oe_micro")
+            > F.lit(3841459000000).cast("decimal(38,0)") * F.col("var_micro"),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("chi2_sig_05"),
+    )
