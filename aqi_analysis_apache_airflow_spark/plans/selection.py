@@ -7323,3 +7323,118 @@ def lrk1_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("chi2_sig_05"),
     )
+
+
+# --------------------------------------------------------------------------
+# rbo1 — rank-biased overlap between the two retrieval arms (round 10)
+# --------------------------------------------------------------------------
+
+_RBO_K = 20  # evaluation depth
+_RBO_POWS = [(d, 9 ** (d - 1), 10**d) for d in range(1, _RBO_K + 1)]
+
+_RBO_VALUES_SQL = ",\n  ".join(
+    f"({d}, CAST('{p9}' AS HUGEINT), CAST('{p10}' AS HUGEINT))"
+    for d, p9, p10 in _RBO_POWS
+)
+
+_RBO_SQL = f"""
+WITH {_BM25_CTES},
+lex_pool AS (
+  SELECT doc_id, score FROM bm
+  ORDER BY score DESC, doc_id
+  LIMIT {_RRF_POOL}
+),
+lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+           AS lex_rank
+  FROM lex_pool
+),
+{_SEM_CTES},
+joint AS (
+  SELECT greatest(l.lex_rank, s.sem_rank) AS m
+  FROM lex l JOIN sem s USING (doc_id)
+),
+pows(d, p9, p10) AS (VALUES
+  {_RBO_VALUES_SQL}
+),
+xd AS (
+  SELECT p.d, p.p9, p.p10,
+         CAST(count(j.m) AS HUGEINT) AS x_d
+  FROM pows p LEFT JOIN joint j ON j.m <= p.d
+  GROUP BY p.d, p.p9, p.p10
+)
+SELECT CAST({_RBO_K} AS BIGINT) AS depth,
+       CAST(max(CASE WHEN d = {_RBO_K} THEN x_d END) AS BIGINT)
+         AS overlap_at_k,
+       CAST(sum((1000000 * p9 * x_d) // (p10 * d)) AS BIGINT)
+         AS rbo_min_micro
+FROM xd
+"""
+
+
+@query("rbo1_rank_biased_overlap", oracle=_RBO_SQL)
+def rbo1_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between the BM25 and cosine retrieval arms
+    (Webber, Moffat & Zobel 2010): RBO_min at depth {k} with p = 0.9 —
+    the TOP-WEIGHTED agreement measure that fixes what tau1's Kendall
+    tau cannot express: two rankers that agree on the top 3 but
+    scramble the tail should score high for a top-k consumer, and
+    RBO's geometric depth weights (1-p)*p^(d-1) encode exactly that.
+    The truncated prefix sum is Webber's RBO_min (assume zero overlap
+    beyond depth k) — a certified LOWER bound, the honest direction
+    for a monitor alarming on ranker divergence.
+
+    Exactness: p^(d-1) never goes through libm pow — 0.9^(d-1) is the
+    exact rational 9^(d-1)/10^(d-1), carried as PRECOMPUTED integer
+    literal columns (both engines read the identical {k}-row VALUES
+    table); overlap-at-depth X_d is a BIGINT count; each depth's term
+    (1e6 * 9^(d-1) * X_d) div (10^d * d) is one non-negative integral
+    division (the (1-p) factor folds into 10^d), and RBO_min is their
+    exact sum — bounded float-free by construction.
+
+    Scale shape: both arms are the rr1/tau1 TakeOrderedAndProject
+    bounded pools (corpus reduces to <= {pool} rows per arm before
+    any window); the join is pool x pool on doc_id, the depth table
+    is a {k}-row literal broadcast, and the output is one row.
+    Nothing after the arms grows with the corpus."""
+    lex, sem = _ranked_arms(spark, sf_dir)
+    joint = (
+        lex.join(sem, "doc_id")
+        .select(
+            F.greatest(F.col("lex_rank"), F.col("sem_rank"))
+            .cast("long")
+            .alias("m")
+        )
+        .filter(F.col("m") <= _RBO_K)
+    )
+    pows = spark.createDataFrame(
+        [(d, str(p9), str(p10)) for d, p9, p10 in _RBO_POWS],
+        "d INT, p9 STRING, p10 STRING",
+    ).select(
+        F.col("d").cast("long").alias("d"),
+        F.col("p9").cast("decimal(38,0)").alias("p9"),
+        F.col("p10").cast("decimal(38,0)").alias("p10"),
+    )
+    xd = (
+        F.broadcast(pows)
+        .join(joint, joint["m"] <= pows["d"], "left")
+        .groupBy("d", "p9", "p10")
+        .agg(F.count("m").cast("decimal(38,0)").alias("x_d"))
+    )
+    return xd.agg(
+        F.lit(_RBO_K).cast("long").alias("depth"),
+        F.max(F.when(F.col("d") == _RBO_K, F.col("x_d")))
+        .cast("long")
+        .alias("overlap_at_k"),
+        F.sum(
+            F.expr("(1000000 * p9 * x_d) div (p10 * d)")
+        )
+        .cast("long")
+        .alias("rbo_min_micro"),
+    )
+
+
+rbo1_rank_biased_overlap.__doc__ = rbo1_rank_biased_overlap.__doc__.format(
+    k=_RBO_K, pool=_RRF_POOL
+)
