@@ -227,3 +227,35 @@ def test_aniso1_no_pairwise_join(spark):
     assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p, p
     assert "Window" not in p, p
+
+
+def test_bh1_corpus_aggregate_is_hypothesis_keyed(spark):
+    """bh1's claim: the docs x sources x rounds fan-out collapses via
+    a hash-partitioned (s_hyp, k) aggregate (map-side combinable) —
+    the only SinglePartition exchanges feed m-row control tables, and
+    the corpus never meets a SortMergeJoin."""
+    df = REGISTRY["bh1_fdr_source_drift"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert re.search(r"hashpartitioning\(s_hyp", p), p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_mk1_windows_are_type_partitioned(spark):
+    """mk1's claim: the Theil-Sen median window partitions by
+    event_type over the calendar-bounded pair set — no unpartitioned
+    corpus-sized window exists in the plan."""
+    df = REGISTRY["mk1_trend_test"].fn(spark, SF_DIR)
+    p = _plan(df)
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "event_type" in spec, spec
+
+
+def test_emd1_spine_window_is_bounded_and_source_grid_broadcasts(spark):
+    """emd1's claim: the corpus reduces via two counting groupBys; the
+    sources x spine grid is built broadcast-side (no shuffled join of
+    the corpus), and per-source cumsums partition by source."""
+    df = REGISTRY["emd1_wasserstein_length_drift"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert re.search(r"windowspecdefinition\(source", p), p
