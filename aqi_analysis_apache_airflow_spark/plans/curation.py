@@ -4780,3 +4780,135 @@ def mk1_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theil_sen_slope_micro",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ewma1 — simple exponential smoothing forecast, exact weights (round 10)
+# --------------------------------------------------------------------------
+
+_EWMA_MAX_I = 34  # power table depth: 10^34 stays inside DECIMAL(38,0)
+# with the x1e6 term headroom; covers calendars to 35 days (ours: 30).
+# Longer calendars would truncate tail weights below 0.7^35 ~= 4e-6 —
+# document the cut rather than overflow.
+_EWMA_POWS = [(i, 7**i, 10**i) for i in range(_EWMA_MAX_I + 1)]
+
+_EWMA_VALUES_SQL = ",\n  ".join(
+    f"({i}, CAST('{p7}' AS HUGEINT), CAST('{p10}' AS HUGEINT))"
+    for i, p7, p10 in _EWMA_POWS
+)
+
+_EWMA_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+),
+spine AS (
+  SELECT b.event_type, CAST(u.g AS DATE) AS d,
+         CAST(date_diff('day', b.d0, CAST(u.g AS DATE)) AS BIGINT) AS r,
+         CAST(date_diff('day', b.d0, b.d1) AS BIGINT) AS tmax
+  FROM bounds b, UNNEST(generate_series(CAST(b.d0 AS TIMESTAMP),
+                                        CAST(b.d1 AS TIMESTAMP),
+                                        INTERVAL 1 DAY)) u(g)
+),
+dense AS (
+  SELECT s.event_type, s.r, s.tmax, COALESCE(dy.y, 0) AS y
+  FROM spine s LEFT JOIN daily dy USING (event_type, d)
+),
+pows(i, p7, p10) AS (VALUES
+  {_EWMA_VALUES_SQL}
+),
+terms AS (
+  SELECT d.event_type, d.tmax, d.y,
+         CASE WHEN d.tmax - d.r = d.tmax
+              THEN (1000000 * p.p7 * d.y) // p.p10
+              ELSE (1000000 * 3 * p.p7 * d.y) // (p.p10 * 10)
+         END AS t_micro,
+         CASE WHEN d.r = d.tmax THEN d.y END AS last_y
+  FROM dense d JOIN pows p ON p.i = d.tmax - d.r
+)
+SELECT event_type,
+       CAST(any_value(tmax) + 1 AS BIGINT) AS n_days,
+       CAST(max(last_y) AS BIGINT) AS last_y,
+       CAST(sum(t_micro) AS BIGINT) AS forecast_micro
+FROM terms GROUP BY event_type
+"""
+
+
+@query("ewma1_exponential_smoothing", oracle=_EWMA_SQL)
+def ewma1_exponential_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing one-step forecast of each event
+    type's daily count (Brown 1956 / Hyndman & Athanasopoulos, SES
+    with alpha = 0.3): s_T = alpha*sum_(i<T-1) (1-alpha)^i * y_(T-i)
+    + (1-alpha)^(T-1) * y_1 — the level every ops dashboard smooths
+    raw counts with, and the forecast ts4's MASE would score. The
+    recurrence is SEQUENTIAL, which is exactly why engines usually
+    surrender it to drivers — the closed geometric form makes it ONE
+    weighted aggregate instead.
+
+    Exactness: alpha = 3/10 makes every weight the exact rational
+    3*7^i/10^(i+1) (boundary term 7^(T-1)/10^(T-1)); the powers come
+    from a PRECOMPUTED {n}-row integer literal table (the rbo1 rule —
+    libm pow never runs), each term is one non-negative integral
+    micro division, and the forecast is their exact sum. Gap days are
+    real zeros on the ts1-style dense spine, so the calendar lag and
+    the weight index agree.
+
+    Scale shape: one corpus-sized (type, date) counting groupBy; the
+    spine join, the {n}-row power-table join, and the final (type)
+    rollup are all calendar-bounded. No windows at all — the weight
+    index i = T - r is pure date arithmetic."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1")).alias("d"),
+        "d0",
+        "d1",
+    ).select(
+        "event_type",
+        "d",
+        F.datediff("d", "d0").cast("long").alias("r"),
+        F.datediff("d1", "d0").cast("long").alias("tmax"),
+    )
+    dense = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        "r",
+        "tmax",
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    pows = spark.createDataFrame(
+        [(i, str(p7), str(p10)) for i, p7, p10 in _EWMA_POWS],
+        "i INT, p7 STRING, p10 STRING",
+    ).select(
+        F.col("i").cast("long").alias("i"),
+        F.col("p7").cast("decimal(38,0)").alias("p7"),
+        F.col("p10").cast("decimal(38,0)").alias("p10"),
+    )
+    terms = dense.join(
+        F.broadcast(pows), pows["i"] == dense["tmax"] - dense["r"]
+    ).select(
+        "event_type",
+        "tmax",
+        F.expr(
+            "CASE WHEN tmax - r = tmax"
+            " THEN (1000000 * p7 * y) div p10"
+            " ELSE (1000000 * 3 * p7 * y) div (p10 * 10) END"
+        ).alias("t_micro"),
+        F.when(F.col("r") == F.col("tmax"), F.col("y")).alias("last_y"),
+    )
+    return terms.groupBy("event_type").agg(
+        (F.any_value(F.col("tmax")) + 1).cast("long").alias("n_days"),
+        F.max("last_y").cast("long").alias("last_y"),
+        F.sum("t_micro").cast("long").alias("forecast_micro"),
+    )
