@@ -1959,3 +1959,157 @@ def basket1_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part_a",
         "part_b",
     ).limit(_BK1_TOPK)
+
+
+# --------------------------------------------------------------------------
+# psi1 — Population Stability Index per source (round 10)
+# --------------------------------------------------------------------------
+
+_PSI_BUCKET_W = 50
+_PSI_N_BUCKETS = 13  # bucket = least(floor(n_chars/50), 12), the drift1 grid
+
+
+_PSI_SQL = f"""
+WITH docs AS (
+  SELECT source,
+         least(CAST(floor(CAST(n_chars AS DOUBLE) / {_PSI_BUCKET_W})
+                    AS BIGINT), {_PSI_N_BUCKETS - 1}) AS b
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+),
+srcs AS (SELECT DISTINCT source FROM docs),
+buckets AS (
+  SELECT s.source, u.b
+  FROM srcs s, UNNEST(range(0, {_PSI_N_BUCKETS})) u(b)
+),
+sb AS (
+  SELECT source, b, CAST(count(*) AS BIGINT) AS c
+  FROM docs GROUP BY source, b
+),
+tb AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c FROM docs GROUP BY b
+),
+grid AS (
+  SELECT bu.source, bu.b,
+         coalesce(sb.c, 0) + 1 AS ca,
+         coalesce((SELECT tb.c FROM tb WHERE tb.b = bu.b), 0)
+           - coalesce(sb.c, 0) + 1 AS cb
+  FROM buckets bu LEFT JOIN sb ON sb.source = bu.source AND sb.b = bu.b
+),
+tots AS (
+  SELECT source,
+         CAST(sum(ca) AS HUGEINT) AS na, CAST(sum(cb) AS HUGEINT) AS nb
+  FROM grid GROUP BY source
+),
+terms AS (
+  SELECT g.source,
+         (CAST(g.ca AS HUGEINT) * t.nb - CAST(g.cb AS HUGEINT) * t.na)
+           * CAST(round(round(ln((CAST(g.ca AS DOUBLE) * CAST(t.nb AS DOUBLE))
+                          / (CAST(g.cb AS DOUBLE) * CAST(t.na AS DOUBLE))), 6)
+                  * 1e6) AS HUGEINT) AS num,
+         t.na, t.nb
+  FROM grid g JOIN tots t USING (source)
+)
+SELECT source,
+       CAST(any_value(na) AS BIGINT) AS n_a_smoothed,
+       CAST(any_value(nb) AS BIGINT) AS n_b_smoothed,
+       CAST(sum(num) // (any_value(na) * any_value(nb)) AS BIGINT)
+         AS psi_micro_micro
+FROM terms GROUP BY source
+"""
+
+
+@query("psi1_population_stability", oracle=_PSI_SQL)
+def psi1_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's document-length
+    distribution against the rest of the corpus — THE model-risk /
+    feature-drift metric of industry scorecard monitoring (standard
+    thresholds: PSI < 0.1 stable, 0.1-0.25 watch, > 0.25 action;
+    lineage to the Jeffreys J-divergence, Jeffreys 1946):
+    PSI = sum_b (p_b - q_b) * ln(p_b / q_b) over the drift1 length
+    grid, with Laplace +1 smoothing so empty buckets stay defined
+    (the standard practice). Complements the drift family by being
+    the number existing model-governance playbooks already have
+    thresholds for: ks1 is a test, emd1 a distance, dq3 a chi-square
+    — PSI is the POLICY metric.
+
+    Exactness: each bucket term (p-q)*ln(p/q) is NON-NEGATIVE (both
+    factors share sign), so the sum of exact integer products
+    (ca*nb - cb*na) * ln_micro stays non-negative and exits as ONE
+    final integral division by na*nb — the only floats are inside the
+    micro-nat log pin (one IEEE ratio of exact integers, then the
+    6dp-then-1e6 double-round; zipf1/surv1 precedent). The output is
+    PSI in micro-micro units (1e-12: 1e-6 from ln_micro x 1e-6 from
+    the probability quantum), an exact integer.
+
+    Scale shape: one corpus-sized (source, bucket) counting groupBy
+    plus the corpus bucket totals; the grid is sources x 13 literal
+    buckets; everything downstream is bounded by sources x buckets.
+    No windows, no pairwise joins."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull() & F.col("n_chars").isNotNull())
+        .select(
+            "source",
+            F.least(
+                F.floor(
+                    F.col("n_chars").cast("double") / _PSI_BUCKET_W
+                ).cast("long"),
+                F.lit(_PSI_N_BUCKETS - 1).cast("long"),
+            ).alias("b"),
+        )
+    )
+    srcs = docs.select("source").distinct()
+    buckets = srcs.crossJoin(
+        F.broadcast(
+            spark.range(_PSI_N_BUCKETS).select(
+                F.col("id").cast("long").alias("b")
+            )
+        )
+    )
+    sb = docs.groupBy("source", "b").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tb = docs.groupBy("b").agg(F.count("*").cast("long").alias("ct"))
+    grid = (
+        buckets.join(sb, ["source", "b"], "left")
+        .join(F.broadcast(tb), "b", "left")
+        .select(
+            "source",
+            "b",
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).alias("ca"),
+            (
+                F.coalesce(F.col("ct"), F.lit(0))
+                - F.coalesce(F.col("c"), F.lit(0))
+                + 1
+            ).alias("cb"),
+        )
+    )
+    tots = grid.groupBy("source").agg(
+        F.sum("ca").cast("decimal(38,0)").alias("na"),
+        F.sum("cb").cast("decimal(38,0)").alias("nb"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ln_micro = F.round(
+        F.round(
+            F.log(
+                (F.col("ca").cast("double") * F.col("nb").cast("double"))
+                / (F.col("cb").cast("double") * F.col("na").cast("double"))
+            ),
+            6,
+        )
+        * 1e6
+    ).cast("decimal(38,0)")
+    terms = grid.join(F.broadcast(tots), "source").select(
+        "source",
+        ((dec(F.col("ca")) * F.col("nb") - dec(F.col("cb")) * F.col("na"))
+         * ln_micro).alias("num"),
+        "na",
+        "nb",
+    )
+    return terms.groupBy("source").agg(
+        F.any_value(F.col("na")).cast("long").alias("n_a_smoothed"),
+        F.any_value(F.col("nb")).cast("long").alias("n_b_smoothed"),
+        F.expr(
+            "CAST(sum(num) div (any_value(na) * any_value(nb)) AS BIGINT)"
+        ).alias("psi_micro_micro"),
+    )
