@@ -2113,3 +2113,87 @@ def psi1_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(num) div (any_value(na) * any_value(nb)) AS BIGINT)"
         ).alias("psi_micro_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# gini2 — Gini concentration of the corpus across sources (round 10)
+# --------------------------------------------------------------------------
+
+_GINI2_SQL = """
+WITH src AS (
+  SELECT source, CAST(count(*) AS HUGEINT) AS docs,
+         CAST(coalesce(sum(n_chars), 0) AS HUGEINT) AS chars
+  FROM documents WHERE source IS NOT NULL
+  GROUP BY source
+),
+ranked AS (
+  SELECT source, docs, chars,
+         row_number() OVER (ORDER BY chars, source) AS i,
+         count(*) OVER () AS n,
+         sum(chars) OVER () AS tot
+  FROM src
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n_sources,
+       CAST(any_value(tot) AS BIGINT) AS total_chars,
+       CAST(sum((2 * i - n - 1) * chars) AS BIGINT) AS gini_num,
+       CAST((1000000 * sum((2 * CAST(i AS HUGEINT) - n - 1) * chars))
+            // NULLIF(CAST(any_value(n) AS HUGEINT) * any_value(tot), 0)
+            AS BIGINT) AS gini_micro
+FROM ranked
+"""
+
+
+@query("gini2_source_concentration", oracle=_GINI2_SQL)
+def gini2_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of corpus-volume concentration across sources
+    (the Lorenz-curve inequality measure, Gini 1912, in the standard
+    sorted closed form G = sum_i (2i - n - 1) x_(i) / (n sum x)):
+    0 = every source contributes equally, -> 1 = one source IS the
+    corpus. The one-number summary a mixture designer reads before
+    domcap1 (per-source caps) or mix1 (temperature flattening) — and
+    the metric whose drift says a crawl started over-fetching one
+    domain. Distinct from gini1, which measures label impurity of the
+    LANGUAGE mix; this is volume inequality over sources.
+
+    Exactness: the sorted form needs only an integer rank over the
+    n_sources-row table (total order: chars, source); the numerator
+    sum((2i - n - 1) * chars) is exact HUGEINT/DECIMAL(38,0) (it can
+    never be negative: the rank ordering matches the weight ordering,
+    the Chebyshev sum inequality), and Gini exits as ONE integral
+    micro division by n * total. NULL for an empty corpus.
+
+    Scale shape: one map-side-combinable (source) groupBy is the only
+    corpus pass; the rank window runs over the bounded source table
+    (the lr1/drm1 convention). One-row output."""
+    src = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("docs"),
+            F.coalesce(F.sum("n_chars"), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("chars"),
+        )
+    )
+    w = Window.orderBy("chars", "source")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = src.select(
+        F.col("chars"),
+        F.row_number().over(w).cast("decimal(38,0)").alias("i"),
+        F.count("*").over(wall).cast("decimal(38,0)").alias("n"),
+        F.sum("chars").over(wall).cast("decimal(38,0)").alias("tot"),
+    )
+    return ranked.agg(
+        F.any_value(F.col("n")).cast("long").alias("n_sources"),
+        F.any_value(F.col("tot")).cast("long").alias("total_chars"),
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("chars"))
+        .cast("long")
+        .alias("gini_num"),
+        F.expr(
+            "CAST((1000000 * sum((2 * i - n - 1) * chars))"
+            " div nullif(any_value(n) * any_value(tot), 0) AS BIGINT)"
+        ).alias("gini_micro"),
+    )
