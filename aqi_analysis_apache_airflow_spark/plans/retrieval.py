@@ -1258,3 +1258,129 @@ def priv2_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# place2 — HRW placement load-balance audit (round 10)
+# --------------------------------------------------------------------------
+
+_PLACE2_SQL = f"""
+WITH nodes(node) AS (VALUES {_HRW_NODES_SQL}),
+scored AS (
+  SELECT d.doc_id, d.n_chars, n.node, {_HRW_CE} AS score
+  FROM documents d CROSS JOIN nodes n
+  WHERE d.doc_id IS NOT NULL
+),
+owned AS (
+  SELECT doc_id, n_chars, node AS owner
+  FROM (
+    SELECT doc_id, n_chars, node, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, node DESC) AS rk
+    FROM scored
+  ) t WHERE rk = 1
+),
+loads AS (
+  SELECT n.node,
+         CAST(count(o.doc_id) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(o.n_chars), 0) AS BIGINT) AS n_chars
+  FROM nodes n LEFT JOIN owned o ON o.owner = n.node
+  GROUP BY n.node
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+         CAST(count(*) AS BIGINT) AS nn
+  FROM loads
+)
+SELECT l.node, l.n_docs, l.n_chars,
+       CAST((1000 * l.n_docs) // NULLIF(t.td, 0) AS BIGINT)
+         AS docs_permille,
+       CAST((1000 * l.n_docs * t.nn) // NULLIF(t.td, 0) AS BIGINT)
+         AS load_vs_fair_permille
+FROM loads l CROSS JOIN tot t
+"""
+
+
+@query("place2_placement_balance", oracle=_PLACE2_SQL)
+def place2_placement_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-balance audit of place1's rendezvous placement: per-node
+    document and byte loads plus load_vs_fair (1000 = exactly the
+    fair 1/N share) — the number that certifies HRW's uniformity
+    promise ON THIS corpus and catches the failure modes consistent
+    placement is bought for: hash-family bias, a key-space pathology
+    (adversarial doc_ids), or simply N too small for the law of large
+    numbers. Nodes that own NOTHING still get a row (LEFT join from
+    the literal node table) — a silent zero-load node is the audit's
+    most important finding, not a dropped group.
+
+    Exactness: loads are BIGINT counts off place1's exact argmax
+    (replayed identically: same hash, same struct ordering, same
+    node-name tiebreak); both shares are integral permille divisions
+    of non-negatives.
+
+    Scale shape: placement stays the place1 zero-shuffle projection;
+    the audit adds ONE map-side-combinable (owner) groupBy and a
+    broadcast of the N-row node table. At 100 TB this is the cheapest
+    possible full-corpus pass — which is the point, it runs per
+    rebalance proposal."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    scored = F.array(
+        *[
+            F.struct(
+                ce_hash64(
+                    F.concat(
+                        F.lit(f"hrw|{n}|"), F.col("doc_id").cast("string")
+                    )
+                ).alias("score"),
+                F.lit(n).alias("node"),
+            )
+            for n in _HRW_NODES
+        ]
+    )
+    owned = docs.select(
+        F.array_max(scored)["node"].alias("owner"),
+        F.col("n_chars"),
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in _HRW_NODES], "node STRING"
+    )
+    # aggregate the corpus FIRST (map-side combinable, <= N rows out),
+    # then left-join the N-row literal node table to the N-row loads —
+    # the corpus never meets the outer join
+    per_owner = owned.groupBy("owner").agg(
+        F.count("*").cast("long").alias("n_docs_o"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias(
+            "n_chars_o"
+        ),
+    )
+    loads = (
+        nodes.join(
+            F.broadcast(per_owner), nodes["node"] == per_owner["owner"], "left"
+        )
+        .select(
+            "node",
+            F.coalesce(F.col("n_docs_o"), F.lit(0))
+            .cast("long")
+            .alias("n_docs"),
+            F.coalesce(F.col("n_chars_o"), F.lit(0))
+            .cast("long")
+            .alias("n_chars"),
+        )
+    )
+    tot = loads.agg(
+        F.sum("n_docs").cast("long").alias("td"),
+        F.count("*").cast("long").alias("nn"),
+    )
+    return loads.crossJoin(F.broadcast(tot)).select(
+        "node",
+        "n_docs",
+        "n_chars",
+        F.expr("CAST((1000 * n_docs) div nullif(td, 0) AS BIGINT)").alias(
+            "docs_permille"
+        ),
+        F.expr(
+            "CAST((1000 * n_docs * nn) div nullif(td, 0) AS BIGINT)"
+        ).alias("load_vs_fair_permille"),
+    )
