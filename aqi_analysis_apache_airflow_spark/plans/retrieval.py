@@ -1141,24 +1141,10 @@ GROUP BY doc_id, COALESCE(chunk_id0, 0)
 """
 
 
-@query("rh1_content_chunks", oracle=_RH1_SQL)
-def rh1_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash content-defined chunking (the Rabin–Karp /
-    LBFS-style fingerprinting the brief's "document fingerprinting"
-    names): hash every k-gram as it slides over the token stream and
-    cut a chunk boundary wherever ``hash % D == 0`` — boundaries
-    follow CONTENT, not offsets, so inserting a sentence shifts one
-    chunk instead of re-chunking the whole document (the property
-    fixed-size chunking (c1) lacks, and what makes sub-document dedup
-    and delta-sync incremental). Emits per-chunk (span, gram count,
-    order-independent mod-1e9 hash) — the chunk table sub-document
-    dedup joins on.
-
-    Scale shape: ONE posexplode of the multiplicity-preserving
-    shingle array, one windowed running sum per doc (partitioned by
-    doc — no global sort), one groupBy on (doc, chunk). Expected
-    chunk length is geometric with mean D grams; D tunes chunk
-    granularity exactly like a CDC store's divisor."""
+def _rh_chunk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rh1's per-(doc, chunk) table (span, gram count, order-free
+    hash) — factored so rh2's dedup-payoff census replays the
+    identical chunking instead of a drifting twin."""
     docs = load(spark, sf_dir, "documents")
     from ..functions.dedup import word_shingles
 
@@ -1194,6 +1180,27 @@ def rh1_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_grams"),
         F.sum("h9").alias("chunk_hash"),
     )
+
+
+@query("rh1_content_chunks", oracle=_RH1_SQL)
+def rh1_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash content-defined chunking (the Rabin–Karp /
+    LBFS-style fingerprinting the brief's "document fingerprinting"
+    names): hash every k-gram as it slides over the token stream and
+    cut a chunk boundary wherever ``hash % D == 0`` — boundaries
+    follow CONTENT, not offsets, so inserting a sentence shifts one
+    chunk instead of re-chunking the whole document (the property
+    fixed-size chunking (c1) lacks, and what makes sub-document dedup
+    and delta-sync incremental). Emits per-chunk (span, gram count,
+    order-independent mod-1e9 hash) — the chunk table sub-document
+    dedup joins on.
+
+    Scale shape: ONE posexplode of the multiplicity-preserving
+    shingle array, one windowed running sum per doc (partitioned by
+    doc — no global sort), one groupBy on (doc, chunk). Expected
+    chunk length is geometric with mean D grams; D tunes chunk
+    granularity exactly like a CDC store's divisor."""
+    return _rh_chunk_table(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -1384,3 +1391,103 @@ def place2_placement_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000 * n_docs * nn) div nullif(td, 0) AS BIGINT)"
         ).alias("load_vs_fair_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# rh2 — content-defined chunk dedup payoff census (round 10)
+# --------------------------------------------------------------------------
+
+# rh1's full statement re-expressed as CTEs + the cross-doc census
+_RH2_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(l[i:i+{_RH_K - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, len(l) - {_RH_K - 2})) u(i)
+),
+hashed AS (
+  SELECT doc_id, pos,
+         (({_RH_CE}) % 1000000000 + 1000000000) % 1000000000 AS h9,
+         CAST((({_RH_CE}) % {_RH_DIV} + {_RH_DIV}) % {_RH_DIV} = 0
+              AS INTEGER) AS is_boundary
+  FROM grams
+),
+chunked AS (
+  SELECT doc_id, pos, h9,
+         CAST(sum(is_boundary) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS chunk_id0
+  FROM hashed
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(h9) AS BIGINT) AS chunk_hash
+  FROM chunked
+  GROUP BY doc_id, COALESCE(chunk_id0, 0)
+),
+keys AS (
+  SELECT chunk_hash, n_grams,
+         CAST(count(*) AS BIGINT) AS copies
+  FROM chunks GROUP BY chunk_hash, n_grams
+)
+SELECT CAST(sum(copies) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(sum(copies - 1) AS BIGINT) AS n_dup_chunks,
+       CAST(sum(copies * n_grams) AS BIGINT) AS total_grams,
+       CAST(sum((copies - 1) * n_grams) AS BIGINT) AS reclaimable_grams,
+       CAST((1000 * sum((copies - 1) * n_grams))
+            // NULLIF(sum(copies * n_grams), 0) AS BIGINT)
+         AS reclaim_permille
+FROM keys
+"""
+
+
+@query("rh2_chunk_dedup_payoff", oracle=_RH2_SQL)
+def rh2_chunk_dedup_payoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document dedup-payoff census over rh1's content-defined
+    chunks — the number a CDC store (LBFS, Muthitacharoen et al.
+    2001; restic/borg-style dedup) quotes as its savings estimate:
+    chunks sharing an identity key (order-free mod-1e9 hash + gram
+    count) store ONCE, so reclaimable_grams = sum over keys of
+    (copies-1)*size is the exact sub-document dedup payoff d12's
+    whole-document census cannot see (two docs sharing one paragraph
+    are invisible to md5(text), visible here). Because rh1's
+    boundaries follow content, an insertion shifts one chunk — the
+    payoff number is stable under edits, which is why CDC chunking
+    (not fixed windows) is the delta-sync primitive.
+
+    Exactness: pure BIGINT counting over the replayed rh1 chunk table
+    (_rh_chunk_table — the identical plan, not a twin); the one rate
+    is an integral permille division of non-negatives.
+
+    Scale shape: rh1's doc-keyed chunking plus ONE map-side-combinable
+    (hash, size) groupBy whose input is one row per chunk (corpus
+    grams / ~{div} expected), then a 1-row rollup. Only chunk
+    digests shuffle — the m4 rule."""
+    chunks = _rh_chunk_table(spark, sf_dir)
+    keys = chunks.groupBy("chunk_hash", "n_grams").agg(
+        F.count("*").cast("long").alias("copies")
+    )
+    return keys.agg(
+        F.sum("copies").cast("long").alias("n_chunks"),
+        F.count("*").cast("long").alias("n_distinct_chunks"),
+        F.sum(F.col("copies") - 1).cast("long").alias("n_dup_chunks"),
+        F.sum(F.col("copies") * F.col("n_grams"))
+        .cast("long")
+        .alias("total_grams"),
+        F.sum((F.col("copies") - 1) * F.col("n_grams"))
+        .cast("long")
+        .alias("reclaimable_grams"),
+        F.expr(
+            "CAST((1000 * sum((copies - 1) * n_grams))"
+            " div nullif(sum(copies * n_grams), 0) AS BIGINT)"
+        ).alias("reclaim_permille"),
+    )
+
+
+rh2_chunk_dedup_payoff.__doc__ = rh2_chunk_dedup_payoff.__doc__.format(
+    div=_RH_DIV
+)
