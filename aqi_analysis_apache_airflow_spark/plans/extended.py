@@ -4453,3 +4453,101 @@ def snm2_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_permille"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# cls1 — classifier evaluation: confusion matrix + P/R/F1 (round 10)
+# --------------------------------------------------------------------------
+
+_CLS1_SQL = """
+WITH scored AS (
+  SELECT (lang = 'en') AS truth,
+         50 * CAST(len(regexp_extract_all(lower(text),
+                       '\\b(the|a|of|to|and)\\b')) AS BIGINT)
+           > CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS pred
+  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+),
+cm AS (
+  SELECT CAST(count(*) FILTER (truth AND pred) AS BIGINT) AS tp,
+         CAST(count(*) FILTER (NOT truth AND pred) AS BIGINT) AS fp,
+         CAST(count(*) FILTER (truth AND NOT pred) AS BIGINT) AS fn,
+         CAST(count(*) FILTER (NOT truth AND NOT pred) AS BIGINT) AS tn
+  FROM scored
+)
+SELECT tp, fp, fn, tn,
+       CAST((1000 * tp) // NULLIF(tp + fp, 0) AS BIGINT)
+         AS precision_permille,
+       CAST((1000 * tp) // NULLIF(tp + fn, 0) AS BIGINT)
+         AS recall_permille,
+       CAST((2000 * tp) // NULLIF(2 * tp + fp + fn, 0) AS BIGINT)
+         AS f1_permille,
+       CAST((1000 * (tp + tn)) // NULLIF(tp + fp + fn + tn, 0) AS BIGINT)
+         AS accuracy_permille
+FROM cm
+"""
+
+
+@query("cls1_classifier_eval", oracle=_CLS1_SQL)
+def cls1_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier evaluation harness — confusion matrix,
+    precision, recall, F1 and accuracy (the van Rijsbergen 1979
+    measures every quality-filter rollout is judged by): here scoring
+    the cheap stopword-ratio language heuristic (predict English when
+    en-stopword hits exceed 2% of tokens — the t2 signal as a
+    decision rule) against the stored lang label. The SHAPE is the
+    deliverable: a curation pipeline swaps in any rule-vs-truth pair
+    (qc1 gate vs human labels, dc1 flag vs known contamination) and
+    reads the same four cells — this is the evaluation op the
+    registry's filters are tuned with, missing until now because
+    every filter was reported unscored.
+
+    Exactness: the decision threshold is the integer cross-product
+    50*hits > tokens (never a float ratio); the four cells come from
+    ONE FILTERed counting aggregate; all four metrics are integral
+    permille divisions of non-negatives (div == //), NULL-guarded for
+    degenerate corpora (no predicted positives, no true positives).
+
+    Scale shape: one pass, one 1-row aggregate, zero joins — the
+    cheapest evaluation harness possible, by design: it runs on every
+    labeled holdout at every threshold candidate."""
+    txt = F.col("text")
+    hits = F.size(
+        F.regexp_extract_all(
+            F.lower(txt), F.lit(r"\b(the|a|of|to|and)\b"), 0
+        )
+    ).cast("long")
+    toks = F.size(F.regexp_extract_all(txt, F.lit(r"\S+"), 0)).cast("long")
+    scored = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull() & txt.isNotNull())
+        .select(
+            (F.col("lang") == "en").alias("truth"),
+            (50 * hits > toks).alias("pred"),
+        )
+    )
+    t, p = F.col("truth"), F.col("pred")
+    cm = scored.agg(
+        F.count(F.when(t & p, 1)).cast("long").alias("tp"),
+        F.count(F.when(~t & p, 1)).cast("long").alias("fp"),
+        F.count(F.when(t & ~p, 1)).cast("long").alias("fn"),
+        F.count(F.when(~t & ~p, 1)).cast("long").alias("tn"),
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr("CAST((1000 * tp) div nullif(tp + fp, 0) AS BIGINT)").alias(
+            "precision_permille"
+        ),
+        F.expr("CAST((1000 * tp) div nullif(tp + fn, 0) AS BIGINT)").alias(
+            "recall_permille"
+        ),
+        F.expr(
+            "CAST((2000 * tp) div nullif(2 * tp + fp + fn, 0) AS BIGINT)"
+        ).alias("f1_permille"),
+        F.expr(
+            "CAST((1000 * (tp + tn)) div nullif(tp + fp + fn + tn, 0)"
+            " AS BIGINT)"
+        ).alias("accuracy_permille"),
+    )
