@@ -4551,3 +4551,126 @@ def cls1_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("accuracy_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# auc1 — exact ROC AUC of a score against a binary label (round 10)
+# --------------------------------------------------------------------------
+
+_AUC1_SQL = """
+WITH scored AS (
+  SELECT (lang = 'en') AS pos,
+         (1000000 * CAST(len(regexp_extract_all(lower(text),
+                             '\\b(the|a|of|to|and)\\b')) AS BIGINT))
+           // CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+           AS score
+  FROM documents
+  WHERE lang IS NOT NULL AND text IS NOT NULL
+    AND len(regexp_extract_all(text, '\\S+')) > 0
+),
+spine AS (
+  SELECT score,
+         CAST(count(*) FILTER (pos) AS HUGEINT) AS cp,
+         CAST(count(*) FILTER (NOT pos) AS HUGEINT) AS cn
+  FROM scored GROUP BY score
+),
+cum AS (
+  SELECT score, cp, cn,
+         CAST(coalesce(sum(cp + cn) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS HUGEINT) AS before
+  FROM spine
+),
+agg AS (
+  SELECT CAST(sum(cp) AS HUGEINT) AS n1,
+         CAST(sum(cn) AS HUGEINT) AS n0,
+         CAST(sum(cp * (2 * before + cp + cn + 1)) AS HUGEINT) AS r1_x2
+  FROM cum
+)
+SELECT CAST(n1 AS BIGINT) AS n_pos,
+       CAST(n0 AS BIGINT) AS n_neg,
+       CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u_x2,
+       CAST((1000000 * (r1_x2 - n1 * (n1 + 1)))
+            // NULLIF(2 * n1 * n0, 0) AS BIGINT) AS auc_micro
+FROM agg
+"""
+
+
+@query("auc1_score_auc", oracle=_AUC1_SQL)
+def auc1_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the stopword-ratio score against the
+    English label, via the rank identity AUC = (R1 - n1(n1+1)/2) /
+    (n1*n0) (Hanley & McNeil 1982; equivalently the Mann-Whitney U
+    normalized) — the threshold-FREE companion to cls1's fixed-
+    threshold confusion matrix: cls1 judges one operating point, AUC
+    judges the whole score, which is what you compare two candidate
+    quality signals by BEFORE picking thresholds. Ties (heavily
+    present — the score is a quantized ratio) use midranks, the exact
+    convention that keeps AUC = P(s_pos > s_neg) + P(tie)/2.
+
+    Exactness: the score quantizes through ONE non-negative integral
+    division (1e6*hits div tokens — never a float ratio); midranks
+    never materialize as .5 floats (everything carries doubled:
+    2*R1 = sum cp*(2*before + c + 1) over the VALUE SPINE, the
+    mw1/imp1 order-statistic trick — no corpus ranking, only a
+    bounded spine cumulative); AUC exits as one integral micro
+    division of non-negatives (U >= 0 always). NULLs for a
+    single-class corpus.
+
+    Scale shape: one map-side-combinable (score) groupBy is the only
+    corpus pass; the cumulative window runs over the bounded score
+    spine (<= 1e6 quanta, in practice hundreds); 1-row output."""
+    txt = F.col("text")
+    hits = F.size(
+        F.regexp_extract_all(
+            F.lower(txt), F.lit(r"\b(the|a|of|to|and)\b"), 0
+        )
+    ).cast("long")
+    toks = F.size(F.regexp_extract_all(txt, F.lit(r"\S+"), 0)).cast("long")
+    scored = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull() & txt.isNotNull())
+        .select(
+            (F.col("lang") == "en").alias("pos"),
+            hits.alias("hits"),
+            toks.alias("toks"),
+        )
+        .filter(F.col("toks") > 0)
+        .select(
+            "pos",
+            F.expr("(1000000 * hits) div toks").alias("score"),
+        )
+    )
+    spine = scored.groupBy("score").agg(
+        F.count(F.when(F.col("pos"), 1)).cast("decimal(38,0)").alias("cp"),
+        F.count(F.when(~F.col("pos"), 1)).cast("decimal(38,0)").alias("cn"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = spine.select(
+        "cp",
+        "cn",
+        F.coalesce(F.sum(F.col("cp") + F.col("cn")).over(w), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("before"),
+    )
+    agg = cum.agg(
+        F.sum("cp").cast("decimal(38,0)").alias("n1"),
+        F.sum("cn").cast("decimal(38,0)").alias("n0"),
+        F.sum(
+            F.col("cp")
+            * (2 * F.col("before") + F.col("cp") + F.col("cn") + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("r1_x2"),
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n0").cast("long").alias("n_neg"),
+        (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1))
+        .cast("long")
+        .alias("u_x2"),
+        F.expr(
+            "CAST((1000000 * (r1_x2 - n1 * (n1 + 1)))"
+            " div nullif(2 * n1 * n0, 0) AS BIGINT)"
+        ).alias("auc_micro"),
+    )
