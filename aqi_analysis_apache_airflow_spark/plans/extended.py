@@ -4674,3 +4674,133 @@ def auc1_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div nullif(2 * n1 * n0, 0) AS BIGINT)"
         ).alias("auc_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# ece1 — reliability diagram + expected calibration error (round 10)
+# --------------------------------------------------------------------------
+
+_ECE_BINS = 10
+
+_ECE1_SQL = f"""
+WITH scored AS (
+  SELECT (lang = 'en') AS pos,
+         (1000000 * CAST(len(regexp_extract_all(lower(text),
+                             '\\b(the|a|of|to|and)\\b')) AS BIGINT))
+           // CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+           AS score
+  FROM documents
+  WHERE lang IS NOT NULL AND text IS NOT NULL
+    AND len(regexp_extract_all(text, '\\S+')) > 0
+),
+binned AS (
+  SELECT least(score // {1000000 // _ECE_BINS}, {_ECE_BINS - 1}) AS bin,
+         pos, score
+  FROM scored
+),
+bins AS (
+  SELECT bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (pos) AS BIGINT) AS n_pos,
+         CAST(sum(score) AS HUGEINT) AS s
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(sum(n) AS HUGEINT) AS nt,
+         CAST(sum(abs(1000000 * CAST(n_pos AS HUGEINT) - s)) AS HUGEINT)
+           AS gap_sum
+  FROM bins
+)
+SELECT b.bin, b.n, b.n_pos,
+       CAST(b.s // b.n AS BIGINT) AS conf_micro,
+       CAST((1000 * b.n_pos) // b.n AS BIGINT) AS acc_permille,
+       CAST(abs(1000000 * CAST(b.n_pos AS HUGEINT) - b.s) AS BIGINT)
+         AS gap_num,
+       CAST(t.gap_sum // t.nt AS BIGINT) AS ece_micro
+FROM bins b CROSS JOIN tot t
+"""
+
+
+@query("ece1_reliability_diagram", oracle=_ECE1_SQL)
+def ece1_reliability_diagram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error of the
+    stopword-ratio score read as a probability of English (Guo et al.
+    2017, "On calibration of modern neural networks"; the diagram
+    from DeGroot & Fienberg 1983): scores bin into {b} equal-width
+    cells; per cell the mean score (confidence) is compared against
+    the empirical positive rate (accuracy), and
+    ECE = sum_b (n_b/N)*|acc_b - conf_b| summarizes the gap. cls1
+    judges one threshold, auc1 judges the ordering — ece1 judges
+    whether the score's VALUES mean what they claim, the property a
+    downstream mixer needs before treating a quality score as a
+    sampling probability (mix1/ws1).
+
+    Exactness: the per-bin weighted gap telescopes to
+    |1e6*pos_b - sum(score_b)| / (N*1e6) — an exact integer numerator
+    per bin (no per-bin division at all), so ECE is ONE integral
+    division of the exact gap sum by N; per-bin confidence and
+    accuracy exit as integral micro/permille divisions. The score is
+    the auc1 quantized ratio (1e6*hits div tokens) and the binning is
+    an integral floor of it — floats never appear.
+
+    Scale shape: one map-side-combinable (bin) groupBy over a per-row
+    projection ({b} groups), a 1-row total, and a {b}-row output.
+    Runs per scoring-rule candidate, like cls1."""
+    txt = F.col("text")
+    hits = F.size(
+        F.regexp_extract_all(
+            F.lower(txt), F.lit(r"\b(the|a|of|to|and)\b"), 0
+        )
+    ).cast("long")
+    toks = F.size(F.regexp_extract_all(txt, F.lit(r"\S+"), 0)).cast("long")
+    scored = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull() & txt.isNotNull())
+        .select(
+            (F.col("lang") == "en").alias("pos"),
+            hits.alias("hits"),
+            toks.alias("toks"),
+        )
+        .filter(F.col("toks") > 0)
+        .select("pos", F.expr("(1000000 * hits) div toks").alias("score"))
+    )
+    binned = scored.select(
+        F.least(
+            F.expr(f"score div {1000000 // _ECE_BINS}"),
+            F.lit(_ECE_BINS - 1).cast("long"),
+        ).alias("bin"),
+        "pos",
+        "score",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count(F.when(F.col("pos"), 1)).cast("long").alias("n_pos"),
+        F.sum("score").cast("decimal(38,0)").alias("s"),
+    )
+    tot = bins.agg(
+        F.sum("n").cast("decimal(38,0)").alias("nt"),
+        F.sum(
+            F.abs(
+                F.lit(1000000).cast("decimal(38,0)") * F.col("n_pos")
+                - F.col("s")
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("gap_sum"),
+    )
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_pos",
+        F.expr("CAST(s div n AS BIGINT)").alias("conf_micro"),
+        F.expr("CAST((1000 * n_pos) div n AS BIGINT)").alias(
+            "acc_permille"
+        ),
+        F.abs(
+            F.lit(1000000).cast("decimal(38,0)") * F.col("n_pos")
+            - F.col("s")
+        )
+        .cast("long")
+        .alias("gap_num"),
+        F.expr("CAST(gap_sum div nt AS BIGINT)").alias("ece_micro"),
+    )
