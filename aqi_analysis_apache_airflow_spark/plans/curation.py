@@ -4630,7 +4630,8 @@ mk AS (
 )
 SELECT mk.event_type, n.n AS n_days, mk.n_pairs, mk.s_stat,
        CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie18 AS BIGINT) AS var18,
-       CASE WHEN 10000 * 18 * mk.s_stat * mk.s_stat
+       CASE WHEN mk.s_stat <> 0
+                 AND 10000 * 18 * (abs(mk.s_stat) - 1) * (abs(mk.s_stat) - 1)
                  > 38416 * (n.n * (n.n - 1) * (2 * n.n + 5) - t.tie18)
             THEN 1 ELSE 0 END AS trend_sig_05,
        m.theil_sen_slope_micro
@@ -4653,8 +4654,10 @@ def mk1_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     alarms on where g13's OLS would chase one outlier day. The
     significance gate is the tie-corrected MK variance
     Var(S) = (n(n-1)(2n+5) - sum t(t-1)(2t+5))/18 (ties REAL here:
-    zero-filled days tie), tested at alpha = .05 by integer cross-
-    multiplication: 10000*18*S^2 > 38416*Var18 (1.96^2 = 3.8416
+    zero-filled days tie), with the textbook continuity correction
+    z = (|S|-1)/sqrt(Var(S)) (Kendall 1975; S=0 is never significant),
+    tested at alpha = .05 by integer cross-multiplication:
+    S != 0 AND 10000*18*(|S|-1)^2 > 38416*Var18 (1.96^2 = 3.8416
     exactly — the ab1 no-float-threshold rule).
 
     Exactness: S, Var18 and the gate are pure BIGINT integer
@@ -4766,11 +4769,16 @@ def mk1_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("var18"),
             F.when(
-                F.lit(10000 * 18) * F.col("s_stat") * F.col("s_stat")
-                > F.lit(38416)
-                * (
-                    F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
-                    - F.col("tie18")
+                (F.col("s_stat") != 0)
+                & (
+                    F.lit(10000 * 18)
+                    * (F.abs(F.col("s_stat")) - 1)
+                    * (F.abs(F.col("s_stat")) - 1)
+                    > F.lit(38416)
+                    * (
+                        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                        - F.col("tie18")
+                    )
                 ),
                 1,
             )
@@ -4786,10 +4794,15 @@ def mk1_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ewma1 — simple exponential smoothing forecast, exact weights (round 10)
 # --------------------------------------------------------------------------
 
-_EWMA_MAX_I = 34  # power table depth: 10^34 stays inside DECIMAL(38,0)
-# with the x1e6 term headroom; covers calendars to 35 days (ours: 30).
-# Longer calendars would truncate tail weights below 0.7^35 ~= 4e-6 —
-# document the cut rather than overflow.
+_EWMA_MAX_I = 34  # power table depth. Bounds, stated precisely: the
+# i-th term is 1e6 * 3 * 7^i * y_i, so at i=34 it is ~1.6e35 * y_i and
+# DECIMAL(38,0) overflows once that day's count y_i >= ~613 — the depth
+# is safe for our 30-day calendars (i <= 29, term <= ~7e32 * y) with
+# headroom to y ~= 1e5/day, NOT unconditionally "to 35 days". Days
+# older than i=34 are not weight-truncated: the inner join against the
+# power table DROPS them entirely (their true weight would be
+# 0.7^35 ~= 4e-6, below the micro quantum, so the dropped mass rounds
+# to 0 in the output units — but the mechanism is a drop, not a clamp).
 _EWMA_POWS = [(i, 7**i, 10**i) for i in range(_EWMA_MAX_I + 1)]
 
 _EWMA_VALUES_SQL = ",\n  ".join(

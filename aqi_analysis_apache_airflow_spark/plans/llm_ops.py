@@ -2013,7 +2013,7 @@ SELECT source,
        CAST(any_value(na) AS BIGINT) AS n_a_smoothed,
        CAST(any_value(nb) AS BIGINT) AS n_b_smoothed,
        CAST(sum(num) // (any_value(na) * any_value(nb)) AS BIGINT)
-         AS psi_micro_micro
+         AS psi_micro
 FROM terms GROUP BY source
 """
 
@@ -2038,8 +2038,11 @@ def psi1_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     final integral division by na*nb — the only floats are inside the
     micro-nat log pin (one IEEE ratio of exact integers, then the
     6dp-then-1e6 double-round; zipf1/surv1 precedent). The output is
-    PSI in micro-micro units (1e-12: 1e-6 from ln_micro x 1e-6 from
-    the probability quantum), an exact integer.
+    PSI in MICRO units (1e-6), an exact integer: the 1e6 factor comes
+    solely from ln_micro — the (p-q) part is divided out exactly by
+    the final na*nb division, contributing no extra scale factor. So
+    the standard policy thresholds read psi_micro > 100000 (watch)
+    and > 250000 (action).
 
     Scale shape: one corpus-sized (source, bucket) counting groupBy
     plus the corpus bucket totals; the grid is sources x 13 literal
@@ -2111,7 +2114,7 @@ def psi1_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value(F.col("nb")).cast("long").alias("n_b_smoothed"),
         F.expr(
             "CAST(sum(num) div (any_value(na) * any_value(nb)) AS BIGINT)"
-        ).alias("psi_micro_micro"),
+        ).alias("psi_micro"),
     )
 
 
