@@ -295,7 +295,40 @@ HEADLINE = [
     # rounds / lpa2 4 full rounds at sf0.1)
     "gr2_fixed_point_pagerank",
     "lpa2_fixed_point_communities",
+    # round-11 promotions (verdict r10 task 4): the expensive /
+    # representative round-10 appendix entries move to the 3-pass
+    # interleaved methodology so round-over-round comparisons cover
+    # them at full rigor (committed appendix medians 0.55-3.7s)
+    "bh1_fdr_source_drift",
+    "da1_detector_agreement",
+    "perm1_randomization_test",
+    "hits1_hubs_authorities",
+    "rbo1_rank_biased_overlap",
+    "snm2_blocking_recall",
+    "basket1_association_rules",
+    "ppmi1_sppmi_pairs",
+    "rh2_chunk_dedup_payoff",
+    "dq10_order_reconciliation",
+    "place2_placement_balance",
+    "sb1_self_bleu_bigram",
+    "auc1_score_auc",
+    "mk1_trend_test",
+    "ece1_reliability_diagram",
 ]
+
+# Box-state canary (verdict r10 task 2): q1's committed 3-pass median
+# at sf0.1 on a verified-idle box (BENCH_DETAIL.json @ a095b1a). The
+# driver's r10 run landed a UNIFORM 1.16x above the same-round
+# committed run — the dose-dependent box-state degradation this repo
+# measured (post-13-min-pytest run: +15% uniform; 60s cooldown
+# restored it). The canary makes that shift machine-detectable: q1 is
+# measured FIRST, its ratio to this reference is stamped into the
+# artifact as box_state, and a hot box gets ONE 60s cooldown + retry
+# (the measured recovery dose) before the headline starts.
+_CANARY_NAME = "q1_pricing_summary"
+_CANARY_REF_S = 0.94
+_CANARY_HOT_RATIO = 1.15
+_CANARY_COOLDOWN_S = 60
 
 
 def median(xs: list[float]) -> float:
@@ -363,6 +396,47 @@ def main() -> None:
 
     for t in CORPUS_TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+
+    # ---- box-state canary (verdict r10 task 2) ----
+    # q1 warmup + 3 counted samples, median vs the committed reference.
+    # Ratio > _CANARY_HOT_RATIO => one cooldown + re-measure; BOTH
+    # readings land in the detail file so a uniformly-shifted run is
+    # machine-detectable instead of argued from commit messages. The
+    # reference is only meaningful at sf0.1 (the committed scale); at
+    # other SFs the canary is skipped and box_state is null.
+    def _canary_median() -> float:
+        q = REGISTRY[_CANARY_NAME]
+        xs: list[float] = []
+        for pass_no in range(4):  # pass 0 = uncounted warmup
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            if pass_no > 0:
+                xs.append(time.perf_counter() - t0)
+        return median(xs)
+
+    canary_detail: dict | None = None
+    box_state: float | None = None
+    if abs(sf - 0.1) < 1e-9:
+        first = _canary_median()
+        box_state = first / _CANARY_REF_S
+        canary_detail = {
+            "query": _CANARY_NAME,
+            "ref_s": _CANARY_REF_S,
+            "first_median_s": round(first, 4),
+            "first_ratio": round(box_state, 3),
+            "retried": False,
+        }
+        if box_state > _CANARY_HOT_RATIO:
+            time.sleep(_CANARY_COOLDOWN_S)
+            second = _canary_median()
+            box_state = second / _CANARY_REF_S
+            canary_detail.update(
+                retried=True,
+                cooldown_s=_CANARY_COOLDOWN_S,
+                second_median_s=round(second, 4),
+            )
+        canary_detail["box_state"] = round(box_state, 3)
 
     # ---- streaming block FIRST, on the fresh JVM (r9 finding) ----
     # st1–st8 availableNow replay wall time: warmup + interleaved
@@ -581,6 +655,7 @@ def main() -> None:
                 "passes": n_passes,
                 "spread_pct": spread,
                 "raw_spread_pct": raw_spread,
+                **({"canary": canary_detail} if canary_detail else {}),
                 **({"streaming": st_detail} if st_detail else {}),
                 **({"appendix": appx_detail} if appx_detail else {}),
             },
@@ -602,6 +677,11 @@ def main() -> None:
             "sf": sf,
             "passes": n_passes,
             "detail": detail_name,
+            **(
+                {"box_state": round(box_state, 3)}
+                if box_state is not None
+                else {}
+            ),
             **(
                 {"st_total": round(st_detail["total"], 2)} if st_detail else {}
             ),
