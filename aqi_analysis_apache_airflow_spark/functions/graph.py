@@ -31,6 +31,27 @@ from pyspark.sql import functions as F
 #: fixed-point scale: ranks are integer multiples of 1e-12
 ONE_E12 = 10**12
 
+#: Broadcast gate for the per-round label/score tables (verdict r10
+#: task 3). One (node, lbl) row is two longs (~50 B serialized with
+#: row overhead), so 5M nodes ≈ 250 MB on the driver and on every
+#: executor — the last size a forced broadcast is comfortable at; a
+#: billion-node graph would OOM the driver outright. At or under the
+#: threshold the label table broadcasts and the persisted edge list is
+#: never reshuffled (the fast path at every measured SF). Above it the
+#: loops drop the hint and run a plain co-partitioned SHUFFLE join:
+#: labels and edges both hash-exchange on the join key (dst) — the
+#: per-round edge exchange is the honest, unavoidable cost of a label
+#: table that no longer fits an executor, and AQE still picks a
+#: broadcast back up if runtime stats allow. Callers can force either
+#: path with ``broadcast_labels=True/False``; ``None`` resolves the
+#: gate with one control-plane node count.
+BROADCAST_LABEL_MAX_NODES = 5_000_000
+
+
+def _label_side(lab: DataFrame, use_broadcast: bool) -> DataFrame:
+    """The label side of a per-round join: hinted or plain (gated)."""
+    return F.broadcast(lab) if use_broadcast else lab
+
 
 def pagerank(
     edges: DataFrame,
@@ -217,6 +238,7 @@ def lpa_propagate(
     edges: DataFrame,
     rounds: int | None = None,
     max_rounds: int = 50,
+    broadcast_labels: bool | None = None,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan, Albert & Kumara 2007)
     over a DOUBLED undirected edge list (src, dst): every node adopts
@@ -245,23 +267,30 @@ def lpa_propagate(
     on small fixtures in tests/test_graph_convergence.py).
 
     Scale shape: labels are one row per node (≪ edges); broadcasting
-    them keeps the 2|E|-row edge list un-shuffled every round, and AQE
-    falls back to a hash join on the persisted edge layout if the
-    label table outgrows the broadcast threshold. Each round is ONE
-    edge⋈label join + a (node, lbl) count + a (node) argmin, all
-    map-side combinable. Callers in rounds=N mode should persist the
-    edge list HASH-PARTITIONED ON src: that one layout satisfies the
-    clustering of both per-round aggregates, making every round
-    exchange-free (lpa1 measured 4.91s → 2.10s at sf0.1); the
-    fixed-point mode applies the same repartition itself.
+    them keeps the 2|E|-row edge list un-shuffled every round. Each
+    round is ONE edge⋈label join + a (node, lbl) count + a (node)
+    argmin, all map-side combinable. Callers in rounds=N mode should
+    persist the edge list HASH-PARTITIONED ON src: that one layout
+    satisfies the clustering of both per-round aggregates, making
+    every round exchange-free (lpa1 measured 4.91s → 2.10s at sf0.1);
+    the fixed-point mode applies the same repartition itself.
+
+    ``broadcast_labels`` gates the per-round label join (verdict r10
+    task 3): True forces the broadcast hint (correct while nodes ≤
+    :data:`BROADCAST_LABEL_MAX_NODES`), False runs a co-partitioned
+    shuffle join (the billion-node-safe path — labels and edges
+    hash-exchange on dst each round), and None (default) resolves the
+    gate with one control-plane node count. Both paths run the
+    identical recurrence and produce identical labels
+    (tests/test_graph_convergence.py proves it on a fixture).
     """
     from pyspark import StorageLevel
 
     e = edges.select("src", "dst")
 
-    def one_round(lab: DataFrame) -> DataFrame:
+    def one_round(lab: DataFrame, bc: bool) -> DataFrame:
         cnt = (
-            e.join(F.broadcast(lab.withColumnRenamed("node", "dst")), "dst")
+            e.join(_label_side(lab.withColumnRenamed("node", "dst"), bc), "dst")
             .groupBy(F.col("src").alias("node"), "lbl")
             .agg(F.count("*").alias("c"))
         )
@@ -273,8 +302,15 @@ def lpa_propagate(
 
     lab = e.select(F.col("src").alias("node"), F.col("src").alias("lbl")).distinct()
     if rounds is not None:
+        # gate resolution in the lazy rounds=N mode costs one extra
+        # count job — pass an explicit bool to keep the plan zero-job
+        bc = (
+            broadcast_labels
+            if broadcast_labels is not None
+            else lab.count() <= BROADCAST_LABEL_MAX_NODES
+        )
         for _ in range(rounds):
-            lab = one_round(lab)
+            lab = one_round(lab, bc)
         return lab
 
     e = e.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
@@ -284,8 +320,13 @@ def lpa_propagate(
     # Catalyst's re-analysis dies past ~15 rounds (the lpa_semisync /
     # gr2 lesson) — the checkpoint truncates lineage to a leaf
     lab = lab.localCheckpoint()
+    bc = (
+        broadcast_labels
+        if broadcast_labels is not None
+        else lab.count() <= BROADCAST_LABEL_MAX_NODES  # cheap: checkpointed
+    )
     for _ in range(max_rounds):
-        new = one_round(lab)
+        new = one_round(lab, bc)
         # fold the convergence flag in BEFORE materializing so the
         # driver check is one aggregate over the fresh checkpoint (the
         # d6 shape)
@@ -305,6 +346,7 @@ def lpa_propagate(
 def lpa_semisync(
     edges: DataFrame,
     max_rounds: int = 50,
+    broadcast_labels: bool | None = None,
 ) -> DataFrame:
     """Semi-synchronous label propagation (Cordasco & Gargano 2011,
     "Community detection via semi-synchronous label propagation
@@ -339,7 +381,11 @@ def lpa_semisync(
     2|E|-row edge list — persisted hash-partitioned on src — is never
     reshuffled; each half-step is one edge⋈label join + a (node, lbl)
     count + a (node) argmin restricted to half the srcs, all map-side
-    combinable.
+    combinable. ``broadcast_labels`` gates the label join exactly as
+    in :func:`lpa_propagate` (None = auto via one node count against
+    :data:`BROADCAST_LABEL_MAX_NODES`; False = co-partitioned shuffle
+    join, the billion-node-safe path — both paths proven identical in
+    tests/test_graph_convergence.py).
     """
     from pyspark import StorageLevel
 
@@ -357,10 +403,10 @@ def lpa_semisync(
     # the table is node-sized.
     n_part = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
-    def half(lab: DataFrame, parity: int) -> DataFrame:
+    def half(lab: DataFrame, parity: int, bc: bool) -> DataFrame:
         upd = (
             e.filter(F.col("src") % 2 == parity)
-            .join(F.broadcast(lab.withColumnRenamed("node", "dst")), "dst")
+            .join(_label_side(lab.withColumnRenamed("node", "dst"), bc), "dst")
             .groupBy(F.col("src").alias("node"), "lbl")
             .agg(F.count("*").alias("c"))
             .groupBy("node")
@@ -378,9 +424,14 @@ def lpa_semisync(
         .distinct()
         .localCheckpoint()
     )
+    bc = (
+        broadcast_labels
+        if broadcast_labels is not None
+        else lab.count() <= BROADCAST_LABEL_MAX_NODES  # cheap: checkpointed
+    )
     converged = False
     for _ in range(max_rounds):
-        new = half(half(lab, 0), 1)
+        new = half(half(lab, 0, bc), 1, bc)
         flagged = (
             new.join(lab.select("node", F.col("lbl").alias("__old")), "node")
             .select(

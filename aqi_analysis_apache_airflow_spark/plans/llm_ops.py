@@ -1612,11 +1612,27 @@ def hits1_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity encoding, decoded on the way out); each half-step is one
     edge⋈score join where the score table (one row per node ≪ edges)
     broadcasts, one map-side-combinable SUM, and a 1-row total
-    broadcast back — the whole 3-round chain is one lazy plan."""
+    broadcast back — the whole 3-round chain is one lazy plan. The
+    score-table broadcast is SIZE-GATED like the graph fixed-point
+    loops (verdict r10 task 3): nodes ≤ customers + suppliers, a
+    parquet-metadata-cheap upper bound, and past
+    BROADCAST_LABEL_MAX_NODES the hint drops so the half-step joins
+    run as co-partitioned shuffles instead of OOMing the driver."""
     from pyspark import StorageLevel
+
+    from aqi_analysis_apache_airflow_spark.functions.graph import (
+        BROADCAST_LABEL_MAX_NODES,
+        _label_side,
+    )
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # node-count UPPER BOUND from the dimension tables: count(*) on a
+    # parquet scan is metadata-only, so the gate costs no data pass
+    bc = (
+        load(spark, sf_dir, "customer").count()
+        + load(spark, sf_dir, "supplier").count()
+    ) <= BROADCAST_LABEL_MAX_NODES
     e = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
@@ -1650,7 +1666,7 @@ def hits1_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     auth = None
     for r in range(_HITS_ROUNDS):
         araw = (
-            e.join(F.broadcast(hub.withColumnRenamed("node", "c")), "c")
+            e.join(_label_side(hub.withColumnRenamed("node", "c"), bc), "c")
             .groupBy(F.col("s").alias("node"))
             .agg(dec(F.sum("score")).alias("raw"))
         )
@@ -1661,7 +1677,7 @@ def hits1_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the shared 5-half-step subtree at runtime (2x otherwise)
             auth = auth.localCheckpoint(eager=False)
         hraw = (
-            e.join(F.broadcast(auth.withColumnRenamed("node", "s")), "s")
+            e.join(_label_side(auth.withColumnRenamed("node", "s"), bc), "s")
             .groupBy(F.col("c").alias("node"))
             .agg(dec(F.sum("score")).alias("raw"))
         )

@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.dedup import CE_HASH64_SQL, ce_hash64, tokens
-from ..functions.graph import kcore_peel, lpa_propagate, lpa_semisync, pagerank
+from ..functions.graph import (
+    BROADCAST_LABEL_MAX_NODES,
+    kcore_peel,
+    lpa_propagate,
+    lpa_semisync,
+    pagerank,
+)
 from ..functions.similarity import cosine
 from .registry import load, query
 from .retrieval import _BM25_CTES, bm25_doc_scores
@@ -2458,7 +2464,15 @@ def lpa1_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 6.7s → 4.1s at sf0.1) — see functions/graph.py::lpa_propagate,
     # whose rounds=None twin iterates the same recurrence to the
     # synchronous fixed point (pytest-proven equal once converged).
-    lab = lpa_propagate(e, rounds=_LPA_ITERS)
+    # The broadcast is size-gated via the metadata-cheap dimension
+    # bound (nodes <= customers + suppliers) so the lazy rounds=N plan
+    # stays zero-extra-jobs — past BROADCAST_LABEL_MAX_NODES the
+    # rounds run co-partitioned shuffle joins instead.
+    bc = (
+        load(spark, sf_dir, "customer").count()
+        + load(spark, sf_dir, "supplier").count()
+    ) <= BROADCAST_LABEL_MAX_NODES
+    lab = lpa_propagate(e, rounds=_LPA_ITERS, broadcast_labels=bc)
 
     decode = lambda col: F.when(  # noqa: E731
         F.col(col) % 2 == 0,

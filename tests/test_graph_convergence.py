@@ -268,3 +268,52 @@ def test_lpa_semisync_label_partitions_stay_bounded(spark):
     lab = lpa_semisync(_doubled(spark, pairs), max_rounds=30)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert lab.rdd.getNumPartitions() <= n_part, lab.rdd.getNumPartitions()
+
+
+# --------------------------------------------------------------------------
+# broadcast-label size gate (verdict r10 task 3)
+# --------------------------------------------------------------------------
+
+
+def test_lpa_broadcast_and_shuffle_paths_identical(spark):
+    """The size-gated label join (functions/graph.py::
+    BROADCAST_LABEL_MAX_NODES): broadcast-hinted and plain
+    co-partitioned shuffle-join rounds must produce IDENTICAL labels
+    in every mode — the gate may only change the physical join
+    strategy, never the recurrence."""
+    pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    e = _doubled(spark, pairs)
+    for rounds in (3, None):
+        bc = _lab(lpa_propagate(e, rounds=rounds, broadcast_labels=True))
+        sh = _lab(lpa_propagate(e, rounds=rounds, broadcast_labels=False))
+        auto = _lab(lpa_propagate(e, rounds=rounds))
+        assert bc == sh == auto, (rounds, bc, sh, auto)
+
+
+def test_lpa_semisync_broadcast_and_shuffle_paths_identical(spark):
+    from aqi_analysis_apache_airflow_spark.functions.graph import lpa_semisync
+
+    pairs = [(2, 3), (2, 5), (4, 3), (4, 5), (6, 7), (8, 7), (6, 9)]
+    e = _doubled(spark, pairs)
+    bc = _lab(lpa_semisync(e, broadcast_labels=True))
+    sh = _lab(lpa_semisync(e, broadcast_labels=False))
+    auto = _lab(lpa_semisync(e))
+    assert bc == sh == auto, (bc, sh, auto)
+
+
+def test_label_side_gate_respects_threshold(spark):
+    """The auto gate resolves against BROADCAST_LABEL_MAX_NODES: a
+    monkeypatched threshold of 0 must route the same call through the
+    shuffle path and still converge to the identical labeling."""
+    import aqi_analysis_apache_airflow_spark.functions.graph as g
+
+    pairs = [(1, 2), (2, 3), (1, 3)]
+    e = _doubled(spark, pairs)
+    want = _lab(lpa_propagate(e, rounds=None, broadcast_labels=True))
+    orig = g.BROADCAST_LABEL_MAX_NODES
+    try:
+        g.BROADCAST_LABEL_MAX_NODES = 0  # force the shuffle path via auto
+        got = _lab(g.lpa_propagate(e, rounds=None))
+    finally:
+        g.BROADCAST_LABEL_MAX_NODES = orig
+    assert got == want
