@@ -11,5 +11,6 @@ from . import curation as _curation  # noqa: E402,F401
 from . import mining as _mining  # noqa: E402,F401
 from . import retrieval as _retrieval  # noqa: E402,F401
 from . import selection as _selection  # noqa: E402,F401
+from . import analysis as _analysis  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]
