@@ -683,3 +683,457 @@ def simp1_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div nullif(sum(c) * (sum(c) - 1), 0) AS BIGINT)"
         ).alias("simpson_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# jsd1 — Jensen-Shannon divergence of length distributions (round 11)
+# --------------------------------------------------------------------------
+
+_JSD_BUCKET_W = 50
+_JSD_N_BUCKETS = 13  # the drift1/psi1 length grid, kept in sync
+
+_JSD1_SQL = f"""
+WITH docs AS (
+  SELECT source,
+         least(CAST(floor(CAST(n_chars AS DOUBLE) / {_JSD_BUCKET_W})
+                    AS BIGINT), {_JSD_N_BUCKETS - 1}) AS b
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+),
+srcs AS (SELECT DISTINCT source FROM docs),
+buckets AS (
+  SELECT s.source, u.b
+  FROM srcs s, UNNEST(range(0, {_JSD_N_BUCKETS})) u(b)
+),
+sb AS (
+  SELECT source, b, CAST(count(*) AS BIGINT) AS c
+  FROM docs GROUP BY source, b
+),
+tb AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM docs GROUP BY b),
+grid AS (
+  SELECT bu.source, bu.b,
+         coalesce(sb.c, 0) + 1 AS ca,
+         coalesce((SELECT tb.c FROM tb WHERE tb.b = bu.b), 0)
+           - coalesce(sb.c, 0) + 1 AS cb
+  FROM buckets bu LEFT JOIN sb ON sb.source = bu.source AND sb.b = bu.b
+),
+tots AS (
+  SELECT source,
+         CAST(sum(ca) AS HUGEINT) AS na, CAST(sum(cb) AS HUGEINT) AS nb
+  FROM grid GROUP BY source
+),
+terms AS (
+  SELECT g.source,
+         CAST(g.ca AS HUGEINT)
+           * CAST(round(round(ln((2 * CAST(g.ca AS DOUBLE)
+                                    * CAST(t.nb AS DOUBLE))
+                  / (CAST(g.ca AS DOUBLE) * CAST(t.nb AS DOUBLE)
+                     + CAST(g.cb AS DOUBLE) * CAST(t.na AS DOUBLE))), 6)
+                  * 1e6) AS HUGEINT) AS n1,
+         CAST(g.cb AS HUGEINT)
+           * CAST(round(round(ln((2 * CAST(g.cb AS DOUBLE)
+                                    * CAST(t.na AS DOUBLE))
+                  / (CAST(g.ca AS DOUBLE) * CAST(t.nb AS DOUBLE)
+                     + CAST(g.cb AS DOUBLE) * CAST(t.na AS DOUBLE))), 6)
+                  * 1e6) AS HUGEINT) AS n2,
+         t.na, t.nb
+  FROM grid g JOIN tots t USING (source)
+)
+SELECT source,
+       CAST((sum(n1) + {_OFF} * any_value(na)) // any_value(na) - {_OFF}
+            AS BIGINT) AS kl_pm_micro,
+       CAST((sum(n2) + {_OFF} * any_value(nb)) // any_value(nb) - {_OFF}
+            AS BIGINT) AS kl_qm_micro,
+       CAST(((sum(n1) + {_OFF} * any_value(na)) // any_value(na) - {_OFF}
+             + (sum(n2) + {_OFF} * any_value(nb)) // any_value(nb) - {_OFF}
+             + 2 * {_OFF}) // 2 - {_OFF} AS BIGINT) AS jsd_micro
+FROM terms GROUP BY source
+"""
+
+
+@query("jsd1_jensen_shannon", oracle=_JSD1_SQL)
+def jsd1_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (Lin 1991) of each source's
+    document-length distribution against the rest of the corpus over
+    the drift1/psi1 grid, Laplace +1 smoothed: JSD = KL(p‖m)/2 +
+    KL(q‖m)/2 with m the midpoint mixture. Completes the drift
+    toolbox's geometry: ks1 is a sup-norm test, emd1 a transport
+    distance, psi1 the unbounded policy metric — JSD is the
+    SYMMETRIC, ALWAYS-FINITE, [0, ln2]-bounded divergence (its
+    square root is a metric), the right default when two sources are
+    compared to each other rather than to a policy threshold.
+
+    Exactness: the mixture ratios collapse to ratios of exact
+    integers — p_b/m_b = 2*ca*nb / (ca*nb + cb*na) — so each
+    log argument is one IEEE division of integer-exact doubles
+    (every product < 2^53), pinned by the 6dp-then-1e6 micro-nat
+    double-round (the psi1/zipf1 precedent); term sums are exact
+    HUGEINT/DECIMAL products and exit through sign-shifted integral
+    divisions (individual p*ln(p/m) terms go negative where p < m,
+    so the OFF shift keeps floor semantics engine-identical).
+
+    Scale shape: identical to psi1 — one corpus-sized (source,
+    bucket) counting groupBy plus the corpus bucket totals; the grid
+    is sources x {_JSD_N_BUCKETS} literal buckets; everything
+    downstream is bounded. No windows, no pairwise joins."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull() & F.col("n_chars").isNotNull())
+        .select(
+            "source",
+            F.least(
+                F.floor(
+                    F.col("n_chars").cast("double") / _JSD_BUCKET_W
+                ).cast("long"),
+                F.lit(_JSD_N_BUCKETS - 1).cast("long"),
+            ).alias("b"),
+        )
+    )
+    srcs = docs.select("source").distinct()
+    buckets = srcs.crossJoin(
+        F.broadcast(
+            spark.range(_JSD_N_BUCKETS).select(
+                F.col("id").cast("long").alias("b")
+            )
+        )
+    )
+    sb = docs.groupBy("source", "b").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tb = docs.groupBy("b").agg(F.count("*").cast("long").alias("ct"))
+    grid = (
+        buckets.join(sb, ["source", "b"], "left")
+        .join(F.broadcast(tb), "b", "left")
+        .select(
+            "source",
+            "b",
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).alias("ca"),
+            (
+                F.coalesce(F.col("ct"), F.lit(0))
+                - F.coalesce(F.col("c"), F.lit(0))
+                + 1
+            ).alias("cb"),
+        )
+    )
+    tots = grid.groupBy("source").agg(
+        F.sum("ca").cast("decimal(38,0)").alias("na"),
+        F.sum("cb").cast("decimal(38,0)").alias("nb"),
+    )
+    cad = F.col("ca").cast("double")
+    cbd = F.col("cb").cast("double")
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    mix = cad * nbd + cbd * nad
+    pin = lambda x: F.round(F.round(F.log(x), 6) * 1e6).cast(  # noqa: E731
+        "decimal(38,0)"
+    )
+    terms = grid.join(F.broadcast(tots), "source").select(
+        "source",
+        (F.col("ca").cast("decimal(38,0)") * pin(2 * cad * nbd / mix))
+        .alias("n1"),
+        (F.col("cb").cast("decimal(38,0)") * pin(2 * cbd * nad / mix))
+        .alias("n2"),
+        "na",
+        "nb",
+    )
+    kl1 = f"(sum(n1) + {_OFF} * any_value(na)) div any_value(na) - {_OFF}"
+    kl2 = f"(sum(n2) + {_OFF} * any_value(nb)) div any_value(nb) - {_OFF}"
+    return terms.groupBy("source").agg(
+        F.expr(f"CAST({kl1} AS BIGINT)").alias("kl_pm_micro"),
+        F.expr(f"CAST({kl2} AS BIGINT)").alias("kl_qm_micro"),
+        F.expr(
+            f"CAST(({kl1} + {kl2} + 2 * {_OFF}) div 2 - {_OFF} AS BIGINT)"
+        ).alias("jsd_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# rle1 — run-length-encoding payoff of the time-clustered layout
+# --------------------------------------------------------------------------
+
+_RLE1_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+lagged AS (
+  SELECT event_type, d,
+         lag(event_type) OVER w AS prev_t,
+         lag(d) OVER w AS prev_d
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(count(*) FILTER (prev_t IS NULL OR event_type <> prev_t)
+         AS BIGINT) AS runs_event_type,
+    CAST(count(*) FILTER (prev_d IS NULL OR d <> prev_d)
+         AS BIGINT) AS runs_day
+  FROM lagged
+)
+SELECT col_name, n_rows, n_runs,
+       CAST((1000 * n_rows) // n_runs AS BIGINT) AS avg_run_len_milli,
+       CAST((1000 * (n_rows - n_runs)) // n_rows AS BIGINT)
+         AS rle_payoff_permille
+FROM (
+  SELECT 'event_type' AS col_name, n_rows, runs_event_type AS n_runs
+  FROM runs
+  UNION ALL
+  SELECT 'event_day', n_rows, runs_day FROM runs
+)
+"""
+
+
+@query("rle1_run_length_payoff", oracle=_RLE1_SQL)
+def rle1_run_length_payoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length-encoding payoff audit of the (user, time)-clustered
+    storage layout — the question a table-layout decision (zorder1's
+    sibling) actually turns on: under ORDER BY (user_id, ts), how
+    many VALUE RUNS does each low-cardinality column collapse to?
+    Columnar formats (Parquet RLE_DICTIONARY, Abadi et al. 2006
+    "Integrating compression and execution in column-oriented
+    database systems") store one tuple per run, so
+    rows/runs IS the compression ratio and 1 - runs/rows the byte
+    payoff — measured here for event_type and event-day, the two
+    natural RLE candidates in the stream.
+
+    Exactness: run starts are exact lag comparisons within each
+    user's (ts, event_id)-ordered partition (unique tiebreak — ties
+    in ts are broken by event_id identically in both engines); run
+    counts are integer sums of 0/1 flags; the two emitted ratios are
+    integral divisions (n_runs >= 1 whenever n_rows >= 1, so no
+    NULL guard is needed beyond the empty corpus, where both
+    divisions are over the sentinel row count 0 — guarded by //'s
+    NULL on DuckDB and div on Spark both seeing n_rows = 0 only
+    with zero output rows anyway).
+
+    Scale shape: ONE window pass partitioned by user (bounded per
+    user, no global sort), one 1-row aggregate, then a 2-row literal
+    unpivot. The 100 TB cost is the per-user sort the layout itself
+    would pay at write time — which is exactly what's being
+    modeled."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.to_date("ts").alias("d"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type",
+        "d",
+        F.lag("event_type").over(w).alias("prev_t"),
+        F.lag("d").over(w).alias("prev_d"),
+    )
+    runs = lagged.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count(
+            F.when(
+                F.col("prev_t").isNull()
+                | (F.col("event_type") != F.col("prev_t")),
+                1,
+            )
+        ).cast("long").alias("runs_event_type"),
+        F.count(
+            F.when(F.col("prev_d").isNull() | (F.col("d") != F.col("prev_d")), 1)
+        ).cast("long").alias("runs_day"),
+    )
+    unpivoted = runs.select(
+        F.lit("event_type").alias("col_name"),
+        "n_rows",
+        F.col("runs_event_type").alias("n_runs"),
+    ).unionByName(
+        runs.select(
+            F.lit("event_day").alias("col_name"),
+            "n_rows",
+            F.col("runs_day").alias("n_runs"),
+        )
+    )
+    return unpivoted.select(
+        "col_name",
+        "n_rows",
+        "n_runs",
+        F.expr("CAST((1000 * n_rows) div n_runs AS BIGINT)").alias(
+            "avg_run_len_milli"
+        ),
+        F.expr(
+            "CAST((1000 * (n_rows - n_runs)) div n_rows AS BIGINT)"
+        ).alias("rle_payoff_permille"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ap1 — average precision of the cls1 score (round 11)
+# --------------------------------------------------------------------------
+
+_AP1_SQL = """
+WITH scored AS (
+  SELECT doc_id,
+         (lang = 'en') AS pos,
+         (1000000 * CAST(len(regexp_extract_all(lower(text),
+                             '\\b(the|a|of|to|and)\\b')) AS BIGINT))
+           // CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+           AS score
+  FROM documents
+  WHERE lang IS NOT NULL AND text IS NOT NULL AND doc_id IS NOT NULL
+    AND len(regexp_extract_all(text, '\\S+')) > 0
+),
+spine AS (
+  SELECT score,
+         CAST(count(*) AS HUGEINT) AS cnt,
+         CAST(count(*) FILTER (pos) AS HUGEINT) AS cp
+  FROM scored GROUP BY score
+),
+cum AS (
+  SELECT score,
+         CAST(coalesce(sum(cnt) OVER w, 0) AS HUGEINT) AS before,
+         CAST(coalesce(sum(cp) OVER w, 0) AS HUGEINT) AS before_p
+  FROM spine
+  WINDOW w AS (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+ranked AS (
+  SELECT s.pos,
+         c.before + row_number() OVER wb AS k,
+         c.before_p + CAST(count(*) FILTER (s.pos) OVER wb AS HUGEINT) AS p
+  FROM scored s JOIN cum c USING (score)
+  WINDOW wb AS (PARTITION BY s.score ORDER BY s.doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+agg AS (
+  SELECT CAST(count(*) FILTER (pos) AS HUGEINT) AS n_pos,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum((1000000 * p) // k) FILTER (pos), 0)
+              AS HUGEINT) AS sum_prec
+  FROM ranked
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, n_docs,
+       CAST(sum_prec AS BIGINT) AS sum_prec_micro,
+       CAST(sum_prec // NULLIF(n_pos, 0) AS BIGINT) AS ap_micro
+FROM agg
+"""
+
+
+@query("ap1_average_precision", oracle=_AP1_SQL)
+def ap1_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision of the cls1/auc1 stopword score against the
+    English label — the PR-curve area companion to auc1's ROC: AP =
+    (1/n_pos) * sum over positive docs of precision@their-rank
+    (Manning, Raghavan & Schütze 2008 §8.4). Under heavy class
+    imbalance (the common case for contamination and PII detectors)
+    ROC AUC saturates while AP keeps discriminating — which is why
+    retrieval and rare-event evaluations report AP/MAP; this closes
+    the harness's ranking column (cls1 point, auc1 ordering, ap1
+    imbalance-robust ordering).
+
+    Exactness: ranks are exact integers built WITHOUT a corpus-wide
+    window — global position k = (spine cumulative rows above this
+    score) + (row_number within the score bucket ordered by the
+    unique doc_id), the auc1 spine trick composed with a
+    score-partitioned window; precision@k quantizes through one
+    non-negative integral micro division per positive doc (floor
+    semantics engine-identical on non-negatives), and AP through one
+    more. Tie handling is the deterministic doc_id order, identical
+    in both engines by construction.
+
+    Scale shape: one (score) counting groupBy; the spine cumulative
+    is a bounded-spine window (the score is a quantized ratio — the
+    auc1 bound); the per-doc window partitions BY SCORE, so it is
+    distributed and never single-partition over the corpus; one
+    1-row aggregate at the end."""
+    txt = F.col("text")
+    hits = F.size(
+        F.regexp_extract_all(
+            F.lower(txt), F.lit(r"\b(the|a|of|to|and)\b"), 0
+        )
+    ).cast("long")
+    toks = F.size(F.regexp_extract_all(txt, F.lit(r"\S+"), 0)).cast("long")
+    scored = (
+        load(spark, sf_dir, "documents")
+        .filter(
+            F.col("lang").isNotNull()
+            & txt.isNotNull()
+            & F.col("doc_id").isNotNull()
+        )
+        .filter(toks > 0)
+        .select(
+            "doc_id",
+            (F.col("lang") == "en").alias("pos"),
+            F.expr(
+                "CAST((1000000 * CAST(size(regexp_extract_all(lower(text),"
+                " '\\\\b(the|a|of|to|and)\\\\b', 0)) AS BIGINT))"
+                " div CAST(size(regexp_extract_all(text, '\\\\S+', 0))"
+                " AS BIGINT) AS BIGINT)"
+            ).alias("score"),
+        )
+    )
+    spine = scored.groupBy("score").agg(
+        F.count("*").cast("decimal(38,0)").alias("cnt"),
+        F.count(F.when(F.col("pos"), 1)).cast("decimal(38,0)").alias("cp"),
+    )
+    # bounded-spine cumulative (score is a quantized ratio — the auc1
+    # bound): the unpartitioned window runs over the spine, not the
+    # corpus
+    ws = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = spine.select(
+        "score",
+        F.coalesce(F.sum("cnt").over(ws), F.lit(0).cast("decimal(38,0)"))
+        .alias("before"),
+        F.coalesce(F.sum("cp").over(ws), F.lit(0).cast("decimal(38,0)"))
+        .alias("before_p"),
+    )
+    wb = Window.partitionBy("score").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = (
+        scored.join(F.broadcast(cum), "score")
+        .select(
+            "pos",
+            (
+                F.col("before")
+                + F.row_number()
+                .over(Window.partitionBy("score").orderBy("doc_id"))
+                .cast("decimal(38,0)")
+            ).alias("k"),
+            (
+                F.col("before_p")
+                + F.count(F.when(F.col("pos"), 1)).over(wb).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("p"),
+        )
+    )
+    agg = ranked.agg(
+        F.count(F.when(F.col("pos"), 1)).cast("decimal(38,0)").alias("n_pos"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("pos"),
+                    F.expr("(1000000 * p) div k"),
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).cast("decimal(38,0)").alias("sum_prec"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        "n_docs",
+        F.col("sum_prec").cast("long").alias("sum_prec_micro"),
+        F.expr("CAST(sum_prec div nullif(n_pos, 0) AS BIGINT)").alias(
+            "ap_micro"
+        ),
+    )
