@@ -1137,3 +1137,356 @@ def ap1_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ap_micro"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# cohort1 — weekly cohort retention matrix (round 11)
+# --------------------------------------------------------------------------
+
+_COHORT1_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+           AS wk
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+cohort AS (SELECT user_id, min(wk) AS c0 FROM ev GROUP BY user_id),
+size_ AS (
+  SELECT c0, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM cohort GROUP BY c0
+),
+active AS (SELECT DISTINCT user_id, wk FROM ev),
+cells AS (
+  SELECT c.c0 AS cohort_week,
+         CAST(date_diff('day', c.c0, a.wk) // 7 AS BIGINT) AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM active a JOIN cohort c USING (user_id)
+  GROUP BY c.c0, week_offset
+)
+SELECT CAST(ce.cohort_week AS VARCHAR) AS cohort_week,
+       ce.week_offset, s.cohort_users, ce.n_active,
+       CAST((1000 * ce.n_active) // s.cohort_users AS BIGINT)
+         AS retention_permille
+FROM cells ce JOIN size_ s ON s.c0 = ce.cohort_week
+"""
+
+
+@query("cohort1_retention_matrix", oracle=_COHORT1_SQL)
+def cohort1_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — THE product-analytics staple
+    (each user joins the cohort of their first active ISO week; cell
+    (cohort, offset) counts cohort members active offset weeks
+    later; the diagonal-normalized triangle every growth dashboard
+    renders). r3 tracks cumulative NEW users; this tracks whether
+    they COME BACK — the two halves of the acquisition/retention
+    readout. On a training-data pipeline the same matrix monitors
+    crawl-source liveness: sources first seen in week w that still
+    deliver documents k weeks on.
+
+    Exactness: week buckets come from date_trunc('week', ts) (Monday
+    start in both engines) compared as DATEs; offsets are exact
+    integer day-difference divisions by 7 (non-negative — the active
+    week is never before the cohort week); retention exits as one
+    integral permille division of positive counts.
+
+    Scale shape: one (user) min-aggregate, one distinct (user, week)
+    projection — both map-side combinable — a user-keyed join, and a
+    calendar-bounded cell aggregate; cohort sizes join back on the
+    bounded cohort spine. No windows."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        )
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("c0"))
+    size_ = cohort.groupBy("c0").agg(
+        F.count("*").cast("long").alias("cohort_users")
+    )
+    active = ev.distinct()
+    cells = (
+        active.join(cohort, "user_id")
+        .groupBy(
+            F.col("c0").alias("cohort_week"),
+            (F.datediff("wk", "c0") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    return cells.join(
+        F.broadcast(size_.withColumnRenamed("c0", "cohort_week")),
+        "cohort_week",
+    ).select(
+        # ISO-format string, not DATE: pandas widens a DuckDB DATE to
+        # datetime64 (trailing 00:00:00) while a Spark date stays
+        # datetime.date — the canonical comparison only matches on the
+        # string form
+        F.col("cohort_week").cast("string").alias("cohort_week"),
+        "week_offset",
+        "cohort_users",
+        "n_active",
+        F.expr("CAST((1000 * n_active) div cohort_users AS BIGINT)").alias(
+            "retention_permille"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# funnel1 — ordered multi-stage funnel conversion (round 11)
+# --------------------------------------------------------------------------
+
+_FUNNEL1_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM ev e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'click'
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM ev e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+),
+agg AS (
+  SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM ev) AS n_users,
+         (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
+         (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_view_click,
+         (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_full_funnel
+)
+SELECT n_users, n_view, n_view_click, n_full_funnel,
+       CAST((1000 * n_view) // NULLIF(n_users, 0) AS BIGINT)
+         AS view_permille,
+       CAST((1000 * n_view_click) // NULLIF(n_view, 0) AS BIGINT)
+         AS click_given_view_permille,
+       CAST((1000 * n_full_funnel) // NULLIF(n_view_click, 0) AS BIGINT)
+         AS purchase_given_click_permille
+FROM agg
+"""
+
+
+@query("funnel1_ordered_conversion", oracle=_FUNNEL1_SQL)
+def funnel1_ordered_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion view→click→purchase — the sequenced
+    product-analytics operator (each stage must occur STRICTLY AFTER
+    the user's earliest completion of the previous stage, the
+    standard "ordered funnel" semantics of event-analytics engines):
+    markov1 measures adjacent transitions and seq1 raw trigrams;
+    this measures the business question — of users who viewed, who
+    went on to click, and of those, who went on to purchase, in
+    order. The same shape audits any staged pipeline (crawl →
+    extract → dedup-survive) keyed by entity.
+
+    Exactness: stage times are min-aggregates over strict
+    microsecond-timestamp comparisons (the loader and the ev CTE
+    both truncate parquet's nanoseconds to microseconds, so the
+    strict > sees identical values in both engines); counts are
+    exact; conversions are integral permille divisions, NULL-guarded
+    for empty stages.
+
+    Scale shape: three user-keyed min-aggregates chained by
+    user-keyed joins (each stage's table is one row per surviving
+    user, shrinking monotonically); one 1-row aggregate. No windows,
+    no per-user arrays — the join form never materializes a user's
+    event history in one place."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_type")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .alias("e")
+        .join(s1.alias("s1"), "user_id")
+        .filter(F.col("e.ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .alias("e")
+        .join(s2.alias("s2"), "user_id")
+        .filter(F.col("e.ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n_users = ev.select("user_id").distinct().count()
+    agg = (
+        s1.agg(F.count("*").cast("long").alias("n_view"))
+        .crossJoin(
+            F.broadcast(
+                s2.agg(F.count("*").cast("long").alias("n_view_click"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                s3.agg(F.count("*").cast("long").alias("n_full_funnel"))
+            )
+        )
+        .withColumn("n_users", F.lit(n_users).cast("long"))
+    )
+    return agg.select(
+        "n_users",
+        "n_view",
+        "n_view_click",
+        "n_full_funnel",
+        F.expr(
+            "CAST((1000 * n_view) div nullif(n_users, 0) AS BIGINT)"
+        ).alias("view_permille"),
+        F.expr(
+            "CAST((1000 * n_view_click) div nullif(n_view, 0) AS BIGINT)"
+        ).alias("click_given_view_permille"),
+        F.expr(
+            "CAST((1000 * n_full_funnel) div nullif(n_view_click, 0)"
+            " AS BIGINT)"
+        ).alias("purchase_given_click_permille"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ccf1 — lead-lag cross-correlation of two event streams (round 11)
+# --------------------------------------------------------------------------
+
+_CCF_MAX_LAG = 3
+
+_CCF1_SQL = f"""
+WITH ev AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, event_type
+  FROM events WHERE ts IS NOT NULL AND event_type IN ('click', 'purchase')
+),
+bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+spine AS (
+  SELECT CAST(u.g AS DATE) AS d
+  FROM bounds b, UNNEST(generate_series(CAST(b.d0 AS TIMESTAMP),
+                                        CAST(b.d1 AS TIMESTAMP),
+                                        INTERVAL 1 DAY)) u(g)
+),
+x AS (
+  SELECT s.d,
+         CAST(coalesce(sum(CASE WHEN e.event_type = 'click' THEN 1 END), 0)
+              AS HUGEINT) AS x,
+         CAST(coalesce(sum(CASE WHEN e.event_type = 'purchase' THEN 1 END), 0)
+              AS HUGEINT) AS y
+  FROM spine s LEFT JOIN ev e ON e.d = s.d
+  GROUP BY s.d
+),
+lags AS (SELECT unnest(range(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG + 1})) AS lag),
+pairs AS (
+  SELECT l.lag, a.x, b.y
+  FROM lags l
+  JOIN x a ON TRUE
+  JOIN x b ON b.d = a.d + CAST(l.lag AS BIGINT) * INTERVAL 1 DAY
+),
+s AS (
+  SELECT lag,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * x) AS HUGEINT) AS sx2,
+         CAST(sum(y * y) AS HUGEINT) AS sy2,
+         CAST(sum(x * y) AS HUGEINT) AS sxy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag_days,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(sign(n * sxy - sx * sy) AS BIGINT) AS r_sign,
+       CAST((1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))
+            // NULLIF((n * sx2 - sx * sx) * (n * sy2 - sy * sy), 0)
+            AS BIGINT) AS r_sq_micro
+FROM s
+"""
+
+
+@query("ccf1_lead_lag", oracle=_CCF1_SQL)
+def ccf1_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation (the CCF of Box & Jenkins 1970)
+    between the gap-filled daily click and purchase count series at
+    lags -{_CCF_MAX_LAG}..{_CCF_MAX_LAG}: r(L) correlates clicks on
+    day t with purchases on day t+L, so the argmax lag answers "do
+    clicks LEAD purchases, and by how many days" — the causal-
+    direction screen acf1 (self-correlation) can't ask. On a data
+    pipeline the same operator lags crawl volume against index
+    freshness to size the processing delay.
+
+    Exactness: per lag, the Pearson pieces are exact HUGEINT /
+    DECIMAL(38,0) sums over the calendar spine's integer counts;
+    like mcc1, the emitted figure is the SIGNED SQUARE — r_sign =
+    sign(n*Sxy - Sx*Sy) and r_sq_micro = 1e6*num^2 / (den_x*den_y) —
+    because r itself needs a sqrt; both exits are integral divisions
+    with non-negative denominators (Cauchy-Schwarz), NULL when a
+    window has zero variance.
+
+    Scale shape: one corpus-sized (day, type) counting groupBy onto
+    the gap-filled spine; the lag fan-out is spine x 7 literal lags
+    (calendar-bounded); the per-lag self-join matches on shifted
+    dates within the bounded spine. The 100 TB cost is the first
+    count — the statistics are corpus-independent."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select(F.to_date("ts").alias("d"), "event_type")
+    )
+    bounds = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    daily = ev.groupBy("d").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .alias("xr"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("yr"),
+    )
+    x = (
+        spine.join(daily, "d", "left")
+        .select(
+            "d",
+            F.coalesce(F.col("xr"), F.lit(0)).cast("decimal(38,0)").alias("x"),
+            F.coalesce(F.col("yr"), F.lit(0)).cast("decimal(38,0)").alias("y"),
+        )
+    )
+    lags = spark.range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = x.alias("a")
+    b = x.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("b.d") == F.expr("date_add(a.d, lag)"),
+        )
+        .select("lag", F.col("a.x").alias("x"), F.col("b.y").alias("y"))
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("sy2"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    return s.select(
+        F.col("lag").cast("long").alias("lag_days"),
+        F.col("n").cast("long").alias("n_days"),
+        F.expr("CAST(sign(n * sxy - sx * sy) AS BIGINT)").alias("r_sign"),
+        F.expr(
+            "CAST((1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))"
+            " div nullif((n * sx2 - sx * sx) * (n * sy2 - sy * sy), 0)"
+            " AS BIGINT)"
+        ).alias("r_sq_micro"),
+    )
