@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.dedup import tokens
+from ..functions.similarity import dot_decimal as _dot
 from .registry import load, query
 
 # sign-safe integral division shift (the mk1 precedent): for den > 0,
@@ -1489,4 +1490,160 @@ def ccf1_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div nullif((n * sx2 - sx * sx) * (n * sy2 - sy * sy), 0)"
             " AS BIGINT)"
         ).alias("r_sq_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# mrr1 — mean reciprocal rank of the first relevant neighbor (round 11)
+# --------------------------------------------------------------------------
+
+_MRR_PROBE_MOD = 25  # bounded eval probe set: vec_id % 25 == 0, id != 0
+_MRR_K = 20  # neighbor pool depth per probe
+
+_MRR1_SQL = f"""
+WITH base AS (
+  SELECT vec_id, label, embedding,
+         (SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                      AS DECIMAL(28,14)))
+          FROM unnest(embedding) AS t(x)) AS n2
+  FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL
+),
+probes AS (
+  SELECT vec_id AS q_id, label AS q_label, embedding AS qv, n2 AS qn2
+  FROM base WHERE vec_id % {_MRR_PROBE_MOD} = 0 AND vec_id <> 0 AND n2 > 0
+),
+pairs AS (
+  SELECT p.q_id, p.q_label, c.vec_id, c.label,
+         unnest(c.embedding) AS x, unnest(p.qv) AS y,
+         c.n2 AS cn2, p.qn2
+  FROM probes p JOIN base c ON c.vec_id <> p.q_id AND c.n2 > 0
+),
+dots AS (
+  SELECT q_id, q_label, vec_id, label,
+         SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+             AS DECIMAL(28,14))) AS dot,
+         any_value(cn2) AS cn2, any_value(qn2) AS qn2
+  FROM pairs GROUP BY q_id, q_label, vec_id, label
+),
+ranked AS (
+  SELECT q_id, q_label, label,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(cn2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))), 6)
+             DESC, vec_id) AS rn
+  FROM dots
+),
+hits AS (
+  SELECT q_id, min(rn) AS first_rel
+  FROM ranked WHERE rn <= {_MRR_K} AND label = q_label
+  GROUP BY q_id
+),
+agg AS (
+  SELECT (SELECT CAST(count(*) AS HUGEINT) FROM probes) AS n_probes,
+         CAST(count(*) AS BIGINT) AS n_hit,
+         CAST(coalesce(sum(1000000 // first_rel), 0) AS HUGEINT) AS s
+  FROM hits
+)
+SELECT CAST(n_probes AS BIGINT) AS n_probes, n_hit,
+       CAST((1000 * n_hit) // NULLIF(n_probes, 0) AS BIGINT)
+         AS hit_at_{_MRR_K}_permille,
+       CAST(s // NULLIF(n_probes, 0) AS BIGINT) AS mrr_micro
+FROM agg
+"""
+
+
+@query("mrr1_first_relevant_rank", oracle=_MRR1_SQL)
+def mrr1_first_relevant_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the first SAME-LABEL neighbor in the
+    exact cosine top-{_MRR_K}, over the bounded probe set
+    (vec_id % {_MRR_PROBE_MOD} = 0) — the retrieval-eval statistic
+    (Voorhees 1999, the TREC QA metric) that grades an embedding
+    space by where the first relevant hit LANDS, not how many arrive
+    (ndcg1 grades the whole list; recall@k only membership). MRR is
+    what a RAG/linking evaluation reports when one good hit is
+    enough; paired with hit@k it closes the embedding-eval column of
+    the harness.
+
+    Exactness: the dot/norm fold is the shared dot_decimal form
+    (order-independent DECIMAL(28,14) sums, bit-identical at any
+    parallelism); cosine rounds once to 6dp with the unique vec_id
+    tiebreak (the sim_cosine convention); reciprocal ranks quantize
+    through 1e6 div rank (integral, non-negative) and MRR through one
+    more integral division; probes with no relevant hit in the pool
+    contribute 0 by construction (they never reach the hits sum).
+
+    Scale shape: the probe set is BOUNDED by construction (an eval
+    panel, not the corpus), so the probe x corpus score stream is
+    |probes| * |C| with the probe side broadcast; ranking windows
+    partition BY PROBE (never corpus-wide); everything after the
+    rank filter is probe-sized. The brute-force arm is the eval
+    ground truth by definition — audit cadence, not a serving path
+    (the serving path is sim_ivf/ivfd's partition-pruned index)."""
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isNotNull() & F.col("label").isNotNull())
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            _dot(F.col("embedding"), F.col("embedding")).alias("n2"),
+        )
+        .filter(F.col("n2") > 0)
+    )
+    probes = (
+        emb.filter(
+            (F.col("vec_id") % _MRR_PROBE_MOD == 0) & (F.col("vec_id") != 0)
+        )
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("qv"),
+            F.col("n2").alias("qn2"),
+        )
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("embedding"), F.col("qv")).cast("double")
+                / (
+                    F.sqrt(F.col("n2").cast("double"))
+                    * F.sqrt(F.col("qn2").cast("double"))
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    ranked = scored.select(
+        "q_id", "q_label", "label", F.row_number().over(wq).alias("rn")
+    ).filter(F.col("rn") <= _MRR_K)
+    hits = (
+        ranked.filter(F.col("label") == F.col("q_label"))
+        .groupBy("q_id")
+        .agg(F.min("rn").alias("first_rel"))
+    )
+    n_probes_df = probes.agg(
+        F.count("*").cast("decimal(38,0)").alias("n_probes")
+    )
+    agg = hits.agg(
+        F.count("*").cast("long").alias("n_hit"),
+        F.coalesce(
+            F.sum(F.expr("1000000 div first_rel")), F.lit(0)
+        ).cast("decimal(38,0)").alias("s"),
+    ).crossJoin(F.broadcast(n_probes_df))
+    return agg.select(
+        F.col("n_probes").cast("long").alias("n_probes"),
+        "n_hit",
+        F.expr(
+            "CAST((1000 * n_hit) div nullif(n_probes, 0) AS BIGINT)"
+        ).alias(f"hit_at_{_MRR_K}_permille"),
+        F.expr("CAST(s div nullif(n_probes, 0) AS BIGINT)").alias(
+            "mrr_micro"
+        ),
     )
