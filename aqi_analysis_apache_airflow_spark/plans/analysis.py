@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.dedup import tokens
+from ..functions.dedup import CE_HASH64_SQL, ce_hash64, tokens
 from ..functions.similarity import dot_decimal as _dot
 from .registry import load, query
 
@@ -1849,4 +1849,162 @@ def hilbert1_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.max("sa") - F.min("sa") + 1) * (F.max("sb") - F.min("sb") + 1)
         ).cast("long").alias("box_area"),
+    )
+
+
+# --------------------------------------------------------------------------
+# boot1 — Poisson-bootstrap confidence interval, one pass (round 11)
+# --------------------------------------------------------------------------
+
+_BOOT_B = 50  # bootstrap replicas (a bounded literal spine)
+# Poisson(1) inverse-CDF thresholds in micro units (floor of the
+# cumulative pmf at 1e-6 resolution — frozen literals so both engines
+# branch on identical integers): P(X<=k) for k = 0..7; u >= the last
+# threshold draws weight 8 (P ~= 1e-5, the tail's natural cap)
+_BOOT_CDF = (367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989)
+
+
+def _boot_weight_case(u: str) -> str:
+    """Engine-shared CASE text mapping a micro-uniform integer column
+    to its Poisson(1) draw via the frozen inverse-CDF thresholds."""
+    whens = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF)
+    )
+    return f"(CASE {whens} ELSE 8 END)"
+
+
+def _boot1_oracle() -> str:
+    ce = CE_HASH64_SQL.format(
+        h="md5('boot|'||CAST(doc_id AS VARCHAR)||'|'||CAST(b AS VARCHAR))"
+    )
+    w = _boot_weight_case("u")
+    lo_rank = max(1, round(0.05 * _BOOT_B))
+    hi_rank = min(_BOOT_B, round(0.95 * _BOOT_B))
+    return f"""
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS len
+      FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    reps AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
+    drawn AS (
+      SELECT b, len, ((({ce}) % 1000000) + 1000000) % 1000000 AS u
+      FROM d, reps
+    ),
+    weighted AS (
+      SELECT b, CAST({_boot_weight_case('u')} AS HUGEINT) AS w, len
+      FROM drawn
+    ),
+    est AS (
+      SELECT b,
+             CAST((1000 * sum(w * len)) // NULLIF(sum(w), 0) AS BIGINT)
+               AS mean_milli
+      FROM weighted GROUP BY b
+    ),
+    ranked AS (
+      SELECT mean_milli, row_number() OVER (ORDER BY mean_milli, b) AS r
+      FROM est
+    ),
+    point AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST((1000 * sum(len)) // count(*) AS BIGINT) AS mean_milli
+      FROM d
+    )
+    SELECT p.n_docs, CAST({_BOOT_B} AS BIGINT) AS n_replicas,
+           p.mean_milli AS point_mean_milli,
+           (SELECT mean_milli FROM ranked WHERE r = {lo_rank})
+             AS ci_lo_milli,
+           (SELECT mean_milli FROM ranked WHERE r = {hi_rank})
+             AS ci_hi_milli
+    FROM point p
+    """
+
+
+@query("boot1_poisson_bootstrap_ci", oracle=_boot1_oracle())
+def boot1_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 90% confidence interval for the corpus mean
+    document length — the bootstrap (Efron 1979) as it is actually
+    run at scale: true multinomial resampling needs the corpus size
+    up front and a shared draw; the Poisson approximation gives each
+    row an INDEPENDENT Poisson(1) weight per replica, so the whole
+    B-replica bootstrap collapses to ONE pass of map-side-combinable
+    weighted sums (Chamandy et al. 2012, "Estimating uncertainty for
+    massive data streams" — Google's production formulation; also
+    Hanley & MacGibbon 2006). perm1 tests a sharp null; this puts an
+    honest interval on an ESTIMATE, the other half of inference.
+
+    Determinism/exactness: the per-(doc, replica) uniform is the
+    cross-engine md5 hash reduced mod 1e6 (the samp1 rule — a pure
+    function of the row, reproducible in any engine, stable under
+    corpus growth); the Poisson draw branches on FROZEN inverse-CDF
+    integer literals (micro-floor of the cumulative pmf, tail capped
+    at 8 where P ~= 1e-5); replica means are integral milli
+    divisions of exact integer sums; the CI endpoints are exact
+    order statistics (ranks {max(1, round(0.05 * _BOOT_B))} and
+    {min(_BOOT_B, round(0.95 * _BOOT_B))} of {_BOOT_B}) over the
+    replica spine with the replica id as tiebreak.
+
+    Scale shape: the corpus is read ONCE; the replica fan-out is a
+    broadcast {_BOOT_B}-row literal spine and every downstream
+    relation is replica-sized; the ranking window runs over
+    {_BOOT_B} rows. At 100 TB this is the only bootstrap shape that
+    works — B passes or a corpus-sized shuffle per replica would be
+    B times the cost."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull())
+        .select("doc_id", F.col("n_chars").cast("long").alias("len"))
+    )
+    reps = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
+    u = F.pmod(
+        ce_hash64(
+            F.concat(
+                F.lit("boot|"),
+                F.col("doc_id").cast("string"),
+                F.lit("|"),
+                F.col("b").cast("string"),
+            )
+        ),
+        F.lit(1000000),
+    )
+    drawn = d.crossJoin(F.broadcast(reps)).select(
+        "b", "len", u.alias("u")
+    )
+    weighted = drawn.select(
+        "b",
+        F.expr(_boot_weight_case("u")).cast("decimal(38,0)").alias("w"),
+        "len",
+    )
+    est = weighted.groupBy("b").agg(
+        F.expr(
+            "CAST((1000 * sum(w * len)) div nullif(sum(w), 0) AS BIGINT)"
+        ).alias("mean_milli")
+    )
+    lo_rank = max(1, round(0.05 * _BOOT_B))
+    hi_rank = min(_BOOT_B, round(0.95 * _BOOT_B))
+    wr = Window.orderBy("mean_milli", "b")  # bounded: B rows
+    ranked = est.select(
+        "mean_milli", F.row_number().over(wr).alias("r")
+    ).filter(F.col("r").isin(lo_rank, hi_rank))
+    point = d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("CAST((1000 * sum(len)) div count(*) AS BIGINT)").alias(
+            "point_mean_milli"
+        ),
+    )
+    lo = ranked.filter(F.col("r") == lo_rank).select(
+        F.col("mean_milli").alias("ci_lo_milli")
+    )
+    hi = ranked.filter(F.col("r") == hi_rank).select(
+        F.col("mean_milli").alias("ci_hi_milli")
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_docs",
+            F.lit(_BOOT_B).cast("long").alias("n_replicas"),
+            "point_mean_milli",
+            "ci_lo_milli",
+            "ci_hi_milli",
+        )
     )
