@@ -2008,3 +2008,252 @@ def boot1_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi_milli",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# burst1 — word burstiness (variance-to-mean ratio) (round 11)
+# --------------------------------------------------------------------------
+
+_BURST_MIN_DF = 20
+_BURST_TOP = 50
+
+_BURST1_SQL = f"""
+WITH dw AS (
+  SELECT doc_id, w, CAST(count(*) AS HUGEINT) AS x
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+  GROUP BY doc_id, w
+),
+n AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+stats AS (
+  SELECT w,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(x * x) AS HUGEINT) AS sx2
+  FROM dw GROUP BY w
+  HAVING count(*) >= {_BURST_MIN_DF}
+)
+SELECT w, df,
+       CAST(sx AS BIGINT) AS total_count,
+       CAST((1000 * (n.n * sx2 - sx * sx)) // (n.n * sx) AS BIGINT)
+         AS vmr_milli
+FROM stats, n
+ORDER BY vmr_milli DESC, w
+LIMIT {_BURST_TOP}
+"""
+
+
+@query("burst1_word_burstiness", oracle=_BURST1_SQL)
+def burst1_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness — the variance-to-mean ratio of each word's
+    per-document count over the WHOLE corpus (zeros included), top
+    {_BURST_TOP} burstiest words with document frequency >=
+    {_BURST_MIN_DF}. Church & Gale 1995 ("Poisson mixtures") made
+    this the canonical topicality signal: a Poisson word (VMR ~ 1)
+    spreads evenly — function words; a bursty word (VMR >> 1)
+    concentrates its occurrences in few documents — content/topic
+    words. Complements the frequency spectra (zipf1, heaps1, gt1)
+    with the SECOND moment: two words of equal total frequency can
+    be a stopword and a topic marker, and only VMR separates them —
+    which is exactly what sw1's stopword derivation and dsir1's
+    importance weights want validated.
+
+    Exactness: with zero-docs included, VMR = ((N*Σx² - (Σx)²)/N²)
+    / (Σx/N) = (N*Σx² - (Σx)²)/(N*Σx) — one integral milli division
+    of exact HUGEINT/DECIMAL(38,0) count sums (numerator >= 0 since
+    the zero-inclusive variance is computed around the FULL-corpus
+    mean; denominator > 0 for any surviving word). The zeros never
+    materialize: only Σx and Σx² over PRESENT docs are needed, N
+    folds in algebraically.
+
+    Scale shape: one explode -> (doc, word) counting groupBy -> one
+    word-keyed aggregate with the df floor pushed into HAVING; the
+    corpus size is a broadcast 1-row aggregate; the top-{_BURST_TOP}
+    is a TakeOrdered with the word as tiebreak. No joins between
+    corpus-sized relations, no windows."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
+    dw = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("decimal(38,0)").alias("x"))
+    )
+    n = docs.agg(F.count("*").cast("decimal(38,0)").alias("n"))
+    stats = (
+        dw.groupBy("w")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("x").cast("decimal(38,0)").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sx2"),
+        )
+        .filter(F.col("df") >= _BURST_MIN_DF)
+    )
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .select(
+            "w",
+            "df",
+            F.col("sx").cast("long").alias("total_count"),
+            F.expr(
+                "CAST((1000 * (n * sx2 - sx * sx)) div (n * sx) AS BIGINT)"
+            ).alias("vmr_milli"),
+        )
+        .orderBy(F.col("vmr_milli").desc(), "w")
+        .limit(_BURST_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# pacf1 — lag-2 partial autocorrelation of the daily series (round 11)
+# --------------------------------------------------------------------------
+
+_PACF1_SQL = f"""
+WITH ev AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+  FROM events WHERE ts IS NOT NULL
+),
+bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+spine AS (
+  SELECT CAST(u.g AS DATE) AS d,
+         row_number() OVER (ORDER BY CAST(u.g AS DATE)) AS t
+  FROM bounds b, UNNEST(generate_series(CAST(b.d0 AS TIMESTAMP),
+                                        CAST(b.d1 AS TIMESTAMP),
+                                        INTERVAL 1 DAY)) u(g)
+),
+dense AS (
+  SELECT s.t, CAST(count(e.d) AS HUGEINT) AS y
+  FROM spine s LEFT JOIN ev e ON e.d = s.d
+  GROUP BY s.t
+),
+tot AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(y) AS HUGEINT) AS s
+  FROM dense
+),
+devs AS (
+  SELECT a.t, (tot.n * a.y - tot.s) AS da
+  FROM dense a, tot
+),
+nums AS (
+  SELECT
+    (SELECT CAST(sum(da * da) AS HUGEINT) FROM devs) AS num0,
+    (SELECT CAST(sum(a.da * b.da) AS HUGEINT)
+     FROM devs a JOIN devs b ON b.t = a.t + 1) AS num1,
+    (SELECT CAST(sum(a.da * b.da) AS HUGEINT)
+     FROM devs a JOIN devs b ON b.t = a.t + 2) AS num2,
+    (SELECT CAST(count(*) AS BIGINT) FROM dense) AS n_days
+)
+SELECT n_days,
+       CAST(sign(num1) AS BIGINT) AS r1_sign,
+       CAST((1000000 * abs(num1)) // NULLIF(num0, 0) AS BIGINT)
+         AS abs_r1_micro,
+       CAST(sign(num2) AS BIGINT) AS r2_sign,
+       CAST((1000000 * abs(num2)) // NULLIF(num0, 0) AS BIGINT)
+         AS abs_r2_micro,
+       CAST(sign(num2 * num0 - num1 * num1) AS BIGINT) AS pacf2_sign,
+       CAST((1000000 * abs(num2 * num0 - num1 * num1))
+            // NULLIF(num0 * num0 - num1 * num1, 0) AS BIGINT)
+         AS abs_pacf2_micro
+FROM nums
+"""
+
+
+@query("pacf1_partial_autocorrelation", oracle=_PACF1_SQL)
+def pacf1_partial_autocorrelation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lag-2 partial autocorrelation of the gap-filled total daily
+    event series via the Durbin-Levinson identity phi_22 =
+    (r_2 - r_1^2) / (1 - r_1^2) (Durbin 1960; the Box-Jenkins
+    model-order diagnostic): acf1 reports the raw correlogram, but
+    an AR(1) process shows r_2 ~ r_1^2 > 0 at lag 2 even with NO
+    direct lag-2 dependence — the PACF strips the propagated lag-1
+    effect, so phi_22 ~ 0 certifies AR(1) sufficiency and a large
+    phi_22 says the forecasting shape (ewma1/ts4) needs a second
+    lag. This is the statistic a capacity-planning fit reads to
+    pick its model order.
+
+    Exactness: deviations cross-multiply by n per acf1's rule
+    (n*y_t - S); the autocovariance numerators num_k and num_0 are
+    exact DECIMAL(38,0) sums; r_k = num_k/num_0 and phi_22 =
+    (num2*num0 - num1^2)/(num0^2 - num1^2) — the n^2 and num_0
+    normalizations cancel ALGEBRAICALLY, so the emitted figures are
+    single integral micro divisions with signs carried separately
+    (den >= 0 because |r_1| <= 1 under the biased-ACF
+    normalization; NULL for a constant series). num0^2 stays inside
+    DECIMAL(38,0) through sf10 (documented bound: num0 <= n*(n*y)^2
+    ~ 2.7e18 at n=30, y~1e7/day).
+
+    Scale shape: one corpus-sized date-counting groupBy; everything
+    downstream — the spine row-numbering, the two lag self-joins,
+    the 1-row pieces — is calendar-bounded."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(F.to_date("ts").alias("d"))
+    )
+    bounds = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    # bounded window: the spine is the calendar, not the corpus
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("d")
+    ).select("d", F.row_number().over(Window.orderBy("d")).alias("t"))
+    daily = ev.groupBy("d").agg(F.count("*").alias("c"))
+    dense = (
+        spine.join(daily, "d", "left")
+        .select(
+            "t",
+            F.coalesce(F.col("c"), F.lit(0)).cast("decimal(38,0)").alias("y"),
+        )
+    )
+    tot = dense.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("s"),
+    )
+    devs = dense.crossJoin(F.broadcast(tot)).select(
+        "t", (F.col("n") * F.col("y") - F.col("s")).alias("da")
+    )
+    a = devs.alias("a")
+    b = devs.alias("b")
+    num0 = devs.agg(
+        F.sum(F.col("da") * F.col("da")).cast("decimal(38,0)").alias("num0"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    num1 = (
+        a.join(b, F.col("b.t") == F.col("a.t") + 1)
+        .agg(
+            F.sum(F.col("a.da") * F.col("b.da"))
+            .cast("decimal(38,0)")
+            .alias("num1")
+        )
+    )
+    num2 = (
+        a.join(b, F.col("b.t") == F.col("a.t") + 2)
+        .agg(
+            F.sum(F.col("a.da") * F.col("b.da"))
+            .cast("decimal(38,0)")
+            .alias("num2")
+        )
+    )
+    nums = num0.crossJoin(F.broadcast(num1)).crossJoin(F.broadcast(num2))
+    return nums.select(
+        "n_days",
+        F.expr("CAST(sign(num1) AS BIGINT)").alias("r1_sign"),
+        F.expr(
+            "CAST((1000000 * abs(num1)) div nullif(num0, 0) AS BIGINT)"
+        ).alias("abs_r1_micro"),
+        F.expr("CAST(sign(num2) AS BIGINT)").alias("r2_sign"),
+        F.expr(
+            "CAST((1000000 * abs(num2)) div nullif(num0, 0) AS BIGINT)"
+        ).alias("abs_r2_micro"),
+        F.expr("CAST(sign(num2 * num0 - num1 * num1) AS BIGINT)").alias(
+            "pacf2_sign"
+        ),
+        F.expr(
+            "CAST((1000000 * abs(num2 * num0 - num1 * num1))"
+            " div nullif(num0 * num0 - num1 * num1, 0) AS BIGINT)"
+        ).alias("abs_pacf2_micro"),
+    )
