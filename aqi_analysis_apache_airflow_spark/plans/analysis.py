@@ -2257,3 +2257,314 @@ def pacf1_partial_autocorrelation(
             " div nullif(num0 * num0 - num1 * num1, 0) AS BIGINT)"
         ).alias("abs_pacf2_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# dq11 — functional-dependency violation audit (round 11)
+# --------------------------------------------------------------------------
+
+_DQ11_SQL = """
+WITH c1 AS (
+  SELECT 'orders: o_orderkey -> o_custkey' AS candidate,
+         CAST(count(*) AS BIGINT) AS n_lhs,
+         CAST(count(*) FILTER (nv > 1) AS BIGINT) AS violating_lhs,
+         CAST(sum(nv - 1) AS BIGINT) AS excess_rhs
+  FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS nv
+        FROM orders GROUP BY o_orderkey)
+),
+c2 AS (
+  SELECT 'orders: o_custkey -> o_orderpriority',
+         CAST(count(*) AS BIGINT),
+         CAST(count(*) FILTER (nv > 1) AS BIGINT),
+         CAST(sum(nv - 1) AS BIGINT)
+  FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nv
+        FROM orders GROUP BY o_custkey)
+),
+c3 AS (
+  SELECT 'lineitem: l_orderkey -> l_returnflag',
+         CAST(count(*) AS BIGINT),
+         CAST(count(*) FILTER (nv > 1) AS BIGINT),
+         CAST(sum(nv - 1) AS BIGINT)
+  FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS nv
+        FROM lineitem GROUP BY l_orderkey)
+),
+c4 AS (
+  SELECT 'lineitem: l_orderkey, l_linenumber -> l_quantity',
+         CAST(count(*) AS BIGINT),
+         CAST(count(*) FILTER (nv > 1) AS BIGINT),
+         CAST(sum(nv - 1) AS BIGINT)
+  FROM (SELECT l_orderkey, l_linenumber, count(DISTINCT l_quantity) AS nv
+        FROM lineitem GROUP BY l_orderkey, l_linenumber)
+),
+u AS (
+  SELECT * FROM c1 UNION ALL SELECT * FROM c2
+  UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
+)
+SELECT candidate, n_lhs, violating_lhs, excess_rhs,
+       CASE WHEN violating_lhs = 0 THEN 1 ELSE 0 END AS fd_holds,
+       CAST((1000000 * violating_lhs) // n_lhs AS BIGINT)
+         AS violation_ppm
+FROM u
+"""
+
+
+@query("dq11_functional_dependencies", oracle=_DQ11_SQL)
+def dq11_functional_dependencies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Functional-dependency audit over a declared candidate set —
+    the data-profiling primitive of FD-discovery systems (TANE,
+    Huhtala et al. 1999; Metanome): X -> Y holds iff every X group
+    sees exactly one Y value, and the VIOLATION profile (how many
+    groups see more, how many excess values) is what a schema
+    steward reads before declaring a constraint or a merge key.
+    Candidates here certify the star schema's implicit contracts:
+    the two key candidates (o_orderkey -> o_custkey and the lineitem
+    composite PK -> l_quantity) must HOLD, the two deliberately
+    false ones (customer -> priority, order -> shipmode) measure the
+    discriminating power of the audit itself. Completes the dq
+    family: dq1 checks referential integrity BETWEEN tables, dq8
+    uniqueness of one key — this checks value DETERMINATION.
+
+    Exactness: per candidate one exact distinct-count aggregate per
+    LHS group, then exact counts of violating groups and excess
+    values; the rate is one integral ppm division.
+
+    Scale shape: each candidate is a map-side-combinable
+    (lhs, count distinct rhs) aggregate — for the PK candidates the
+    groupBy key is the table's natural clustering so AQE coalesces
+    cheaply; the four candidate plans union into a 4-row result. At
+    100 TB each candidate costs one pass over its projection (column
+    pruning keeps it to 2-3 columns)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def audit(df: DataFrame, label: str, lhs: list, rhs: str) -> DataFrame:
+        per = df.groupBy(*lhs).agg(F.countDistinct(rhs).alias("nv"))
+        return per.agg(
+            F.lit(label).alias("candidate"),
+            F.count("*").cast("long").alias("n_lhs"),
+            F.count(F.when(F.col("nv") > 1, 1)).cast("long").alias(
+                "violating_lhs"
+            ),
+            F.sum(F.col("nv") - 1).cast("long").alias("excess_rhs"),
+        )
+
+    u = (
+        audit(o, "orders: o_orderkey -> o_custkey", ["o_orderkey"], "o_custkey")
+        .unionByName(
+            audit(
+                o,
+                "orders: o_custkey -> o_orderpriority",
+                ["o_custkey"],
+                "o_orderpriority",
+            )
+        )
+        .unionByName(
+            audit(
+                li,
+                "lineitem: l_orderkey -> l_returnflag",
+                ["l_orderkey"],
+                "l_returnflag",
+            )
+        )
+        .unionByName(
+            audit(
+                li,
+                "lineitem: l_orderkey, l_linenumber -> l_quantity",
+                ["l_orderkey", "l_linenumber"],
+                "l_quantity",
+            )
+        )
+    )
+    return u.select(
+        "candidate",
+        "n_lhs",
+        "violating_lhs",
+        "excess_rhs",
+        F.when(F.col("violating_lhs") == 0, 1).otherwise(0).alias("fd_holds"),
+        F.expr(
+            "CAST((1000000 * violating_lhs) div n_lhs AS BIGINT)"
+        ).alias("violation_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# theil1 — Theil T inequality index of source sizes (round 11)
+# --------------------------------------------------------------------------
+
+_THEIL1_SQL = f"""
+WITH src AS (
+  SELECT source, CAST(coalesce(sum(n_chars), 0) AS HUGEINT) AS x
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY source
+  HAVING sum(n_chars) > 0
+),
+tot AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS s
+  FROM src
+),
+terms AS (
+  SELECT x,
+         x * CAST(round(round(ln(CAST(t.n AS DOUBLE) * CAST(x AS DOUBLE)
+                  / CAST(t.s AS DOUBLE)), 6) * 1e6) AS HUGEINT) AS num,
+         t.n, t.s
+  FROM src, tot t
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n_sources,
+       CAST(any_value(s) AS BIGINT) AS total_chars,
+       CAST((sum(num) + {_OFF} * any_value(s)) // any_value(s) - {_OFF}
+            AS BIGINT) AS theil_t_micro
+FROM terms
+"""
+
+
+@query("theil1_inequality_index", oracle=_THEIL1_SQL)
+def theil1_inequality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T index (Theil 1967) of corpus-byte concentration across
+    sources: T = sum_i (x_i/S) * ln(n*x_i/S), zero for a perfectly
+    even mix, ln(n) for total concentration. gini2 ranks the same
+    concentration ordinally (rank-weighted); Theil is the ENTROPY
+    form — additively DECOMPOSABLE across groupings (between-region
+    plus within-region inequality sums exactly), which is the
+    property a hierarchical mixing plan (domains within sources)
+    needs and Gini lacks. Together with simp1 (diversity) and gini2
+    (concentration) this closes the mixture-balance toolbox.
+
+    Exactness: x_i and S are exact integer char sums; each log
+    argument n*x_i/S is one IEEE ratio of integer-exact doubles,
+    pinned by the 6dp-then-1e6 micro-nat double-round; the weighted
+    sum is exact (x_i * ln_micro as DECIMAL(38,0)) and exits through
+    ONE sign-shifted integral division by S (terms where x_i < S/n
+    are negative; the total is >= 0 by Jensen, but quantized terms
+    need the OFF shift for floor parity).
+
+    Scale shape: one (source) sum aggregate, a broadcast 1-row
+    total, a source-sized term projection, one 1-row exit. The 100
+    TB cost is the first sum."""
+    src = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull() & F.col("n_chars").isNotNull())
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("decimal(38,0)").alias("x"))
+        .filter(F.col("x") > 0)
+    )
+    tot = src.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+    )
+    pin = F.round(
+        F.round(
+            F.log(
+                F.col("n").cast("double")
+                * F.col("x").cast("double")
+                / F.col("s").cast("double")
+            ),
+            6,
+        )
+        * 1e6
+    ).cast("decimal(38,0)")
+    terms = src.crossJoin(F.broadcast(tot)).select(
+        "x", (F.col("x") * pin).alias("num"), "n", "s"
+    )
+    return terms.agg(
+        F.any_value(F.col("n")).cast("long").alias("n_sources"),
+        F.any_value(F.col("s")).cast("long").alias("total_chars"),
+        F.expr(
+            f"CAST((sum(num) + {_OFF} * any_value(s)) div any_value(s)"
+            f" - {_OFF} AS BIGINT)"
+        ).alias("theil_t_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# mi1 — mutual information of the (lang, source) contingency (round 11)
+# --------------------------------------------------------------------------
+
+_MI1_SQL = f"""
+WITH d AS (
+  SELECT lang, source FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+),
+cell AS (
+  SELECT lang, source, CAST(count(*) AS HUGEINT) AS c
+  FROM d GROUP BY lang, source
+),
+mx AS (SELECT lang, CAST(count(*) AS HUGEINT) AS cl FROM d GROUP BY lang),
+my AS (SELECT source, CAST(count(*) AS HUGEINT) AS cs FROM d GROUP BY source),
+tot AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM d),
+terms AS (
+  SELECT cell.c
+         * CAST(round(round(ln(CAST(tot.n AS DOUBLE) * CAST(cell.c AS DOUBLE)
+                / (CAST(mx.cl AS DOUBLE) * CAST(my.cs AS DOUBLE))), 6)
+                * 1e6) AS HUGEINT) AS num,
+         tot.n
+  FROM cell JOIN mx USING (lang) JOIN my USING (source), tot
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n_docs,
+       CAST((sum(num) + {_OFF} * any_value(n)) // any_value(n) - {_OFF}
+            AS BIGINT) AS mi_micro
+FROM terms
+"""
+
+
+@query("mi1_lang_source_mi", oracle=_MI1_SQL)
+def mi1_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information of the (lang, source) contingency table —
+    I(X;Y) = sum_xy p_xy * ln(n*c_xy / (c_x*c_y)) in micro-nats
+    (Cover & Thomas; the plug-in MI estimate): dq3's chi-square asks
+    IF language depends on source; MI measures HOW MUCH, in nats —
+    the number a mixing plan compares across candidate groupings
+    (source vs domain vs time-bucket) because it is comparable
+    across table shapes where chi-square's df-dependence is not.
+    Also the corpus-level twin of ppmi1's word-context scores: same
+    estimator, different margin.
+
+    Exactness: cell and margin counts are exact integers; each log
+    argument n*c_xy/(c_x*c_y) is one IEEE ratio of integer-exact
+    doubles (products < 2^53 through sf10), micro-nat pinned; the
+    weighted sum is an exact DECIMAL(38,0) fold exiting through one
+    sign-shifted integral division by n (negative terms exist where
+    a cell undershoots independence; MI >= 0 only in total).
+
+    Scale shape: one (lang, source) counting groupBy plus the two
+    margins off the same pass shape; the term table is
+    langs x sources cells; margins broadcast. No windows, no
+    corpus-sized joins."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull() & F.col("source").isNotNull())
+        .select("lang", "source")
+    )
+    cell = d.groupBy("lang", "source").agg(
+        F.count("*").cast("decimal(38,0)").alias("c")
+    )
+    mx = d.groupBy("lang").agg(F.count("*").cast("decimal(38,0)").alias("cl"))
+    my = d.groupBy("source").agg(
+        F.count("*").cast("decimal(38,0)").alias("cs")
+    )
+    tot = d.agg(F.count("*").cast("decimal(38,0)").alias("n"))
+    pin = F.round(
+        F.round(
+            F.log(
+                F.col("n").cast("double")
+                * F.col("c").cast("double")
+                / (F.col("cl").cast("double") * F.col("cs").cast("double"))
+            ),
+            6,
+        )
+        * 1e6
+    ).cast("decimal(38,0)")
+    terms = (
+        cell.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(tot))
+        .select((F.col("c") * pin).alias("num"), "n")
+    )
+    return terms.agg(
+        F.any_value(F.col("n")).cast("long").alias("n_docs"),
+        F.expr(
+            f"CAST((sum(num) + {_OFF} * any_value(n)) div any_value(n)"
+            f" - {_OFF} AS BIGINT)"
+        ).alias("mi_micro"),
+    )
