@@ -2568,3 +2568,123 @@ def mi1_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" - {_OFF} AS BIGINT)"
         ).alias("mi_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# anova1 — one-way ANOVA effect size (eta squared) (round 11)
+# --------------------------------------------------------------------------
+
+_ANOVA1_SQL = """
+WITH x AS (
+  SELECT l_returnflag AS g,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS v
+  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+grp AS (
+  SELECT g, CAST(count(*) AS HUGEINT) AS ng, CAST(sum(v) AS HUGEINT) AS sg,
+         CAST(sum(v * v) AS HUGEINT) AS sg2
+  FROM x GROUP BY g
+),
+tot AS (
+  SELECT CAST(sum(ng) AS HUGEINT) AS n, CAST(sum(sg) AS HUGEINT) AS s,
+         CAST(sum(sg2) AS HUGEINT) AS s2,
+         CAST(count(*) AS BIGINT) AS k
+  FROM grp
+),
+ssb AS (
+  SELECT CAST(sum((t.n * g.sg - g.ng * t.s) * (t.n * g.sg - g.ng * t.s)
+                  // g.ng) AS HUGEINT) AS ssb_q
+  FROM grp g, tot t
+)
+SELECT t.k AS n_groups,
+       CAST(t.n AS BIGINT) AS n_rows,
+       CAST((1000000 * b.ssb_q) // NULLIF(t.n * (t.n * t.s2 - t.s * t.s), 0)
+            AS BIGINT) AS eta_sq_micro
+FROM tot t, ssb b
+"""
+
+
+@query("anova1_variance_explained", oracle=_ANOVA1_SQL)
+def anova1_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA effect size eta^2 = SSB/SST (Fisher 1925) of
+    line price across return-flag groups — how much of the price
+    variance group membership EXPLAINS. The inference family had
+    location tests (ab1/ab2/mw1/perm1) and trend (mk1) but no
+    variance-decomposition member; eta^2 is the multi-group effect
+    size a mixing/stratification decision reads (a near-zero value
+    says the grouping is useless as a stratifier no matter how
+    significant the t-tests look at scale — the classic
+    p-value-vs-effect-size distinction).
+
+    Exactness: prices enter as exact cents; with S_g, n_g, S, n as
+    exact integer sums, SSB*n^2 = sum_g (n*S_g - n_g*S)^2 / n_g and
+    SST*n = n*Sum(x^2) - S^2, so eta^2 = ssb_q / (n*(n*Sum(x^2)-S^2))
+    where ssb_q applies one non-negative integral division PER GROUP
+    (k = 3 terms; quantization < k*n_g units — far under the micro
+    exit) and one final integral micro division — both spelled as
+    the exact decimal floor (a - a%b)/b because Spark's `div`
+    returns LongType and this per-group QUOTIENT (~1.5e20 at sf0.1)
+    overflows it; the micro exits elsewhere in the registry are safe
+    because their quotients are bounded.
+    DECIMAL(38,0) bounds hold through ~sf0.3 ((n*S_g)^2 ~ 2e36 at
+    sf0.1); beyond that, rescale cents to whole dollars first — the
+    documented mk1-style width bound.
+
+    Scale shape: ONE map-side-combinable (group) aggregate over the
+    projected two columns, then arithmetic on k rows. The cheapest
+    possible multi-group screen."""
+    x = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_returnflag").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .select(
+            F.col("l_returnflag").alias("g"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("decimal(38,0)")
+            .alias("v"),
+        )
+    )
+    grp = x.groupBy("g").agg(
+        F.count("*").cast("decimal(38,0)").alias("ng"),
+        F.sum("v").cast("decimal(38,0)").alias("sg"),
+        F.sum(F.col("v") * F.col("v")).cast("decimal(38,0)").alias("sg2"),
+    )
+    tot = grp.agg(
+        F.sum("ng").cast("decimal(38,0)").alias("n"),
+        F.sum("sg").cast("decimal(38,0)").alias("s"),
+        F.sum("sg2").cast("decimal(38,0)").alias("s2"),
+        F.count("*").cast("long").alias("k"),
+    )
+    # Spark's `div` (IntegralDivide) RETURNS LongType, so it is exact
+    # only while the QUOTIENT fits int64 — the registry's micro/
+    # permille exits always do, but this per-group term is ~1.5e20 at
+    # sf0.1 and silently wrapped (measured: (1.4e14)^2 div 2070 came
+    # back negative). Exact decimal floor division instead:
+    # (a - a % b) / b — the modulo is exact on decimals, the shifted
+    # numerator divides exactly, and the quotient keeps its 38-digit
+    # decimal width.
+    def ddiv(a: str, b: str) -> str:
+        return f"CAST((({a}) - (({a}) % ({b}))) / ({b}) AS DECIMAL(38,0))"
+
+    sq = "(n * sg - ng * s) * (n * sg - ng * s)"
+    ssb = (
+        grp.crossJoin(F.broadcast(tot))
+        .select(F.expr(ddiv(sq, "ng")).alias("t"))
+        .agg(F.sum("t").cast("decimal(38,0)").alias("ssb_q"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(ssb))
+        .select(
+            F.col("k").alias("n_groups"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.expr(
+                "CAST("
+                + ddiv(
+                    "1000000 * ssb_q", "nullif(n * (n * s2 - s * s), 0)"
+                )
+                + " AS BIGINT)"
+            ).alias("eta_sq_micro"),
+        )
+    )
