@@ -60,7 +60,7 @@ WITH d AS (
 feat AS (
   SELECT source,
          CAST(len(toks) AS BIGINT) AS n_words,
-         CAST(list_sum(list_transform(toks, w -> length(w)))
+         CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
               AS BIGINT) AS sum_len,
          CAST((SELECT max(c) FROM (
                  SELECT count(*) AS c FROM unnest(toks) AS t(w) GROUP BY w
@@ -136,7 +136,11 @@ def qc6_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("c").cast("long").alias("top_c"))
     )
-    feat = docs.join(top, "doc_id").select(
+    # LEFT join: a token-less doc (empty/whitespace text) has no
+    # exploded rows and no top_c — it must stay in the census with
+    # top_c NULL (the repetition rule then 3-value-logics to fail,
+    # matching the oracle's correlated-subquery NULL)
+    feat = docs.join(top, "doc_id", "left").select(
         "source",
         F.size("toks").cast("long").alias("n_words"),
         F.aggregate(
@@ -1497,7 +1501,12 @@ def ccf1_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mrr1 — mean reciprocal rank of the first relevant neighbor (round 11)
 # --------------------------------------------------------------------------
 
-_MRR_PROBE_MOD = 25  # bounded eval probe set: vec_id % 25 == 0, id != 0
+_MRR_PROBE_MOD = 100  # bounded eval probe set: vec_id % 100 == 0, id != 0
+# (A/B 2026-08-16 at sf0.1: mod 25 = 80 probes ran 12.3s warm — the
+# probe x corpus dot_decimal folds are catalyst higher-order
+# functions, ~0.5ms each across 32 threads; mod 100 = 20 probes is
+# the audit-cadence panel at ~3s. Bulk scoring at production cadence
+# belongs to the mapInPandas int64 Gram path — the pca1/sdd1 shape.)
 _MRR_K = 20  # neighbor pool depth per probe
 
 _MRR1_SQL = f"""
