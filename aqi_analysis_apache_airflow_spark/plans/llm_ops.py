@@ -1621,18 +1621,16 @@ def hits1_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     from aqi_analysis_apache_airflow_spark.functions.graph import (
-        BROADCAST_LABEL_MAX_NODES,
         _label_side,
+        dim_broadcast_gate,
     )
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    # node-count UPPER BOUND from the dimension tables: count(*) on a
-    # parquet scan is metadata-only, so the gate costs no data pass
-    bc = (
-        load(spark, sf_dir, "customer").count()
-        + load(spark, sf_dir, "supplier").count()
-    ) <= BROADCAST_LABEL_MAX_NODES
+    # node-count UPPER BOUND from the dimension tables, MEMOIZED per
+    # sf_dir (the bare metadata counts still cost 0.21s of job
+    # scheduling per call — A/B 2026-08-16)
+    bc = dim_broadcast_gate(spark, sf_dir)
     e = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(

@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from ..functions.dedup import CE_HASH64_SQL, ce_hash64, tokens
 from ..functions.graph import (
-    BROADCAST_LABEL_MAX_NODES,
+    dim_broadcast_gate,
     kcore_peel,
     lpa_propagate,
     lpa_semisync,
@@ -2464,14 +2464,13 @@ def lpa1_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 6.7s → 4.1s at sf0.1) — see functions/graph.py::lpa_propagate,
     # whose rounds=None twin iterates the same recurrence to the
     # synchronous fixed point (pytest-proven equal once converged).
-    # The broadcast is size-gated via the metadata-cheap dimension
-    # bound (nodes <= customers + suppliers) so the lazy rounds=N plan
-    # stays zero-extra-jobs — past BROADCAST_LABEL_MAX_NODES the
-    # rounds run co-partitioned shuffle joins instead.
-    bc = (
-        load(spark, sf_dir, "customer").count()
-        + load(spark, sf_dir, "supplier").count()
-    ) <= BROADCAST_LABEL_MAX_NODES
+    # The broadcast is size-gated via the MEMOIZED metadata-cheap
+    # dimension bound (nodes <= customers + suppliers; one probe per
+    # sf_dir per process — the bare counts cost 0.21s/call, A/B'd) so
+    # the lazy rounds=N plan stays zero-extra-jobs — past
+    # BROADCAST_LABEL_MAX_NODES the rounds run co-partitioned shuffle
+    # joins instead.
+    bc = dim_broadcast_gate(spark, sf_dir)
     lab = lpa_propagate(e, rounds=_LPA_ITERS, broadcast_labels=bc)
 
     decode = lambda col: F.when(  # noqa: E731

@@ -38,7 +38,20 @@ Compare totals only against runs of the SAME headline size and
 session config, or against the solo figures in BENCH_PRESSURE.json.
 Single cross-JVM runs on this box also swing ~±5% run-to-run
 (measured with identical configs back-to-back); one-query conclusions
-need interleaved same-process A/Bs."""
+need interleaved same-process A/Bs.
+
+Round-11 comparability note (2026-08-16): the headline grew 204 → 219
+(verdict r10 task 4 promotions), and on a CANARY-VERIFIED clean box
+(box_state 0.961) the 204 common queries ran 1.20x the r10 committed
+run — a broad shift on untouched queries (q9 1.48x, cp2 1.49x, qc4
+1.45x) that is the documented headline-size pressure, not code
+regression; r10 itself measured the same mechanism (BENCH_PRESSURE:
++13.1% commons inside a 186-query headline vs solo). r11 totals are
+the new baseline for a 219-query headline. The r9 worst-mover loop
+(verdict r10 task 5) closes clean: against r10's committed run, d8
+2.14 → 1.66s, d3 2.97 → 2.18s, sub2 1.53 → 1.34s, cov1 1.91 → 2.02s —
+none exceeds the uniform context shift, no residual per-query
+regression."""
 
 from __future__ import annotations
 
