@@ -42,7 +42,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 8g + default G1 measured BEST on this box (A/B 2026-08-16,
+        # 20-query pressure-sensitive subset, canary-normalized:
+        # 24g heap ran ~7% SLOWER — larger G1 region scan cost —
+        # and -XX:+UseParallelGC was within the ±4% box noise)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # JVM-flag passthrough for GC/heap A/Bs (must be set before the
+        # JVM starts, so it has to ride the builder, not spark.conf)
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # the generated-class cache defaults to 100 entries; a
