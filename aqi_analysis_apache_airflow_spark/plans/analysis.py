@@ -2660,12 +2660,6 @@ def anova1_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").cast("decimal(38,0)").alias("sg"),
         F.sum(F.col("v") * F.col("v")).cast("decimal(38,0)").alias("sg2"),
     )
-    tot = grp.agg(
-        F.sum("ng").cast("decimal(38,0)").alias("n"),
-        F.sum("sg").cast("decimal(38,0)").alias("s"),
-        F.sum("sg2").cast("decimal(38,0)").alias("s2"),
-        F.count("*").cast("long").alias("k"),
-    )
     # Spark's `div` (IntegralDivide) RETURNS LongType, so it is exact
     # only while the QUOTIENT fits int64 — the registry's micro/
     # permille exits always do, but this per-group term is ~1.5e20 at
@@ -2677,23 +2671,32 @@ def anova1_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ddiv(a: str, b: str) -> str:
         return f"CAST((({a}) - (({a}) % ({b}))) / ({b}) AS DECIMAL(38,0))"
 
-    sq = "(n * sg - ng * s) * (n * sg - ng * s)"
-    ssb = (
-        grp.crossJoin(F.broadcast(tot))
-        .select(F.expr(ddiv(sq, "ng")).alias("t"))
-        .agg(F.sum("t").cast("decimal(38,0)").alias("ssb_q"))
+    # totals attach via an unpartitioned window over the k-row group
+    # table (bounded: k = 3 groups, never the corpus) instead of a
+    # separate aggregate joined back — grp then has exactly ONE
+    # consumer, so lineitem scans ONCE (the join form re-executed the
+    # corpus aggregate 3x; plan-gated in tests/test_analysis_plans.py)
+    wall = Window.partitionBy()
+    g2 = grp.select(
+        "ng",
+        "sg",
+        "sg2",
+        F.sum("ng").over(wall).cast("decimal(38,0)").alias("n"),
+        F.sum("sg").over(wall).cast("decimal(38,0)").alias("s"),
+        F.sum("sg2").over(wall).cast("decimal(38,0)").alias("s2"),
+        F.count("*").over(wall).cast("long").alias("k"),
     )
-    return (
-        tot.crossJoin(F.broadcast(ssb))
-        .select(
-            F.col("k").alias("n_groups"),
-            F.col("n").cast("long").alias("n_rows"),
-            F.expr(
-                "CAST("
-                + ddiv(
-                    "1000000 * ssb_q", "nullif(n * (n * s2 - s * s), 0)"
-                )
-                + " AS BIGINT)"
-            ).alias("eta_sq_micro"),
-        )
+    sq = "(n * sg - ng * s) * (n * sg - ng * s)"
+    return g2.agg(
+        F.any_value(F.col("k")).alias("n_groups"),
+        F.any_value(F.col("n")).cast("long").alias("n_rows"),
+        F.expr(
+            "CAST("
+            + ddiv(
+                f"1000000 * sum({ddiv(sq, 'ng')})",
+                "nullif(any_value(n) * (any_value(n) * any_value(s2)"
+                " - any_value(s) * any_value(s)), 0)",
+            )
+            + " AS BIGINT)"
+        ).alias("eta_sq_micro"),
     )
