@@ -2700,3 +2700,298 @@ def anova1_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
             + " AS BIGINT)"
         ).alias("eta_sq_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# d13 — dedup threshold operating curve (round 11)
+# --------------------------------------------------------------------------
+
+_D13_THRESHOLDS = (5, 6, 7, 8, 9)  # Jaccard deciles 0.5 .. 0.9
+
+_D13_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b, i.inter,
+         CAST(sa.set_size + sb.set_size - i.inter AS BIGINT) AS un
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+),
+th AS (SELECT unnest(ARRAY{list(_D13_THRESHOLDS)}) AS t10),
+swept AS (
+  SELECT th.t10, p.doc_b
+  FROM th JOIN pairs p ON 10 * p.inter >= th.t10 * p.un
+)
+SELECT t10,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT doc_b) AS BIGINT) AS docs_flagged
+FROM swept GROUP BY t10
+"""
+
+
+@query("d13_threshold_sweep", oracle=_D13_SQL)
+def d13_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold operating curve: exact 3-shingle Jaccard pair
+    and flagged-doc counts at thresholds 0.5..0.9 — the table a
+    near-dup rollout reads BEFORE picking d3's LSH band/threshold
+    (Broder 1997's resemblance sweep): each decile threshold t maps
+    to (pairs kept, docs deleted under the keep-smaller-id rule), so
+    the deletion budget and the pair-review load are known up front
+    rather than discovered after a full LSH run. Complements d12's
+    EXACT-dup spectrum with the NEAR-dup dial.
+
+    Exactness: the threshold test never touches the float Jaccard —
+    10*inter >= t10*(|A|+|B|-inter) cross-multiplies exact shingle
+    counts per decile; pair/flag counts are exact; the sweep is one
+    literal 5-row spine joined on the integer inequality.
+
+    Scale shape: the d2 shingle self-join (one shuffle on the
+    shingle key) feeds ONE pair table reused across all thresholds —
+    the sweep adds a 5-row broadcast and a (t10) groupBy, not 5
+    passes. At corpus scale the same query runs over d2b's df-capped
+    shingle stream (the documented stop-shingle prune); uncapped
+    here to stay oracle-comparable, the d2 convention."""
+    from ..functions.dedup import word_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    pairs = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "set_size", "sa"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "set_size", "sb"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            (F.col("sa") + F.col("sb") - F.col("inter"))
+            .cast("long")
+            .alias("un"),
+        )
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in _D13_THRESHOLDS], "t10 int"
+    )
+    swept = pairs.crossJoin(F.broadcast(th)).filter(
+        10 * F.col("inter") >= F.col("t10") * F.col("un")
+    )
+    return swept.groupBy("t10").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.countDistinct("doc_b").cast("long").alias("docs_flagged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# churn1 — weekly churn / retention transitions (round 11)
+# --------------------------------------------------------------------------
+
+_CHURN1_SQL = """
+WITH aw AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+wk_spine AS (SELECT DISTINCT wk FROM aw),
+trans AS (
+  SELECT a.wk,
+         CAST(count(*) AS BIGINT) AS active,
+         CAST(count(b.user_id) AS BIGINT) AS retained_next
+  FROM aw a
+  LEFT JOIN aw b ON b.user_id = a.user_id
+                AND b.wk = a.wk + INTERVAL 7 DAY
+  GROUP BY a.wk
+)
+SELECT CAST(t.wk AS VARCHAR) AS week_start,
+       t.active, t.retained_next,
+       t.active - t.retained_next AS churned_next,
+       CAST((1000 * (t.active - t.retained_next)) // t.active AS BIGINT)
+         AS churn_permille
+FROM trans t
+WHERE EXISTS (SELECT 1 FROM wk_spine s WHERE s.wk = t.wk + INTERVAL 7 DAY)
+"""
+
+
+@query("churn1_weekly_churn", oracle=_CHURN1_SQL)
+def churn1_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week churn: of the users active in week w, how many
+    are absent in week w+1 — THE subscription/engagement KPI, and the
+    transition-rate view of cohort1's level curves (cohort1 says how
+    many of an acquisition class survive to offset k; churn says the
+    hazard between adjacent weeks pooled over classes — surv1's
+    discrete hazard without the censoring machinery). Weeks with no
+    following observed week are excluded (their churn is
+    right-censored, not zero — the surv1 lesson).
+
+    Exactness: active sets are exact distinct (user, week)
+    projections; the retained count is an exact per-user left join
+    hit on week+7d; churn exits as one integral permille division of
+    positive counts; week labels emit as ISO strings (the cohort1
+    pandas-DATE-widening rule).
+
+    Scale shape: one distinct projection, one user-keyed self-join
+    (both sides week-bounded per user), one week-sized aggregate and
+    a bounded anti-filter on the week spine."""
+    aw = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        )
+        .distinct()
+    )
+    b = aw.select(
+        "user_id", F.date_sub("wk", 7).alias("wk"), F.lit(1).alias("hit")
+    )
+    trans = (
+        aw.join(b, ["user_id", "wk"], "left")
+        .groupBy("wk")
+        .agg(
+            F.count("*").cast("long").alias("active"),
+            F.count("hit").cast("long").alias("retained_next"),
+        )
+    )
+    spine = aw.select("wk").distinct().select(
+        F.date_sub("wk", 7).alias("wk")
+    ).distinct()
+    return (
+        trans.join(spine, "wk", "left_semi")
+        .select(
+            F.col("wk").cast("string").alias("week_start"),
+            "active",
+            "retained_next",
+            (F.col("active") - F.col("retained_next")).alias("churned_next"),
+            F.expr(
+                "CAST((1000 * (active - retained_next)) div active"
+                " AS BIGINT)"
+            ).alias("churn_permille"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# card2 — self-join cardinality estimator audit (round 11)
+# --------------------------------------------------------------------------
+
+_CARD2_SQL = """
+WITH keys AS (
+  SELECT 'l_partkey' AS join_key, l_partkey AS k FROM lineitem
+  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+  UNION ALL SELECT 'l_orderkey', l_orderkey FROM lineitem
+),
+freq AS (
+  SELECT join_key, k, CAST(count(*) AS HUGEINT) AS c
+  FROM keys WHERE k IS NOT NULL GROUP BY join_key, k
+),
+stats AS (
+  SELECT join_key,
+         CAST(sum(c) AS HUGEINT) AS n,
+         CAST(count(*) AS HUGEINT) AS ndv,
+         CAST(sum(c * c) AS HUGEINT) AS f2
+  FROM freq GROUP BY join_key
+)
+SELECT join_key,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(ndv AS BIGINT) AS ndv,
+       CAST(f2 AS BIGINT) AS true_selfjoin_size,
+       CAST((n * n) // ndv AS BIGINT) AS uniform_estimate,
+       CAST((1000 * f2 * ndv) // (n * n) AS BIGINT) AS skew_multiplier_milli
+FROM stats
+"""
+
+
+@query("card2_selfjoin_cardinality", oracle=_CARD2_SQL)
+def card2_selfjoin_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join cardinality estimator audit per candidate join key:
+    the TRUE self-join size F2 = sum_k c(k)^2 (the second frequency
+    moment, Alon-Matias-Szegedy 1996) against the uniform-frequency
+    textbook estimate n^2/ndv (Selinger et al. 1979 — what every
+    histogram-less optimizer assumes), with the ratio
+    F2*ndv/n^2 >= 1 as the SKEW MULTIPLIER the uniform assumption
+    underestimates joins by. This is the number behind j11's salting
+    decision and dq6's skew profile, made first-class: a planner
+    (or a human sizing a shuffle) reads the multiplier per key and
+    knows which joins will blow past their estimate.
+
+    Exactness: frequencies, F2, and ndv are exact integers off ONE
+    counting groupBy per key (union-stacked into a single pass
+    shape); both derived figures are integral divisions (all
+    non-negative); skew multiplier >= 1000 milli by Cauchy-Schwarz.
+
+    Scale shape: one (key-name, key) counting groupBy over the
+    stacked projection — map-side combinable — then a 3-row
+    aggregate. The audit costs one scan regardless of how many
+    candidate keys stack."""
+    li = load(spark, sf_dir, "lineitem")
+    keys = (
+        li.select(
+            F.lit("l_partkey").alias("join_key"), F.col("l_partkey").alias("k")
+        )
+        .unionByName(
+            li.select(
+                F.lit("l_suppkey").alias("join_key"),
+                F.col("l_suppkey").alias("k"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.lit("l_orderkey").alias("join_key"),
+                F.col("l_orderkey").alias("k"),
+            )
+        )
+        .filter(F.col("k").isNotNull())
+    )
+    freq = keys.groupBy("join_key", "k").agg(
+        F.count("*").cast("decimal(38,0)").alias("c")
+    )
+    stats = freq.groupBy("join_key").agg(
+        F.sum("c").cast("decimal(38,0)").alias("n"),
+        F.count("*").cast("decimal(38,0)").alias("ndv"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("f2"),
+    )
+    return stats.select(
+        "join_key",
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("ndv").cast("long").alias("ndv"),
+        F.col("f2").cast("long").alias("true_selfjoin_size"),
+        F.expr("CAST((n * n) div ndv AS BIGINT)").alias("uniform_estimate"),
+        F.expr(
+            "CAST((1000 * f2 * ndv) div (n * n) AS BIGINT)"
+        ).alias("skew_multiplier_milli"),
+    )
