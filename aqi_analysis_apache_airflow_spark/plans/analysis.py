@@ -2995,3 +2995,86 @@ def card2_selfjoin_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000 * f2 * ndv) div (n * n) AS BIGINT)"
         ).alias("skew_multiplier_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# ivf2 — IVF index cell-balance audit (round 11)
+# --------------------------------------------------------------------------
+
+
+def _ivf2_oracle() -> str:
+    from .extended import _IVFM_ASSIGN_CTES
+
+    return f"""
+    WITH {_IVFM_ASSIGN_CTES},
+    loads AS (
+      SELECT c.centroid_id,
+             CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_vecs
+      FROM cent c
+      LEFT JOIN (SELECT cluster, CAST(count(*) AS BIGINT) AS n
+                 FROM assigned GROUP BY cluster) cnt
+        ON cnt.cluster = c.centroid_id
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(n_vecs) AS BIGINT) AS n_total
+      FROM loads
+    )
+    SELECT l.centroid_id, l.n_vecs,
+           CAST((1000 * l.n_vecs * t.n_cells) // NULLIF(t.n_total, 0)
+                AS BIGINT) AS load_vs_fair_milli
+    FROM loads l, tot t
+    """
+
+
+@query("ivf2_cell_balance", oracle=_ivf2_oracle())
+def ivf2_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index cell-balance audit: per coarse cell, the assigned
+    vector count and its load relative to the fair share (1000 =
+    perfectly balanced) — the serving-latency health check of every
+    IVF deployment (Jégou et al. 2011: probe cost is the SIZE of the
+    probed cells, so a cell at 5x fair share makes every query that
+    probes it 5x slower; empty cells waste the centroid budget and
+    show up here as 0). place2 audits rendezvous placement on doc
+    ownership; this audits the SAME balance question for the ANN
+    index sim_ivf/sim_ivfd/rec1 actually serve from, off the
+    identical md5-family build (one shared implementation:
+    _md5_ivf_parts, replayed bit-for-bit by the oracle's assignment
+    CTEs).
+
+    Exactness: assignment is the bit-exact md5-family build (decimal
+    dot products, 6dp-rounded argmin with centroid tiebreak);
+    EMPTY cells are preserved by left-joining loads onto the
+    centroid table (a balance audit that drops zeros lies); the
+    load ratio is one integral milli division.
+
+    Scale shape: the build's one assignment pass (broadcast
+    centroid row, argmin fold per vector), then a cells-sized count
+    and a broadcast 1-row total. The audit adds nothing
+    corpus-scale beyond the index build it audits."""
+    from .extended import _md5_ivf_parts
+
+    cents, assigned, _ = _md5_ivf_parts(spark, sf_dir)
+    cnt = assigned.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    loads = (
+        cents.select("centroid_id")
+        .join(cnt.withColumnRenamed("cluster", "centroid_id"), "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_vecs"),
+        )
+    )
+    tot = loads.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("n_vecs").cast("long").alias("n_total"),
+    )
+    return loads.crossJoin(F.broadcast(tot)).select(
+        "centroid_id",
+        "n_vecs",
+        F.expr(
+            "CAST((1000 * n_vecs * n_cells) div nullif(n_total, 0)"
+            " AS BIGINT)"
+        ).alias("load_vs_fair_milli"),
+    )
