@@ -3078,3 +3078,195 @@ def ivf2_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("load_vs_fair_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# markov2 — stationary distribution of the event-type chain (round 11)
+# --------------------------------------------------------------------------
+
+_MARKOV2_ROUNDS = 12
+
+
+def _markov2_oracle() -> str:
+    rounds = []
+    prev = "p0"
+    for r in range(1, _MARKOV2_ROUNDS + 1):
+        rounds.append(
+            f"p{r} AS (SELECT t.next_type AS event_type,"
+            f" CAST(sum((p.pi * t.c) // t.r) AS BIGINT) AS pi"
+            f" FROM trans t JOIN {prev} p ON p.event_type = t.prev_type"
+            f" GROUP BY t.next_type)"
+        )
+        prev = f"p{r}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM ev
+    ),
+    trans0 AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ),
+    states AS (SELECT DISTINCT prev_type AS s FROM trans0),
+    closed AS (
+      SELECT t.* FROM trans0 t JOIN states st ON st.s = t.next_type
+    ),
+    trans AS (
+      SELECT c.prev_type, c.next_type, c.c,
+             r.r
+      FROM closed c
+      JOIN (SELECT prev_type, CAST(sum(c) AS BIGINT) AS r
+            FROM closed GROUP BY prev_type) r USING (prev_type)
+    ),
+    p0 AS (
+      SELECT s AS event_type,
+             CAST(1000000 // (SELECT count(*) FROM states) AS BIGINT) AS pi
+      FROM states
+    ),
+    {chain}
+    SELECT event_type, pi AS stationary_micro FROM {prev}
+    """
+
+
+@query("markov2_stationary_distribution", oracle=_markov2_oracle())
+def markov2_stationary_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stationary distribution of markov1's event-type transition
+    chain, {_MARKOV2_ROUNDS} unrolled power-iteration rounds (the
+    Perron eigenvector of the row-stochastic matrix — gr1's PageRank
+    restricted to the bounded behavioral chain, no teleport): where
+    a user's next action settles in the long run, THE summary a
+    capacity model reads off the behavior graph (markov1 gives the
+    one-step dynamics, this the equilibrium). The chain is CLOSED
+    onto states with outgoing transitions (a next-only state would
+    leak mass like a dangling PageRank node — the same
+    simplification gr1 documents).
+
+    Exactness: the recurrence runs in integer micro units —
+    pi'(j) = sum_i floor(pi_i * c_ij / r_i), one non-negative
+    integral division per matrix entry per round, replayed by the
+    oracle as {_MARKOV2_ROUNDS} chained CTEs (the gr1/lpa1 unrolled
+    contract: the hash certifies every round). Floor quantization
+    leaks < k micro units of mass per round by design — the
+    deterministic analogue of float drift, identical in both
+    engines.
+
+    Scale shape: ONE corpus pass (the per-user lag window, bounded
+    per user) builds the k x k matrix; all {_MARKOV2_ROUNDS} rounds
+    run on k-row relations (k = event types, domain-bounded) in one
+    lazy plan. The equilibrium costs nothing more than the matrix."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+    )
+    trans0 = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    states = trans0.select(F.col("prev_type").alias("s")).distinct()
+    closed = trans0.join(
+        F.broadcast(states.withColumnRenamed("s", "next_type")), "next_type"
+    )
+    trans = closed.join(
+        closed.groupBy("prev_type").agg(F.sum("c").cast("long").alias("r")),
+        "prev_type",
+    )
+    k = states.count()  # control-plane scalar: the uniform-init quantum
+    pi = states.select(
+        F.col("s").alias("event_type"),
+        F.lit(1000000 // k).cast("long").alias("pi"),
+    )
+    for _ in range(_MARKOV2_ROUNDS):
+        pi = (
+            trans.join(
+                pi.withColumnRenamed("event_type", "prev_type"), "prev_type"
+            )
+            .groupBy(F.col("next_type").alias("event_type"))
+            .agg(
+                F.sum(F.expr("(pi * c) div r")).cast("long").alias("pi")
+            )
+        )
+    return pi.select("event_type", F.col("pi").alias("stationary_micro"))
+
+
+# --------------------------------------------------------------------------
+# ess1 — Kish effective sample size under length weighting (round 11)
+# --------------------------------------------------------------------------
+
+_ESS1_SQL = """
+WITH d AS (
+  SELECT source, CAST(n_chars AS HUGEINT) AS w
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(((sum(w) * sum(w)) * 1000) // sum(w * w) AS BIGINT)
+         AS ess_milli,
+       CAST((1000 * sum(w) * sum(w)) // (count(*) * sum(w * w)) AS BIGINT)
+         AS efficiency_permille
+FROM d GROUP BY source
+"""
+
+
+@query("ess1_effective_sample_size", oracle=_ESS1_SQL)
+def ess1_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size (Kish 1965) of each source under
+    LENGTH weighting: ESS = (sum w)^2 / sum w^2 — when documents are
+    weighted by size (token-budget mixing, ws1/mix1/lr1 all do),
+    the statistical information is not n docs but ESS docs, and the
+    efficiency ESS/n says how much the weight skew costs (a source
+    whose bytes concentrate in a few giant docs can have 1000 docs
+    and an ESS of 80 — its statistics are 12x noisier than its row
+    count suggests). The standard survey-statistics number, applied
+    here as the design-effect audit of the mixing family; burst1
+    asks the same skew question of words, hill1 of the tail
+    exponent.
+
+    Exactness: weights are exact char counts; ESS and efficiency
+    are single integral divisions of exact HUGEINT/DECIMAL(38,0)
+    cross-products (all non-negative; ESS <= n by Cauchy-Schwarz so
+    efficiency <= 1000).
+
+    Scale shape: one (source) aggregate over two projected columns.
+    Nothing else."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(
+            F.col("source").isNotNull()
+            & F.col("n_chars").isNotNull()
+            & (F.col("n_chars") > 0)
+        )
+        .select("source", F.col("n_chars").cast("decimal(38,0)").alias("w"))
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(((sum(w) * sum(w)) * 1000) div sum(w * w) AS BIGINT)"
+        ).alias("ess_milli"),
+        F.expr(
+            "CAST((1000 * sum(w) * sum(w)) div (count(*) * sum(w * w))"
+            " AS BIGINT)"
+        ).alias("efficiency_permille"),
+    )
