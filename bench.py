@@ -340,7 +340,10 @@ HEADLINE = [
 # (the measured recovery dose) before the headline starts.
 _CANARY_NAME = "q1_pricing_summary"
 _CANARY_REF_S = 0.94
-_CANARY_HOT_RATIO = 1.15
+_CANARY_HOT_RATIO = 1.10  # was 1.15: the 2026-08-16 final r11 run
+# measured 1.127 — under the old gate, yet the whole run came back a
+# uniform 1.08x of the same-day 0.961-box run; cross-JVM noise is
+# ±4-5%, so >=10% is real heat, not noise, and deserves the cooldown
 _CANARY_COOLDOWN_S = 60
 
 
