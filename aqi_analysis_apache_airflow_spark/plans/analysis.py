@@ -3270,3 +3270,141 @@ def ess1_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("efficiency_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# ret2 — Dirichlet query-likelihood retrieval (round 11)
+# --------------------------------------------------------------------------
+
+_RET2_TERMS = ("table", "join", "window")  # keep in sync with ret1
+_RET2_MU = 2000  # Dirichlet prior (Zhai-Lafferty's recommended range)
+_RET2_TOPK = 20
+
+_RET2_TERMS_SQL = ", ".join(f"'{t}'" for t in _RET2_TERMS)
+
+_RET2_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS l
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+dl AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl FROM toks),
+tok AS (
+  SELECT doc_id, t.tok
+  FROM toks, UNNEST(l) t(tok)
+  WHERE t.tok IN ({_RET2_TERMS_SQL})
+),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, tok
+),
+cf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY tok),
+c AS (SELECT CAST(sum(dl) AS BIGINT) AS c FROM dl),
+q AS (SELECT unnest([{_RET2_TERMS_SQL}]) AS tok),
+grid AS (
+  SELECT d.doc_id, d.dl, q.tok,
+         coalesce(tf.tf, 0) AS tf0, cf.cf, c.c
+  FROM dl d
+  CROSS JOIN q
+  JOIN cf USING (tok)
+  CROSS JOIN c
+  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.tok = q.tok
+),
+scored AS (
+  SELECT doc_id,
+         CAST(sum(CAST(round(round(ln(
+             (CAST(c AS DOUBLE) * CAST(tf0 AS DOUBLE)
+              + {_RET2_MU} * CAST(cf AS DOUBLE))
+             / (CAST(c AS DOUBLE) * (CAST(dl AS DOUBLE) + {_RET2_MU}))
+           ), 6) * 1e6) AS BIGINT)) AS BIGINT) AS score_micro,
+         CAST(count(*) FILTER (tf0 > 0) AS BIGINT) AS n_terms_hit
+  FROM grid GROUP BY doc_id
+)
+SELECT doc_id, n_terms_hit, score_micro
+FROM scored
+ORDER BY score_micro DESC, doc_id
+LIMIT {_RET2_TOPK}
+"""
+
+
+@query("ret2_query_likelihood", oracle=_RET2_SQL)
+def ret2_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Ponte & Croft
+    1998; Zhai & Lafferty 2001, mu = {_RET2_MU}) for ret1's query
+    over the same whitespace tokens — the OTHER classic ranked
+    retrieval model: score(d) = sum_q ln((tf + mu*cf_q/C) /
+    (|d| + mu)). BM25 and QL disagree exactly where their length
+    normalizations differ, which is why rr1's fusion and tau1/rbo1's
+    agreement audits want two INDEPENDENT rankers — until now the
+    second arm was cosine; this adds the probabilistic one, same
+    query, same tokenizer, directly comparable.
+
+    Exactness: the log argument collapses to a ratio of EXACT
+    integers — (C*tf + mu*cf_q) / (C*(|d| + mu)) — so each term is
+    one IEEE division of integer-exact doubles (products < 2^53
+    through sf10) under the 6dp micro-nat pin; per-doc scores are
+    exact integer sums of 3 pinned terms (all negative — ORDER BY
+    score DESC ranks toward the least-negative likelihood), tiebreak
+    doc_id; smoothing guarantees every term is finite for every doc.
+
+    Scale shape: QL scores EVERY document (the background model term
+    exists even at tf = 0 — inherent to the model, not a plan flaw),
+    so the corpus cost is one (doc, len) projection fanned against
+    the |q|-row broadcast term table with a left tf lookup; tf/cf
+    aggregate the PRE-FILTERED posting stream exactly like ret1; the
+    top-{_RET2_TOPK} is a TakeOrdered, never a global sort."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", tokens(F.col("text")).alias("l"))
+    )
+    dl = docs.select("doc_id", F.size("l").cast("long").alias("dl"))
+    tok = docs.select(
+        "doc_id", F.explode("l").alias("tok")
+    ).filter(F.col("tok").isin(*_RET2_TERMS))
+    tf = tok.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    cf = tok.groupBy("tok").agg(F.count("*").cast("long").alias("cf"))
+    c = dl.agg(F.sum("dl").cast("long").alias("c"))
+    q = spark.createDataFrame([(t,) for t in _RET2_TERMS], "tok string")
+    grid = (
+        dl.crossJoin(F.broadcast(q))
+        .join(F.broadcast(cf), "tok")
+        .crossJoin(F.broadcast(c))
+        .join(tf, ["doc_id", "tok"], "left")
+        .select(
+            "doc_id",
+            "dl",
+            "tok",
+            F.coalesce(F.col("tf"), F.lit(0)).cast("long").alias("tf0"),
+            "cf",
+            "c",
+        )
+    )
+    pin = F.round(
+        F.round(
+            F.log(
+                (
+                    F.col("c").cast("double") * F.col("tf0").cast("double")
+                    + _RET2_MU * F.col("cf").cast("double")
+                )
+                / (
+                    F.col("c").cast("double")
+                    * (F.col("dl").cast("double") + _RET2_MU)
+                )
+            ),
+            6,
+        )
+        * 1e6
+    ).cast("long")
+    scored = grid.groupBy("doc_id").agg(
+        F.sum(pin).cast("long").alias("score_micro"),
+        F.count(F.when(F.col("tf0") > 0, 1)).cast("long").alias(
+            "n_terms_hit"
+        ),
+    )
+    return (
+        scored.select("doc_id", "n_terms_hit", "score_micro")
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(_RET2_TOPK)
+    )
