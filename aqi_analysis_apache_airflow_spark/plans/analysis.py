@@ -3408,3 +3408,127 @@ def ret2_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), "doc_id")
         .limit(_RET2_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# lorenz1 — corpus byte-concentration curve (round 11)
+# --------------------------------------------------------------------------
+
+_LORENZ_POINTS = 20  # ventiles
+
+_LORENZ1_SQL = f"""
+WITH d AS (
+  SELECT CAST(n_chars AS BIGINT) AS len FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+),
+spine AS (
+  SELECT len, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(len * count(*) AS BIGINT) AS chars
+  FROM d GROUP BY len
+),
+cum AS (
+  SELECT len, cnt, chars,
+         CAST(coalesce(sum(cnt) OVER w, 0) AS BIGINT) AS docs_before,
+         CAST(coalesce(sum(chars) OVER w, 0) AS BIGINT) AS chars_before
+  FROM spine
+  WINDOW w AS (ORDER BY len ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING)
+),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(chars) AS BIGINT) AS s
+  FROM spine
+),
+v AS (SELECT unnest(range(1, {_LORENZ_POINTS + 1})) AS ventile),
+pts AS (
+  SELECT v.ventile,
+         CAST((v.ventile * t.n) // {_LORENZ_POINTS} AS BIGINT) AS k_docs,
+         c.chars_before
+           + ((v.ventile * t.n) // {_LORENZ_POINTS} - c.docs_before)
+             * c.len AS chars_cum,
+         t.s
+  FROM v
+  CROSS JOIN tot t
+  JOIN cum c
+    ON c.docs_before < (v.ventile * t.n) // {_LORENZ_POINTS}
+   AND (v.ventile * t.n) // {_LORENZ_POINTS} <= c.docs_before + c.cnt
+)
+SELECT ventile, k_docs,
+       CAST(chars_cum AS BIGINT) AS chars_cum,
+       CAST((1000 * chars_cum) // s AS BIGINT) AS chars_share_permille
+FROM pts
+"""
+
+
+@query("lorenz1_byte_concentration", oracle=_LORENZ1_SQL)
+def lorenz1_byte_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus Lorenz curve at {_LORENZ_POINTS} points: the exact
+    share of total bytes held by the smallest 5%, 10%, ..., 100% of
+    documents (Lorenz 1905 — the curve gini2's scalar integrates).
+    The curve is what capacity decisions actually read: pack1's
+    sequence-packing waste, ess1's design effect, and hill1's tail
+    exponent all summarize byte concentration — this is the full
+    distribution they summarize, as a 20-row table a dashboard plots
+    directly ("the largest 5% of docs hold 1000 - share(19) permille
+    of the corpus").
+
+    Exactness: every curve point is an EXACT order statistic — the
+    k-th cumulative byte count computed on the length VALUE SPINE as
+    chars_before + (k - docs_before) * len (the spine row containing
+    rank k contributes exactly its partial run; no sampling, no
+    interpolation, no percentile_approx); shares are integral
+    permille divisions.
+
+    Scale shape: one (length) counting groupBy; the cumulative
+    window and the {_LORENZ_POINTS}-point join run on the bounded
+    value spine (distinct lengths), never the corpus — the
+    g3/imp1/auc1 order-statistic pattern."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull())
+        .select(F.col("n_chars").cast("long").alias("len"))
+    )
+    spine = d.groupBy("len").agg(
+        F.count("*").cast("long").alias("cnt"),
+        (F.col("len") * F.count("*")).cast("long").alias("chars"),
+    )
+    wb = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, -1)
+    cum = spine.select(
+        "len",
+        "cnt",
+        "chars",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("docs_before"),
+        F.coalesce(F.sum("chars").over(wb), F.lit(0)).alias("chars_before"),
+    )
+    tot = spine.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("chars").cast("long").alias("s"),
+    )
+    v = spark.range(1, _LORENZ_POINTS + 1).select(
+        F.col("id").cast("long").alias("ventile")
+    )
+    k = F.expr(f"(ventile * n) div {_LORENZ_POINTS}")
+    pts = (
+        v.crossJoin(F.broadcast(tot))
+        .join(
+            cum,
+            (F.col("docs_before") < k)
+            & (k <= F.col("docs_before") + F.col("cnt")),
+        )
+        .select(
+            "ventile",
+            k.cast("long").alias("k_docs"),
+            (
+                F.col("chars_before")
+                + (k - F.col("docs_before")) * F.col("len")
+            ).cast("long").alias("chars_cum"),
+            "s",
+        )
+    )
+    return pts.select(
+        "ventile",
+        "k_docs",
+        "chars_cum",
+        F.expr("CAST((1000 * chars_cum) div s AS BIGINT)").alias(
+            "chars_share_permille"
+        ),
+    )
