@@ -3532,3 +3532,152 @@ def lorenz1_byte_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_share_permille"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# wand1 — WAND / MaxScore pruning audit over the BM25 postings
+# --------------------------------------------------------------------------
+
+
+def _wand1_oracle() -> str:
+    from .retrieval import _BM25_B, _BM25_K1, _BM25_TERMS, _BM25_TOPK
+
+    terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl FROM toks),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    tok AS (
+      SELECT doc_id, t.tok FROM toks, UNNEST(l) t(tok)
+      WHERE t.tok IN ({terms_sql})
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, tok
+    ),
+    dfreq AS (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY tok
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             CAST(round(round(
+               round(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6)
+               * ((CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0})
+                  / (CAST(tf AS DOUBLE)
+                     + {_BM25_K1} * ({1.0 - _BM25_B}
+                        + {_BM25_B} * (CAST(dl.dl AS DOUBLE) / avgdl)))),
+               6) * 1e6) AS BIGINT) AS smicro
+      FROM tf
+      JOIN dl ON dl.doc_id = tf.doc_id
+      JOIN dfreq ON dfreq.tok = tf.tok
+      CROSS JOIN stats
+    ),
+    totals AS (
+      SELECT doc_id, CAST(sum(smicro) AS BIGINT) AS total
+      FROM scored GROUP BY doc_id
+    ),
+    theta AS (
+      SELECT CAST(min(total) AS BIGINT) AS theta FROM (
+        SELECT total FROM totals ORDER BY total DESC, doc_id
+        LIMIT {_BM25_TOPK}
+      )
+    ),
+    ub AS (SELECT tok, CAST(max(smicro) AS BIGINT) AS ub FROM scored
+           GROUP BY tok),
+    docub AS (
+      SELECT s.doc_id, CAST(sum(u.ub) AS BIGINT) AS ub_sum
+      FROM (SELECT DISTINCT doc_id, tok FROM scored) s
+      JOIN ub u USING (tok)
+      GROUP BY s.doc_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM totals) AS n_scored_docs,
+           (SELECT theta FROM theta) AS theta_micro,
+           CAST(count(*) FILTER (d.ub_sum < (SELECT theta FROM theta))
+                AS BIGINT) AS n_skippable,
+           CAST((1000 * count(*) FILTER (d.ub_sum < (SELECT theta
+                                                     FROM theta)))
+                // NULLIF(count(*), 0) AS BIGINT) AS skippable_permille
+    FROM docub d
+    """
+
+
+@query("wand1_maxscore_pruning", oracle=_wand1_oracle())
+def wand1_maxscore_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAND / MaxScore pruning audit of ret1's BM25 query (Turtle &
+    Flood 1995; Broder et al. 2003, "Efficient query evaluation
+    using a two-level retrieval process"): with per-term score upper
+    bounds UB_t = max over postings and theta = the k-th best total,
+    any document whose hit-terms' UB sum falls below theta can be
+    SKIPPED without scoring — the fraction of scored documents that
+    test skippable is exactly the work a WAND-enabled index would
+    avoid on this query. This is the index-design readout behind
+    every serious lexical-retrieval engine; card2 audits the join
+    planner's estimate, this audits the retrieval planner's bound.
+
+    Exactness: per-term scores ride the shared bm25_term_scores
+    posting scorer (6dp-rounded — identical doubles in both engines),
+    carried as exact micro integers from there on: UBs are integer
+    maxes, totals integer sums, theta the exact k-th order statistic
+    (TakeOrdered + min, doc_id tiebreak), the skippable test a pure
+    integer comparison. With fewer than k scored docs theta is the
+    minimum total, and nothing is skippable — the correct degenerate
+    semantics.
+
+    Scale shape: everything reads the PRE-FILTERED posting stream
+    (ret1's shape — at 100 TB only matching postings shuffle); the
+    UB table is |terms| rows broadcast; theta is a TakeOrdered over
+    totals; one 1-row exit."""
+    from .retrieval import _BM25_TOPK, bm25_term_scores
+
+    scored = bm25_term_scores(spark, sf_dir).select(
+        "doc_id",
+        "tok",
+        F.round(F.col("s") * 1e6).cast("long").alias("smicro"),
+    )
+    totals = scored.groupBy("doc_id").agg(
+        F.sum("smicro").cast("long").alias("total")
+    )
+    theta = (
+        totals.orderBy(F.col("total").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+        .agg(F.min("total").cast("long").alias("theta"))
+    )
+    ub = scored.groupBy("tok").agg(
+        F.max("smicro").cast("long").alias("ub")
+    )
+    docub = (
+        scored.select("doc_id", "tok")
+        .distinct()
+        .join(F.broadcast(ub), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("ub").cast("long").alias("ub_sum"))
+    )
+    n_docs = totals.agg(
+        F.count("*").cast("long").alias("n_scored_docs")
+    )
+    return (
+        docub.crossJoin(F.broadcast(theta))
+        .agg(
+            F.count(F.when(F.col("ub_sum") < F.col("theta"), 1))
+            .cast("long")
+            .alias("n_skippable"),
+            F.expr(
+                "CAST((1000 * count(CASE WHEN ub_sum < theta THEN 1 END))"
+                " div nullif(count(*), 0) AS BIGINT)"
+            ).alias("skippable_permille"),
+            F.any_value(F.col("theta")).cast("long").alias("theta_micro"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "n_scored_docs", "theta_micro", "n_skippable",
+            "skippable_permille",
+        )
+    )

@@ -136,12 +136,14 @@ def ret1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document BM25 score for the fixed ``_BM25_TERMS`` query —
-    the shared scorer behind ret1's top-k and rr1's lexical ranker
-    (``plans/selection.py``). Returns (doc_id, n_terms_hit, score)
-    un-ranked; see :func:`ret1_bm25_topk` for the scale shape and
-    determinism notes."""
+def bm25_term_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, term) BM25 posting scores for the fixed
+    ``_BM25_TERMS`` query — the shared scorer underneath ret1's
+    top-k, rr1's lexical ranker (``plans/selection.py``) and wand1's
+    max-score pruning audit (``plans/analysis.py``). Returns
+    (doc_id, tok, s) with s the 6dp-rounded per-term score; see
+    :func:`ret1_bm25_topk` for the scale shape and determinism
+    notes."""
     docs = load(spark, sf_dir, "documents")
     dl = docs.select(
         "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
@@ -174,8 +176,17 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(dl, "doc_id")
         .join(F.broadcast(dfreq), "tok")
         .join(F.broadcast(stats))
-        .select("doc_id", s.alias("s"))
+        .select("doc_id", "tok", s.alias("s"))
     )
+    return scored
+
+
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 total for the fixed ``_BM25_TERMS`` query —
+    ret1's and rr1's scorer, rolled up from the shared per-term
+    posting scores (:func:`bm25_term_scores`, which wand1's pruning
+    audit also reads)."""
+    scored = bm25_term_scores(spark, sf_dir)
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_terms_hit"),
         F.sum(F.col("s").cast("decimal(28,6)")).cast("double").alias("score"),
