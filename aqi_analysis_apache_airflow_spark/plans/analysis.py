@@ -3681,3 +3681,110 @@ def wand1_maxscore_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skippable_permille",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# prt1 — precision/recall operating table for the cls1 rule (round 11)
+# --------------------------------------------------------------------------
+
+_PRT1_THRESHOLDS = (20, 30, 40, 50, 60, 80, 100)
+
+_PRT1_SQL = f"""
+WITH scored AS (
+  SELECT (lang = 'en') AS truth,
+         CAST(len(regexp_extract_all(lower(text),
+              '\\b(the|a|of|to|and)\\b')) AS BIGINT) AS hits,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS toks
+  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+),
+th AS (SELECT unnest(ARRAY{list(_PRT1_THRESHOLDS)}) AS t),
+cells AS (
+  SELECT th.t,
+         CAST(count(*) FILTER (truth AND th.t * hits > toks)
+              AS BIGINT) AS tp,
+         CAST(count(*) FILTER (NOT truth AND th.t * hits > toks)
+              AS BIGINT) AS fp,
+         CAST(count(*) FILTER (truth AND NOT (th.t * hits > toks))
+              AS BIGINT) AS fn
+  FROM scored, th
+  GROUP BY th.t
+)
+SELECT t AS threshold, tp, fp, fn,
+       CAST((1000 * tp) // NULLIF(tp + fp, 0) AS BIGINT)
+         AS precision_permille,
+       CAST((1000 * tp) // NULLIF(tp + fn, 0) AS BIGINT)
+         AS recall_permille,
+       CAST((2000 * tp) // NULLIF(2 * tp + fp + fn, 0) AS BIGINT)
+         AS f1_permille
+FROM cells
+"""
+
+
+@query("prt1_operating_points", oracle=_PRT1_SQL)
+def prt1_operating_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall operating table for cls1's stopword language
+    rule across {len(_PRT1_THRESHOLDS)} decision thresholds — the
+    table a threshold DECISION is actually made from (cls1 evaluates
+    the one shipped point, auc1/ap1 integrate over all of them; this
+    lays out the candidates so the rollout picks the knee). Same
+    sweep discipline as cal1 (quality gates) and d13 (dedup
+    thresholds): one corpus pass, every candidate policy costed.
+
+    Exactness: the rule stays the integer cross-product t*hits > toks
+    at every threshold (never a float ratio); the cells come from ONE
+    FILTERed counting aggregate over the corpus x thresholds fan
+    (the literal {len(_PRT1_THRESHOLDS)}-row spine); P/R/F1 are
+    NULL-guarded integral permille divisions.
+
+    Scale shape: one projection computes (truth, hits, toks) once;
+    the threshold fan multiplies rows by a broadcast literal spine
+    before ONE map-side-combinable (t) groupBy. No joins, no
+    windows."""
+    txt = F.col("text")
+    scored = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull() & txt.isNotNull())
+        .select(
+            (F.col("lang") == "en").alias("truth"),
+            F.size(
+                F.regexp_extract_all(
+                    F.lower(txt), F.lit(r"\b(the|a|of|to|and)\b"), 0
+                )
+            ).cast("long").alias("hits"),
+            F.size(F.regexp_extract_all(txt, F.lit(r"\S+"), 0))
+            .cast("long")
+            .alias("toks"),
+        )
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in _PRT1_THRESHOLDS], "t int"
+    )
+    pred = F.col("t") * F.col("hits") > F.col("toks")
+    cells = (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy("t")
+        .agg(
+            F.count(F.when(F.col("truth") & pred, 1)).cast("long").alias("tp"),
+            F.count(F.when(~F.col("truth") & pred, 1))
+            .cast("long")
+            .alias("fp"),
+            F.count(F.when(F.col("truth") & ~pred, 1))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    return cells.select(
+        F.col("t").alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        F.expr("CAST((1000 * tp) div nullif(tp + fp, 0) AS BIGINT)").alias(
+            "precision_permille"
+        ),
+        F.expr("CAST((1000 * tp) div nullif(tp + fn, 0) AS BIGINT)").alias(
+            "recall_permille"
+        ),
+        F.expr(
+            "CAST((2000 * tp) div nullif(2 * tp + fp + fn, 0) AS BIGINT)"
+        ).alias("f1_permille"),
+    )
