@@ -3788,3 +3788,165 @@ def prt1_operating_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((2000 * tp) div nullif(2 * tp + fp + fn, 0) AS BIGINT)"
         ).alias("f1_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# llr1 — Dunning log-likelihood-ratio collocations (round 11)
+# --------------------------------------------------------------------------
+
+_LLR_MIN_SUPPORT = 5
+_LLR_TOP = 50
+
+_LLR1_SQL = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(text, '\\S+') AS l
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+bg AS (
+  SELECT l[i] AS w1, l[i + 1] AS w2
+  FROM toks, UNNEST(range(1, greatest(len(l), 1))) AS u(i)
+),
+bc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS k11
+  FROM bg GROUP BY w1, w2
+),
+m1 AS (SELECT w1, CAST(sum(k11) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+m2 AS (SELECT w2, CAST(sum(k11) AS BIGINT) AS c2 FROM bc GROUP BY w2),
+nn AS (SELECT CAST(sum(k11) AS BIGINT) AS n FROM bc),
+cells AS (
+  SELECT bc.w1, bc.w2, bc.k11,
+         m1.c1 - bc.k11 AS k12,
+         m2.c2 - bc.k11 AS k21,
+         nn.n - m1.c1 - m2.c2 + bc.k11 AS k22,
+         m1.c1, m2.c2, nn.n
+  FROM bc JOIN m1 USING (w1) JOIN m2 USING (w2), nn
+  WHERE bc.k11 >= {_LLR_MIN_SUPPORT}
+),
+terms AS (
+  SELECT w1, w2, k11, n,
+         CASE WHEN k11 = 0 THEN 0 ELSE k11 *
+           CAST(round(round(ln(CAST(k11 AS DOUBLE) * CAST(n AS DOUBLE)
+             / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) * 1e6)
+             AS BIGINT) END
+         + CASE WHEN k12 = 0 THEN 0 ELSE k12 *
+           CAST(round(round(ln(CAST(k12 AS DOUBLE) * CAST(n AS DOUBLE)
+             / (CAST(c1 AS DOUBLE) * CAST(n - c2 AS DOUBLE))), 6) * 1e6)
+             AS BIGINT) END
+         + CASE WHEN k21 = 0 THEN 0 ELSE k21 *
+           CAST(round(round(ln(CAST(k21 AS DOUBLE) * CAST(n AS DOUBLE)
+             / (CAST(n - c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) * 1e6)
+             AS BIGINT) END
+         + CASE WHEN k22 = 0 THEN 0 ELSE k22 *
+           CAST(round(round(ln(CAST(k22 AS DOUBLE) * CAST(n AS DOUBLE)
+             / (CAST(n - c1 AS DOUBLE) * CAST(n - c2 AS DOUBLE))), 6)
+             * 1e6) AS BIGINT) END AS s
+  FROM cells
+)
+SELECT w1, w2, k11 AS n_cooccur,
+       CAST(2 * s AS BIGINT) AS llr_micro
+FROM terms
+ORDER BY llr_micro DESC, w1, w2
+LIMIT {_LLR_TOP}
+"""
+
+
+@query("llr1_collocation_significance", oracle=_LLR1_SQL)
+def llr1_collocation_significance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations (Dunning 1993,
+    "Accurate methods for the statistics of surprise and
+    coincidence"): G^2 = 2*sum O*ln(O/E) over each bigram's 2x2
+    contingency against the bigram-table margins — THE collocation
+    significance test, because unlike pmi1's lift it does not blow
+    up on rare pairs (PMI ranks a 2-occurrence oddity above a
+    1000-occurrence idiom; G^2 weights evidence by volume, which is
+    what a phrase-vocabulary builder actually wants ranked).
+    Completes the collocation pair: pmi1 = effect size, llr1 =
+    evidence.
+
+    Exactness: all four O/E ratios collapse to products of exact
+    integers — O*N/(row*col) — so each term is one IEEE division of
+    integer-exact doubles (< 2^53 through sf10) under the micro-nat
+    pin, weighted by the exact integer O; G^2 is then a pure integer
+    SUM (no final division at all); O = 0 terms vanish by the
+    0*ln(0) = 0 convention, spelled as explicit CASE in both
+    engines. Support floor {_LLR_MIN_SUPPORT} applied BEFORE the
+    bounded term arithmetic.
+
+    Scale shape: pmi1's bigram explode + one (w1,w2) counting
+    groupBy; margins are vocabulary-sized aggregates OF that table
+    (no second corpus pass), N a broadcast 1-row total; the 2x2
+    arithmetic is per-bigram-type, and the top-{_LLR_TOP} a
+    TakeOrdered with the full bigram tiebreak."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = docs.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, n - 1),
+                    F.slice(toks, 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bc = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("k11")
+    )
+    m1 = bc.groupBy("w1").agg(F.sum("k11").cast("long").alias("c1"))
+    m2 = bc.groupBy("w2").agg(F.sum("k11").cast("long").alias("c2"))
+    nn = bc.agg(F.sum("k11").cast("long").alias("n"))
+    cells = (
+        bc.filter(F.col("k11") >= _LLR_MIN_SUPPORT)
+        .join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "w1",
+            "w2",
+            "k11",
+            (F.col("c1") - F.col("k11")).alias("k12"),
+            (F.col("c2") - F.col("k11")).alias("k21"),
+            (F.col("n") - F.col("c1") - F.col("c2") + F.col("k11")).alias(
+                "k22"
+            ),
+            "c1",
+            "c2",
+            "n",
+        )
+    )
+
+    def term(o: str, row: str, col: str) -> str:
+        return (
+            f"CASE WHEN {o} = 0 THEN 0 ELSE {o} *"
+            f" CAST(round(round(ln(CAST({o} AS DOUBLE) * CAST(n AS DOUBLE)"
+            f" / (CAST({row} AS DOUBLE) * CAST({col} AS DOUBLE))), 6)"
+            f" * 1e6) AS BIGINT) END"
+        )
+
+    s = " + ".join(
+        [
+            term("k11", "c1", "c2"),
+            term("k12", "c1", "n - c2"),
+            term("k21", "n - c1", "c2"),
+            term("k22", "n - c1", "n - c2"),
+        ]
+    )
+    return (
+        cells.select(
+            "w1",
+            "w2",
+            F.col("k11").alias("n_cooccur"),
+            F.expr(f"CAST(2 * ({s}) AS BIGINT)").alias("llr_micro"),
+        )
+        .orderBy(F.col("llr_micro").desc(), "w1", "w2")
+        .limit(_LLR_TOP)
+    )
