@@ -345,7 +345,13 @@ def mcc1_matthews_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries sign(tp*tn - fp*fn) and mcc_sq_micro = 1e6*(tp*tn-fp*fn)^2
     / denom, both exact integers (the corr1 no-sqrt convention);
     MCC = mcc_sign * sqrt(mcc_sq_micro/1e6) for any float consumer.
-    DECIMAL(38,0) cross-products so a 1e10-doc corpus doesn't wrap.
+    DECIMAL(38,0) width bound (the anova1 convention): the numerator
+    1e6*(tp*tn-fp*fn)^2 is <= 1e6*n^4/16, which fits 38 digits only
+    up to n ~ 2e8 docs (~1e8 with margin); past that Spark's
+    non-ANSI decimal overflow yields NULL silently while DuckDB
+    HUGEINT errors, so the engines diverge. For a larger corpus,
+    divide the counts by a common 10^k first — MCC is
+    scale-invariant in the four cells.
 
     Scale shape: identical to cls1 — one pass, one 1-row aggregate,
     zero joins."""
@@ -1432,6 +1438,13 @@ def ccf1_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     because r itself needs a sqrt; both exits are integral divisions
     with non-negative denominators (Cauchy-Schwarz), NULL when a
     window has zero variance.
+    DECIMAL(38,0) width bound (the pacf1/anova1 convention): with
+    daily counts c <= C and n <= spine days (~60 at sf0.1), the
+    numerator 1e6*(n*sxy-sx*sy)^2 <= 1e6*(2*n^2*C^2)^2, which fits
+    38 digits up to C ~ 1.7e6 events/day on a 60-day spine; past
+    that Spark yields NULL silently while DuckDB HUGEINT errors.
+    At larger volumes rescale the daily counts (divide by a common
+    10^k) before the moment sums — Pearson r is scale-invariant.
 
     Scale shape: one corpus-sized (day, type) counting groupBy onto
     the gap-filled spine; the lag fan-out is spine x 7 literal lags
@@ -3193,6 +3206,15 @@ def markov2_stationary_distribution(
         "prev_type",
     )
     k = states.count()  # control-plane scalar: the uniform-init quantum
+    if k == 0:
+        # degenerate corpus (no events, or one event per user): no
+        # transitions, no states — return the empty k-row frame with
+        # the contract schema instead of dividing by zero below (the
+        # oracle's NULL-propagating form degrades the same way)
+        return states.select(
+            F.col("s").alias("event_type"),
+            F.lit(0).cast("long").alias("stationary_micro"),
+        )
     pi = states.select(
         F.col("s").alias("event_type"),
         F.lit(1000000 // k).cast("long").alias("pi"),

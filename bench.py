@@ -455,6 +455,12 @@ def main() -> None:
         canary_detail["box_state"] = round(box_state, 3)
 
     # ---- streaming block FIRST, on the fresh JVM (r9 finding) ----
+    # Comparability note (ADVICE r11): since r11 the box-state canary
+    # above runs 8 q1 batch executions (2 canary medians x 4 passes
+    # worst case) BEFORE this block, so "fresh JVM" means ~8 batch
+    # executions deep, not zero — a fixed, tiny dose that is identical
+    # every run from r11 onward (r10-and-earlier streaming medians were
+    # measured at literally zero prior executions).
     # st1–st8 availableNow replay wall time: warmup + interleaved
     # passes + median + the headline's adaptive re-run. Runs BEFORE
     # the headline because micro-batch replays are acutely sensitive

@@ -113,3 +113,29 @@ def test_anova1_single_pass_per_group_agg(spark):
     scans = re.findall(r"\(\d+\) Scan parquet", p)
     assert len(scans) == 1, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_markov2_degenerate_no_transitions(spark, tmp_path):
+    """ADVICE r11: a corpus whose events yield ZERO transitions (one
+    event per user) must return the empty k-row frame, not raise
+    ZeroDivisionError on the driver-side 1000000 // k init."""
+    import pandas as pd
+
+    d = tmp_path / "sf_degenerate"
+    d.mkdir()
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": [pd.Timestamp("2024-01-01"), pd.Timestamp("2024-01-02")],
+            "user_id": [1, 2],
+            "event_type": ["view", "click"],
+            "value": [1.0, 2.0],
+            "props": [None, None],
+        }
+    )
+    spark.createDataFrame(ev).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "events.parquet")
+    )
+    out = REGISTRY["markov2_stationary_distribution"].fn(spark, str(d))
+    assert out.columns == ["event_type", "stationary_micro"]
+    assert out.count() == 0
