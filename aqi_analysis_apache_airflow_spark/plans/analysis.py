@@ -3972,3 +3972,497 @@ def llr1_collocation_significance(
         .orderBy(F.col("llr_micro").desc(), "w1", "w2")
         .limit(_LLR_TOP)
     )
+
+
+# ==========================================================================
+# ROUND 12 — eval-harness extension: regression scoring + inter-rater
+# generalization (verdict r11 task 6)
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# shared forecast frame: ewma1's SES recursion scored per day
+# --------------------------------------------------------------------------
+
+from .curation import _EWMA_MAX_I, _EWMA_POWS, _EWMA_VALUES_SQL  # noqa: E402
+
+#: DuckDB CTE chain producing one-step-ahead SES forecasts for every
+#: spine day t >= 1: fc(event_type, t, y_t, f) where f is the exact
+#: micro-unit forecast of day t from days < t (alpha = 3/10, the ewma1
+#: closed geometric form, same frozen power table, same depth-34 drop).
+_SES_FC_CTES = f"""daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+),
+spine AS (
+  SELECT b.event_type, CAST(u.g AS DATE) AS d,
+         CAST(date_diff('day', b.d0, CAST(u.g AS DATE)) AS BIGINT) AS r
+  FROM bounds b, UNNEST(generate_series(CAST(b.d0 AS TIMESTAMP),
+                                        CAST(b.d1 AS TIMESTAMP),
+                                        INTERVAL 1 DAY)) u(g)
+),
+dense AS (
+  SELECT s.event_type, s.r, COALESCE(dy.y, 0) AS y
+  FROM spine s LEFT JOIN daily dy USING (event_type, d)
+),
+pows(i, p7, p10) AS (VALUES
+  {_EWMA_VALUES_SQL}
+),
+terms AS (
+  SELECT tg.event_type, tg.r AS t, tg.y AS y_t,
+         CASE WHEN p.i = tg.r - 1
+              THEN (1000000 * p.p7 * src.y) // p.p10
+              ELSE (1000000 * 3 * p.p7 * src.y) // (p.p10 * 10)
+         END AS t_micro
+  FROM dense tg
+  JOIN pows p ON p.i <= tg.r - 1
+  JOIN dense src ON src.event_type = tg.event_type
+                AND src.r = tg.r - 1 - p.i
+  WHERE tg.r >= 1
+),
+fc AS (
+  SELECT event_type, t, max(y_t) AS y_t,
+         CAST(sum(t_micro) AS HUGEINT) AS f
+  FROM terms GROUP BY 1, 2
+)"""
+
+
+def _ses_forecast_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, t, y_t, f_micro): the exact one-step-ahead SES
+    forecast of every spine day t >= 1, Spark twin of _SES_FC_CTES.
+
+    Same machinery as ewma1 (``plans/curation.py``): the dense
+    calendar spine with gap days as real zeros, the frozen 35-row
+    integer power table (alpha = 3/10, weights 3*7^i/10^(i+1) with
+    the 7^(t-1)/10^(t-1) boundary), every term one non-negative
+    integral micro division. Days deeper than i={max_i} under a
+    target are DROPPED by the power-table join (weight < the micro
+    quantum — the ewma1-documented mechanism); the current 30-day
+    corpus calendar never reaches the drop."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1")).alias("d"),
+        "d0",
+    ).select("event_type", "d", F.datediff("d", "d0").cast("long").alias("r"))
+    dense = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "r", F.coalesce(F.col("y"), F.lit(0)).alias("y")
+    )
+    pows = spark.createDataFrame(
+        [(i, str(p7), str(p10)) for i, p7, p10 in _EWMA_POWS],
+        "i INT, p7 STRING, p10 STRING",
+    ).select(
+        F.col("i").cast("long").alias("i"),
+        F.col("p7").cast("decimal(38,0)").alias("p7"),
+        F.col("p10").cast("decimal(38,0)").alias("p10"),
+    )
+    targets = dense.filter(F.col("r") >= 1).select(
+        "event_type", F.col("r").alias("t"), F.col("y").alias("y_t")
+    )
+    sources = dense.select(
+        F.col("event_type").alias("s_event_type"),
+        F.col("r").alias("j"),
+        F.col("y").alias("ys"),
+    )
+    terms = (
+        targets.crossJoin(F.broadcast(pows))
+        .filter(F.col("i") <= F.col("t") - 1)
+        .join(
+            sources,
+            (F.col("s_event_type") == F.col("event_type"))
+            & (F.col("j") == F.col("t") - 1 - F.col("i")),
+        )
+        .select(
+            "event_type",
+            "t",
+            "y_t",
+            F.expr(
+                "CASE WHEN i = t - 1"
+                " THEN (1000000 * p7 * ys) div p10"
+                " ELSE (1000000 * 3 * p7 * ys) div (p10 * 10) END"
+            ).alias("t_micro"),
+        )
+    )
+    return terms.groupBy("event_type", "t").agg(
+        F.max("y_t").alias("y_t"),
+        F.sum(F.col("t_micro").cast("decimal(38,0)")).alias("f_micro"),
+    )
+
+
+_ses_forecast_frame.__doc__ = _ses_forecast_frame.__doc__.format(
+    max_i=_EWMA_MAX_I
+)
+
+
+# --------------------------------------------------------------------------
+# reg1 — regression scoring of the SES forecast (round 12)
+# --------------------------------------------------------------------------
+
+_REG1_SQL = f"""
+WITH {_SES_FC_CTES},
+err AS (
+  SELECT event_type, y_t, f - 1000000 * y_t AS e FROM fc
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(abs(e)) AS HUGEINT) AS sae,
+         CAST(sum(e * e) AS HUGEINT) AS sse,
+         CAST(sum(y_t) AS HUGEINT) AS sy,
+         CAST(sum(y_t * y_t) AS HUGEINT) AS sy2
+  FROM err GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_scored,
+       CAST(sae // n AS BIGINT) AS mae_micro,
+       CAST(sse // (n * 1000000000000) AS BIGINT) AS mse_units,
+       CAST((1000000 * (1000000000000 * (n * sy2 - sy * sy) - n * sse)
+             + {_OFF} * NULLIF(1000000000000 * (n * sy2 - sy * sy), 0))
+            // NULLIF(1000000000000 * (n * sy2 - sy * sy), 0)
+            - {_OFF} AS BIGINT) AS r2_micro
+FROM s
+"""
+
+
+@query("reg1_forecast_accuracy", oracle=_REG1_SQL)
+def reg1_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression scorecard of ewma1's SES forecast against the
+    actuals it predicts — the accuracy number the smoothing family
+    was missing (verdict r11 task 6): ewma1 emits tomorrow's level,
+    ts4's MASE scores a naive baseline, but nothing scored the SES
+    forecast itself. Per event type, every spine day t >= 1 is
+    forecast from days < t (walk-forward, no leakage — the forecast
+    at t uses exactly the closed geometric form over the prefix) and
+    scored: MAE (robust location of error), MSE (the RMSE square —
+    no-sqrt convention), and R^2 = 1 - SSE/SST against the
+    mean-of-actuals baseline (negative R^2 = worse than predicting
+    the mean, the standard go/no-go for shipping the forecast).
+
+    Exactness: forecasts are the exact integer micro units of the
+    ewma1 power-table form; errors e = f_micro - 1e6*y are exact
+    integers; MAE exits as one integral division, MSE in whole
+    count^2 units (sse // (n*1e12)), and R^2 as the OFF-shifted
+    integral micro division of exact DECIMAL(38,0) products, NULL
+    when the actuals have zero variance (constant series — SST = 0).
+    DECIMAL(38,0) width bound (pacf1/anova1 convention): sse <=
+    n*(1e6*y_max)^2 and the R^2 numerator carries 1e6*n*sse, so 38
+    digits hold through y_max ~ 5e6 events/day on a 30-day spine;
+    rescale daily counts past that. The OFF shift is valid while
+    R^2 >= -1e6 (|num| <= OFF*den) — any remotely sane series.
+
+    Scale shape: ONE corpus-sized (type, date) counting groupBy (the
+    dense spine reuses the same aggregate on both join sides —
+    exchange-reusable); the forecast fan-out is spine x <=35 literal
+    power rows (calendar-bounded); everything after is k-row. The
+    100 TB cost is the daily count, as in ewma1."""
+    fc = _ses_forecast_frame(spark, sf_dir)
+    dec = "decimal(38,0)"
+    err = fc.select(
+        "event_type",
+        "y_t",
+        (F.col("f_micro") - F.lit(1000000).cast(dec) * F.col("y_t"))
+        .cast(dec)
+        .alias("e"),
+    )
+    s = err.groupBy("event_type").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.abs(F.col("e"))).cast(dec).alias("sae"),
+        F.sum(F.col("e") * F.col("e")).cast(dec).alias("sse"),
+        F.sum(F.col("y_t").cast(dec)).cast(dec).alias("sy"),
+        F.sum((F.col("y_t") * F.col("y_t")).cast(dec)).cast(dec).alias("sy2"),
+    )
+    sst = "(1000000000000 * (n * sy2 - sy * sy))"
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_scored"),
+        F.expr("CAST(sae div n AS BIGINT)").alias("mae_micro"),
+        F.expr("CAST(sse div (n * 1000000000000) AS BIGINT)").alias(
+            "mse_units"
+        ),
+        F.expr(
+            f"CAST((1000000 * ({sst} - n * sse) + {_OFF} * nullif({sst}, 0))"
+            f" div nullif({sst}, 0) - {_OFF} AS BIGINT)"
+        ).alias("r2_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# srd1 — Spearman-vs-Pearson disagreement of forecast vs actual (round 12)
+# --------------------------------------------------------------------------
+
+_SRD1_SQL = f"""
+WITH {_SES_FC_CTES},
+ranked AS (
+  SELECT event_type, t, y_t, f,
+         CAST(f // 1000000 AS HUGEINT) AS xw,
+         CAST(row_number() OVER (ORDER BY f, event_type, t) AS BIGINT) AS rx,
+         CAST(row_number() OVER (ORDER BY y_t, event_type, t) AS BIGINT) AS ry
+  FROM fc
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(xw) AS HUGEINT) AS sx,
+         CAST(sum(y_t) AS HUGEINT) AS sy,
+         CAST(sum(xw * xw) AS HUGEINT) AS sx2,
+         CAST(sum(y_t * y_t) AS HUGEINT) AS sy2,
+         CAST(sum(xw * y_t) AS HUGEINT) AS sxy,
+         CAST(sum((rx - ry) * (rx - ry)) AS HUGEINT) AS sd2
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       CAST((1000000 * (n * (n * n - 1) - 6 * sd2)
+             + {_OFF} * NULLIF(n * (n * n - 1), 0))
+            // NULLIF(n * (n * n - 1), 0) - {_OFF} AS BIGINT) AS rho_micro,
+       CAST(sign(n * sxy - sx * sy) AS BIGINT) AS pearson_sign,
+       CAST((1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))
+            // NULLIF((n * sx2 - sx * sx) * (n * sy2 - sy * sy), 0)
+            AS BIGINT) AS pearson_sq_micro,
+       CAST(sign(n * (n * n - 1) - 6 * sd2)
+            * ((1000000 * (n * (n * n - 1) - 6 * sd2)
+                        * (n * (n * n - 1) - 6 * sd2))
+               // NULLIF(n * (n * n - 1) * n * (n * n - 1), 0))
+          - sign(n * sxy - sx * sy)
+            * ((1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))
+               // NULLIF((n * sx2 - sx * sx) * (n * sy2 - sy * sy), 0))
+            AS BIGINT) AS signed_sq_gap_micro
+FROM s
+"""
+
+
+@query("srd1_spearman_pearson_gap", oracle=_SRD1_SQL)
+def srd1_spearman_pearson_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman-vs-Pearson disagreement of the forecast/actual pair,
+    pooled across (event_type, day): when the MONOTONE association
+    (Spearman) is high but the LINEAR one (Pearson) is low, the
+    forecast ranks days correctly but is miscalibrated in level
+    (outliers or nonlinearity) — the classic reason an eval that
+    only reports Pearson r ships a broken regressor. The third
+    member of r11 task 6's regression harness: reg1 gives absolute
+    error, this separates ordering skill from calibration.
+
+    Exactness: Spearman runs on deterministic integer ranks
+    (row_number with the unique (event_type, t) tiebreak — corr1's
+    documented tie convention) so rho = 1 - 6*Sd2/(n(n^2-1)) exits
+    as ONE OFF-shifted integral micro division; Pearson follows the
+    mcc1/ccf1 signed-square convention on whole-count-quantized
+    forecasts (f // 1e6 — a deterministic <=1-count truncation
+    mirrored in both engines, keeping the squared numerator inside
+    DECIMAL(38,0) through ~1e6 events/day). The gap is the signed
+    difference of the two squared coefficients — exact integers
+    end to end.
+
+    Scale shape: the input is the CALENDAR-BOUNDED forecast frame
+    (types x spine days, ~145 rows at any corpus size), so the two
+    global rank windows are single-partition over a bounded spine —
+    the ap1-documented exception — and everything else is one 1-row
+    aggregate. The 100 TB cost is reg1's daily count, nothing more."""
+    fc = _ses_forecast_frame(spark, sf_dir)
+    dec = "decimal(38,0)"
+    ranked = fc.select(
+        "event_type",
+        "t",
+        F.col("y_t").cast(dec).alias("y"),
+        F.expr("CAST(f_micro div 1000000 AS DECIMAL(38,0))").alias("xw"),
+        F.row_number()
+        .over(Window.orderBy("f_micro", "event_type", "t"))
+        .cast("long")
+        .alias("rx"),
+        F.row_number()
+        .over(Window.orderBy("y_t", "event_type", "t"))
+        .cast("long")
+        .alias("ry"),
+    )
+    d = F.col("rx") - F.col("ry")
+    s = ranked.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("xw").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("xw") * F.col("xw")).cast(dec).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast(dec).alias("sy2"),
+        F.sum(F.col("xw") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum((d * d).cast(dec)).cast(dec).alias("sd2"),
+    )
+    rho_num = "(n * (n * n - 1) - 6 * sd2)"
+    rho_den = "(n * (n * n - 1))"
+    p_num = "(n * sxy - sx * sy)"
+    p_den = "((n * sx2 - sx * sx) * (n * sy2 - sy * sy))"
+    rho_sq = (
+        f"(1000000 * {rho_num} * {rho_num})"
+        f" div nullif({rho_den} * {rho_den}, 0)"
+    )
+    p_sq = f"(1000000 * {p_num} * {p_num}) div nullif({p_den}, 0)"
+    return s.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.expr(
+            f"CAST((1000000 * {rho_num} + {_OFF} * nullif({rho_den}, 0))"
+            f" div nullif({rho_den}, 0) - {_OFF} AS BIGINT)"
+        ).alias("rho_micro"),
+        F.expr(f"CAST(sign({p_num}) AS BIGINT)").alias("pearson_sign"),
+        F.expr(f"CAST({p_sq} AS BIGINT)").alias("pearson_sq_micro"),
+        F.expr(
+            f"CAST(sign({rho_num}) * ({rho_sq})"
+            f" - sign({p_num}) * ({p_sq}) AS BIGINT)"
+        ).alias("signed_sq_gap_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# fleiss1 — Fleiss' kappa across the three dedup detectors (round 12)
+# --------------------------------------------------------------------------
+
+from .extended import _D3M_SQL, _D4_FP_CTES  # noqa: E402
+
+_FLEISS1_SQL = f"""
+WITH {_D4_FP_CTES},
+lshp AS (SELECT doc_a, doc_b FROM ({_D3M_SQL}) t),
+lshdocs AS (
+  SELECT doc_a AS ld FROM lshp UNION SELECT doc_b FROM lshp
+),
+shdocs AS (
+  SELECT doc_a AS sd FROM simcand UNION SELECT doc_b FROM simcand
+),
+base AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+hc AS (SELECT h, count(*) AS c FROM base GROUP BY h),
+flags AS (
+  SELECT CASE WHEN hc.c >= 2 THEN 1 ELSE 0 END AS fa,
+         CASE WHEN ld.ld IS NOT NULL THEN 1 ELSE 0 END AS fb,
+         CASE WHEN sd.sd IS NOT NULL THEN 1 ELSE 0 END AS fc
+  FROM base b
+  JOIN hc USING (h)
+  LEFT JOIN lshdocs ld ON ld.ld = b.doc_id
+  LEFT JOIN shdocs sd ON sd.sd = b.doc_id
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(fa + fb + fc) AS HUGEINT) AS s1,
+         CAST(sum((fa + fb + fc) * (fa + fb + fc)) AS HUGEINT) AS s2,
+         CAST(sum(fa) AS HUGEINT) AS nfa,
+         CAST(sum(fb) AS HUGEINT) AS nfb,
+         CAST(sum(fc) AS HUGEINT) AS nfc
+  FROM flags
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(nfa AS BIGINT) AS exact_flags,
+       CAST(nfb AS BIGINT) AS lsh_flags,
+       CAST(nfc AS BIGINT) AS simhash_flags,
+       CAST((1000000 * (2 * s2 - 6 * s1 + 6 * n)) // NULLIF(6 * n, 0)
+            AS BIGINT) AS pbar_micro,
+       CAST((1000000 * (3 * n * (2 * s2 - 6 * s1 + 6 * n)
+                        - 2 * (s1 * s1 + (3 * n - s1) * (3 * n - s1)))
+             + {_OFF} * NULLIF(18 * n * n
+                        - 2 * (s1 * s1 + (3 * n - s1) * (3 * n - s1)), 0))
+            // NULLIF(18 * n * n
+                      - 2 * (s1 * s1 + (3 * n - s1) * (3 * n - s1)), 0)
+            - {_OFF} AS BIGINT) AS kappa_micro
+FROM s
+"""
+
+
+@query("fleiss1_multirater_kappa", oracle=_FLEISS1_SQL)
+def fleiss1_multirater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) across the corpus' THREE deployed
+    duplicate detectors — exact-md5 (d1's rule), MinHash-LSH shingle
+    Jaccard (d3m's md5 family, est >= 0.5, doc flagged iff it
+    appears in any candidate pair), and SimHash bag-of-words (d4,
+    Hamming <= 3) — the inter-rater generalization kappa1's 2-rater
+    form cannot give (verdict r11 task 6; da1 compares PAIR SETS of
+    two detectors, this rates chance-discounted agreement of all
+    three row-level flags on the whole population). Low kappa with
+    high raw agreement is the redundancy-review signal: the
+    detectors agree mostly because most docs are unique.
+
+    Exactness: with n=3 raters and 2 categories, per-doc agreement
+    P_i = [x(x-1) + (3-x)(2-x)]/6 needs only S1 = sum(x) and
+    S2 = sum(x^2) (x = flags per doc), so
+    kappa = [3N(2*S2 - 6*S1 + 6N) - 2(S1^2 + (3N-S1)^2)]
+          / [18N^2 - 2(S1^2 + (3N-S1)^2)]
+    — ONE OFF-shifted integral micro division of exact integer
+    sums (denominator >= 0 since S1^2+(3N-S1)^2 <= 9N^2, NULL when
+    every rater is unanimous on every doc); pbar_micro is the raw
+    mean agreement companion. 1e6*18N^2 fits DECIMAL(38,0) to
+    N ~ 1e15 docs — no realistic bound.
+
+    Scale shape: strictly the union of d1's md5 groupBy, d3m's
+    documented LSH shape, and d4's simhash shape, followed by two
+    distinct-doc projections of PAIR-SIZED relations (<< corpus),
+    two doc-keyed left joins, and one 1-row aggregate. Nothing
+    all-pairs, nothing corpus-quadratic."""
+    from ..functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash_band_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select("doc_id", F.md5("text").alias("h"))
+    hc = base.groupBy("h").agg(F.count("*").alias("c"))
+    sigs = minhash_signatures(docs, n_hashes=32, hash_family="md5")
+    lshp = lsh_candidate_pairs(
+        sigs, bands=8, n_hashes=32, band_key="slice"
+    ).filter(F.col("est_jaccard") >= 0.5)
+    lshdocs = (
+        lshp.select(F.col("doc_a").alias("ld"))
+        .union(lshp.select(F.col("doc_b").alias("ld")))
+        .distinct()
+        .withColumn("in_lsh", F.lit(1))
+    )
+    shp = simhash_band_pairs(docs, max_hamming=3)
+    shdocs = (
+        shp.select(F.col("doc_a").alias("sd"))
+        .union(shp.select(F.col("doc_b").alias("sd")))
+        .distinct()
+        .withColumn("in_sh", F.lit(1))
+    )
+    flags = (
+        base.join(hc, "h")
+        .join(lshdocs, base["doc_id"] == lshdocs["ld"], "left")
+        .join(shdocs, base["doc_id"] == shdocs["sd"], "left")
+        .select(
+            F.when(F.col("c") >= 2, 1).otherwise(0).alias("fa"),
+            F.when(F.col("in_lsh").isNotNull(), 1).otherwise(0).alias("fb"),
+            F.when(F.col("in_sh").isNotNull(), 1).otherwise(0).alias("fc"),
+        )
+    )
+    dec = "decimal(38,0)"
+    x = F.col("fa") + F.col("fb") + F.col("fc")
+    s = flags.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(x).cast(dec).alias("s1"),
+        F.sum(x * x).cast(dec).alias("s2"),
+        F.sum("fa").cast(dec).alias("nfa"),
+        F.sum("fb").cast(dec).alias("nfb"),
+        F.sum("fc").cast(dec).alias("nfc"),
+    )
+    pe2 = "(s1 * s1 + (3 * n - s1) * (3 * n - s1))"
+    num = f"(3 * n * (2 * s2 - 6 * s1 + 6 * n) - 2 * {pe2})"
+    den = f"(18 * n * n - 2 * {pe2})"
+    return s.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("nfa").cast("long").alias("exact_flags"),
+        F.col("nfb").cast("long").alias("lsh_flags"),
+        F.col("nfc").cast("long").alias("simhash_flags"),
+        F.expr(
+            "CAST((1000000 * (2 * s2 - 6 * s1 + 6 * n))"
+            " div nullif(6 * n, 0) AS BIGINT)"
+        ).alias("pbar_micro"),
+        F.expr(
+            f"CAST((1000000 * {num} + {_OFF} * nullif({den}, 0))"
+            f" div nullif({den}, 0) - {_OFF} AS BIGINT)"
+        ).alias("kappa_micro"),
+    )
