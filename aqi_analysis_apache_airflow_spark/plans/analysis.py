@@ -4466,3 +4466,335 @@ def fleiss1_multirater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div nullif({den}, 0) - {_OFF} AS BIGINT)"
         ).alias("kappa_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# gof1 — chi-square goodness-of-fit: weekday uniformity (round 12)
+# --------------------------------------------------------------------------
+
+_GOF1_CRIT_MICRO = 12_591_587  # chi^2_{0.05, df=6} = 12.591587 in micro
+
+_GOF1_SQL = f"""
+WITH d AS (
+  SELECT event_type,
+         ((CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                AS BIGINT) % 7) + 7) % 7 AS wd
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+o AS (
+  SELECT event_type, wd, CAST(count(*) AS HUGEINT) AS c
+  FROM d GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+         CAST(sum(c) AS HUGEINT) AS n,
+         CAST(sum(c * c) AS HUGEINT) AS q,
+         CAST(count(*) AS BIGINT) AS k_days
+  FROM o GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       k_days,
+       CAST((1000000 * (7 * q - n * n)) // n AS BIGINT) AS chi2_micro,
+       1000000 * (7 * q - n * n) > {_GOF1_CRIT_MICRO} * n AS nonuniform
+FROM s
+"""
+
+
+@query("gof1_weekday_uniformity", oracle=_GOF1_SQL)
+def gof1_weekday_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of each event type's weekday mix
+    against the uniform null (Pearson 1900) — the ONE-sample member
+    the inference family was missing: dq3/ks1/psi1 compare two
+    empirical samples, this tests one sample against a DECLARED
+    distribution, the shape a traffic model or cron-skew audit
+    actually asserts ("is signup traffic flat across the week?").
+    df = 6, alpha = .05.
+
+    Exactness: with O_i the per-weekday counts and n their total,
+    Sigma(O - n/7)^2 / (n/7) collapses to (7*Sigma O^2 - n^2)/n —
+    ONE non-negative integral micro division (missing weekdays
+    contribute 0 to Sigma O^2, so sparse groups need no densify);
+    the alpha gate is the ab1/drift1 cross-multiplied integer
+    comparison against the 6dp-frozen critical value
+    _GOF1_CRIT_MICRO = 12591587 micro — libm never runs. The weekday is the
+    engine-shared epoch-day mod 7 (sign-folded), not either
+    engine's locale-dependent dayofweek. Spark `div` wrap bound:
+    the quotient is <= 6e6*n, inside int64 through n ~ 1e12 events
+    per type.
+
+    Scale shape: one (type, weekday) counting groupBy — at most
+    7 rows per type — then k-row arithmetic. The cheapest possible
+    distribution test."""
+    d = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.pmod(
+                F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")),
+                F.lit(7),
+            ).alias("wd"),
+        )
+    )
+    dec = "decimal(38,0)"
+    o = d.groupBy("event_type", "wd").agg(F.count("*").cast(dec).alias("c"))
+    s = o.groupBy("event_type").agg(
+        F.sum("c").cast(dec).alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast(dec).alias("q"),
+        F.count("*").cast("long").alias("k_days"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        "k_days",
+        F.expr(
+            "CAST((1000000 * (7 * q - n * n)) div n AS BIGINT)"
+        ).alias("chi2_micro"),
+        F.expr(
+            f"1000000 * (7 * q - n * n) > {_GOF1_CRIT_MICRO} * n"
+        ).alias("nonuniform"),
+    )
+
+
+# --------------------------------------------------------------------------
+# tost1 — TOST equivalence test between experiment arms (round 12)
+# --------------------------------------------------------------------------
+
+_TOST_DELTA_CENTS = 10  # declared equivalence margin: 10 cents of mean value
+_TOST_Z2_MICRO = 2_705_543  # z_{0.05}^2 = 1.644854^2 = 2.705543 in micro
+
+_TOST1_SQL = f"""
+WITH per AS (
+  SELECT event_type,
+         CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_a,
+         CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (WHERE user_id % 2 = 0), 0) AS HUGEINT) AS s_a,
+         CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)
+                           * CAST(round(value * 100) AS BIGINT))
+                FILTER (WHERE user_id % 2 = 0), 0) AS HUGEINT) AS q_a,
+         CAST(count(*) FILTER (WHERE user_id % 2 <> 0) AS BIGINT) AS n_b,
+         CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (WHERE user_id % 2 <> 0), 0) AS HUGEINT) AS s_b,
+         CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)
+                           * CAST(round(value * 100) AS BIGINT))
+                FILTER (WHERE user_id % 2 <> 0), 0) AS HUGEINT) AS q_b
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY event_type
+),
+z AS (
+  SELECT event_type, n_a, n_b,
+         (s_a * n_b - s_b * n_a) AS d,
+         (n_a * q_a - s_a * s_a) AS ss_a,
+         (n_b * q_b - s_b * s_b) AS ss_b
+  FROM per
+)
+SELECT event_type, n_a, n_b,
+       CAST((1000000 * abs(d)) // NULLIF(CAST(n_a AS HUGEINT) * n_b, 0)
+            AS BIGINT) AS abs_gap_cents_micro,
+       CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+         abs(d) < {_TOST_DELTA_CENTS} * CAST(n_a AS HUGEINT) * n_b
+         AND 1000000 * ({_TOST_DELTA_CENTS} * CAST(n_a AS HUGEINT) * n_b
+                        - abs(d))
+                     * ({_TOST_DELTA_CENTS} * CAST(n_a AS HUGEINT) * n_b
+                        - abs(d))
+                     * (n_a - 1) * (n_b - 1)
+             > {_TOST_Z2_MICRO}
+               * (CAST(n_b AS HUGEINT) * n_b * ss_a * (n_b - 1)
+                  + CAST(n_a AS HUGEINT) * n_a * ss_b * (n_a - 1))
+       END AS equivalent
+FROM z
+"""
+
+
+@query("tost1_equivalence_test", oracle=_TOST1_SQL)
+def tost1_equivalence_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (Schuirmann 1987, two one-sided tests)
+    between the id-parity experiment arms on mean event value —
+    the question ab1/ab2 CANNOT answer: a non-significant z-test is
+    absence of evidence, not evidence of equivalence, and the
+    decision a data-swap / pipeline-migration readout actually
+    needs is "are the arms provably within +-10 cents?" (the
+    declared margin _TOST_DELTA_CENTS). Both one-sided alpha=.05
+    z-tests must reject, which collapses to
+    |gap| < delta AND (delta - |gap|)/se > z_alpha.
+
+    Exactness: ab2's exact machinery reused — cents fixed-point,
+    d = s_a*n_b - s_b*n_a, ss_i = n_i*q_i - s_i^2, and the TOST
+    condition cleared of every denominator:
+    1e6*(delta*n_a*n_b - |d|)^2*(n_a-1)(n_b-1)
+      > z2micro*(n_b^2*ss_a*(n_b-1) + n_a^2*ss_b*(n_a-1))
+    with z_alpha^2 frozen at 6dp (_TOST_Z2_MICRO = 2705543) — an
+    integer comparison, libm never runs. NULL (no decision) when
+    either arm lacks a variance estimate (n < 2). Width bound
+    (anova1 convention): the LHS carries delta^2*n^6, so
+    DECIMAL(38,0)/HUGEINT holds through ~1e5 events per type at
+    adversarial 2e7 values (~1e6 at normal cent scales); rescale
+    cents to dollars past that.
+
+    Scale shape: identical to ab2 — ONE map-side-combined
+    groupBy(event_type) over three columns, all six power sums in
+    the same pass, zero joins/windows."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    a = F.col("user_id") % 2 == 0
+    c = F.round(F.col("value") * 100).cast("long")
+    dec = lambda x: x.cast("decimal(38,0)")  # noqa: E731
+    zero = F.lit(0).cast("decimal(38,0)")
+    per = (
+        ev.select("event_type", a.alias("a"), c.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count_if(F.col("a")).alias("n_a"),
+            F.coalesce(
+                F.sum(F.when(F.col("a"), dec(F.col("c")))), zero
+            ).alias("s_a"),
+            F.coalesce(
+                F.sum(F.when(F.col("a"), dec(F.col("c") * F.col("c")))), zero
+            ).alias("q_a"),
+            F.count_if(~F.col("a")).alias("n_b"),
+            F.coalesce(
+                F.sum(F.when(~F.col("a"), dec(F.col("c")))), zero
+            ).alias("s_b"),
+            F.coalesce(
+                F.sum(F.when(~F.col("a"), dec(F.col("c") * F.col("c")))), zero
+            ).alias("q_b"),
+        )
+    )
+    z = per.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (F.col("s_a") * dec(F.col("n_b")) - F.col("s_b") * dec(F.col("n_a")))
+        .alias("d"),
+        (dec(F.col("n_a")) * F.col("q_a") - F.col("s_a") * F.col("s_a"))
+        .alias("ss_a"),
+        (dec(F.col("n_b")) * F.col("q_b") - F.col("s_b") * F.col("s_b"))
+        .alias("ss_b"),
+    )
+    m = f"{_TOST_DELTA_CENTS} * CAST(n_a AS DECIMAL(38,0)) * n_b"
+    return z.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST((1000000 * abs(d))"
+            " div nullif(CAST(n_a AS DECIMAL(38,0)) * n_b, 0) AS BIGINT)"
+        ).alias("abs_gap_cents_micro"),
+        F.expr(
+            f"CASE WHEN n_a >= 2 AND n_b >= 2 THEN"
+            f" abs(d) < {m}"
+            f" AND 1000000 * ({m} - abs(d)) * ({m} - abs(d))"
+            f"     * (n_a - 1) * (n_b - 1)"
+            f"   > {_TOST_Z2_MICRO}"
+            f"     * (CAST(n_b AS DECIMAL(38,0)) * n_b * ss_a * (n_b - 1)"
+            f"        + CAST(n_a AS DECIMAL(38,0)) * n_a * ss_b * (n_a - 1))"
+            f" END"
+        ).alias("equivalent"),
+    )
+
+
+
+
+# --------------------------------------------------------------------------
+# cv1 — k-fold split exchangeability audit (round 12)
+# --------------------------------------------------------------------------
+
+_CV_FOLDS = 5
+
+_CV1_SQL = f"""
+WITH base AS (
+  SELECT doc_id, md5(text) AS h,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok,
+         (lang = 'en') AS is_en,
+         (({CE_HASH64_SQL.format(
+             h="md5('cv|'||CAST(doc_id AS VARCHAR))")})
+          % {_CV_FOLDS} + {_CV_FOLDS}) % {_CV_FOLDS} AS fold
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+hc AS (SELECT h, count(*) AS c FROM base GROUP BY h),
+tot AS (
+  SELECT CAST(count(*) AS HUGEINT) AS nt,
+         CAST(sum(n_tok) AS HUGEINT) AS tt
+  FROM base
+)
+SELECT fold,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST((5000 * count(*)) // t.nt AS BIGINT) AS share_permille_of_fair,
+       CAST(sum(b.n_tok) AS BIGINT) AS n_tokens,
+       CAST((5000 * sum(b.n_tok)) // NULLIF(t.tt, 0) AS BIGINT)
+         AS tok_share_permille_of_fair,
+       CAST(count(*) FILTER (WHERE hc.c >= 2) AS BIGINT) AS dup_docs,
+       CAST(count(*) FILTER (WHERE b.is_en) AS BIGINT) AS en_docs
+FROM base b JOIN hc USING (h) CROSS JOIN tot t
+GROUP BY fold, t.nt, t.tt
+"""
+
+
+@query("cv1_fold_balance_audit", oracle=_CV1_SQL)
+def cv1_fold_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation split audit (K=5): deterministic
+    salted-hash fold assignment plus the per-fold exchangeability
+    profile an eval harness must check BEFORE trusting fold-wise
+    scores — doc share, token share (both as permille of the fair
+    K-th share: 1000 = perfectly fair), exact-dup membership (d1's
+    rule — dups concentrated in one fold leak train into eval), and
+    language mix. Completes the split family: split1-3 produce
+    train/val boundaries, this audits the K-fold generalization of
+    them the way place2 audits place1's placement.
+
+    Exactness: the fold is the salted cross-engine hash
+    pmod(ce_hash64('cv|' || doc_id), 5) — deterministic, replayed
+    bit-for-bit by the oracle's md5 form; every profile column is an
+    exact count/sum and the two shares are single integral permille
+    divisions against the broadcast 1-row totals.
+
+    Scale shape: one md5-keyed counting groupBy (the d1/kappa1
+    shape), one doc-keyed join back, one broadcast 1-row totals
+    crossJoin, one K-row groupBy. No pairwise anything."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        (F.col("lang") == "en").alias("is_en"),
+        F.pmod(
+            ce_hash64(
+                F.concat(F.lit("cv|"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(_CV_FOLDS),
+        ).alias("fold"),
+    )
+    hc = base.groupBy("h").agg(F.count("*").alias("c"))
+    tot = base.agg(
+        F.count("*").cast("decimal(38,0)").alias("nt"),
+        F.sum("n_tok").cast("decimal(38,0)").alias("tt"),
+    )
+    return (
+        base.join(hc, "h")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("fold", "nt", "tt")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.count(F.when(F.col("c") >= 2, 1)).cast("long").alias("dup_docs"),
+            F.count(F.when(F.col("is_en"), 1)).cast("long").alias("en_docs"),
+        )
+        .select(
+            "fold",
+            "n_docs",
+            F.expr(
+                f"CAST(({_CV_FOLDS * 1000} * n_docs) div nt AS BIGINT)"
+            ).alias("share_permille_of_fair"),
+            "n_tokens",
+            F.expr(
+                f"CAST(({_CV_FOLDS * 1000} * n_tokens)"
+                " div nullif(tt, 0) AS BIGINT)"
+            ).alias("tok_share_permille_of_fair"),
+            "dup_docs",
+            "en_docs",
+        )
+    )

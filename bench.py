@@ -9,54 +9,69 @@ Each query is forced through the noop writer so every column/aggregate
 is actually computed (a bare count() would let Catalyst prune the
 projections being benchmarked).
 
-Methodology: one UNCOUNTED warmup pass over the full query list (the
-first execution of a query pays whole-stage-codegen compilation and
-JIT — structural cold-start, not plan cost), then
-$SPARK_GRAFT_BENCH_PASSES (default 3) counted INTERLEAVED passes; the
-reported per-query number is the median across counted passes. One
-shared JVM means late queries inherit GC/JIT/cache pressure from
-earlier ones — interleaving spreads that drift over every query
-instead of charging it to whichever query ran last, and the median
-drops one-off hiccups, so round-over-round deltas are attributable to
-plan changes. ``spread_pct`` (max−min over median, per query) is
-emitted so a noisy measurement is visible as such. The session cache
-is cleared between queries: several registry plans persist
-intermediates (LSH signatures, candidate pairs), and without the
-clear a later pass would reuse a prior pass's cache and measure
-nothing.
+Methodology (round 12 — FIXED FRESH-JVM BLOCKS, verdict r11 task 2):
+the headline is split into frozen blocks of ``BLOCK_CAPACITY`` (=73)
+queries; each block runs in its OWN child process / fresh JVM with the
+full prior methodology (one uncounted warmup pass, then
+$SPARK_GRAFT_BENCH_PASSES (default 3) counted INTERLEAVED passes,
+median per query, adaptive top-ups while the trimmed spread > 30%, the
+session cache cleared between queries). Streaming (st1-st8) and the
+appendix run in their own children. WHY blocks: shared-JVM dose is
+measured, not assumed — BENCH_PRESSURE.json (2026-08-15) showed a
+65-query subset running 1.131x slower inside a 186-query same-JVM
+headline than solo under the default codegen cache, still 1.062x at
+maxEntries=5000, and r11's +20% common-query shift on a
+canary-verified-clean box was exactly this mechanism at 219 queries
+(every worst mover lived in an untouched file). A 73-query block IS
+the solo dose (BENCH_PRESSURE's solo arm was 65 queries in one JVM),
+so per-query medians are dose-independent by construction and
+round-over-round comparisons hold PER BLOCK as the headline grows.
+BENCH_PRESSURE2.json (2026-08-16) certifies the residual: the same 65
+subset inside block-mode vs solo. The price is one JVM startup +
+warmup per block (~20s x 6 children).
 
-Shared-JVM pressure is MEASURED, not assumed (BENCH_PRESSURE.json,
-2026-08-15): under Spark's DEFAULT 100-entry generated-class cache,
-the 65 queries common to rounds 6–8 ran 13.1% slower inside the full
-186-query headline than in a solo run with identical methodology —
-the r6→r7 +13.5% "drift" on common queries was codegen-cache thrash,
-not plan regressions. The session now sets
-spark.sql.codegen.cache.maxEntries=5000 (a 186-query pass compiles
-far more distinct stages than 100), which cut the identical headline
-271.8s → 185.7s (−32%) and the residual pressure ratio to 1.062.
-Compare totals only against runs of the SAME headline size and
-session config, or against the solo figures in BENCH_PRESSURE.json.
-Single cross-JVM runs on this box also swing ~±5% run-to-run
-(measured with identical configs back-to-back); one-query conclusions
-need interleaved same-process A/Bs.
+HEADLINE is APPEND-ONLY (it always has been: additions land at the
+tail each round): consecutive 73-query slices therefore have FROZEN
+membership — blocks 1..k never change once full; new queries fill the
+last partial block, then open a new one. The committed block map is
+exactly ``headline_blocks()`` over the committed list. r12 totals are
+the new baseline; earlier rounds' totals were same-JVM-dosed and are
+NOT comparable (r11: 251.9s/219q one-JVM; the same queries block-mode
+run faster by roughly the removed pressure).
 
-Round-11 comparability note (2026-08-16): the headline grew 204 → 219
-(verdict r10 task 4 promotions), and on a CANARY-VERIFIED clean box
-(box_state 0.961) the 204 common queries ran 1.20x the r10 committed
-run — a broad shift on untouched queries (q9 1.48x, cp2 1.49x, qc4
-1.45x) that is the documented headline-size pressure, not code
-regression; r10 itself measured the same mechanism (BENCH_PRESSURE:
-+13.1% commons inside a 186-query headline vs solo). r11 totals are
-the new baseline for a 219-query headline. The r9 worst-mover loop
-(verdict r10 task 5) closes clean: against r10's committed run, d8
-2.14 → 1.66s, d3 2.97 → 2.18s, sub2 1.53 → 1.34s, cov1 1.91 → 2.02s —
-none exceeds the uniform context shift, no residual per-query
-regression."""
+Box-state canary (verdict r10 task 2): EVERY batch child (headline +
+appendix blocks) measures q1 against its committed solo reference
+first, stamps the per-block ``box_state``, and a hot box (> 1.10x)
+gets one 60s cooldown + retry. The streaming child carries NO canary
+(r9 finding: streams are measured on the truly fresh JVM; the r11
+canary-before-streaming wrinkle is hereby undone — streaming medians
+are again comparable to r10-and-earlier).
+
+Worst-mover gate (verdict r11 task 4): when BENCH_REF.json exists
+(frozen per-query medians from the r12 block-mode run, raw), the run
+emits the top-10 ``median/ref`` movers into the detail file plus a
+``movers15`` count (ratio > 1.5) on the stdout line; each mover row
+carries its block's box_state so a hot-block artifact is visible.
+RAW ratios, deliberately NOT canary-normalized: the canary measures
+box state at BLOCK START and 2026-08-16 data shows that overestimates
+the block window (block-1 canary 1.223 while q1's in-block median ran
+0.767/0.94 = 0.82 of reference minutes later — post-workload heat
+decays faster than a block runs). The canary is a flag, not a
+divisor. Any mover > 1.5x on a cool block two rounds running gets a
+dated note or a fix.
+
+Single cross-JVM runs on this box swing ~±5% run-to-run (measured
+with identical configs back-to-back); one-query conclusions need
+interleaved same-process A/Bs. SPARK_GRAFT_BENCH_ONLY=<names> keeps
+the legacy single-process path (one JVM, those queries only, results
+to BENCH_PARTIAL.json) — that is also the vehicle for solo-dose
+pressure measurements."""
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -82,11 +97,6 @@ if not _HAVE_PROTOBUF:
         os.environ["PYTHONPATH"] = os.pathsep.join(
             p for p in [_VENDOR, os.environ.get("PYTHONPATH", "")] if p
         )
-
-from aqi_analysis_apache_airflow_spark.plans import REGISTRY
-from aqi_analysis_apache_airflow_spark.plans import extended as _extended  # noqa: F401
-from aqi_analysis_apache_airflow_spark.plans import queries as _queries  # noqa: F401
-from aqi_analysis_apache_airflow_spark.session import get_spark
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -329,22 +339,32 @@ HEADLINE = [
     "ece1_reliability_diagram",
 ]
 
+#: Frozen block capacity (see module docstring). 219 committed headline
+#: queries = exactly 3 full blocks; new promotions open block 4.
+BLOCK_CAPACITY = 73
+
+
+def headline_blocks() -> list[list[str]]:
+    """The committed block map: consecutive frozen 73-query slices of
+    the append-only HEADLINE list."""
+    return [
+        HEADLINE[i : i + BLOCK_CAPACITY]
+        for i in range(0, len(HEADLINE), BLOCK_CAPACITY)
+    ]
+
+
 # Box-state canary (verdict r10 task 2): q1's committed 3-pass median
-# at sf0.1 on a verified-idle box (BENCH_DETAIL.json @ a095b1a). The
-# driver's r10 run landed a UNIFORM 1.16x above the same-round
-# committed run — the dose-dependent box-state degradation this repo
-# measured (post-13-min-pytest run: +15% uniform; 60s cooldown
-# restored it). The canary makes that shift machine-detectable: q1 is
-# measured FIRST, its ratio to this reference is stamped into the
-# artifact as box_state, and a hot box gets ONE 60s cooldown + retry
-# (the measured recovery dose) before the headline starts.
+# at sf0.1 on a verified-idle box (BENCH_DETAIL.json @ a095b1a),
+# measured FIRST on a fresh JVM — which is exactly how every block
+# child runs it, so the reference carries over to block mode.
 _CANARY_NAME = "q1_pricing_summary"
 _CANARY_REF_S = 0.94
-_CANARY_HOT_RATIO = 1.10  # was 1.15: the 2026-08-16 final r11 run
-# measured 1.127 — under the old gate, yet the whole run came back a
-# uniform 1.08x of the same-day 0.961-box run; cross-JVM noise is
-# ±4-5%, so >=10% is real heat, not noise, and deserves the cooldown
+_CANARY_HOT_RATIO = 1.10  # >=10% is real heat (cross-JVM noise is
+# ±4-5%, measured); a hot box gets ONE 60s cooldown + retry
 _CANARY_COOLDOWN_S = 60
+
+_REF_PATH = os.path.join(_HERE, "BENCH_REF.json")
+_MOVER_FLAG_RATIO = 1.5
 
 
 def median(xs: list[float]) -> float:
@@ -379,31 +399,13 @@ def raw_spread_pct(xs: list[float]) -> float:
     return 100 * (s[-1] - s[0]) / median(xs)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    # Iteration aid: SPARK_GRAFT_BENCH_ONLY="d3_minhash_lsh,gr1_pagerank"
-    # restricts the headline to the named queries (same warmup +
-    # interleave methodology) so a single query can be re-measured
-    # without a full 113-query run. Unset = the full headline.
-    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    if only:
-        keep = {n.strip() for n in only.split(",") if n.strip()}
-        unknown = keep - set(HEADLINE)
-        if unknown:
-            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY names not in HEADLINE: {unknown}")
-        HEADLINE[:] = [n for n in HEADLINE if n in keep]
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
-    if n_passes < 1:
-        raise SystemExit(
-            f"SPARK_GRAFT_BENCH_PASSES={n_passes}: need >= 1 counted pass "
-            "(pass 0 is always an uncounted warmup)"
-        )
-    spark = get_spark(app_name="bench")
+def _sf_of(sf_dir: str) -> float:
+    return float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
 
-    # Uncounted warmup: JIT the write path/codegen once, and fault the
-    # input files into the OS page cache so per-query numbers reflect
-    # steady state instead of charging the first query for cold disk.
+
+def _warmup(spark, sf_dir: str) -> None:
+    """JIT the write path/codegen once and fault the input files into
+    the OS page cache so per-query numbers reflect steady state."""
     spark.range(1_000_000).selectExpr("sum(id) AS s").write.format("noop").mode(
         "overwrite"
     ).save()
@@ -413,283 +415,261 @@ def main() -> None:
     for t in CORPUS_TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
-    # ---- box-state canary (verdict r10 task 2) ----
-    # q1 warmup + 3 counted samples, median vs the committed reference.
-    # Ratio > _CANARY_HOT_RATIO => one cooldown + re-measure; BOTH
-    # readings land in the detail file so a uniformly-shifted run is
-    # machine-detectable instead of argued from commit messages. The
-    # reference is only meaningful at sf0.1 (the committed scale); at
-    # other SFs the canary is skipped and box_state is null.
-    def _canary_median() -> float:
-        q = REGISTRY[_CANARY_NAME]
-        xs: list[float] = []
-        for pass_no in range(4):  # pass 0 = uncounted warmup
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            if pass_no > 0:
-                xs.append(time.perf_counter() - t0)
-        return median(xs)
 
-    canary_detail: dict | None = None
-    box_state: float | None = None
-    if abs(sf - 0.1) < 1e-9:
-        first = _canary_median()
-        box_state = first / _CANARY_REF_S
-        canary_detail = {
-            "query": _CANARY_NAME,
-            "ref_s": _CANARY_REF_S,
-            "first_median_s": round(first, 4),
-            "first_ratio": round(box_state, 3),
-            "retried": False,
-        }
-        if box_state > _CANARY_HOT_RATIO:
-            time.sleep(_CANARY_COOLDOWN_S)
-            second = _canary_median()
-            box_state = second / _CANARY_REF_S
-            canary_detail.update(
-                retried=True,
-                cooldown_s=_CANARY_COOLDOWN_S,
-                second_median_s=round(second, 4),
-            )
-        canary_detail["box_state"] = round(box_state, 3)
+def _time_query(spark, sf_dir: str, name: str) -> float:
+    from aqi_analysis_apache_airflow_spark.plans import REGISTRY
 
-    # ---- streaming block FIRST, on the fresh JVM (r9 finding) ----
-    # Comparability note (ADVICE r11): since r11 the box-state canary
-    # above runs 8 q1 batch executions (2 canary medians x 4 passes
-    # worst case) BEFORE this block, so "fresh JVM" means ~8 batch
-    # executions deep, not zero — a fixed, tiny dose that is identical
-    # every run from r11 onward (r10-and-earlier streaming medians were
-    # measured at literally zero prior executions).
-    # st1–st8 availableNow replay wall time: warmup + interleaved
-    # passes + median + the headline's adaptive re-run. Runs BEFORE
-    # the headline because micro-batch replays are acutely sensitive
-    # to accumulated same-JVM execution state: after the full ~850-
-    # execution headline, every streaming replay ran 5-10× slower
-    # (st3 2.7s → 68s MEDIAN over 11 samples, r9 measured) while
-    # batch queries in the same degraded JVM stayed at full speed
-    # (the appendix, running later still, was unaffected) — and
-    # neither half of the headline alone nor 12 back-to-back
-    # streaming passes reproduce it, so it is a dose-dependent
-    # JVM-state effect, not a leak in the streams themselves. This
-    # also explains r8's st7 87.9% / st3 49.6% spreads (its streaming
-    # block ran after ~780 executions). Production streams run in
-    # dedicated long-lived jobs, not after 850 ad-hoc batch queries
-    # in one driver — measuring them on the fresh JVM is the honest
-    # number; the degraded-JVM figure is a bench artifact.
-    st_detail: dict | None = None
-    extras = not only and os.environ.get(
-        "SPARK_GRAFT_BENCH_SKIP_EXTRAS", ""
-    ) not in ("1", "true")
-    if extras:
-        st_names = sorted(
-            n for n in REGISTRY if n.startswith("st") and n not in HEADLINE
+    q = REGISTRY[name]
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def _canary_median(spark, sf_dir: str) -> float:
+    xs: list[float] = []
+    for pass_no in range(4):  # pass 0 = uncounted warmup
+        dt = _time_query(spark, sf_dir, _CANARY_NAME)
+        if pass_no > 0:
+            xs.append(dt)
+    return median(xs)
+
+
+def _run_canary(spark, sf_dir: str) -> dict | None:
+    """q1 vs the committed reference; one cooldown+retry on a hot box.
+    Only meaningful at sf0.1 (the committed scale) — None elsewhere."""
+    if abs(_sf_of(sf_dir) - 0.1) > 1e-9:
+        return None
+    first = _canary_median(spark, sf_dir)
+    box_state = first / _CANARY_REF_S
+    detail = {
+        "query": _CANARY_NAME,
+        "ref_s": _CANARY_REF_S,
+        "first_median_s": round(first, 4),
+        "first_ratio": round(box_state, 3),
+        "retried": False,
+    }
+    if box_state > _CANARY_HOT_RATIO:
+        time.sleep(_CANARY_COOLDOWN_S)
+        second = _canary_median(spark, sf_dir)
+        box_state = second / _CANARY_REF_S
+        detail.update(
+            retried=True,
+            cooldown_s=_CANARY_COOLDOWN_S,
+            second_median_s=round(second, 4),
         )
-        st_samples: dict[str, list[float]] = {n: [] for n in st_names}
-        for pass_no in range(n_passes + 1):  # pass 0 = uncounted warmup
-            for name in st_names:
-                q = REGISTRY[name]
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                if pass_no > 0:
-                    st_samples[name].append(time.perf_counter() - t0)
-        if n_passes > 1:  # same adaptive budget as the headline
-            for _ in range(8):
-                noisy = [
-                    n for n, xs in st_samples.items() if spread_pct(xs) > 30.0
-                ]
-                if not noisy:
-                    break
-                for name in noisy:
-                    q = REGISTRY[name]
-                    spark.catalog.clearCache()
-                    t0 = time.perf_counter()
-                    q.fn(spark, sf_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    st_samples[name].append(time.perf_counter() - t0)
-        st_detail = {
-            "queries": {n: round(median(xs), 4) for n, xs in st_samples.items()},
-            "spread_pct": {
-                n: round(spread_pct(xs), 1) for n, xs in st_samples.items()
-            },
-            "raw_spread_pct": {
-                n: round(raw_spread_pct(xs), 1) for n, xs in st_samples.items()
-            },
-            "total": round(sum(median(xs) for xs in st_samples.values()), 4),
-            "passes": n_passes,
-            "note": "measured on the fresh JVM before the headline — see "
-            "the dose-dependent degradation note in bench.py",
-        }
+    detail["box_state"] = round(box_state, 3)
+    return detail
 
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+
+def _measure(
+    spark,
+    sf_dir: str,
+    names: list[str],
+    n_passes: int,
+    adaptive_rounds: int = 8,
+) -> dict[str, list[float]]:
+    """Warmup pass + n_passes counted interleaved passes + adaptive
+    top-ups while the trimmed spread exceeds 30%."""
+    samples: dict[str, list[float]] = {n: [] for n in names}
     for pass_no in range(n_passes + 1):  # pass 0 = uncounted warmup
-        for name in HEADLINE:
-            q = REGISTRY[name]
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        for name in names:
+            dt = _time_query(spark, sf_dir, name)
             if pass_no > 0:
-                samples[name].append(time.perf_counter() - t0)
-
-    # Adaptive re-run: sub-second queries on a shared JVM can show
-    # 70-90% min-max spread over 3 passes, which hides real regressions.
-    # Queries over the threshold get extra samples (up to 11 total) so
-    # the median settles; the detail file records the final spread.
-    # Eight rounds (round-6: mg1 was bimodal-in-context — stable alone
-    # AND next to its write-heavy neighbors, so the full-run outliers
-    # are accumulated-JVM-pressure noise that only more samples +
-    # stronger trimming can average out) — only still-noisy queries
-    # pay for each round, so the extra budget lands exactly on the
-    # repeat offenders.
+                samples[name].append(dt)
     if n_passes > 1:
-        for _ in range(8):
+        for _ in range(adaptive_rounds):
             noisy = [n for n, xs in samples.items() if spread_pct(xs) > 30.0]
             if not noisy:
                 break
             for name in noisy:
-                q = REGISTRY[name]
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                samples[name].append(time.perf_counter() - t0)
+                samples[name].append(_time_query(spark, sf_dir, name))
+    return samples
 
-    # ---- appendix (verdict r7 task 7; r8 tasks 4-5) ----
-    # Every remaining registry query gets ONE uncounted warmup
-    # (codegen/JIT) + TWO counted passes with a min-max spread,
-    # replacing the r8 single cold pass that had no trend line.
-    # Skipped on SPARK_GRAFT_BENCH_ONLY partial runs and under
-    # SPARK_GRAFT_BENCH_SKIP_EXTRAS=1 (quick headline iteration).
-    appx_detail: dict | None = None
-    if extras:
-        appx_names = sorted(
-            n
-            for n in REGISTRY
-            if n not in HEADLINE and not n.startswith("st")
-        )
-        appx_samples: dict[str, list[float]] = {n: [] for n in appx_names}
-        for pass_no in range(4):  # pass 0 = uncounted warmup, 3 counted
-            for name in appx_names:
-                q = REGISTRY[name]
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                if pass_no > 0:
-                    appx_samples[name].append(time.perf_counter() - t0)
-        # same adaptive top-up as the headline (verdict r9 task 2: no
-        # appendix query may carry ONLY a 2-sample raw range) — noisy
-        # queries get extra samples until the TRIMMED spread (the
-        # stability of the median) gates at 30%, raw range published
-        # alongside so bimodality stays visible
-        for _ in range(8):
-            noisy = [
-                n for n, xs in appx_samples.items() if spread_pct(xs) > 30.0
-            ]
-            if not noisy:
-                break
-            for name in noisy:
-                q = REGISTRY[name]
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                appx_samples[name].append(time.perf_counter() - t0)
-        appx_detail = {
-            "queries": {
-                n: round(median(xs), 4) for n, xs in appx_samples.items()
-            },
-            "spread_pct": {
-                n: round(spread_pct(xs), 1) for n, xs in appx_samples.items()
-            },
-            "raw_spread_pct": {
-                n: round(raw_spread_pct(xs), 1)
-                for n, xs in appx_samples.items()
-            },
-            "n_samples": {n: len(xs) for n, xs in appx_samples.items()},
-            "total": round(
-                sum(median(xs) for xs in appx_samples.values()), 4
-            ),
-            "passes": 3,
-            "note": "warmup + 3 counted interleaved passes + adaptive "
-            "top-ups for trimmed spread > 30%; spread_pct is the trimmed "
-            "(median-stability) figure, raw min-max alongside",
-        }
 
-        # dc3 IVF-prefilter twin (verdict r8 task 5): the flag-gated
-        # path is correctness-tested (tests/test_dc3_prefilter.py) but
-        # was never TIMED — record it next to the exact path so the
-        # 10k-probe scenario's claimed win is a number, not prose. At
-        # the registry's eval-suite-sized probe set the exact broadcast
-        # path is expected to win (the prefilter pays centroid build +
-        # assignment); the twin exists to keep that honest.
-        _DC3_FLAG = "spark.graft.dc3.ivfPrefilter"
-        dc3 = REGISTRY["dc3_semantic_decontamination"]
-        _dc3_prior = spark.conf.get(_DC3_FLAG, None)
-        try:
-            spark.conf.set(_DC3_FLAG, "true")
-            xs = []
-            for pass_no in range(3):  # warmup + 2 counted
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                dc3.fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                if pass_no > 0:
-                    xs.append(time.perf_counter() - t0)
-        finally:
-            # restore the PRIOR state, don't pin "false": if a future
-            # default flips the flag on, the bench must not silently
-            # turn it off for everything after this block (ADVICE r9)
-            if _dc3_prior is None:
-                spark.conf.unset(_DC3_FLAG)
-            else:
-                spark.conf.set(_DC3_FLAG, _dc3_prior)
-        appx_detail["queries"]["dc3_semantic_decontamination__ivf_prefilter"] = (
-            round(median(xs), 4)
-        )
-        appx_detail["spread_pct"][
-            "dc3_semantic_decontamination__ivf_prefilter"
-        ] = round(raw_spread_pct(xs), 1)
-
-    timings = {name: round(median(xs), 4) for name, xs in samples.items()}
-    spread = {name: round(spread_pct(xs), 1) for name, xs in samples.items()}
-    raw_spread = {
-        name: round(raw_spread_pct(xs), 1) for name, xs in samples.items()
+def _summarize(samples: dict[str, list[float]]) -> dict:
+    return {
+        "queries": {n: round(median(xs), 4) for n, xs in samples.items()},
+        "spread_pct": {n: round(spread_pct(xs), 1) for n, xs in samples.items()},
+        "raw_spread_pct": {
+            n: round(raw_spread_pct(xs), 1) for n, xs in samples.items()
+        },
+        "n_samples": {n: len(xs) for n, xs in samples.items()},
+        "total": round(sum(median(xs) for xs in samples.values()), 4),
     }
-    total = round(sum(timings.values()), 4)
 
-    # Full-precision detail (incl. per-query spread) goes to a side file;
-    # stdout gets ONE compact JSON line. The harness that consumes stdout
-    # keeps only the LAST 2000 CHARACTERS of output, so the line must stay
-    # under that budget or the whole result is unparseable (this bit round
-    # 3: 61 queries + spread_pct = ~4 KB line, recorded as parsed:null).
-    # Partial runs (SPARK_GRAFT_BENCH_ONLY) must never clobber the
-    # committed full-run artifact — they go to BENCH_PARTIAL.json.
-    detail_name = "BENCH_PARTIAL.json" if only else "BENCH_DETAIL.json"
-    with open(os.path.join(_HERE, detail_name), "w") as fh:
-        json.dump(
-            {
-                "metric": "total_headline_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "passes": n_passes,
-                "spread_pct": spread,
-                "raw_spread_pct": raw_spread,
-                **({"canary": canary_detail} if canary_detail else {}),
-                **({"streaming": st_detail} if st_detail else {}),
-                **({"appendix": appx_detail} if appx_detail else {}),
-            },
-            fh,
-            indent=1,
+
+def _measure_dc3_twin(spark, sf_dir: str) -> float:
+    """dc3 IVF-prefilter twin (verdict r8 task 5): flag-gated path,
+    correctness-tested in tests/test_dc3_prefilter.py, timed here so
+    the 10k-probe scenario's claimed win stays a number, not prose."""
+    from aqi_analysis_apache_airflow_spark.plans import REGISTRY
+
+    _DC3_FLAG = "spark.graft.dc3.ivfPrefilter"
+    dc3 = REGISTRY["dc3_semantic_decontamination"]
+    _dc3_prior = spark.conf.get(_DC3_FLAG, None)
+    xs: list[float] = []
+    try:
+        spark.conf.set(_DC3_FLAG, "true")
+        for pass_no in range(3):  # warmup + 2 counted
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            dc3.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            if pass_no > 0:
+                xs.append(time.perf_counter() - t0)
+    finally:
+        # restore the PRIOR state, don't pin "false" (ADVICE r9)
+        if _dc3_prior is None:
+            spark.conf.unset(_DC3_FLAG)
+        else:
+            spark.conf.set(_DC3_FLAG, _dc3_prior)
+    return median(xs)
+
+
+def _run_child(spec_path: str) -> None:
+    """Child entry: one fresh JVM, one block of work, detail to spec['out']."""
+    with open(spec_path) as fh:
+        spec = json.load(fh)
+    sf_dir = spec["sf_dir"]
+    n_passes = spec["n_passes"]
+    from aqi_analysis_apache_airflow_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-{spec['label']}")
+    _warmup(spark, sf_dir)
+    out: dict = {"label": spec["label"]}
+    if spec["kind"] == "streaming":
+        # NO canary here: streams are measured on the truly fresh JVM
+        # (r9 finding — after ~850 same-JVM batch executions every
+        # availableNow replay ran 5-10x slower while batch queries in
+        # the same JVM stayed at full speed; production streams run in
+        # dedicated drivers, so fresh-JVM is the honest number).
+        samples = _measure(spark, sf_dir, spec["queries"], n_passes)
+        out.update(_summarize(samples))
+    else:
+        canary = _run_canary(spark, sf_dir)
+        if canary is not None:
+            out["canary"] = canary
+        samples = _measure(spark, sf_dir, spec["queries"], n_passes)
+        out.update(_summarize(samples))
+        if spec.get("dc3_twin"):
+            out["dc3_twin_s"] = round(_measure_dc3_twin(spark, sf_dir), 4)
+    with open(spec["out"], "w") as fh:
+        json.dump(out, fh, indent=1)
+    spark.stop()
+
+
+def _spawn_child(spec: dict, log_path: str) -> dict:
+    spec_path = spec["out"] + ".spec"
+    with open(spec_path, "w") as fh:
+        json.dump(spec, fh)
+    with open(log_path, "w") as log:
+        rc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run-block", spec_path],
+            stdout=log,
+            stderr=subprocess.STDOUT,
+        ).returncode
+    if rc != 0 or not os.path.isfile(spec["out"]):
+        tail = ""
+        try:
+            with open(log_path) as fh:
+                tail = fh.read()[-2000:]
+        except OSError:
+            pass
+        raise SystemExit(
+            f"bench child {spec['label']} failed rc={rc}; log tail:\n{tail}"
         )
+    with open(spec["out"]) as fh:
+        return json.load(fh)
 
+
+def _mover_table(
+    merged_queries: dict[str, float], box_by_query: dict[str, float]
+) -> dict | None:
+    """Top-10 median/ref movers vs the committed BENCH_REF.json.
+    RAW ratios (see module docstring: the start-of-block canary
+    overestimates block-window heat, so it is reported per row as a
+    flag, never used as a divisor)."""
+    if not os.path.isfile(_REF_PATH):
+        return None
+    with open(_REF_PATH) as fh:
+        ref = json.load(fh)
+    rq = ref.get("queries", {})
+    ratios = []
+    for name, med in merged_queries.items():
+        r = rq.get(name)
+        if r:
+            ratios.append((round(med / r, 3), name, med, r))
+    if not ratios:
+        return None
+    ratios.sort(reverse=True)
+    return {
+        "ref_date": ref.get("date"),
+        "flagged_gt_1_5": [n for t, n, m, r in ratios if t > _MOVER_FLAG_RATIO],
+        "top10": [
+            {
+                "query": n,
+                "ratio": t,
+                "median_s": m,
+                "ref_s": r,
+                "block_box_state": box_by_query.get(n),
+            }
+            for t, n, m, r in ratios[:10]
+        ],
+    }
+
+
+def _legacy_single_process(sf_dir: str, names: list[str], n_passes: int) -> None:
+    """SPARK_GRAFT_BENCH_ONLY path: one JVM, the named queries only —
+    the iteration aid AND the solo-dose arm of pressure measurements.
+    Results go to BENCH_PARTIAL.json, never the full-run artifact."""
+    from aqi_analysis_apache_airflow_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    _warmup(spark, sf_dir)
+    canary = _run_canary(spark, sf_dir)
+    samples = _measure(spark, sf_dir, names, n_passes)
+    summary = _summarize(samples)
+    detail = {
+        "metric": "total_headline_seconds",
+        "value": summary["total"],
+        "unit": "sec",
+        "sf": _sf_of(sf_dir),
+        "passes": n_passes,
+        "mode": "single-process (SPARK_GRAFT_BENCH_ONLY)",
+        **summary,
+        **({"canary": canary} if canary else {}),
+    }
+    with open(os.path.join(_HERE, "BENCH_PARTIAL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    _print_line(
+        total=summary["total"],
+        queries=summary["queries"],
+        sf=_sf_of(sf_dir),
+        n_passes=n_passes,
+        detail_name="BENCH_PARTIAL.json",
+        box_state=canary["box_state"] if canary else None,
+    )
+
+
+def _print_line(
+    total: float,
+    queries: dict[str, float],
+    sf: float,
+    n_passes: int,
+    detail_name: str,
+    box_state: float | None,
+    st_total: float | None = None,
+    appx_total: float | None = None,
+    movers15: int | None = None,
+) -> None:
+    # The harness that consumes stdout keeps only the LAST 2000
+    # CHARACTERS of output, so the line must stay under that budget or
+    # the whole result is unparseable (bit round 3: 61 queries +
+    # spread_pct = ~4 KB line, recorded as parsed:null). If every
+    # query doesn't fit, fold the fastest into one "zz_others" bucket.
     budget = 1900
-    shown = {name: round(t, 2) for name, t in timings.items()}
+    shown = {name: round(t, 2) for name, t in queries.items()}
     line = ""
-    # If every query doesn't fit, fold the fastest ones into one
-    # "zz_others" bucket (slowest queries are the interesting ones).
     for _ in range(len(shown) + 1):
         payload = {
             "metric": "total_headline_seconds",
@@ -699,19 +679,14 @@ def main() -> None:
             "sf": sf,
             "passes": n_passes,
             "detail": detail_name,
+            **({"box_state": round(box_state, 3)} if box_state is not None else {}),
+            **({"st_total": round(st_total, 2)} if st_total is not None else {}),
             **(
-                {"box_state": round(box_state, 3)}
-                if box_state is not None
+                {"appx_total": round(appx_total, 2)}
+                if appx_total is not None
                 else {}
             ),
-            **(
-                {"st_total": round(st_detail["total"], 2)} if st_detail else {}
-            ),
-            **(
-                {"appx_total": round(appx_detail["total"], 2)}
-                if appx_detail
-                else {}
-            ),
+            **({"movers15": movers15} if movers15 is not None else {}),
         }
         line = json.dumps(payload, separators=(",", ":"))
         if len(line) <= budget:
@@ -723,10 +698,224 @@ def main() -> None:
         folded = shown.get("zz_others", 0.0) + real[0][1]
         shown = dict(real[1:])
         shown["zz_others"] = round(folded, 2)
-    # Hard guarantee: a line over the harness capture budget means the
-    # whole round's bench is recorded as parsed:null (bit round 3).
     assert len(line) <= budget, f"bench line {len(line)} chars > {budget}"
     print(line)
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--run-block":
+        _run_child(sys.argv[2])
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_of(sf_dir)
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    if n_passes < 1:
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_PASSES={n_passes}: need >= 1 counted pass "
+            "(pass 0 is always an uncounted warmup)"
+        )
+
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = keep - set(HEADLINE)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY names not in HEADLINE: {unknown}")
+        _legacy_single_process(
+            sf_dir, [n for n in HEADLINE if n in keep], n_passes
+        )
+        return
+
+    from aqi_analysis_apache_airflow_spark.plans import REGISTRY
+
+    extras = os.environ.get("SPARK_GRAFT_BENCH_SKIP_EXTRAS", "") not in (
+        "1",
+        "true",
+    )
+    tmpdir = os.path.join(_HERE, "spark-warehouse", "_bench_blocks")
+    os.makedirs(tmpdir, exist_ok=True)
+
+    specs: list[dict] = []
+    if extras:
+        st_names = sorted(
+            n for n in REGISTRY if n.startswith("st") and n not in HEADLINE
+        )
+        specs.append(
+            {
+                "kind": "streaming",
+                "label": "streaming",
+                "queries": st_names,
+                "sf_dir": sf_dir,
+                "n_passes": n_passes,
+                "out": os.path.join(tmpdir, "streaming.json"),
+            }
+        )
+    blocks = headline_blocks()
+    for k, names in enumerate(blocks, start=1):
+        specs.append(
+            {
+                "kind": "headline",
+                "label": f"headline-b{k}",
+                "queries": names,
+                "sf_dir": sf_dir,
+                "n_passes": n_passes,
+                "out": os.path.join(tmpdir, f"headline_b{k}.json"),
+            }
+        )
+    appx_blocks: list[list[str]] = []
+    if extras:
+        appx_names = sorted(
+            n for n in REGISTRY if n not in HEADLINE and not n.startswith("st")
+        )
+        appx_blocks = [
+            appx_names[i : i + BLOCK_CAPACITY]
+            for i in range(0, len(appx_names), BLOCK_CAPACITY)
+        ]
+        for k, names in enumerate(appx_blocks, start=1):
+            specs.append(
+                {
+                    "kind": "appendix",
+                    "label": f"appendix-b{k}",
+                    "queries": names,
+                    "sf_dir": sf_dir,
+                    "n_passes": n_passes,
+                    "out": os.path.join(tmpdir, f"appendix_b{k}.json"),
+                    # dc3's flag-gated IVF twin rides the LAST appendix child
+                    "dc3_twin": k == len(appx_blocks),
+                }
+            )
+
+    results: dict[str, dict] = {}
+    for spec in specs:
+        results[spec["label"]] = _spawn_child(
+            spec, spec["out"].replace(".json", ".log")
+        )
+
+    # ---- merge ----
+    headline_results = [
+        results[f"headline-b{k}"] for k in range(1, len(blocks) + 1)
+    ]
+    timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    raw_spread: dict[str, float] = {}
+    box_by_query: dict[str, float] = {}
+    blocks_detail = []
+    for k, res in enumerate(headline_results, start=1):
+        timings.update(res["queries"])
+        spread.update(res["spread_pct"])
+        raw_spread.update(res["raw_spread_pct"])
+        bs = res.get("canary", {}).get("box_state")
+        for n in res["queries"]:
+            box_by_query[n] = bs or 1.0
+        blocks_detail.append(
+            {
+                "block": k,
+                "first_query": blocks[k - 1][0],
+                "n_queries": len(blocks[k - 1]),
+                "total": res["total"],
+                "box_state": bs,
+                "canary": res.get("canary"),
+            }
+        )
+    total = round(sum(timings.values()), 4)
+    box_states = [b["box_state"] for b in blocks_detail if b["box_state"]]
+    box_state = max(box_states) if box_states else None
+
+    st_detail = None
+    appx_detail = None
+    if extras:
+        st_detail = results["streaming"]
+        st_detail["note"] = (
+            "fresh JVM, no prior canary (r9 finding; r11's "
+            "canary-before-streaming wrinkle undone in block mode)"
+        )
+        appx_detail = {
+            "queries": {},
+            "spread_pct": {},
+            "raw_spread_pct": {},
+            "n_samples": {},
+            "blocks": [],
+            "note": "alphabetical 73-query fresh-JVM blocks, same "
+            "methodology as the headline (warmup + interleaved passes + "
+            "adaptive top-ups); membership of appendix blocks can shift "
+            "as the registry grows (alphabetical), dose stays capped",
+        }
+        for k in range(1, len(appx_blocks) + 1):
+            res = results[f"appendix-b{k}"]
+            appx_detail["queries"].update(res["queries"])
+            appx_detail["spread_pct"].update(res["spread_pct"])
+            appx_detail["raw_spread_pct"].update(res["raw_spread_pct"])
+            appx_detail["n_samples"].update(res["n_samples"])
+            bs = res.get("canary", {}).get("box_state")
+            for n in res["queries"]:
+                box_by_query[n] = bs or 1.0
+            appx_detail["blocks"].append(
+                {
+                    "block": k,
+                    "n_queries": len(appx_blocks[k - 1]),
+                    "total": res["total"],
+                    "box_state": bs,
+                }
+            )
+            if "dc3_twin_s" in res:
+                appx_detail["queries"][
+                    "dc3_semantic_decontamination__ivf_prefilter"
+                ] = res["dc3_twin_s"]
+        appx_detail["total"] = round(
+            sum(
+                res["total"]
+                for k in range(1, len(appx_blocks) + 1)
+                for res in [results[f"appendix-b{k}"]]
+            ),
+            4,
+        )
+
+    movers = None
+    if abs(sf - 0.1) < 1e-9:
+        all_q = dict(timings)
+        if appx_detail:
+            all_q.update(
+                {
+                    n: t
+                    for n, t in appx_detail["queries"].items()
+                    if not n.endswith("__ivf_prefilter")
+                }
+            )
+        movers = _mover_table(all_q, box_by_query)
+
+    with open(os.path.join(_HERE, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(
+            {
+                "metric": "total_headline_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "passes": n_passes,
+                "mode": f"fresh-jvm blocks of {BLOCK_CAPACITY}",
+                "spread_pct": spread,
+                "raw_spread_pct": raw_spread,
+                "blocks": blocks_detail,
+                **({"movers": movers} if movers else {}),
+                **({"streaming": st_detail} if st_detail else {}),
+                **({"appendix": appx_detail} if appx_detail else {}),
+            },
+            fh,
+            indent=1,
+        )
+
+    _print_line(
+        total=total,
+        queries=timings,
+        sf=sf,
+        n_passes=n_passes,
+        detail_name="BENCH_DETAIL.json",
+        box_state=box_state,
+        st_total=st_detail["total"] if st_detail else None,
+        appx_total=appx_detail["total"] if appx_detail else None,
+        movers15=len(movers["flagged_gt_1_5"]) if movers else None,
+    )
 
 
 if __name__ == "__main__":

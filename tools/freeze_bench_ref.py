@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Freeze BENCH_REF.json from the current BENCH_DETAIL.json (verdict
+r11 task 4): RAW per-query reference medians measured under the
+block-mode methodology. Raw, not canary-normalized: the start-of-block
+canary overestimates the block window (2026-08-16: block-1 canary
+1.223 while q1's in-block median was 0.82x reference minutes later),
+so box_state is frozen as CONTEXT per block, never divided out.
+
+Run only after a full `python bench.py` at sf0.1 whose run-level
+cleanliness is independently evidenced (e.g. a same-day solo-vs-block
+pressure comparison like BENCH_PRESSURE2.json within ~5%).
+Usage: python tools/freeze_bench_ref.py [--force]
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DETAIL = os.path.join(_REPO, "BENCH_DETAIL.json")
+REF = os.path.join(_REPO, "BENCH_REF.json")
+
+
+def main() -> None:
+    with open(DETAIL) as fh:
+        d = json.load(fh)
+    if "blocks" not in d:
+        raise SystemExit("BENCH_DETAIL.json is not a block-mode run")
+    if abs(d.get("sf", 0) - 0.1) > 1e-9:
+        raise SystemExit(f"refuse to freeze at sf={d.get('sf')}: need sf0.1")
+    hot = [b for b in d["blocks"] if (b.get("box_state") or 1.0) > 1.30]
+    if hot and "--force" not in sys.argv:
+        raise SystemExit(
+            f"refuse: very hot blocks {[(b['block'], b['box_state']) for b in hot]}"
+            " (rerun on an idle box, or --force). Canary <= 1.30 passes"
+            " because the start-of-block canary overestimates the block"
+            " window; corroborate with a solo-vs-block pressure check."
+        )
+    box_by_query: dict[str, float] = {}
+    # headline blocks: membership = consecutive slices of the committed list
+    sys.path.insert(0, _REPO)
+    from bench import BLOCK_CAPACITY, HEADLINE
+
+    for b in d["blocks"]:
+        names = HEADLINE[
+            (b["block"] - 1) * BLOCK_CAPACITY : b["block"] * BLOCK_CAPACITY
+        ]
+        for n in names:
+            box_by_query[n] = b.get("box_state") or 1.0
+    appx = d.get("appendix", {})
+    if appx:
+        # appendix block membership is alphabetical; recompute the chunks
+        appx_names = sorted(
+            n
+            for n in appx["queries"]
+            if not n.endswith("__ivf_prefilter")
+        )
+        chunks = [
+            appx_names[i : i + BLOCK_CAPACITY]
+            for i in range(0, len(appx_names), BLOCK_CAPACITY)
+        ]
+        for b, names in zip(appx.get("blocks", []), chunks):
+            for n in names:
+                box_by_query[n] = b.get("box_state") or 1.0
+    queries = {}
+    for n, med in d["queries"].items():
+        queries[n] = round(med, 4)
+    for n, med in appx.get("queries", {}).items():
+        if n.endswith("__ivf_prefilter"):
+            continue
+        queries[n] = round(med, 4)
+    ref = {
+        "date": datetime.date.today().isoformat(),
+        "methodology": (
+            f"fresh-JVM blocks of {BLOCK_CAPACITY}, warmup + "
+            f"{d.get('passes', 3)} interleaved passes, median, adaptive "
+            "top-ups; RAW medians (box_state frozen as context, not "
+            "divided out)"
+        ),
+        "sf": 0.1,
+        "block_box_states": {
+            str(b["block"]): b.get("box_state") for b in d["blocks"]
+        },
+        "queries": queries,
+    }
+    with open(REF, "w") as fh:
+        json.dump(ref, fh, indent=1)
+    print(f"froze {len(queries)} reference medians -> BENCH_REF.json")
+
+
+if __name__ == "__main__":
+    main()
