@@ -1514,12 +1514,20 @@ def ccf1_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mrr1 — mean reciprocal rank of the first relevant neighbor (round 11)
 # --------------------------------------------------------------------------
 
-_MRR_PROBE_MOD = 100  # bounded eval probe set: vec_id % 100 == 0, id != 0
-# (A/B 2026-08-16 at sf0.1: mod 25 = 80 probes ran 12.3s warm — the
-# probe x corpus dot_decimal folds are catalyst higher-order
-# functions, ~0.5ms each across 32 threads; mod 100 = 20 probes is
-# the audit-cadence panel at ~3s. Bulk scoring at production cadence
-# belongs to the mapInPandas int64 Gram path — the pca1/sdd1 shape.)
+# Probe modulus is DERIVED FROM CORPUS SIZE so the panel stays a
+# CONSTANT 10-100 probes at any scale: P = 10^(digits(n) - 2), i.e.
+# n/P in [10, 100). The round-11 fixed mod-100 made the panel a
+# FRACTION of the corpus — probe x corpus work grew quadratically,
+# measured in the r12 scaling sweep (sf0.1 -> 10x: 4.2s -> 36.9s on
+# 100x pairs; SCALING.md). At sf0.1 (n=2000) P=100, bit-identical to
+# the committed round-11 behavior (A/B 2026-08-16: mod 25 = 80 probes
+# ran 12.3s warm; 20 probes is the audit-cadence panel at ~3s. Bulk
+# scoring at production cadence belongs to the mapInPandas int64 Gram
+# path — the pca1/sdd1 shape.)
+_MRR_PMOD_SQL = (
+    "CAST('1' || repeat('0', greatest(length(CAST(n AS VARCHAR)) - 2, 0))"
+    " AS BIGINT)"
+)
 _MRR_K = 20  # neighbor pool depth per probe
 
 _MRR1_SQL = f"""
@@ -1530,9 +1538,14 @@ WITH base AS (
           FROM unnest(embedding) AS t(x)) AS n2
   FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL
 ),
+pmod AS (
+  SELECT {_MRR_PMOD_SQL} AS p
+  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM base) t
+),
 probes AS (
   SELECT vec_id AS q_id, label AS q_label, embedding AS qv, n2 AS qn2
-  FROM base WHERE vec_id % {_MRR_PROBE_MOD} = 0 AND vec_id <> 0 AND n2 > 0
+  FROM base
+  WHERE vec_id % (SELECT p FROM pmod) = 0 AND vec_id <> 0 AND n2 > 0
 ),
 pairs AS (
   SELECT p.q_id, p.q_label, c.vec_id, c.label,
@@ -1577,8 +1590,11 @@ FROM agg
 @query("mrr1_first_relevant_rank", oracle=_MRR1_SQL)
 def mrr1_first_relevant_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean reciprocal rank of the first SAME-LABEL neighbor in the
-    exact cosine top-{_MRR_K}, over the bounded probe set
-    (vec_id % {_MRR_PROBE_MOD} = 0) — the retrieval-eval statistic
+    exact cosine top-k (k = _MRR_K), over the bounded probe panel
+    vec_id % P = 0 with P = 10^(digits(n)-2) — a CONSTANT 10-100
+    probes at any corpus size (the r12 scaling-sweep fix: a fixed
+    modulus made the panel a corpus fraction and the probe x corpus
+    stream quadratic; SCALING.md) — the retrieval-eval statistic
     (Voorhees 1999, the TREC QA metric) that grades an embedding
     space by where the first relevant hit LANDS, not how many arrive
     (ndcg1 grades the whole list; recall@k only membership). MRR is
@@ -1594,14 +1610,15 @@ def mrr1_first_relevant_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     more integral division; probes with no relevant hit in the pool
     contribute 0 by construction (they never reach the hits sum).
 
-    Scale shape: the probe set is BOUNDED by construction (an eval
-    panel, not the corpus), so the probe x corpus score stream is
-    |probes| * |C| with the probe side broadcast; ranking windows
+    Scale shape: the probe set is CONSTANT-BOUNDED by construction
+    (10-100 rows at any n — an eval panel, not a corpus fraction),
+    so the probe x corpus score stream is O(|C|) with the probe side
+    broadcast (the modulus rides a broadcast 1-row count); ranking windows
     partition BY PROBE (never corpus-wide); everything after the
     rank filter is probe-sized. The brute-force arm is the eval
     ground truth by definition — audit cadence, not a serving path
     (the serving path is sim_ivf/ivfd's partition-pruned index)."""
-    emb = (
+    emb0 = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id").isNotNull() & F.col("label").isNotNull())
         .select(
@@ -1610,11 +1627,19 @@ def mrr1_first_relevant_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             _dot(F.col("embedding"), F.col("embedding")).alias("n2"),
         )
-        .filter(F.col("n2") > 0)
     )
+    # constant-size probe panel: P = 10^(digits(n)-2), n/P in [10,100)
+    pmod = emb0.agg(F.count("*").cast("long").alias("n")).select(
+        F.expr(
+            "CAST(concat('1', repeat('0',"
+            " greatest(length(CAST(n AS STRING)) - 2, 0))) AS BIGINT)"
+        ).alias("p")
+    )
+    emb = emb0.filter(F.col("n2") > 0)
     probes = (
-        emb.filter(
-            (F.col("vec_id") % _MRR_PROBE_MOD == 0) & (F.col("vec_id") != 0)
+        emb.crossJoin(F.broadcast(pmod))
+        .filter(
+            (F.col("vec_id") % F.col("p") == 0) & (F.col("vec_id") != 0)
         )
         .select(
             F.col("vec_id").alias("q_id"),

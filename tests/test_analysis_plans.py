@@ -139,3 +139,63 @@ def test_markov2_degenerate_no_transitions(spark, tmp_path):
     out = REGISTRY["markov2_stationary_distribution"].fn(spark, str(d))
     assert out.columns == ["event_type", "stationary_micro"]
     assert out.count() == 0
+
+
+def test_gof1_single_pass_no_joins(spark):
+    """gof1's claim: one (type, weekday) counting groupBy then k-row
+    arithmetic — one corpus scan, no joins, no windows."""
+    df = REGISTRY["gof1_weekday_uniformity"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert "Window" not in p, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert not re.findall(r"\(\d+\) \w*Join", p), p
+
+
+def test_tost1_single_pass_no_joins(spark):
+    """tost1's claim: identical to ab2 — ONE map-side-combined
+    groupBy(event_type), all six power sums in the same pass."""
+    df = REGISTRY["tost1_equivalence_test"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert "Window" not in p, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert not re.findall(r"\(\d+\) \w*Join", p), p
+
+
+def test_cv1_one_equi_join_plus_broadcast_totals(spark):
+    """cv1's claim: one md5-keyed join back + one broadcast 1-row
+    totals crossJoin; no windows, no corpus cartesian."""
+    df = REGISTRY["cv1_fold_balance_audit"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p, p
+    equi = re.findall(
+        r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p
+    )
+    assert len(equi) == 1, p
+
+
+def test_reg1_no_windows_bounded_fanout(spark):
+    """reg1's claim: the forecast fan-out is a broadcast 35-row power
+    table against the calendar spine — no window operator anywhere
+    (the weight index is pure date arithmetic, the ewma1 contract)."""
+    df = REGISTRY["reg1_forecast_accuracy"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert "Window" not in p, p
+
+
+def test_srd1_two_bounded_rank_windows(spark):
+    """srd1's claim: exactly the two global rank windows, both over
+    the calendar-bounded forecast frame (the ap1-documented
+    single-partition exception) — nothing corpus-sized is sorted."""
+    df = REGISTRY["srd1_spearman_pearson_gap"].fn(spark, SF_DIR)
+    p = _plan(df)
+    specs = re.findall(r"windowspecdefinition\(", p)
+    assert len(specs) == 2, p
+
+
+def test_fleiss1_no_cartesian(spark):
+    """fleiss1's claim: strictly the three detectors' documented
+    shapes + doc-keyed joins — nothing all-pairs on the corpus."""
+    df = REGISTRY["fleiss1_multirater_kappa"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert "CartesianProduct" not in p, p
