@@ -4823,3 +4823,451 @@ def cv1_fold_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "en_docs",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# brier1 — Brier score + Murphy decomposition of the en-score (round 12)
+# --------------------------------------------------------------------------
+
+_BRIER_BINS = 10
+
+_BRIER1_SQL = f"""
+WITH scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         (1000000 * CAST(len(regexp_extract_all(lower(text),
+                             '\\b(the|a|of|to|and)\\b')) AS BIGINT))
+           // CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+           AS p
+  FROM documents
+  WHERE lang IS NOT NULL AND text IS NOT NULL
+    AND len(regexp_extract_all(text, '\\S+')) > 0
+),
+binned AS (
+  SELECT least(p // {1000000 // _BRIER_BINS}, {_BRIER_BINS - 1}) AS bin,
+         y, p
+  FROM scored
+),
+bins AS (
+  SELECT bin,
+         CAST(count(*) AS HUGEINT) AS nb,
+         CAST(sum(y) AS HUGEINT) AS yb,
+         CAST(sum(p) AS HUGEINT) AS sb,
+         CAST(sum((p - 1000000 * y) * (p - 1000000 * y)) AS HUGEINT) AS ssb
+  FROM binned GROUP BY bin
+),
+tot1 AS (
+  SELECT CAST(sum(nb) AS HUGEINT) AS n, CAST(sum(yb) AS HUGEINT) AS yy
+  FROM bins
+),
+tot AS (
+  SELECT t.n, t.yy,
+         CAST(sum(b.ssb) AS HUGEINT) AS sse,
+         CAST(sum((b.sb - 1000000 * b.yb) * (b.sb - 1000000 * b.yb) // b.nb)
+              AS HUGEINT) AS rel_q,
+         CAST(sum((t.n * b.yb - b.nb * t.yy)
+                  * (t.n * b.yb - b.nb * t.yy) // b.nb) AS HUGEINT) AS res_q
+  FROM bins b CROSS JOIN tot1 t
+  GROUP BY t.n, t.yy
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(sse // (n * 1000000) AS BIGINT) AS brier_micro,
+       CAST(rel_q // (n * 1000000) AS BIGINT) AS rel_micro,
+       CAST((1000000 * res_q) // (n * n * n) AS BIGINT) AS res_micro,
+       CAST((1000000 * yy * (n - yy)) // (n * n) AS BIGINT) AS unc_micro
+FROM tot
+"""
+
+
+@query("brier1_murphy_decomposition", oracle=_BRIER1_SQL)
+def brier1_murphy_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy (1973) decomposition of the
+    stopword-ratio en-score read as a probability: the mean squared
+    probability error plus the three quantities that explain it —
+    reliability REL (calibration gap, the part retraining the score
+    map fixes), resolution RES (how much the bins separate outcomes,
+    the part only a better feature fixes), and uncertainty
+    UNC = ybar(1-ybar) (the irreducible base-rate floor). ece1 reads
+    the calibration gap in L1; Brier is the proper-scoring-rule view
+    (REL - RES + UNC reconstructs the BINNED Brier exactly; the raw
+    brier_micro adds within-bin forecast variance on top), closing
+    the calibration column of the eval harness.
+
+    Exactness: p is the auc1/ece1 quantized micro score, y in
+    {{0, 1e6}} micro; the raw Brier sum of squares is exact; REL and
+    RES collapse to per-bin integral divisions of exact squares —
+    (s_b - 1e6*y_b)^2 // n_b and (N*y_b - n_b*Y)^2 // n_b, the
+    anova1 per-group-quotient shape (quantization < 1 unit per bin,
+    10 bins) — and every exit is one more integral division. UNC is
+    the exact 1e6*Y*(N-Y) // N^2. DECIMAL(38,0)/HUGEINT width:
+    res_q carries N^4 so 38 digits hold to N ~ 3e9 docs; rescale
+    past that (the mcc1 convention).
+
+    Scale shape: ONE map-side-combinable (bin) groupBy over a
+    per-row projection (10 groups) — the ONLY corpus pass (totals
+    ride an unpartitioned window over the 10-row bin relation, not a
+    second aggregate branch that would re-execute the scan; the plan
+    gate asserts one scan). Runs per scoring-rule candidate, like
+    cls1/ece1. The per-bin quotients use the exact decimal floor
+    (a - a%b)/b, not `div` — they reach ~1e12*n_b and Spark's
+    IntegralDivide wraps past int64 (the anova1 lesson)."""
+    txt = F.col("text")
+    hits = F.size(
+        F.regexp_extract_all(
+            F.lower(txt), F.lit(r"\b(the|a|of|to|and)\b"), 0
+        )
+    ).cast("long")
+    toks = F.size(F.regexp_extract_all(txt, F.lit(r"\S+"), 0)).cast("long")
+    dec = "decimal(38,0)"
+    scored = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull() & txt.isNotNull())
+        .filter(toks > 0)
+        .select(
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            F.expr(
+                "CAST((1000000 * CAST(size(regexp_extract_all(lower(text),"
+                r" '\\b(the|a|of|to|and)\\b', 0)) AS BIGINT))"
+                r" div CAST(size(regexp_extract_all(text, '\\S+', 0))"
+                " AS BIGINT) AS BIGINT)"
+            ).alias("p"),
+        )
+    )
+    binned = scored.select(
+        F.least(
+            F.expr(f"p div {1000000 // _BRIER_BINS}"),
+            F.lit(_BRIER_BINS - 1),
+        ).alias("bin"),
+        "y",
+        "p",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count("*").cast(dec).alias("nb"),
+        F.sum("y").cast(dec).alias("yb"),
+        F.sum("p").cast(dec).alias("sb"),
+        F.sum(
+            F.expr("(p - 1000000 * y) * (p - 1000000 * y)").cast(dec)
+        ).cast(dec).alias("ssb"),
+    )
+    # totals as an unpartitioned window over the 10-row bin relation —
+    # NOT a separate aggregate branch, which would re-execute the
+    # corpus subtree (the plan gate asserts ONE scan)
+    wall = Window.partitionBy()
+    tot = (
+        bins.select(
+            "ssb",
+            "sb",
+            "yb",
+            "nb",
+            F.sum("nb").over(wall).cast(dec).alias("n"),
+            F.sum("yb").over(wall).cast(dec).alias("yy"),
+        )
+        .select(
+            "n",
+            "yy",
+            "ssb",
+            # exact decimal floor (a - a%b)/b, NOT `div`: these per-bin
+            # quotients are ~1e12*n_b and Spark's IntegralDivide returns
+            # LongType, silently wrapping past int64 (the anova1 lesson)
+            F.expr(
+                "CAST(((sb - 1000000 * yb) * (sb - 1000000 * yb)"
+                " - ((sb - 1000000 * yb) * (sb - 1000000 * yb)) % nb) / nb"
+                " AS DECIMAL(38,0))"
+            ).alias("relq"),
+            F.expr(
+                "CAST(((n * yb - nb * yy) * (n * yb - nb * yy)"
+                " - ((n * yb - nb * yy) * (n * yb - nb * yy)) % nb) / nb"
+                " AS DECIMAL(38,0))"
+            ).alias("resq"),
+        )
+        .groupBy("n", "yy")
+        .agg(
+            F.sum("ssb").cast(dec).alias("sse"),
+            F.sum("relq").cast(dec).alias("rel_q"),
+            F.sum("resq").cast(dec).alias("res_q"),
+        )
+    )
+    return tot.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr("CAST(sse div (n * 1000000) AS BIGINT)").alias("brier_micro"),
+        F.expr("CAST(rel_q div (n * 1000000) AS BIGINT)").alias("rel_micro"),
+        F.expr("CAST((1000000 * res_q) div (n * n * n) AS BIGINT)").alias(
+            "res_micro"
+        ),
+        F.expr("CAST((1000000 * yy * (n - yy)) div (n * n) AS BIGINT)").alias(
+            "unc_micro"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# tcl1 — t-closeness audit of the anonymization classes (round 12)
+# --------------------------------------------------------------------------
+
+_TCL_T_MICRO = 200_000  # declared closeness threshold t = 0.2
+
+_TCL1_SQL = f"""
+WITH sv AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         c_mktsegment AS seg,
+         CAST(count(*) AS HUGEINT) AS c
+  FROM customer GROUP BY 1, 2, 3
+),
+seg_tot AS (SELECT seg, CAST(sum(c) AS HUGEINT) AS cs FROM sv GROUP BY 1),
+nt AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM sv),
+cls_tot AS (
+  SELECT c_nationkey, bal_band, CAST(sum(c) AS HUGEINT) AS nc
+  FROM sv GROUP BY 1, 2
+),
+cls AS (
+  SELECT sv.c_nationkey, sv.bal_band, ct.nc,
+         CAST(sum(abs(t.n * sv.c - ct.nc * st.cs)) AS HUGEINT)
+           AS present_num,
+         CAST(sum(st.cs) AS HUGEINT) AS cs_present,
+         any_value(t.n) AS n
+  FROM sv
+  JOIN seg_tot st USING (seg)
+  JOIN cls_tot ct
+    ON ct.c_nationkey IS NOT DISTINCT FROM sv.c_nationkey
+   AND ct.bal_band IS NOT DISTINCT FROM sv.bal_band
+  CROSS JOIN nt t
+  GROUP BY 1, 2, ct.nc
+)
+SELECT c_nationkey, bal_band,
+       CAST(nc AS BIGINT) AS class_size,
+       CAST((1000000 * (present_num + nc * (n - cs_present)))
+            // (2 * nc * n) AS BIGINT) AS tvd_micro,
+       (1000000 * (present_num + nc * (n - cs_present)))
+         // (2 * nc * n) <= {_TCL_T_MICRO} AS t_close
+FROM cls
+"""
+
+
+@query("tcl1_t_closeness", oracle=_TCL1_SQL)
+def tcl1_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) of the
+    anonymization classes anon1/priv2 certify: a class can be
+    k-anonymous AND l-diverse yet still leak — when its sensitive
+    distribution differs sharply from the global one, membership
+    itself is informative (the skewness attack l-diversity misses).
+    For the categorical sensitive attribute the prescribed distance
+    is total variation: TVD = (1/2) * sum_s |c_s/n_c - C_s/N|, and
+    the class passes when TVD <= t (t = 0.2 here). Completes the
+    anonymization-audit triple: anon1 = size, priv2 = variety,
+    tcl1 = representativeness.
+
+    Exactness: over the common denominator n_c*N the per-segment
+    term is |N*c_s - n_c*C_s|; segments ABSENT from a class
+    contribute n_c*C_s each, which folds in closed form as
+    n_c*(N - sum_present C_s) — no densify join. One integral
+    micro division per class, gate as an integer compare. NULL
+    segments form their own group on both engines (the priv2
+    convention) and the class-total join is NULL-SAFE (eqNullSafe /
+    IS NOT DISTINCT FROM) so a NULL balance band keeps its class.
+
+    Scale shape: the priv2 stacked-aggregate shape plus one
+    broadcast segment-total join (|segments| rows) and a broadcast
+    1-row N — no window, no densify, classes never leave their
+    partition."""
+    c = load(spark, sf_dir, "customer")
+    dec = "decimal(38,0)"
+    sv = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count("*").cast(dec).alias("cseg"))
+    seg_tot = sv.groupBy("seg").agg(F.sum("cseg").cast(dec).alias("cs"))
+    nt = sv.agg(F.sum("cseg").cast(dec).alias("n"))
+    cls_tot = sv.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("cseg").cast(dec).alias("nc")
+    )
+    ct = cls_tot.select(
+        F.col("c_nationkey").alias("ct_nk"),
+        F.col("bal_band").alias("ct_bb"),
+        "nc",
+    )
+    cls = (
+        sv.join(F.broadcast(seg_tot), "seg")
+        .join(
+            ct,
+            F.col("c_nationkey").eqNullSafe(F.col("ct_nk"))
+            & F.col("bal_band").eqNullSafe(F.col("ct_bb")),
+        )
+        .crossJoin(F.broadcast(nt))
+        .groupBy("c_nationkey", "bal_band", "nc", "n")
+        .agg(
+            F.sum(F.expr("abs(n * cseg - nc * cs)").cast(dec))
+            .cast(dec)
+            .alias("present_num"),
+            F.sum("cs").cast(dec).alias("cs_present"),
+        )
+    )
+    tvd = "(1000000 * (present_num + nc * (n - cs_present))) div (2 * nc * n)"
+    return cls.select(
+        "c_nationkey",
+        F.col("bal_band").cast("long").alias("bal_band"),
+        F.col("nc").cast("long").alias("class_size"),
+        F.expr(f"CAST({tvd} AS BIGINT)").alias("tvd_micro"),
+        F.expr(f"{tvd} <= {_TCL_T_MICRO}").alias("t_close"),
+    )
+
+
+# --------------------------------------------------------------------------
+# seqdep1 — Anderson-Goodman Markov order test (round 12)
+# --------------------------------------------------------------------------
+
+#: chi^2_{0.95, df} at 6dp for df = (k-1)^2, k = 2..8 — the frozen
+#: literal spine (rbo1/ewma1 convention: libm quantiles never run)
+_SEQDEP_CRIT = {
+    1: 3_841_459,
+    4: 9_487_729,
+    9: 16_918_978,
+    16: 26_296_228,
+    25: 37_652_484,
+    36: 50_998_460,
+    49: 66_338_649,
+}
+
+_SEQDEP_CRIT_SQL = ", ".join(f"({d}, {c})" for d, c in _SEQDEP_CRIT.items())
+
+_SEQDEP1_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+tc AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+rm AS (SELECT prev_type, CAST(sum(c) AS BIGINT) AS r FROM tc GROUP BY 1),
+cm AS (SELECT next_type, CAST(sum(c) AS BIGINT) AS col FROM tc GROUP BY 1),
+nn AS (
+  SELECT CAST(sum(c) AS BIGINT) AS t,
+         CAST(count(DISTINCT prev_type) AS BIGINT) AS kr,
+         CAST(count(DISTINCT next_type) AS BIGINT) AS kc
+  FROM tc
+),
+terms AS (
+  SELECT tc.c *
+         CAST(round(round(ln(CAST(tc.c AS DOUBLE) * CAST(n.t AS DOUBLE)
+           / (CAST(rm.r AS DOUBLE) * CAST(cm.col AS DOUBLE))), 6) * 1e6)
+           AS BIGINT) AS s,
+         n.t, n.kr, n.kc
+  FROM tc JOIN rm USING (prev_type) JOIN cm USING (next_type), nn n
+),
+g AS (
+  SELECT any_value(t) AS t,
+         (any_value(kr) - 1) * (any_value(kc) - 1) AS df,
+         CAST(2 * sum(s) AS BIGINT) AS g2
+  FROM terms
+)
+SELECT CAST(g.t AS BIGINT) AS n_transitions,
+       CAST(g.df AS BIGINT) AS df,
+       g.g2 AS g2_micro,
+       CASE WHEN cr.crit IS NOT NULL THEN g.g2 > cr.crit END AS dependent
+FROM g LEFT JOIN (VALUES {_SEQDEP_CRIT_SQL}) cr(df, crit)
+  ON cr.df = g.df
+"""
+
+
+@query("seqdep1_markov_order_test", oracle=_SEQDEP1_SQL)
+def seqdep1_markov_order_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Goodman (1957) likelihood-ratio test of Markov order
+    0 vs order 1 on the event chain: G^2 = 2*sum c_ij*ln(c_ij*T /
+    (r_i*col_j)) over markov1's transition table against the
+    independence null — does the NEXT event depend on the CURRENT
+    one at all? The prerequisite the whole sequence family
+    (markov1/markov2/seq1/att1) silently assumes: if G^2 can't
+    reject independence, the transition matrix is noise and the
+    stationary distribution is just the margin. llr1 asks this of
+    word bigrams pair-by-pair; seqdep1 asks it of the whole
+    behavioral chain in one number.
+
+    Exactness: transition counts and both margins are exact
+    integers off ONE lag pass (the markov1 shape); each cell's log
+    ratio enters through the llr1 micro-nat pin (round(ln,6)*1e6 of
+    a ratio of exact integers) so G^2 is a pure integer sum; df =
+    (k_rows-1)*(k_cols-1) and the alpha=.05 gate joins a FROZEN
+    7-row chi^2-quantile literal spine (k = 2..8 event types; a df
+    outside the spine yields NULL, never a fabricated decision).
+
+    Scale shape: one user-keyed lag window over the corpus (bounded
+    per user), one (prev, next) counting groupBy (k^2 rows,
+    domain-bounded); margins and totals are WINDOWS over that
+    k^2-row table (separate aggregate branches would re-execute the
+    corpus lag subtree — 4 scans, caught by the plan gate; the
+    windows run on a domain-bounded relation). Nothing else touches
+    the corpus."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+    )
+    tc = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    # margins and totals as windows over the k^2-row transition table —
+    # NOT separate aggregate branches, which would re-execute the
+    # corpus lag subtree once per branch (4 scans; the plan gate
+    # asserts ONE). All three windows run on a domain-bounded relation.
+    wprev = Window.partitionBy("prev_type")
+    wnext = Window.partitionBy("next_type")
+    wall = Window.partitionBy()
+    terms = (
+        tc.select(
+            "c",
+            F.sum("c").over(wprev).cast("long").alias("r"),
+            F.sum("c").over(wnext).cast("long").alias("col"),
+            F.sum("c").over(wall).cast("long").alias("t"),
+            F.size(F.collect_set("prev_type").over(wall))
+            .cast("long")
+            .alias("kr"),
+            F.size(F.collect_set("next_type").over(wall))
+            .cast("long")
+            .alias("kc"),
+        )
+        .select(
+            F.expr(
+                "c * CAST(round(round(ln(CAST(c AS DOUBLE)"
+                " * CAST(t AS DOUBLE) / (CAST(r AS DOUBLE)"
+                " * CAST(col AS DOUBLE))), 6) * 1e6) AS BIGINT)"
+            ).alias("s"),
+            "t",
+            "kr",
+            "kc",
+        )
+    )
+    crit = spark.createDataFrame(
+        [(d, c) for d, c in _SEQDEP_CRIT.items()], "cdf LONG, crit LONG"
+    )
+    g = terms.groupBy("t", "kr", "kc").agg(
+        (2 * F.sum("s")).cast("long").alias("g2")
+    )
+    return (
+        g.select(
+            F.col("t").alias("n_transitions"),
+            ((F.col("kr") - 1) * (F.col("kc") - 1)).cast("long").alias("df"),
+            F.col("g2").alias("g2_micro"),
+        )
+        .join(F.broadcast(crit), F.col("df") == F.col("cdf"), "left")
+        .select(
+            "n_transitions",
+            "df",
+            "g2_micro",
+            F.when(
+                F.col("crit").isNotNull(), F.col("g2_micro") > F.col("crit")
+            ).alias("dependent"),
+        )
+    )

@@ -199,3 +199,34 @@ def test_fleiss1_no_cartesian(spark):
     df = REGISTRY["fleiss1_multirater_kappa"].fn(spark, SF_DIR)
     p = _plan(df)
     assert "CartesianProduct" not in p, p
+
+
+def test_brier1_one_scan_ten_groups(spark):
+    """brier1's claim: one map-side-combinable (bin) groupBy is the
+    ONLY corpus pass — totals ride a window over the 10-row bin
+    relation instead of a second aggregate branch re-executing the
+    scan."""
+    df = REGISTRY["brier1_murphy_decomposition"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+
+
+def test_tcl1_no_window_no_cartesian(spark):
+    """tcl1's claim: stacked aggregates + broadcast segment totals —
+    no window, no corpus cartesian."""
+    df = REGISTRY["tcl1_t_closeness"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_seqdep1_single_lag_window(spark):
+    """seqdep1's claim: the corpus is scanned ONCE (the user-keyed
+    lag pass); margins/totals are windows over the k^2-row
+    transition table, so the only corpus-side window partitions by
+    user_id."""
+    df = REGISTRY["seqdep1_markov_order_test"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert any(s.startswith("user_id") for s in specs), specs
