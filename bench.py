@@ -48,7 +48,8 @@ canary-before-streaming wrinkle is hereby undone — streaming medians
 are again comparable to r10-and-earlier).
 
 Worst-mover gate (verdict r11 task 4): when BENCH_REF.json exists
-(frozen per-query medians from the r12 block-mode run, raw), the run
+(frozen per-query medians — the geometric mean of the two 2026-08-16
+full block-mode runs; see its methodology field), the run
 emits the top-10 ``median/ref`` movers into the detail file plus a
 ``movers15`` count (ratio > 1.5) on the stdout line; each mover row
 carries its block's box_state so a hot-block artifact is visible.
@@ -58,7 +59,14 @@ the block window (block-1 canary 1.223 while q1's in-block median ran
 0.767/0.94 = 0.82 of reference minutes later — post-workload heat
 decays faster than a block runs). The canary is a flag, not a
 divisor. Any mover > 1.5x on a cool block two rounds running gets a
-dated note or a fix.
+dated note or a fix. Honest bound on single-run movers: block WINDOWS
+on this box swing ~+-20% in both directions at the minutes scale
+(block 1 measured 48.5/71.6/64.8s across three same-day runs while
+its start-of-block canary read 1.22/1.19/0.98 — the canary detects
+pre-existing heat but cannot predict the window), which is why the
+REF is a two-run mean and a single-round mover list is advisory; the
+dose bias the blocks removed was SYSTEMATIC (always up, growing with
+headline size), unlike this zero-mean window noise.
 
 Single cross-JVM runs on this box swing ~±5% run-to-run (measured
 with identical configs back-to-back); one-query conclusions need
@@ -360,8 +368,15 @@ def headline_blocks() -> list[list[str]]:
 _CANARY_NAME = "q1_pricing_summary"
 _CANARY_REF_S = 0.94
 _CANARY_HOT_RATIO = 1.10  # >=10% is real heat (cross-JVM noise is
-# ±4-5%, measured); a hot box gets ONE 60s cooldown + retry
+# ±4-5%, measured); a hot box cools 60s per retry, up to 5 retries —
+# one retry was NOT enough (2026-08-16: a block run started ~6 min
+# after an 18-min all-core pytest suite read 1.19 after one cooldown
+# and the whole run measured ~1.14x the same-day clean run; the
+# post-workload heat decays over MINUTES, so the canary loops until
+# the box reads cool or the budget is spent, and the final reading is
+# stamped either way)
 _CANARY_COOLDOWN_S = 60
+_CANARY_MAX_RETRIES = 5
 
 _REF_PATH = os.path.join(_HERE, "BENCH_REF.json")
 _MOVER_FLAG_RATIO = 1.5
@@ -447,17 +462,17 @@ def _run_canary(spark, sf_dir: str) -> dict | None:
         "ref_s": _CANARY_REF_S,
         "first_median_s": round(first, 4),
         "first_ratio": round(box_state, 3),
-        "retried": False,
+        "retries": 0,
+        "readings": [round(box_state, 3)],
     }
-    if box_state > _CANARY_HOT_RATIO:
+    retries = 0
+    while box_state > _CANARY_HOT_RATIO and retries < _CANARY_MAX_RETRIES:
         time.sleep(_CANARY_COOLDOWN_S)
-        second = _canary_median(spark, sf_dir)
-        box_state = second / _CANARY_REF_S
-        detail.update(
-            retried=True,
-            cooldown_s=_CANARY_COOLDOWN_S,
-            second_median_s=round(second, 4),
-        )
+        retries += 1
+        box_state = _canary_median(spark, sf_dir) / _CANARY_REF_S
+        detail["readings"].append(round(box_state, 3))
+    detail["retries"] = retries
+    detail["cooldown_s"] = _CANARY_COOLDOWN_S
     detail["box_state"] = round(box_state, 3)
     return detail
 
@@ -602,9 +617,23 @@ def _mover_table(
     if not ratios:
         return None
     ratios.sort(reverse=True)
+
+    def _cool(n: str) -> bool:
+        return (box_by_query.get(n) or 1.0) <= _CANARY_HOT_RATIO
+
     return {
         "ref_date": ref.get("date"),
-        "flagged_gt_1_5": [n for t, n, m, r in ratios if t > _MOVER_FLAG_RATIO],
+        # only movers measured in a COOL block are actionable flags; a
+        # hot block's uniform shift is a box artifact (2026-08-16: a
+        # run started minutes after an 18-min suite flagged 26 movers,
+        # every one in a box_state>1.1 block) — those are counted
+        # separately so the signal channel stays clean
+        "flagged_gt_1_5": [
+            n for t, n, m, r in ratios if t > _MOVER_FLAG_RATIO and _cool(n)
+        ],
+        "hot_block_movers_gt_1_5": len(
+            [n for t, n, m, r in ratios if t > _MOVER_FLAG_RATIO and not _cool(n)]
+        ),
         "top10": [
             {
                 "query": n,

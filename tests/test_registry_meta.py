@@ -53,3 +53,36 @@ def test_no_duplicate_output_columns(spark):
     for name, q in sorted(REGISTRY.items()):
         cols = q.fn(spark, sf).columns
         assert len(cols) == len(set(cols)), f"{name}: duplicate columns {cols}"
+
+
+def test_bench_block_map_frozen_capacity():
+    """Block-mode comparability contract (r12): HEADLINE is
+    append-only and duplicate-free, so consecutive BLOCK_CAPACITY
+    slices have frozen membership; every full block must hold exactly
+    BLOCK_CAPACITY queries and block 1 must still open with the
+    canary query (its committed reference assumes q1 runs in a fresh
+    child after warmup)."""
+    import bench
+
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    blocks = bench.headline_blocks()
+    for b in blocks[:-1]:
+        assert len(b) == bench.BLOCK_CAPACITY
+    assert 0 < len(blocks[-1]) <= bench.BLOCK_CAPACITY
+    assert blocks[0][0] == "q1_pricing_summary"
+
+
+def test_bench_ref_names_exist():
+    """BENCH_REF.json (frozen mover references) must only name live
+    registry queries — a renamed/removed query must be re-frozen, not
+    silently carried."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "BENCH_REF.json")
+    if not os.path.isfile(path):
+        return
+    with open(path) as fh:
+        ref = json.load(fh)
+    stale = [n for n in ref["queries"] if n not in REGISTRY]
+    assert not stale, f"BENCH_REF names not in registry: {stale}"

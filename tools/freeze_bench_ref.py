@@ -9,6 +9,13 @@ so box_state is frozen as CONTEXT per block, never divided out.
 Run only after a full `python bench.py` at sf0.1 whose run-level
 cleanliness is independently evidenced (e.g. a same-day solo-vs-block
 pressure comparison like BENCH_PRESSURE2.json within ~5%).
+
+NOTE: this tool freezes from ONE run. The committed r12 BENCH_REF.json
+is a per-query GEOMETRIC MEAN of the two 2026-08-16 full runs (block
+windows swing ~+-20% on this box, see its methodology field) — prefer
+merging >= 2 same-day runs over re-running this single-run tool, and
+never let a single-run freeze overwrite a multi-run reference without
+updating the methodology string.
 Usage: python tools/freeze_bench_ref.py [--force]
 """
 
