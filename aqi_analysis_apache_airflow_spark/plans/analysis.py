@@ -5271,3 +5271,221 @@ def seqdep1_markov_order_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dependent"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# iqr1 — Tukey-fence outlier census per group (round 12)
+# --------------------------------------------------------------------------
+
+_IQR1_SQL = """
+WITH v AS (
+  SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+ranked AS (
+  SELECT g, c,
+         CAST(row_number() OVER (PARTITION BY g ORDER BY c) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM v
+),
+walls AS (
+  SELECT g, c, n,
+         max(CASE WHEN rn = (n + 3) // 4 THEN c END)
+           OVER (PARTITION BY g) AS q1,
+         max(CASE WHEN rn = (3 * n + 3) // 4 THEN c END)
+           OVER (PARTITION BY g) AS q3
+  FROM ranked
+)
+SELECT g AS l_returnflag,
+       CAST(any_value(n) AS BIGINT) AS n_rows,
+       any_value(q1) AS q1_cents,
+       any_value(q3) AS q3_cents,
+       CAST(count(*) FILTER (2 * c < 5 * q1 - 3 * q3) AS BIGINT)
+         AS n_low_outliers,
+       CAST(count(*) FILTER (2 * c > 5 * q3 - 3 * q1) AS BIGINT)
+         AS n_high_outliers
+FROM walls GROUP BY g
+"""
+
+
+@query("iqr1_tukey_fences", oracle=_IQR1_SQL)
+def iqr1_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census (Tukey 1977, the boxplot rule) of
+    line price per return flag: values beyond Q1 - 1.5*IQR /
+    Q3 + 1.5*IQR. Completes the robust-outlier triple — an1 flags by
+    z-score (mean/stddev, itself outlier-sensitive), an2 by MAD,
+    iqr1 by the quartile fences every boxplot and data-profiling
+    report draws; the census (not per-row flags) is what a dq
+    dashboard tracks.
+
+    Exactness: prices are exact cents; quartiles are ORDER
+    STATISTICS at ranks ceil(n/4) and ceil(3n/4) — integer rank
+    arithmetic ((n+3)//4, (3n+3)//4), actual data values, no
+    interpolation (the an3 wall convention; ties broken by the rank
+    itself, and since the measure IS the sort key, tie order cannot
+    change which VALUE sits at the boundary rank). The fences clear
+    the /2 denominators by cross-multiplication: c < Q1 - 1.5*IQR
+    <=> 2c < 5*Q1 - 3*Q3 — pure integer compares.
+
+    Scale shape: ONE hash exchange on the group key reused by all
+    three same-partition windows (rank, count, wall lookup —
+    Catalyst collapses them into one sort), then one counting
+    groupBy. Group cardinality must fit a partition — the an3
+    contract."""
+    v = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_returnflag").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .select(
+            F.col("l_returnflag").alias("g"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        )
+    )
+    byg = Window.partitionBy("g")
+    ranked = v.select(
+        "g",
+        "c",
+        F.row_number().over(byg.orderBy("c")).cast("long").alias("rn"),
+        F.count("*").over(byg).cast("long").alias("n"),
+    )
+    walls = ranked.select(
+        "g",
+        "c",
+        "n",
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("c"))
+        )
+        .over(byg)
+        .alias("q1"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("c"))
+        )
+        .over(byg)
+        .alias("q3"),
+    )
+    return walls.groupBy("g").agg(
+        F.max("n").alias("n_rows"),
+        F.max("q1").alias("q1_cents"),
+        F.max("q3").alias("q3_cents"),
+        F.count(
+            F.when(2 * F.col("c") < 5 * F.col("q1") - 3 * F.col("q3"), 1)
+        )
+        .cast("long")
+        .alias("n_low_outliers"),
+        F.count(
+            F.when(2 * F.col("c") > 5 * F.col("q3") - 3 * F.col("q1"), 1)
+        )
+        .cast("long")
+        .alias("n_high_outliers"),
+    ).select(
+        F.col("g").alias("l_returnflag"),
+        "n_rows",
+        "q1_cents",
+        "q3_cents",
+        "n_low_outliers",
+        "n_high_outliers",
+    )
+
+
+# --------------------------------------------------------------------------
+# gof2 — Benford first-digit chi-square decision gate (round 12)
+# --------------------------------------------------------------------------
+
+#: 6dp micro literals of log10(1 + 1/d), d = 1..9 — they sum to
+#: EXACTLY 1e6, so n*E_d partitions n without residue handling
+_BENFORD_E = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+assert sum(_BENFORD_E.values()) == 1_000_000
+_BENFORD_E_SQL = ", ".join(f"({d}, {e})" for d, e in _BENFORD_E.items())
+_GOF2_CRIT_MICRO = 15_507_313  # chi^2_{0.95, df=8} = 15.507313
+
+_GOF2_SQL = f"""
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                     AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+),
+o AS (SELECT d, CAST(count(*) AS HUGEINT) AS cnt FROM c GROUP BY d),
+spine(d, e) AS (VALUES {_BENFORD_E_SQL}),
+nt AS (SELECT CAST(sum(cnt) AS HUGEINT) AS n FROM o),
+terms AS (
+  SELECT (1000000 * COALESCE(o.cnt, 0) - t.n * s.e)
+         * (1000000 * COALESCE(o.cnt, 0) - t.n * s.e)
+         // (t.n * s.e) AS q,
+         t.n
+  FROM spine s LEFT JOIN o USING (d) CROSS JOIN nt t
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n_orders,
+       CAST(sum(q) AS BIGINT) AS chi2_micro,
+       sum(q) > {_GOF2_CRIT_MICRO} AS benford_reject
+FROM terms
+"""
+
+
+@query("gof2_benford_gate", oracle=_GOF2_SQL)
+def gof2_benford_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit chi-square decision gate (Newcomb 1881 /
+    Benford 1938; Nigrini's forensic-accounting test) on order
+    totals: dq7 emits the observed digit distribution, this makes
+    the DECISION — chi-square against the declared Benford null
+    E_d = log10(1+1/d), df = 8, alpha = .05. With gof1 (uniform
+    null) it gives the declared-distribution family both a flat and
+    a logarithmic reference. (Synthetic uniform-ish totals SHOULD
+    reject — the gate detects distribution shape, and the honest
+    answer on this corpus is 'not Benford'.)
+
+    Exactness: digits come from the decimal string of exact cents
+    (no float logs); the expected weights are FROZEN 6dp micro
+    literals that sum to exactly 1e6 (so the null partitions n
+    without residue); each of the 9 terms is one integral division
+    (1e6*O_d - n*e_d)^2 // (n*e_d) off the densified literal spine
+    (absent digits contribute their full n*e_d term via the LEFT
+    join), and the alpha gate is an integer compare against the
+    frozen df=8 critical value. Spark `div` wrap bound: the
+    quotient is <= ~2.2e7*n, inside int64 through n ~ 4e11 orders.
+
+    Scale shape: one counting groupBy onto <= 9 rows, a broadcast
+    9-row literal spine, a broadcast 1-row total. Nothing else."""
+    c = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0))
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("d")
+        )
+    )
+    dec = "decimal(38,0)"
+    o = c.groupBy("d").agg(F.count("*").cast(dec).alias("cnt"))
+    spine = spark.createDataFrame(
+        [(d, e) for d, e in _BENFORD_E.items()], "d LONG, e LONG"
+    )
+    nt = o.agg(F.sum("cnt").cast(dec).alias("n"))
+    terms = (
+        F.broadcast(spine)
+        .join(o, "d", "left")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "n",
+            F.expr(
+                "(1000000 * COALESCE(cnt, CAST(0 AS DECIMAL(38,0))) - n * e)"
+                " * (1000000 * COALESCE(cnt, CAST(0 AS DECIMAL(38,0))) - n * e)"
+                " div (n * e)"
+            ).alias("q"),
+        )
+    )
+    return terms.groupBy("n").agg(
+        F.sum("q").cast("long").alias("chi2_micro")
+    ).select(
+        F.col("n").cast("long").alias("n_orders"),
+        "chi2_micro",
+        (F.col("chi2_micro") > _GOF2_CRIT_MICRO).alias("benford_reject"),
+    )
