@@ -1524,6 +1524,17 @@ def ccf1_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ran 12.3s warm; 20 probes is the audit-cadence panel at ~3s. Bulk
 # scoring at production cadence belongs to the mapInPandas int64 Gram
 # path — the pca1/sdd1 shape.)
+#
+# DENSE-ID ASSUMPTION (ADVICE r12): probes are ids divisible by P, so
+# the "constant 10-100 probes" guarantee holds only for a vec_id space
+# that is dense and starts near 0 (the driver corpus and the
+# stride-shifted scaling corpus both are). A sparse or offset id space
+# (e.g. ids all = k mod P after an upstream rekey) yields an empty or
+# skewed panel — parity is unaffected (both engines share the rule),
+# but a deployment re-keying vec_id must either preserve density or
+# switch the panel to a rank rule (row_number() % P = 0 via the snm1
+# scalable two-pass global rank — deliberately NOT paid here, where
+# id-divisibility is a zero-shuffle map-side predicate).
 _MRR_PMOD_SQL = (
     "CAST('1' || repeat('0', greatest(length(CAST(n AS VARCHAR)) - 2, 0))"
     " AS BIGINT)"
@@ -4497,87 +4508,214 @@ def fleiss1_multirater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gof1 — chi-square goodness-of-fit: weekday uniformity (round 12)
 # --------------------------------------------------------------------------
 
-_GOF1_CRIT_MICRO = 12_591_587  # chi^2_{0.05, df=6} = 12.591587 in micro
+#: chi^2_{0.95, df} at 6dp for df = 1..6 = min(span_days, 7) - 1 —
+#: the frozen literal spine (seqdep1 convention: libm quantiles never
+#: run; a df outside the spine — a single-day span — yields NULL)
+_GOF1_CRIT = {
+    1: 3_841_459,
+    2: 5_991_465,
+    3: 7_814_728,
+    4: 9_487_729,
+    5: 11_070_498,
+    6: 12_591_587,
+}
+
+_GOF1_CRIT_SQL = ", ".join(f"({d}, {c})" for d, c in _GOF1_CRIT.items())
 
 _GOF1_SQL = f"""
 WITH d AS (
   SELECT event_type,
-         ((CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
-                AS BIGINT) % 7) + 7) % 7 AS wd
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day
   FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
 ),
 o AS (
-  SELECT event_type, wd, CAST(count(*) AS HUGEINT) AS c
+  SELECT event_type, ((day % 7) + 7) % 7 AS wd,
+         CAST(count(*) AS HUGEINT) AS c,
+         min(day) AS mn, max(day) AS mx
   FROM d GROUP BY 1, 2
 ),
-s AS (
-  SELECT event_type,
-         CAST(sum(c) AS HUGEINT) AS n,
-         CAST(sum(c * c) AS HUGEINT) AS q,
-         CAST(count(*) AS BIGINT) AS k_days
-  FROM o GROUP BY 1
+w AS (
+  SELECT event_type, wd, c,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS HUGEINT) AS n,
+         min(mn) OVER (PARTITION BY event_type) AS mind,
+         max(mx) OVER (PARTITION BY event_type) AS maxd
+  FROM o
+),
+geom AS (
+  SELECT event_type, wd, c, n,
+         maxd - mind + 1 AS dd,
+         (maxd - mind + 1) // 7 AS a,
+         (maxd - mind + 1) % 7 AS r,
+         ((mind % 7) + 7) % 7 AS wd0
+  FROM w
+),
+occ AS (
+  SELECT event_type, wd, c, n, dd,
+         CASE WHEN a = 0 THEN 1 WHEN r = 0 THEN a
+              ELSE a * (a + 1) END AS l,
+         a + CASE WHEN (((wd - wd0) % 7) + 7) % 7 < r
+                  THEN 1 ELSE 0 END AS occ
+  FROM geom
+),
+agg AS (
+  SELECT event_type, n, dd, l,
+         CAST(sum((dd * c - n * occ) * (dd * c - n * occ) * (l // occ))
+              AS HUGEINT) AS s_present,
+         CAST(sum(occ) AS HUGEINT) AS occ_present
+  FROM occ GROUP BY 1, 2, 3, 4
+),
+fin AS (
+  SELECT event_type, n, dd,
+         least(dd, 7) - 1 AS dfree,
+         s_present + n * n * l * (dd - occ_present) AS num,
+         n * dd * l AS den
+  FROM agg
 )
 SELECT event_type,
        CAST(n AS BIGINT) AS n_events,
-       k_days,
-       CAST((1000000 * (7 * q - n * n)) // n AS BIGINT) AS chi2_micro,
-       1000000 * (7 * q - n * n) > {_GOF1_CRIT_MICRO} * n AS nonuniform
-FROM s
+       CAST(dd AS BIGINT) AS span_days,
+       CAST(dfree AS BIGINT) AS df,
+       CAST((1000000 * num) // den AS BIGINT) AS chi2_micro,
+       CASE WHEN cr.crit IS NOT NULL
+            THEN 1000000 * num > cr.crit * den END AS nonuniform
+FROM fin LEFT JOIN (VALUES {_GOF1_CRIT_SQL}) cr(df, crit)
+  ON cr.df = fin.dfree
 """
 
 
 @query("gof1_weekday_uniformity", oracle=_GOF1_SQL)
 def gof1_weekday_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square goodness-of-fit of each event type's weekday mix
-    against the uniform null (Pearson 1900) — the ONE-sample member
-    the inference family was missing: dq3/ks1/psi1 compare two
-    empirical samples, this tests one sample against a DECLARED
-    distribution, the shape a traffic model or cron-skew audit
-    actually asserts ("is signup traffic flat across the week?").
-    df = 6, alpha = .05.
+    against the CALENDAR-COMPOSITION-weighted uniform null (Pearson
+    1900) — the ONE-sample member the inference family was missing:
+    dq3/ks1/psi1 compare two empirical samples, this tests one
+    sample against a DECLARED distribution, the shape a traffic
+    model or cron-skew audit actually asserts ("is signup traffic
+    flat across the week?"). alpha = .05.
 
-    Exactness: with O_i the per-weekday counts and n their total,
-    Sigma(O - n/7)^2 / (n/7) collapses to (7*Sigma O^2 - n^2)/n —
-    ONE non-negative integral micro division (missing weekdays
-    contribute 0 to Sigma O^2, so sparse groups need no densify);
-    the alpha gate is the ab1/drift1 cross-multiplied integer
-    comparison against the 6dp-frozen critical value
-    _GOF1_CRIT_MICRO = 12591587 micro — libm never runs. The weekday is the
-    engine-shared epoch-day mod 7 (sign-folded), not either
-    engine's locale-dependent dayofweek. Spark `div` wrap bound:
-    the quotient is <= 6e6*n, inside int64 through n ~ 1e12 events
-    per type.
+    The null is FLAT DAILY TRAFFIC, not flat raw weekday counts
+    (ADVICE r12): on a span that is not a whole number of weeks each
+    weekday occurs a different number of times (occ_w in {a, a+1},
+    a = D div 7, over the per-type span [min_day, max_day] of D
+    days), so perfectly flat traffic has E_w = n*occ_w/D — the raw
+    1/7 null conflated calendar composition with traffic skew and
+    was biased toward 'nonuniform' at large n.
 
-    Scale shape: one (type, weekday) counting groupBy — at most
-    7 rows per type — then k-row arithmetic. The cheapest possible
-    distribution test."""
+    Exactness: over the common denominator n*D*L — L = lcm of the
+    occupancies: 1 if a = 0, a if D is whole weeks, else a*(a+1)
+    (the two values are coprime neighbors) — each present-weekday
+    term is the exact integer (D*O_w - n*occ_w)^2 * (L div occ_w),
+    and ABSENT weekdays (O_w = 0, occ_w > 0) fold in closed form as
+    n^2*L*(D - sum_present occ_w), the tcl1 convention — no densify
+    join. chi2 exits as one floor division (the brier1 decimal
+    spelling, not `div` — products reach ~(n*D)^2*L*1e6, inside
+    DECIMAL(38,0) to n ~ 1e14 per type at D ~ 30). df =
+    min(D, 7) - 1; the alpha gate joins the FROZEN 6-row chi^2
+    spine _GOF1_CRIT (libm never runs; a 1-day span has df = 0 and
+    yields NULL, never a fabricated decision). Whole-week spans
+    reduce algebraically to the old (7*Sigma O^2 - n^2)/n form.
+    The weekday is the engine-shared epoch-day mod 7 (sign-folded),
+    not either engine's locale-dependent dayofweek.
+
+    Scale shape: one (type, weekday) counting groupBy carrying
+    min/max day — the ONLY corpus pass; span geometry rides
+    per-type windows over that <= 7-rows-per-type relation (never a
+    second aggregate branch re-executing the scan), then k-row
+    arithmetic and the 6-row broadcast spine join."""
     d = (
         load(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
         .select(
             "event_type",
-            F.pmod(
-                F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")),
-                F.lit(7),
-            ).alias("wd"),
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day"),
         )
     )
     dec = "decimal(38,0)"
-    o = d.groupBy("event_type", "wd").agg(F.count("*").cast(dec).alias("c"))
-    s = o.groupBy("event_type").agg(
-        F.sum("c").cast(dec).alias("n"),
-        F.sum(F.col("c") * F.col("c")).cast(dec).alias("q"),
-        F.count("*").cast("long").alias("k_days"),
+    o = d.groupBy(
+        "event_type", F.pmod(F.col("day"), F.lit(7)).alias("wd")
+    ).agg(
+        F.count("*").cast(dec).alias("c"),
+        F.min("day").alias("mn"),
+        F.max("day").alias("mx"),
     )
-    return s.select(
+    # span geometry via windows over the <= 7-rows-per-type relation —
+    # NOT a separate per-type aggregate branch, which would re-execute
+    # the corpus scan subtree (the seqdep1/brier1 lesson)
+    wt = Window.partitionBy("event_type")
+    w = o.select(
+        "event_type",
+        "wd",
+        "c",
+        F.sum("c").over(wt).cast(dec).alias("n"),
+        F.min("mn").over(wt).alias("mind"),
+        F.max("mx").over(wt).alias("maxd"),
+    )
+    occ = w.select(
+        "event_type",
+        "wd",
+        "c",
+        "n",
+        F.expr("maxd - mind + 1").alias("dd"),
+        F.expr("(maxd - mind + 1) div 7").alias("a"),
+        F.expr("(maxd - mind + 1) % 7").alias("r"),
+        F.pmod(F.col("mind"), F.lit(7)).alias("wd0"),
+    ).select(
+        "event_type",
+        "wd",
+        "c",
+        "n",
+        "dd",
+        F.expr(
+            "CASE WHEN a = 0 THEN 1 WHEN r = 0 THEN a"
+            " ELSE a * (a + 1) END"
+        ).alias("l"),
+        F.expr(
+            "a + CASE WHEN pmod(wd - wd0, 7) < r THEN 1 ELSE 0 END"
+        ).alias("occ"),
+    )
+    agg = occ.groupBy("event_type", "n", "dd", "l").agg(
+        F.sum(
+            F.expr(
+                "(dd * c - n * occ) * (dd * c - n * occ) * (l div occ)"
+            ).cast(dec)
+        )
+        .cast(dec)
+        .alias("s_present"),
+        F.sum("occ").cast(dec).alias("occ_present"),
+    )
+    fin = agg.select(
+        "event_type",
+        "n",
+        "dd",
+        (F.least(F.col("dd"), F.lit(7)) - 1).cast("long").alias("dfree"),
+        F.expr(
+            "CAST(s_present + n * n * l * (dd - occ_present)"
+            " AS DECIMAL(38,0))"
+        ).alias("num"),
+        F.expr("CAST(n * dd * l AS DECIMAL(38,0))").alias("den"),
+    )
+    crit = spark.createDataFrame(
+        [(k, v) for k, v in _GOF1_CRIT.items()], "cdf LONG, crit LONG"
+    )
+    return fin.join(
+        F.broadcast(crit), F.col("dfree") == F.col("cdf"), "left"
+    ).select(
         "event_type",
         F.col("n").cast("long").alias("n_events"),
-        "k_days",
+        F.col("dd").cast("long").alias("span_days"),
+        F.col("dfree").alias("df"),
+        # exact decimal floor (a - a%b)/b, NOT `div` (the brier1
+        # spelling): 1e6*num can exceed what IntegralDivide's LongType
+        # quotient path handles at extreme n
         F.expr(
-            "CAST((1000000 * (7 * q - n * n)) div n AS BIGINT)"
+            "CAST((1000000 * num - (1000000 * num) % den) / den"
+            " AS BIGINT)"
         ).alias("chi2_micro"),
-        F.expr(
-            f"1000000 * (7 * q - n * n) > {_GOF1_CRIT_MICRO} * n"
+        F.when(
+            F.col("crit").isNotNull(), F.expr("1000000 * num > crit * den")
         ).alias("nonuniform"),
     )
 
@@ -5026,7 +5164,7 @@ cls AS (
          CAST(sum(st.cs) AS HUGEINT) AS cs_present,
          any_value(t.n) AS n
   FROM sv
-  JOIN seg_tot st USING (seg)
+  JOIN seg_tot st ON st.seg IS NOT DISTINCT FROM sv.seg
   JOIN cls_tot ct
     ON ct.c_nationkey IS NOT DISTINCT FROM sv.c_nationkey
    AND ct.bal_band IS NOT DISTINCT FROM sv.bal_band
@@ -5062,8 +5200,12 @@ def tcl1_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_c*(N - sum_present C_s) — no densify join. One integral
     micro division per class, gate as an integer compare. NULL
     segments form their own group on both engines (the priv2
-    convention) and the class-total join is NULL-SAFE (eqNullSafe /
-    IS NOT DISTINCT FROM) so a NULL balance band keeps its class.
+    convention): BOTH joins — segment-total and class-total — are
+    NULL-SAFE (eqNullSafe / IS NOT DISTINCT FROM), so a NULL
+    sensitive value is a real segment with its own C_s, not an
+    absent one folded at full weight (ADVICE r12: the plain equi
+    seg join silently dropped NULL-seg rows), and a NULL balance
+    band keeps its class.
 
     Scale shape: the priv2 stacked-aggregate shape plus one
     broadcast segment-total join (|segments| rows) and a broadcast
@@ -5086,8 +5228,9 @@ def tcl1_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bal_band").alias("ct_bb"),
         "nc",
     )
+    st = seg_tot.select(F.col("seg").alias("st_seg"), "cs")
     cls = (
-        sv.join(F.broadcast(seg_tot), "seg")
+        sv.join(F.broadcast(st), F.col("seg").eqNullSafe(F.col("st_seg")))
         .join(
             ct,
             F.col("c_nationkey").eqNullSafe(F.col("ct_nk"))

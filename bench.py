@@ -451,8 +451,10 @@ def _canary_median(spark, sf_dir: str) -> float:
 
 
 def _run_canary(spark, sf_dir: str) -> dict | None:
-    """q1 vs the committed reference; one cooldown+retry on a hot box.
-    Only meaningful at sf0.1 (the committed scale) — None elsewhere."""
+    """q1 vs the committed reference; up to _CANARY_MAX_RETRIES
+    cooldown+retry cycles on a hot box, final reading stamped either
+    way. Only meaningful at sf0.1 (the committed scale) — None
+    elsewhere."""
     if abs(_sf_of(sf_dir) - 0.1) > 1e-9:
         return None
     first = _canary_median(spark, sf_dir)

@@ -141,14 +141,20 @@ def test_markov2_degenerate_no_transitions(spark, tmp_path):
     assert out.count() == 0
 
 
-def test_gof1_single_pass_no_joins(spark):
-    """gof1's claim: one (type, weekday) counting groupBy then k-row
-    arithmetic — one corpus scan, no joins, no windows."""
+def test_gof1_single_pass_typed_windows(spark):
+    """gof1's claim: one (type, weekday) counting groupBy is the only
+    corpus pass; span geometry rides event_type-partitioned windows
+    over that <= 7-rows-per-type relation, and the only join is the
+    6-row broadcast chi^2 spine."""
     df = REGISTRY["gof1_weekday_uniformity"].fn(spark, SF_DIR)
     p = _plan(df)
-    assert "Window" not in p, p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
-    assert not re.findall(r"\(\d+\) \w*Join", p), p
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs and all(s.startswith("event_type") for s in specs), specs
+    joins = re.findall(r"\(\d+\) (\w*Join\w*)", p)
+    assert joins == ["BroadcastHashJoin"] or joins == [
+        "BroadcastNestedLoopJoin"
+    ], joins
 
 
 def test_tost1_single_pass_no_joins(spark):

@@ -28,6 +28,10 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+# SPARK_GRAFT_SCALING_QUERIES overrides the panel (comma-separated
+# registry names) — the r12 verdict-task-5 policy runs every NEW
+# registry query through the sweep once, without re-burning the wall
+# time of the standing top-10 panel each round.
 QUERIES = [
     "mmr1_diversified_topk",
     "pca1_power_iteration",
@@ -40,6 +44,9 @@ QUERIES = [
     "d13_threshold_sweep",
     "d4v_simhash_verified",
 ]
+_ENV_QUERIES = os.environ.get("SPARK_GRAFT_SCALING_QUERIES")
+if _ENV_QUERIES:
+    QUERIES = [n.strip() for n in _ENV_QUERIES.split(",") if n.strip()]
 
 SCALES = [
     ("sf0.01", "/root/testdata/sf0.01", 1.0),
@@ -74,7 +81,12 @@ def _run_scale(label: str, sf_dir: str, out_path: str) -> None:
 
 
 def main() -> None:
-    if len(sys.argv) >= 4 and sys.argv[1] == "--scale":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--scale":
+        # internal dispatch needs all three operands: label sf_dir out
+        if len(sys.argv) < 5:
+            raise SystemExit(
+                "usage: run_scaling_sweep.py --scale <label> <sf_dir> <out.json>"
+            )
         _run_scale(sys.argv[2], sys.argv[3], sys.argv[4])
         return
     out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
