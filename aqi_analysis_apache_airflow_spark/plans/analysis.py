@@ -5632,3 +5632,457 @@ def gof2_benford_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi2_micro",
         (F.col("chi2_micro") > _GOF2_CRIT_MICRO).alias("benford_reject"),
     )
+
+
+# --------------------------------------------------------------------------
+# caldrift1 — per-ingestion-batch Spiegelhalter calibration Z (round 13)
+# --------------------------------------------------------------------------
+
+_CALDRIFT_BATCHES = 10  # heaps1's arrival-order id-range decile rule
+_CALDRIFT_Z2_MICRO = 3_841_459  # chi^2_{0.05, df=1} = z_{0.025}^2 in micro
+
+_CALDRIFT1_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         least((1000 * CAST(len(regexp_extract_all(lower(text),
+                                '\\b(the|a|of|to|and)\\b')) AS BIGINT))
+               // CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT),
+               1000) AS p
+  FROM documents
+  WHERE doc_id IS NOT NULL AND lang IS NOT NULL AND text IS NOT NULL
+    AND len(regexp_extract_all(text, '\\S+')) > 0
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+b AS (
+  SELECT CAST(floor(CAST({_CALDRIFT_BATCHES} * doc_id AS DOUBLE)
+                    / CAST(nn.n AS DOUBLE)) AS BIGINT) + 1 AS batch,
+         y, p
+  FROM scored CROSS JOIN nn
+),
+agg AS (
+  SELECT batch,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(p) AS HUGEINT) AS conf_sum,
+         CAST(sum((1000 * y - p) * (1000 - 2 * p)) AS HUGEINT) AS num,
+         CAST(sum((1000 - 2 * p) * (1000 - 2 * p) * p * (1000 - p))
+              AS HUGEINT) AS den
+  FROM b GROUP BY 1
+)
+SELECT batch, n_docs,
+       CAST((1000 * n_pos) // n_docs AS BIGINT) AS acc_permille,
+       CAST(conf_sum // n_docs AS BIGINT) AS conf_permille,
+       CASE WHEN den > 0
+            THEN CAST((1000000 * num * num) // den AS BIGINT) END
+         AS z2_micro,
+       CASE WHEN den > 0
+            THEN 1000000 * num * num > {_CALDRIFT_Z2_MICRO} * den END
+         AS miscalibrated
+FROM agg
+"""
+
+
+@query("caldrift1_calibration_drift", oracle=_CALDRIFT1_SQL)
+def caldrift1_calibration_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingestion-batch Spiegelhalter (1986) calibration Z-test of
+    the en-score read as a probability — the MONITORING view of
+    calibration the r12 verdict asked for: ece1/brier1 compress
+    calibration into one corpus-level number, caldrift1 asks WHICH
+    arrival windows are miscalibrated, with a principled per-batch
+    decision instead of a binned gap. Spiegelhalter's statistic
+    Z = sum (y-p)(1-2p) / sqrt(sum (1-2p)^2 p(1-p)) is the exact
+    standardization of the Brier score against its
+    calibrated-forecast null — the test statisticians actually use
+    for "are these probabilities honest", and (unlike a binned ECE
+    threshold) it needs no bin count. Batches are heaps1's
+    arrival-order id-range deciles (floor(10*id/N)+1, one IEEE
+    double rule both engines share) — the corpus-health axis the
+    drift family (drift1/psi1/cpd1) already reads.
+
+    Exactness: p is the brier1/ece1 stopword score floor-quantized
+    to PERMILLE and clamped to 1000 (a token like "a,of" can match
+    two stopwords; both engines clamp identically), y in {0, 1000};
+    num = sum (1000y-p)(1000-2p) and den = sum (1000-2p)^2 p(1000-p)
+    are exact integers (milli^2 / milli^4 units), z^2 exits as ONE
+    integral micro division num^2/den and the alpha gate is the
+    cross-multiplied integer compare vs the 6dp-frozen chi^2_{1}
+    critical value — libm never runs. den = 0 (every p at 0 or
+    1000) yields NULL, never a fabricated decision. DECIMAL(38,0)
+    width: 1e6*num^2 carries n^2*1e18, inside 38 digits to ~3e9
+    docs per batch; rescale past that (the mcc1 convention).
+
+    Scale shape: ONE map-side-combinable (batch) groupBy over a
+    per-row projection — 10 groups — plus heaps1's broadcast 1-row
+    count for the batch rule. The cheapest monitoring shape there
+    is; runs per scoring-rule candidate like cls1/ece1/brier1."""
+    txt = F.col("text")
+    hits = F.size(
+        F.regexp_extract_all(
+            F.lower(txt), F.lit(r"\b(the|a|of|to|and)\b"), 0
+        )
+    ).cast("long")
+    toks = F.size(F.regexp_extract_all(txt, F.lit(r"\S+"), 0)).cast("long")
+    dec = "decimal(38,0)"
+    scored = (
+        load(spark, sf_dir, "documents")
+        .filter(
+            F.col("doc_id").isNotNull()
+            & F.col("lang").isNotNull()
+            & txt.isNotNull()
+        )
+        .filter(toks > 0)
+        .select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            F.least(
+                F.expr(
+                    "CAST((1000 * CAST(size(regexp_extract_all(lower(text),"
+                    r" '\\b(the|a|of|to|and)\\b', 0)) AS BIGINT))"
+                    r" div CAST(size(regexp_extract_all(text, '\\S+', 0))"
+                    " AS BIGINT) AS BIGINT)"
+                ),
+                F.lit(1000),
+            ).alias("p"),
+        )
+    )
+    nn = scored.agg(F.count("*").cast("long").alias("n"))
+    b = scored.join(F.broadcast(nn)).select(
+        (
+            F.floor(
+                (F.lit(_CALDRIFT_BATCHES) * F.col("doc_id")).cast("double")
+                / F.col("n").cast("double")
+            ).cast("long")
+            + 1
+        ).alias("batch"),
+        "y",
+        "p",
+    )
+    agg = b.groupBy("batch").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("p").cast(dec).alias("conf_sum"),
+        F.sum(F.expr("(1000 * y - p) * (1000 - 2 * p)").cast(dec))
+        .cast(dec)
+        .alias("num"),
+        F.sum(
+            F.expr("(1000 - 2 * p) * (1000 - 2 * p) * p * (1000 - p)").cast(
+                dec
+            )
+        )
+        .cast(dec)
+        .alias("den"),
+    )
+    return agg.select(
+        "batch",
+        "n_docs",
+        F.expr("CAST((1000 * n_pos) div n_docs AS BIGINT)").alias(
+            "acc_permille"
+        ),
+        F.expr("CAST(conf_sum div n_docs AS BIGINT)").alias("conf_permille"),
+        # exact decimal floor (a - a%b)/b, NOT `div` (the brier1
+        # spelling): 1e6*num^2 reaches n^2*1e18 and IntegralDivide's
+        # LongType quotient path wraps past int64
+        F.when(
+            F.col("den") > 0,
+            F.expr(
+                "CAST((1000000 * num * num - (1000000 * num * num) % den)"
+                " / den AS BIGINT)"
+            ),
+        ).alias("z2_micro"),
+        F.when(
+            F.col("den") > 0,
+            F.expr(f"1000000 * num * num > {_CALDRIFT_Z2_MICRO} * den"),
+        ).alias("miscalibrated"),
+    )
+
+
+# --------------------------------------------------------------------------
+# pperm1 — paired sign-flip permutation test between rankers (round 13)
+# --------------------------------------------------------------------------
+
+_PPERM_K = 20  # deterministic sign-flip rounds (perm1 convention)
+_PPERM_POOL = 20  # neighbor pool depth per arm (_MRR_K convention)
+_PPERM_PREFIX = 16  # Matryoshka prefix dims (ndcg1/emb4 convention)
+
+_PPERM_HASH_SQL = CE_HASH64_SQL.format(
+    h="md5('pperm|' || CAST(u.k AS VARCHAR) || '|' || CAST(q_id AS VARCHAR))"
+)
+
+_PPERM1_SQL = f"""
+WITH base AS (
+  SELECT vec_id, label, embedding,
+         (SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                      AS DECIMAL(28,14)))
+          FROM unnest(embedding) AS t(x)) AS n2,
+         (SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                      AS DECIMAL(28,14)))
+          FROM unnest(embedding[1:{_PPERM_PREFIX}]) AS t(x)) AS p2
+  FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL
+),
+pmod AS (
+  SELECT {_MRR_PMOD_SQL} AS p
+  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM base) t
+),
+good AS (SELECT * FROM base WHERE n2 > 0 AND p2 > 0),
+probes AS (
+  SELECT vec_id AS q_id, label AS q_label, embedding AS qv,
+         n2 AS qn2, p2 AS qp2
+  FROM good
+  WHERE vec_id % (SELECT p FROM pmod) = 0 AND vec_id <> 0
+),
+pairs AS (
+  SELECT p.q_id, p.q_label, c.vec_id, c.label,
+         unnest(c.embedding) AS x, unnest(p.qv) AS y,
+         generate_subscripts(c.embedding, 1) AS i,
+         c.n2 AS cn2, c.p2 AS cp2, p.qn2, p.qp2
+  FROM probes p JOIN good c ON c.vec_id <> p.q_id
+),
+dots AS (
+  SELECT q_id, q_label, vec_id, label,
+         SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+             AS DECIMAL(28,14))) AS dot_f,
+         SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+             AS DECIMAL(28,14))) FILTER (i <= {_PPERM_PREFIX}) AS dot_p,
+         any_value(cn2) AS cn2, any_value(cp2) AS cp2,
+         any_value(qn2) AS qn2, any_value(qp2) AS qp2
+  FROM pairs GROUP BY q_id, q_label, vec_id, label
+),
+ranked AS (
+  SELECT q_id, q_label, label, vec_id,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY round(CAST(dot_f AS DOUBLE)
+             / (sqrt(CAST(cn2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))), 6)
+             DESC, vec_id) AS rn_f,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY round(CAST(dot_p AS DOUBLE)
+             / (sqrt(CAST(cp2 AS DOUBLE)) * sqrt(CAST(qp2 AS DOUBLE))), 6)
+             DESC, vec_id) AS rn_p
+  FROM dots
+),
+diffs AS (
+  SELECT q_id,
+         coalesce(1000000 // min(CASE WHEN rn_f <= {_PPERM_POOL}
+                                   AND label = q_label THEN rn_f END), 0)
+         - coalesce(1000000 // min(CASE WHEN rn_p <= {_PPERM_POOL}
+                                     AND label = q_label THEN rn_p END), 0)
+           AS d
+  FROM ranked GROUP BY q_id
+),
+tobs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         CAST(sum(d) AS BIGINT) AS t_obs
+  FROM diffs
+),
+pt AS (
+  SELECT u.k,
+         CAST(sum(CASE WHEN (({_PPERM_HASH_SQL}) & 1) = 0
+                       THEN d ELSE -d END) AS BIGINT) AS t_k
+  FROM diffs, UNNEST(range(1, {_PPERM_K} + 1)) u(k)
+  GROUP BY u.k
+)
+SELECT t.n_probes,
+       t.t_obs AS t_obs_micro,
+       CAST((t.t_obs + {_OFF} * t.n_probes) // t.n_probes - {_OFF}
+            AS BIGINT) AS mean_gap_micro,
+       CAST(count(*) FILTER (abs(p.t_k) >= abs(t.t_obs)) AS BIGINT)
+         AS n_extreme,
+       CAST((1000 * (1 + count(*) FILTER (abs(p.t_k) >= abs(t.t_obs))))
+            // ({_PPERM_K} + 1) AS BIGINT) AS p_permille
+FROM tobs t, pt p
+GROUP BY t.n_probes, t.t_obs
+"""
+
+
+@query("pperm1_paired_ranker_test", oracle=_PPERM1_SQL)
+def pperm1_paired_ranker_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign-flip permutation test (Good, "Permutation Tests";
+    the paired arm of perm1's Fisher/Edgington randomization family)
+    on per-probe reciprocal-rank differences between the EXACT
+    full-dim cosine ranking and the 16-dim Matryoshka-prefix ranking
+    — the ranker-COMPARISON decision the r12 verdict asked for:
+    emb4/ndcg1 measure HOW MUCH the cheap index loses, pperm1 asks
+    whether the loss is statistically REAL or probe-panel noise
+    before anyone swaps index configurations over it. Pairing by
+    probe removes between-probe variance — the whole point of the
+    paired design; under H0 (arms exchangeable per probe) each
+    difference's SIGN is a fair coin, so flipping signs with the
+    md5-family deterministic draws replays the null exactly.
+
+    Exactness: per-probe RR is mrr1's 1e6 div first-same-label-rank
+    (0 outside the pool); d = rr_full - rr_prefix is an exact signed
+    integer; T_obs = sum d and every permuted T_k are exact BIGINT
+    sums; sign draws come from ce_hash64('pperm|k|q_id') & 1 (the
+    perm1/dp1 deterministic-randomness rule) so both engines replay
+    identical flips; the Monte-Carlo p is (1 + #extreme)/(K+1) as
+    one integral permille division, and the mean gap exits through
+    the OFF-shifted floor division (signed numerator). Both cosines
+    round once at 6dp with the vec_id tiebreak (the sim_cosine
+    convention); vectors with a zero FULL or zero PREFIX norm are
+    excluded from both arms so the candidate sets are identical
+    (a nonzero vector whose first 16 dims are all zero has no
+    prefix-cosine — the ndcg1 HAVING rule, applied symmetrically).
+
+    Scale shape: ONE probe x corpus score stream computes BOTH dots
+    per pair (the prefix fold rides the same row — no second corpus
+    pass, unlike the oracle's readable two-sum form); the probe
+    panel is mrr1's constant-bounded 10-100 ids (same dense-id
+    assumption, documented there); both rank windows partition BY
+    PROBE and share one exchange; everything after the rank filter
+    — diffs, the x{_PPERM_K} sign-flip expansion, the permutation
+    distribution — is probe-sized (<= 100 rows x 20)."""
+    pre = _PPERM_PREFIX
+    emb0 = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isNotNull() & F.col("label").isNotNull())
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            _dot(F.col("embedding"), F.col("embedding")).alias("n2"),
+            _dot(
+                F.slice(F.col("embedding"), 1, pre),
+                F.slice(F.col("embedding"), 1, pre),
+            ).alias("p2"),
+        )
+    )
+    pmod = emb0.agg(F.count("*").cast("long").alias("n")).select(
+        F.expr(
+            "CAST(concat('1', repeat('0',"
+            " greatest(length(CAST(n AS STRING)) - 2, 0))) AS BIGINT)"
+        ).alias("p")
+    )
+    good = emb0.filter((F.col("n2") > 0) & (F.col("p2") > 0))
+    probes = (
+        good.crossJoin(F.broadcast(pmod))
+        .filter(
+            (F.col("vec_id") % F.col("p") == 0) & (F.col("vec_id") != 0)
+        )
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("qv"),
+            F.col("n2").alias("qn2"),
+            F.col("p2").alias("qp2"),
+        )
+    )
+    scored = (
+        good.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("embedding"), F.col("qv")).cast("double")
+                / (
+                    F.sqrt(F.col("n2").cast("double"))
+                    * F.sqrt(F.col("qn2").cast("double"))
+                ),
+                6,
+            ).alias("cos_f"),
+            F.round(
+                _dot(
+                    F.slice(F.col("embedding"), 1, pre),
+                    F.slice(F.col("qv"), 1, pre),
+                ).cast("double")
+                / (
+                    F.sqrt(F.col("p2").cast("double"))
+                    * F.sqrt(F.col("qp2").cast("double"))
+                ),
+                6,
+            ).alias("cos_p"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("cos_f").desc(), "vec_id")
+    wp = Window.partitionBy("q_id").orderBy(F.col("cos_p").desc(), "vec_id")
+    ranked = scored.select(
+        "q_id",
+        "q_label",
+        "label",
+        F.row_number().over(wf).alias("rn_f"),
+        F.row_number().over(wp).alias("rn_p"),
+    )
+    rel = F.col("label") == F.col("q_label")
+    diffs = (
+        ranked.groupBy("q_id")
+        .agg(
+            F.min(
+                F.when(rel & (F.col("rn_f") <= _PPERM_POOL), F.col("rn_f"))
+            ).alias("fr_f"),
+            F.min(
+                F.when(rel & (F.col("rn_p") <= _PPERM_POOL), F.col("rn_p"))
+            ).alias("fr_p"),
+        )
+        .select(
+            "q_id",
+            F.expr(
+                "coalesce(1000000 div fr_f, 0)"
+                " - coalesce(1000000 div fr_p, 0)"
+            ).alias("d"),
+        )
+    )
+    # observed total and panel size ride an unpartitioned window over
+    # the PROBE-SIZED diffs relation (<= 100 rows — the srd1/ap1
+    # documented exception) so the permutation arm shares ONE lineage
+    # with the observed arm: a separate 1-row aggregate branch would
+    # re-execute the whole probe x corpus score subtree (verified in
+    # the plan: two q_id exchanges before this rewrite, one after)
+    wall = Window.partitionBy()
+    dtot = diffs.select(
+        "q_id",
+        "d",
+        F.sum("d").over(wall).cast("long").alias("t_obs"),
+        F.count("*").over(wall).cast("long").alias("n_probes"),
+    )
+    pt = (
+        dtot.select(
+            "q_id",
+            "d",
+            "t_obs",
+            "n_probes",
+            F.explode(F.sequence(F.lit(1), F.lit(_PPERM_K))).alias("k"),
+        )
+        .select(
+            "k",
+            "t_obs",
+            "n_probes",
+            F.when(
+                ce_hash64(
+                    F.concat(
+                        F.lit("pperm|"),
+                        F.col("k").cast("string"),
+                        F.lit("|"),
+                        F.col("q_id").cast("string"),
+                    )
+                ).bitwiseAND(F.lit(1))
+                == 0,
+                F.col("d"),
+            )
+            .otherwise(-F.col("d"))
+            .alias("sd"),
+        )
+        .groupBy("k", "t_obs", "n_probes")
+        .agg(F.sum("sd").cast("long").alias("t_k"))
+    )
+    extreme = F.count(
+        F.when(F.abs(F.col("t_k")) >= F.abs(F.col("t_obs")), 1)
+    ).cast("long")
+    return (
+        pt.groupBy("n_probes", "t_obs")
+        .agg(extreme.alias("n_extreme"))
+        .select(
+            "n_probes",
+            F.col("t_obs").alias("t_obs_micro"),
+            F.expr(
+                f"CAST((t_obs + {_OFF} * n_probes) div n_probes - {_OFF}"
+                " AS BIGINT)"
+            ).alias("mean_gap_micro"),
+            "n_extreme",
+            F.expr(
+                f"CAST((1000 * (1 + n_extreme)) div ({_PPERM_K} + 1)"
+                " AS BIGINT)"
+            ).alias("p_permille"),
+        )
+    )

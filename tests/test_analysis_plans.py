@@ -236,3 +236,36 @@ def test_seqdep1_single_lag_window(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
     assert any(s.startswith("user_id") for s in specs), specs
+
+
+def test_caldrift1_no_window_one_batch_groupby(spark):
+    """caldrift1's claim: ONE map-side-combinable (batch) groupBy over
+    a per-row projection plus heaps1's broadcast 1-row count — no
+    window, no corpus cartesian beyond that 1-row broadcast, two
+    scans total (the count arm + the scoring arm)."""
+    df = REGISTRY["caldrift1_calibration_drift"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert "Window" not in p, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
+    joins = re.findall(r"\(\d+\) (\w*Join\w*)", p)
+    assert joins == ["BroadcastNestedLoopJoin"], joins
+
+
+def test_pperm1_probe_windows_share_exchange(spark):
+    """pperm1's claim: both rank windows partition BY PROBE (q_id) and
+    share one exchange; the probe panel and the 1-row totals are
+    broadcasts; no corpus-wide window, no CartesianProduct."""
+    df = REGISTRY["pperm1_paired_ranker_test"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert "CartesianProduct" not in p, p
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    ranked = [s for s in specs if s.startswith("q_id")]
+    others = [s for s in specs if not s.startswith("q_id")]
+    assert len(ranked) == 2, specs
+    # the only unpartitioned windows are the totals over the
+    # probe-sized diffs relation (the srd1/ap1 documented exception)
+    assert all(s.startswith("specifiedwindowframe") for s in others), specs
+    # the two row_number windows ride ONE q_id hash exchange, and the
+    # observed/permutation arms share one lineage (a branched 1-row
+    # aggregate would show a second q_id exchange)
+    assert len(re.findall(r"hashpartitioning\(q_id", p)) == 1, p
