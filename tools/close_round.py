@@ -34,6 +34,23 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+# st7 (transformWithStateInPandas) needs google.protobuf in the
+# streaming driver worker — same vendored-runtime gate as bench.py /
+# tests/conftest.py, applied before the first SparkSession builds.
+import importlib.util as _ilu  # noqa: E402
+
+try:
+    _HAVE_PROTOBUF = _ilu.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:
+    _HAVE_PROTOBUF = False
+if not _HAVE_PROTOBUF:
+    _VENDOR = os.path.join(_REPO, "vendor", "protobuf_py.zip")
+    if os.path.isfile(_VENDOR):
+        sys.path.insert(0, _VENDOR)
+        os.environ["PYTHONPATH"] = os.pathsep.join(
+            p for p in [_VENDOR, os.environ.get("PYTHONPATH", "")] if p
+        )
+
 T2_SF_DIR = "/root/testdata/sf0.01"
 BENCH_SF_DIR = "/root/testdata/sf0.1"
 

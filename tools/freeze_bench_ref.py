@@ -17,12 +17,21 @@ merging >= 2 same-day runs over re-running this single-run tool, and
 never let a single-run freeze overwrite a multi-run reference without
 updating the methodology string.
 Usage: python tools/freeze_bench_ref.py [--force]
+       python tools/freeze_bench_ref.py --add-missing A.json B.json
+
+--add-missing: the additive path for queries that landed AFTER the
+frozen reference (r12: iqr1/gof2; r13: caldrift1/pperm1): given two
+saved block-mode BENCH_DETAIL files from the same day, add rows ONLY
+for queries absent from BENCH_REF.json, as the per-query geometric
+mean of the two runs (the committed multi-run convention), leaving
+every frozen row untouched and appending a dated provenance note.
 """
 
 from __future__ import annotations
 
 import datetime
 import json
+import math
 import os
 import sys
 
@@ -31,7 +40,49 @@ DETAIL = os.path.join(_REPO, "BENCH_DETAIL.json")
 REF = os.path.join(_REPO, "BENCH_REF.json")
 
 
+def _all_queries(detail: dict) -> dict[str, float]:
+    q = dict(detail.get("queries", {}))
+    for n, t in detail.get("appendix", {}).get("queries", {}).items():
+        if not n.endswith("__ivf_prefilter"):
+            q[n] = t
+    return q
+
+
+def add_missing(path_a: str, path_b: str) -> None:
+    with open(path_a) as fh:
+        qa = _all_queries(json.load(fh))
+    with open(path_b) as fh:
+        qb = _all_queries(json.load(fh))
+    with open(REF) as fh:
+        ref = json.load(fh)
+    added = {}
+    for n in sorted(set(qa) & set(qb)):
+        if n not in ref["queries"]:
+            added[n] = round(math.sqrt(qa[n] * qb[n]), 4)
+    if not added:
+        raise SystemExit("nothing to add: every measured query has a row")
+    ref["queries"].update(added)
+    today = datetime.date.today().isoformat()
+    ref["methodology"] = (
+        ref.get("methodology", "")
+        + f"; {today}: rows for {sorted(added)} added as the geometric "
+        "mean of two same-day block-mode runs (--add-missing; frozen "
+        "rows untouched)"
+    )
+    with open(REF, "w") as fh:
+        json.dump(ref, fh, indent=1)
+    print(f"added {len(added)} rows -> BENCH_REF.json: {added}")
+
+
 def main() -> None:
+    if "--add-missing" in sys.argv:
+        i = sys.argv.index("--add-missing")
+        if len(sys.argv) < i + 3:
+            raise SystemExit(
+                "usage: freeze_bench_ref.py --add-missing A.json B.json"
+            )
+        add_missing(sys.argv[i + 1], sys.argv[i + 2])
+        return
     with open(DETAIL) as fh:
         d = json.load(fh)
     if "blocks" not in d:
