@@ -6086,3 +6086,143 @@ def pperm1_paired_ranker_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_permille"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# mcn1 — McNemar paired test between two classifiers (round 13)
+# --------------------------------------------------------------------------
+
+_MCN_CRIT_MICRO = 3_841_459  # chi^2_{0.05, df=1} in micro
+
+_MCN1_SQL = f"""
+WITH scored AS (
+  SELECT source,
+         lang = 'en' AS truth,
+         50 * CAST(len(regexp_extract_all(lower(text),
+                       '\\b(the|a|of|to|and)\\b')) AS BIGINT)
+           > CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS pa,
+         CAST(strlen(text) AS BIGINT) = CAST(length(text) AS BIGINT) AS pb
+  FROM documents
+  WHERE lang IS NOT NULL AND text IS NOT NULL AND source IS NOT NULL
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(*) FILTER (pa = truth) AS BIGINT) AS a_correct,
+         CAST(count(*) FILTER (pb = truth) AS BIGINT) AS b_correct,
+         CAST(count(*) FILTER (pa = truth AND pb <> truth) AS BIGINT) AS b01,
+         CAST(count(*) FILTER (pa <> truth AND pb = truth) AS BIGINT) AS c10
+  FROM scored GROUP BY 1
+)
+SELECT source, n_docs,
+       CAST((1000 * a_correct) // n_docs AS BIGINT) AS acc_a_permille,
+       CAST((1000 * b_correct) // n_docs AS BIGINT) AS acc_b_permille,
+       b01 AS only_a_correct,
+       c10 AS only_b_correct,
+       CASE WHEN b01 + c10 > 0 THEN
+         CAST((1000000 * greatest(abs(b01 - c10) - 1, 0)
+                       * greatest(abs(b01 - c10) - 1, 0))
+              // (b01 + c10) AS BIGINT) END AS chi2_micro,
+       CASE WHEN b01 + c10 > 0 THEN
+         1000000 * greatest(abs(b01 - c10) - 1, 0)
+                 * greatest(abs(b01 - c10) - 1, 0)
+           > {_MCN_CRIT_MICRO} * (b01 + c10) END AS rules_differ
+FROM agg
+"""
+
+
+@query("mcn1_mcnemar_rules", oracle=_MCN1_SQL)
+def mcn1_mcnemar_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's (1947) paired test, continuity-corrected, between the
+    two deployed lang-id decision rules on the SAME documents — the
+    classifier sibling of pperm1's paired ranker test, closing the
+    paired-comparison column of the eval harness: cls1/prt1 score one
+    rule against truth, mcn1 asks whether rule A (cls1's stopword
+    rule, 50*hits > tokens) and rule B (the pure-ASCII heuristic,
+    byte length = char length) disagree MORE THAN CHANCE on the same
+    corpus, per source. The discordant pairs are the whole story
+    (concordant pairs cancel — the McNemar insight): b = A right & B
+    wrong, c = A wrong & B right, chi^2 = max(|b-c|-1, 0)^2/(b+c)
+    (the Edwards correction, clamped so b = c reads 0, not 1) vs
+    chi^2_{{1}}. The decision a curation team actually faces —
+    "replace the cheap rule with the cheaper one?" — needs exactly
+    this paired view: two rules can have equal marginal accuracy yet
+    be wrong on completely different documents.
+
+    Exactness: all four cell counts are exact integers off ONE
+    filtered aggregate; the corrected statistic exits as one
+    non-negative integral micro division and the alpha gate is the
+    cross-multiplied integer compare vs the frozen chi^2_1 critical
+    value; b + c = 0 (rules agree everywhere) yields NULL, never a
+    fabricated decision. Both predicates are engine-shared: the
+    cls1 stopword rule verbatim, and bytes-vs-chars via
+    octet_length/strlen = length (the qc5 pin — nothing for the
+    regex or unicode dialects to disagree on).
+
+    Scale shape: ONE map-side-combinable (source) groupBy over a
+    per-row projection — the cls1 shape with a GROUP BY; no join,
+    no window, no second pass."""
+    txt = F.col("text")
+    hits = F.size(
+        F.regexp_extract_all(
+            F.lower(txt), F.lit(r"\b(the|a|of|to|and)\b"), 0
+        )
+    ).cast("long")
+    toks = F.size(F.regexp_extract_all(txt, F.lit(r"\S+"), 0)).cast("long")
+    scored = (
+        load(spark, sf_dir, "documents")
+        .filter(
+            F.col("lang").isNotNull()
+            & txt.isNotNull()
+            & F.col("source").isNotNull()
+        )
+        .select(
+            "source",
+            (F.col("lang") == "en").alias("truth"),
+            (50 * hits > toks).alias("pa"),
+            (
+                F.octet_length(txt).cast("long")
+                == F.length(txt).cast("long")
+            ).alias("pb"),
+        )
+    )
+    t = F.col("truth")
+    agg = scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count(F.when(F.col("pa") == t, 1)).cast("long").alias("a_correct"),
+        F.count(F.when(F.col("pb") == t, 1)).cast("long").alias("b_correct"),
+        F.count(F.when((F.col("pa") == t) & (F.col("pb") != t), 1))
+        .cast("long")
+        .alias("b01"),
+        F.count(F.when((F.col("pa") != t) & (F.col("pb") == t), 1))
+        .cast("long")
+        .alias("c10"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.expr("CAST((1000 * a_correct) div n_docs AS BIGINT)").alias(
+            "acc_a_permille"
+        ),
+        F.expr("CAST((1000 * b_correct) div n_docs AS BIGINT)").alias(
+            "acc_b_permille"
+        ),
+        F.col("b01").alias("only_a_correct"),
+        F.col("c10").alias("only_b_correct"),
+        F.when(
+            F.col("b01") + F.col("c10") > 0,
+            F.expr(
+                "CAST((1000000 * greatest(abs(b01 - c10) - 1, 0)"
+                " * greatest(abs(b01 - c10) - 1, 0))"
+                " div (b01 + c10) AS BIGINT)"
+            ),
+        ).alias("chi2_micro"),
+        F.when(
+            F.col("b01") + F.col("c10") > 0,
+            F.expr(
+                f"1000000 * greatest(abs(b01 - c10) - 1, 0)"
+                f" * greatest(abs(b01 - c10) - 1, 0)"
+                f" > {_MCN_CRIT_MICRO} * (b01 + c10)"
+            ),
+        ).alias("rules_differ"),
+    )

@@ -81,6 +81,23 @@ REF is a two-run mean and a single-round mover list is advisory; the
 dose bias the blocks removed was SYSTEMATIC (always up, growing with
 headline size), unlike this zero-mean window noise.
 
+Mover-rule enforcement record (the dated notes the rule requires):
+- 2026-08-16 (r13): the 11 r12 cool-block movers (pit1 1.86x, mg1,
+  mw1, itv1, split3, dq7, div1, w8, lm2, wm1, sch1) were re-measured
+  on TWO canonical all-cool r13 runs: 0.87-1.25x and 0.77-1.04x —
+  cleared, no code change warranted. Root cause: 10 of the 11 shared
+  r12 block 2, whose WINDOW ran slow despite a cool start-of-block
+  canary (the documented canary-cannot-predict-the-window limit); the
+  mover table now emits flagged_block_histogram so a one-block mover
+  cluster is visible as a window artifact at a glance.
+- 2026-08-16 (r13): gof1_weekday_uniformity flags at ~1.89x on both
+  cool runs (0.28s -> 0.53s) BY DESIGN: the r12-ADVICE fix re-derived
+  its null as calendar-occupancy-weighted (windows over the 7-row
+  per-type relation + the broadcast chi-square spine replaced a bare
+  groupBy). Real plan change, oracle-green at all SFs; its BENCH_REF
+  row intentionally keeps the old plan's time until the next freeze
+  so the flag records the regression-shaped delta honestly.
+
 Single cross-JVM runs on this box swing ~±5% run-to-run (measured
 with identical configs back-to-back); one-query conclusions need
 interleaved same-process A/Bs. SPARK_GRAFT_BENCH_ONLY=<names> keeps
@@ -496,6 +513,10 @@ HEADLINE = [
     "x7_array_hof",
     "x8_map_ops",
     "x9_unpivot",
+    # round-13 late addition (block 5 fills toward 73): no BENCH_REF
+    # row yet — landed after the two-run r13 freeze window, row due
+    # next round (the iqr1/gof2 precedent)
+    "mcn1_mcnemar_rules",
 ]
 
 #: Frozen block capacity (see module docstring). r12: 219 headline
@@ -776,16 +797,32 @@ def _mover_table(
     def _cool(n: str) -> bool:
         return (box_by_query.get(n) or 1.0) <= _CANARY_HOT_RATIO
 
+    flagged = [
+        n for t, n, m, r in ratios if t > _MOVER_FLAG_RATIO and _cool(n)
+    ]
+    # block clustering of the flagged movers (r13 finding): 10 of the
+    # 11 r12 cool-block movers shared ONE block — a slow block WINDOW
+    # the start-of-block canary cannot see reads as a mover cluster
+    # (both r13 cool runs measured all 11 at 0.77-1.25x). When most
+    # flags share a block, suspect the window before the queries.
+    blk_of = {}
+    for i, names in enumerate(headline_blocks(), start=1):
+        for n in names:
+            blk_of[n] = i
+    hist: dict[str, int] = {}
+    for n in flagged:
+        key = str(blk_of.get(n, "appendix"))
+        hist[key] = hist.get(key, 0) + 1
+
     return {
         "ref_date": ref.get("date"),
+        "flagged_block_histogram": hist,
         # only movers measured in a COOL block are actionable flags; a
         # hot block's uniform shift is a box artifact (2026-08-16: a
         # run started minutes after an 18-min suite flagged 26 movers,
         # every one in a box_state>1.1 block) — those are counted
         # separately so the signal channel stays clean
-        "flagged_gt_1_5": [
-            n for t, n, m, r in ratios if t > _MOVER_FLAG_RATIO and _cool(n)
-        ],
+        "flagged_gt_1_5": flagged,
         "hot_block_movers_gt_1_5": len(
             [n for t, n, m, r in ratios if t > _MOVER_FLAG_RATIO and not _cool(n)]
         ),

@@ -269,3 +269,14 @@ def test_pperm1_probe_windows_share_exchange(spark):
     # observed/permutation arms share one lineage (a branched 1-row
     # aggregate would show a second q_id exchange)
     assert len(re.findall(r"hashpartitioning\(q_id", p)) == 1, p
+
+
+def test_mcn1_single_pass_no_joins(spark):
+    """mcn1's claim: ONE map-side-combinable (source) groupBy over a
+    per-row projection — the cls1 shape with a GROUP BY; no join, no
+    window, one corpus scan."""
+    df = REGISTRY["mcn1_mcnemar_rules"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert "Window" not in p, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert not re.findall(r"\(\d+\) \w*Join", p), p
