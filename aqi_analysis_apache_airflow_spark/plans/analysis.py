@@ -5464,17 +5464,23 @@ def iqr1_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: prices are exact cents; quartiles are ORDER
     STATISTICS at ranks ceil(n/4) and ceil(3n/4) — integer rank
     arithmetic ((n+3)//4, (3n+3)//4), actual data values, no
-    interpolation (the an3 wall convention; ties broken by the rank
-    itself, and since the measure IS the sort key, tie order cannot
-    change which VALUE sits at the boundary rank). The fences clear
-    the /2 denominators by cross-multiplication: c < Q1 - 1.5*IQR
-    <=> 2c < 5*Q1 - 3*Q3 — pure integer compares.
+    interpolation. The value at rank k is the SMALLEST cent whose
+    cumulative count reaches k — computed on the (group, cents)
+    VALUE SPINE (the imp1/gap1/mw1 convention), which is bit-equal
+    to ranking the raw rows (ties collapse onto one spine row; the
+    measure IS the sort key). The fences clear the /2 denominators
+    by cross-multiplication: c < Q1 - 1.5*IQR <=> 2c < 5*Q1 - 3*Q3
+    — pure integer compares, and the census sums spine COUNTS.
 
-    Scale shape: ONE hash exchange on the group key reused by all
-    three same-partition windows (rank, count, wall lookup —
-    Catalyst collapses them into one sort), then one counting
-    groupBy. Group cardinality must fit a partition — the an3
-    contract."""
+    Scale shape: ONE map-side-combinable (group, cents) groupBy is
+    the only corpus pass; the cumulative, the two quartile walls,
+    and the fence census all ride the value spine (per-group windows
+    over DISTINCT CENTS — value-domain-bounded, not row-bounded).
+    The r12 form ranked the raw rows: correct, but its window
+    partitions by a 3-value group key, so parallelism collapses to
+    |groups| tasks and wall grows linearly with rows/group — the r13
+    scaling sweep measured e = 0.82/decade (0.89s -> 5.92s at 10x);
+    the spine form re-measured e = 0.15 (SCALING.md r13)."""
     v = (
         load(spark, sf_dir, "lineitem")
         .filter(
@@ -5486,24 +5492,30 @@ def iqr1_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
         )
     )
+    spine = v.groupBy("g", "c").agg(F.count("*").cast("long").alias("cnt"))
     byg = Window.partitionBy("g")
-    ranked = v.select(
+    sp = spine.select(
         "g",
         "c",
-        F.row_number().over(byg.orderBy("c")).cast("long").alias("rn"),
-        F.count("*").over(byg).cast("long").alias("n"),
+        "cnt",
+        F.sum("cnt")
+        .over(byg.orderBy("c").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+        F.sum("cnt").over(byg).cast("long").alias("n"),
     )
-    walls = ranked.select(
+    walls = sp.select(
         "g",
         "c",
+        "cnt",
         "n",
-        F.max(
-            F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("c"))
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 3) div 4"), F.col("c"))
         )
         .over(byg)
         .alias("q1"),
-        F.max(
-            F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("c"))
+        F.min(
+            F.when(F.col("cum") >= F.expr("(3 * n + 3) div 4"), F.col("c"))
         )
         .over(byg)
         .alias("q3"),
@@ -5512,13 +5524,25 @@ def iqr1_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n_rows"),
         F.max("q1").alias("q1_cents"),
         F.max("q3").alias("q3_cents"),
-        F.count(
-            F.when(2 * F.col("c") < 5 * F.col("q1") - 3 * F.col("q3"), 1)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    2 * F.col("c") < 5 * F.col("q1") - 3 * F.col("q3"),
+                    F.col("cnt"),
+                )
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("n_low_outliers"),
-        F.count(
-            F.when(2 * F.col("c") > 5 * F.col("q3") - 3 * F.col("q1"), 1)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    2 * F.col("c") > 5 * F.col("q3") - 3 * F.col("q1"),
+                    F.col("cnt"),
+                )
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("n_high_outliers"),

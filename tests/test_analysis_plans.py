@@ -280,3 +280,20 @@ def test_mcn1_single_pass_no_joins(spark):
     assert "Window" not in p, p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
     assert not re.findall(r"\(\d+\) \w*Join", p), p
+
+
+def test_iqr1_spine_windows_one_scan(spark):
+    """iqr1's r13 claim: ONE map-side-combinable (group, cents)
+    groupBy is the only corpus pass; the cumulative and quartile
+    walls ride per-group windows over the DISTINCT-value spine (the
+    r12 form ranked raw rows — parallelism collapsed to |groups|
+    tasks, e=0.82/decade measured; spine form e=0.16)."""
+    df = REGISTRY["iqr1_tukey_fences"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs and all(s.startswith("g#") for s in specs), specs
+    # the spine groupBy adds its partial+final HashAggregate pair on
+    # top of the census pair — the r12 row-ranking plan had only two
+    aggs = re.findall(r"\(\d+\) HashAggregate", p)
+    assert len(aggs) >= 4, p
