@@ -4359,8 +4359,11 @@ def srd1_spearman_pearson_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .extended import _D3M_SQL, _D4_FP_CTES  # noqa: E402
 
-_FLEISS1_SQL = f"""
-WITH {_D4_FP_CTES},
+#: Shared CTE chain ending in ``s(n, s1, s2, nfa, nfb, nfc)`` — the
+#: exact integer sufficient statistics of the three detectors' row
+#: flags (fleiss1's machinery, factored in round 13 so Cochran's Q
+#: (cochq1) reads the SAME aggregate rather than a re-derivation).
+_RATER_S_CTES = f"""{_D4_FP_CTES},
 lshp AS (SELECT doc_a, doc_b FROM ({_D3M_SQL}) t),
 lshdocs AS (
   SELECT doc_a AS ld FROM lshp UNION SELECT doc_b FROM lshp
@@ -4390,7 +4393,10 @@ s AS (
          CAST(sum(fb) AS HUGEINT) AS nfb,
          CAST(sum(fc) AS HUGEINT) AS nfc
   FROM flags
-)
+)"""
+
+_FLEISS1_SQL = f"""
+WITH {_RATER_S_CTES}
 SELECT CAST(n AS BIGINT) AS n_docs,
        CAST(nfa AS BIGINT) AS exact_flags,
        CAST(nfb AS BIGINT) AS lsh_flags,
@@ -4408,35 +4414,12 @@ FROM s
 """
 
 
-@query("fleiss1_multirater_kappa", oracle=_FLEISS1_SQL)
-def fleiss1_multirater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fleiss' kappa (Fleiss 1971) across the corpus' THREE deployed
-    duplicate detectors — exact-md5 (d1's rule), MinHash-LSH shingle
-    Jaccard (d3m's md5 family, est >= 0.5, doc flagged iff it
-    appears in any candidate pair), and SimHash bag-of-words (d4,
-    Hamming <= 3) — the inter-rater generalization kappa1's 2-rater
-    form cannot give (verdict r11 task 6; da1 compares PAIR SETS of
-    two detectors, this rates chance-discounted agreement of all
-    three row-level flags on the whole population). Low kappa with
-    high raw agreement is the redundancy-review signal: the
-    detectors agree mostly because most docs are unique.
-
-    Exactness: with n=3 raters and 2 categories, per-doc agreement
-    P_i = [x(x-1) + (3-x)(2-x)]/6 needs only S1 = sum(x) and
-    S2 = sum(x^2) (x = flags per doc), so
-    kappa = [3N(2*S2 - 6*S1 + 6N) - 2(S1^2 + (3N-S1)^2)]
-          / [18N^2 - 2(S1^2 + (3N-S1)^2)]
-    — ONE OFF-shifted integral micro division of exact integer
-    sums (denominator >= 0 since S1^2+(3N-S1)^2 <= 9N^2, NULL when
-    every rater is unanimous on every doc); pbar_micro is the raw
-    mean agreement companion. 1e6*18N^2 fits DECIMAL(38,0) to
-    N ~ 1e15 docs — no realistic bound.
-
-    Scale shape: strictly the union of d1's md5 groupBy, d3m's
-    documented LSH shape, and d4's simhash shape, followed by two
-    distinct-doc projections of PAIR-SIZED relations (<< corpus),
-    two doc-keyed left joins, and one 1-row aggregate. Nothing
-    all-pairs, nothing corpus-quadratic."""
+def _detector_flag_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row frame ``(n, s1, s2, nfa, nfb, nfc)`` as DECIMAL(38,0):
+    the exact sufficient statistics of the three deployed duplicate
+    detectors' per-doc flags (exact-md5 / MinHash-LSH / SimHash) —
+    the Spark twin of ``_RATER_S_CTES``, shared by fleiss1 (chance-
+    corrected agreement) and cochq1 (marginal-homogeneity test)."""
     from ..functions.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
@@ -4477,7 +4460,7 @@ def fleiss1_multirater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = "decimal(38,0)"
     x = F.col("fa") + F.col("fb") + F.col("fc")
-    s = flags.agg(
+    return flags.agg(
         F.count("*").cast(dec).alias("n"),
         F.sum(x).cast(dec).alias("s1"),
         F.sum(x * x).cast(dec).alias("s2"),
@@ -4485,6 +4468,39 @@ def fleiss1_multirater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("fb").cast(dec).alias("nfb"),
         F.sum("fc").cast(dec).alias("nfc"),
     )
+
+
+@query("fleiss1_multirater_kappa", oracle=_FLEISS1_SQL)
+def fleiss1_multirater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) across the corpus' THREE deployed
+    duplicate detectors — exact-md5 (d1's rule), MinHash-LSH shingle
+    Jaccard (d3m's md5 family, est >= 0.5, doc flagged iff it
+    appears in any candidate pair), and SimHash bag-of-words (d4,
+    Hamming <= 3) — the inter-rater generalization kappa1's 2-rater
+    form cannot give (verdict r11 task 6; da1 compares PAIR SETS of
+    two detectors, this rates chance-discounted agreement of all
+    three row-level flags on the whole population). Low kappa with
+    high raw agreement is the redundancy-review signal: the
+    detectors agree mostly because most docs are unique.
+
+    Exactness: with n=3 raters and 2 categories, per-doc agreement
+    P_i = [x(x-1) + (3-x)(2-x)]/6 needs only S1 = sum(x) and
+    S2 = sum(x^2) (x = flags per doc), so
+    kappa = [3N(2*S2 - 6*S1 + 6N) - 2(S1^2 + (3N-S1)^2)]
+          / [18N^2 - 2(S1^2 + (3N-S1)^2)]
+    — ONE OFF-shifted integral micro division of exact integer
+    sums (denominator >= 0 since S1^2+(3N-S1)^2 <= 9N^2, NULL when
+    every rater is unanimous on every doc); pbar_micro is the raw
+    mean agreement companion. 1e6*18N^2 fits DECIMAL(38,0) to
+    N ~ 1e15 docs — no realistic bound.
+
+    Scale shape: strictly the union of d1's md5 groupBy, d3m's
+    documented LSH shape, and d4's simhash shape, followed by two
+    distinct-doc projections of PAIR-SIZED relations (<< corpus),
+    two doc-keyed left joins, and one 1-row aggregate (shared with
+    cochq1 via ``_detector_flag_sums``). Nothing all-pairs, nothing
+    corpus-quadratic."""
+    s = _detector_flag_sums(spark, sf_dir)
     pe2 = "(s1 * s1 + (3 * n - s1) * (3 * n - s1))"
     num = f"(3 * n * (2 * s2 - 6 * s1 + 6 * n) - 2 * {pe2})"
     den = f"(18 * n * n - 2 * {pe2})"
@@ -6249,4 +6265,1407 @@ def mcn1_mcnemar_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" > {_MCN_CRIT_MICRO} * (b01 + c10)"
             ),
         ).alias("rules_differ"),
+    )
+
+
+# --------------------------------------------------------------------------
+# cochq1 — Cochran's Q across the three dedup detectors (round 13)
+# --------------------------------------------------------------------------
+
+_COCHQ_CRIT_MICRO = 5_991_465  # chi^2_{0.95, df=2} in micro
+
+_COCHQ1_SQL = f"""
+WITH {_RATER_S_CTES}
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(nfa AS BIGINT) AS exact_flags,
+       CAST(nfb AS BIGINT) AS lsh_flags,
+       CAST(nfc AS BIGINT) AS simhash_flags,
+       CASE WHEN 3 * s1 - s2 > 0 THEN
+         CAST((1000000 * 2 * (3 * (nfa * nfa + nfb * nfb + nfc * nfc)
+                              - s1 * s1))
+              // (3 * s1 - s2) AS BIGINT) END AS q_micro,
+       CASE WHEN 3 * s1 - s2 > 0 THEN
+         1000000 * 2 * (3 * (nfa * nfa + nfb * nfb + nfc * nfc) - s1 * s1)
+           > {_COCHQ_CRIT_MICRO} * (3 * s1 - s2) END AS rates_differ
+FROM s
+"""
+
+
+@query("cochq1_cochran_q", oracle=_COCHQ1_SQL)
+def cochq1_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test (Cochran 1950) across the corpus' THREE
+    deployed duplicate detectors — the k-rater marginal-homogeneity
+    test mcn1's 2-rater McNemar cannot give, and the significance
+    complement to fleiss1's effect size: fleiss1 says HOW MUCH the
+    detectors' row flags agree beyond chance, cochq1 decides whether
+    their FLAG RATES differ at all (do exact-md5, MinHash-LSH and
+    SimHash flag statistically different fractions of the corpus?).
+    A curation team reads the pair together: high kappa with
+    significant Q = the detectors rank the same docs but one is
+    systematically stricter — a threshold, not a methodology, gap.
+
+    Exactness: with k=3 binary raters, Q = k(k-1)*sum_j(C_j - T/k)^2
+    / (k*T - sum_i R_i^2) collapses onto the SAME sufficient
+    statistics fleiss1 reads (T = S1, sum R_i^2 = S2, column totals
+    nfa/nfb/nfc): Q = 2*(3*(nfa^2+nfb^2+nfc^2) - S1^2)/(3*S1 - S2).
+    The numerator is 6*sum(C_j - S1/3)^2 >= 0, so Q exits as ONE
+    non-negative integral micro division; the alpha gate is the
+    cross-multiplied integer compare vs the frozen chi^2_2 critical.
+    3*S1 - S2 = sum x(3-x) = 0 (every doc unanimous, x in {{0,3}})
+    yields NULL, never a fabricated decision. 1e6*6*n^2 fits
+    DECIMAL(38,0) to n ~ 1e15 docs — no realistic bound.
+
+    Scale shape: identical to fleiss1 — the three detectors'
+    documented shapes, two pair-sized distinct-doc projections, two
+    doc-keyed left joins, ONE 1-row aggregate
+    (``_detector_flag_sums``, shared code); only the k-row final
+    projection differs. Nothing all-pairs, nothing quadratic.
+
+    Reference basis: Cochran (1950), Biometrika 37; the k=3 binary
+    collapse is standard (Conover, Practical Nonparametric
+    Statistics sec. 4.6)."""
+    s = _detector_flag_sums(spark, sf_dir)
+    num = "(2 * (3 * (nfa * nfa + nfb * nfb + nfc * nfc) - s1 * s1))"
+    den = "(3 * s1 - s2)"
+    return s.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("nfa").cast("long").alias("exact_flags"),
+        F.col("nfb").cast("long").alias("lsh_flags"),
+        F.col("nfc").cast("long").alias("simhash_flags"),
+        F.expr(
+            f"CASE WHEN {den} > 0 THEN"
+            f" CAST((1000000 * {num}) div {den} AS BIGINT) END"
+        ).alias("q_micro"),
+        F.expr(
+            f"CASE WHEN {den} > 0 THEN"
+            f" 1000000 * {num} > {_COCHQ_CRIT_MICRO} * {den} END"
+        ).alias("rates_differ"),
+    )
+
+
+# --------------------------------------------------------------------------
+# cliffs1 — Cliff's delta effect size between the corpus halves (round 13)
+# --------------------------------------------------------------------------
+
+from .mining import _MW_GRP_EVEN  # noqa: E402
+
+#: Romano et al. (2006) |delta| thresholds in micro — frozen literals
+#: so the label is a pure cross-multiplied integer compare
+_CLIFFS_NEGLIGIBLE = 147_000
+_CLIFFS_SMALL = 330_000
+_CLIFFS_MEDIUM = 474_000
+
+_CLIFFS1_SQL = f"""
+WITH counts AS (
+  SELECT n_chars,
+         sum(CASE WHEN {_MW_GRP_EVEN} THEN 1 ELSE 0 END) AS w_v,
+         sum(CASE WHEN NOT ({_MW_GRP_EVEN}) THEN 1 ELSE 0 END) AS b_v
+  FROM documents
+  GROUP BY n_chars
+),
+cum AS (
+  SELECT w_v, b_v,
+         COALESCE(sum(b_v) OVER (ORDER BY n_chars
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS b_less,
+         sum(b_v) OVER () AS nb
+  FROM counts
+),
+s AS (
+  SELECT CAST(sum(w_v) AS HUGEINT) AS nw,
+         CAST(any_value(nb) AS HUGEINT) AS nb,
+         CAST(sum(w_v * b_less) AS HUGEINT) AS gt,
+         CAST(sum(w_v * b_v) AS HUGEINT) AS ties,
+         CAST(sum(w_v * (nb - b_less - b_v)) AS HUGEINT) AS lt
+  FROM cum
+)
+SELECT CAST(nw AS BIGINT) AS n_ref,
+       CAST(nb AS BIGINT) AS n_cand,
+       CASE WHEN nw > 0 AND nb > 0 THEN
+         CAST((1000000 * (gt - lt) + {_OFF} * (nw * nb)) // (nw * nb)
+              - {_OFF} AS BIGINT) END AS delta_micro,
+       CASE WHEN nw > 0 AND nb > 0 THEN
+         CAST((1000000 * (2 * gt + ties)) // (2 * nw * nb) AS BIGINT)
+       END AS avd_micro,
+       CASE WHEN nw = 0 OR nb = 0 THEN NULL
+            WHEN 1000000 * abs(gt - lt) < {_CLIFFS_NEGLIGIBLE} * nw * nb
+              THEN 'negligible'
+            WHEN 1000000 * abs(gt - lt) < {_CLIFFS_SMALL} * nw * nb
+              THEN 'small'
+            WHEN 1000000 * abs(gt - lt) < {_CLIFFS_MEDIUM} * nw * nb
+              THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM s
+"""
+
+
+@query("cliffs1_cliffs_delta", oracle=_CLIFFS1_SQL)
+def cliffs1_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta (Cliff 1993) between the two hash-parity halves
+    of the corpus' sources on document length — the EFFECT SIZE
+    companion mw1's Mann-Whitney z cannot give: at corpus n the U
+    test flags microscopic shifts as significant, and the shipping
+    decision ("is the drift big enough to care?") needs the
+    dominance probability, not the p-value. delta = P(X>Y) - P(X<Y)
+    on random cross-half pairs, with the Vargha-Delaney A
+    ((2*gt+ties)/(2*nw*nb), the tie-aware dominance probability) as
+    companion, and the Romano et al. (2006) magnitude label
+    (negligible < 0.147 <= small < 0.33 <= medium < 0.474 <= large)
+    as frozen micro literals.
+
+    Exactness: all three pair censuses are exact integer sums off
+    mw1's (n_chars, half) VALUE-SPINE counts — gt = sum_v w_v *
+    B_less(v), lt via the complement, ties = sum_v w_v*b_v; NO pair
+    is ever materialized. delta exits as the OFF-shifted integral
+    micro division (delta in [-1,1]), A as a plain one, and the
+    label compares 1e6*|gt-lt| against threshold*nw*nb — pure
+    integers. Either half empty yields NULL, never a fabricated
+    effect. 1e12*nw*nb fits DECIMAL(38,0) to n ~ 1e13 docs.
+
+    Scale shape: mw1's exactly — ONE map-side-combinable value-key
+    groupBy is the only corpus pass; the strictly-less cumulative
+    and the half total ride windows over the value DOMAIN (the lm1
+    vocabulary precedent, single-partition over |distinct lengths|
+    rows, deliberate and documented); then one 1-row aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    even = (
+        F.pmod(ce_hash64(F.concat(F.lit("mw|"), F.col("source"))), F.lit(2))
+        == 0
+    )
+    counts = docs.groupBy("n_chars").agg(
+        F.sum(F.when(even, 1).otherwise(0)).alias("w_v"),
+        F.sum(F.when(~even, 1).otherwise(0)).alias("b_v"),
+    )
+    wall = Window.partitionBy()
+    cum = counts.select(
+        "w_v",
+        "b_v",
+        F.coalesce(
+            F.sum("b_v").over(
+                Window.orderBy("n_chars").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("b_less"),
+        F.sum("b_v").over(wall).alias("nb"),
+    )
+    dec = "decimal(38,0)"
+    s = cum.agg(
+        F.sum("w_v").cast(dec).alias("nw"),
+        F.max("nb").cast(dec).alias("nb"),
+        F.sum(F.col("w_v") * F.col("b_less")).cast(dec).alias("gt"),
+        F.sum(F.col("w_v") * F.col("b_v")).cast(dec).alias("ties"),
+        F.sum(
+            F.col("w_v") * (F.col("nb") - F.col("b_less") - F.col("b_v"))
+        )
+        .cast(dec)
+        .alias("lt"),
+    )
+    return s.select(
+        F.col("nw").cast("long").alias("n_ref"),
+        F.col("nb").cast("long").alias("n_cand"),
+        F.expr(
+            f"CASE WHEN nw > 0 AND nb > 0 THEN"
+            f" CAST((1000000 * (gt - lt) + {_OFF} * (nw * nb))"
+            f" div (nw * nb) - {_OFF} AS BIGINT) END"
+        ).alias("delta_micro"),
+        F.expr(
+            "CASE WHEN nw > 0 AND nb > 0 THEN"
+            " CAST((1000000 * (2 * gt + ties)) div (2 * nw * nb)"
+            " AS BIGINT) END"
+        ).alias("avd_micro"),
+        F.expr(
+            f"CASE WHEN nw = 0 OR nb = 0 THEN NULL"
+            f" WHEN 1000000 * abs(gt - lt) < {_CLIFFS_NEGLIGIBLE} * nw * nb"
+            f" THEN 'negligible'"
+            f" WHEN 1000000 * abs(gt - lt) < {_CLIFFS_SMALL} * nw * nb"
+            f" THEN 'small'"
+            f" WHEN 1000000 * abs(gt - lt) < {_CLIFFS_MEDIUM} * nw * nb"
+            f" THEN 'medium'"
+            f" ELSE 'large' END"
+        ).alias("magnitude"),
+    )
+
+
+# --------------------------------------------------------------------------
+# kruskal1 — Kruskal-Wallis H across return-flag groups (round 13)
+# --------------------------------------------------------------------------
+
+#: chi^2_{0.95, df} micro literals for df = k-1 = 1..6 (the gof1
+#: frozen spine, inlined as a CASE so the decision needs no join)
+_KRUSKAL_CRIT_CASE = (
+    "CASE k - 1 WHEN 1 THEN 3841459 WHEN 2 THEN 5991465"
+    " WHEN 3 THEN 7814728 WHEN 4 THEN 9487729"
+    " WHEN 5 THEN 11070498 WHEN 6 THEN 12591587 END"
+)
+
+_KRUSKAL1_SQL = f"""
+WITH v AS (
+  SELECT l_returnflag AS g,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+spine AS (SELECT g, c, CAST(count(*) AS HUGEINT) AS cnt FROM v GROUP BY 1, 2),
+sp AS (
+  SELECT g, c, cnt,
+         COALESCE(sum(cnt) OVER (ORDER BY c
+                                 RANGE BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS less,
+         sum(cnt) OVER (PARTITION BY c) AS tot_v,
+         row_number() OVER (PARTITION BY c ORDER BY g) AS rn
+  FROM spine
+),
+grp AS (
+  SELECT g, CAST(sum(cnt) AS HUGEINT) AS n_g,
+         CAST(sum(cnt * (2 * less + tot_v + 1)) AS HUGEINT) AS q2_g,
+         CAST(sum(CASE WHEN rn = 1
+                       THEN tot_v * tot_v * tot_v - tot_v
+                       ELSE 0 END) AS HUGEINT) AS tiep
+  FROM sp GROUP BY 1
+),
+tot AS (
+  SELECT g, n_g, q2_g,
+         sum(n_g) OVER () AS n, sum(tiep) OVER () AS tie
+  FROM grp
+),
+fin AS (
+  SELECT CAST(any_value(n) AS HUGEINT) AS n,
+         CAST(any_value(tie) AS HUGEINT) AS tie,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum((3000000 * (q2_g - n_g * (n + 1))
+                           * (q2_g - n_g * (n + 1)))
+                  // (n_g * n * (n + 1))) AS HUGEINT) AS hu
+  FROM tot
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       k AS n_groups,
+       CAST(k - 1 AS BIGINT) AS df,
+       CASE WHEN n * n * n - n - tie > 0 THEN
+         CAST((hu * (n * n * n - n)) // (n * n * n - n - tie) AS BIGINT)
+       END AS h_micro,
+       CASE WHEN n * n * n - n - tie > 0
+             AND ({_KRUSKAL_CRIT_CASE}) IS NOT NULL THEN
+         (hu * (n * n * n - n)) // (n * n * n - n - tie)
+           > ({_KRUSKAL_CRIT_CASE}) END AS groups_differ
+FROM fin WHERE k > 0
+"""
+
+
+@query("kruskal1_kruskal_wallis", oracle=_KRUSKAL1_SQL)
+def kruskal1_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test (Kruskal & Wallis 1952) of line price
+    across the return-flag groups — the k-sample rank ANOVA the
+    two-sample mw1 cannot give and the rank-based sibling of
+    anova1's variance decomposition (anova1 assumes the metric
+    scale matters; this asks only whether SOME group's price
+    distribution is stochastically shifted, robust to the heavy
+    price tail). Tie-corrected, since cents quantization makes ties
+    pervasive.
+
+    Exactness: midranks are exact on the (group, cents) VALUE SPINE
+    doubled to stay integral (q_v = 2*B_less(v) + t_v + 1, the mw1
+    2U trick), so the per-group doubled rank sum Q_g and deviation
+    D_g = Q_g - n_g*(N+1) are exact integers (sum_g D_g = 0). H
+    collapses to 3/(N(N+1)) * sum_g D_g^2/n_g via the doubled-rank
+    algebra; each group's term exits as one integral micro division
+    (floor bias < 1 micro per group, identical in both engines),
+    and the tie correction multiplies by (N^3-N)/((N^3-N) - sum_t
+    (t^3-t)) as a second integral division. The alpha gate compares
+    the quantized H against the frozen chi^2_{{k-1}} critical spine
+    (df 1..6, the gof1 literals inlined as a CASE — no join). All
+    values tied (N^3-N = sum T) yields NULL; k = 1 gives D = 0, H =
+    0, df = 0 -> NULL decision. DECIMAL(38,0) bound: 3e6*D_g^2 <=
+    12e6*N^4 caps N at ~7e7 rows (the mcc1 convention — rescale
+    cents past that).
+
+    Scale shape: ONE map-side-combinable (group, cents) groupBy is
+    the only corpus pass (the iqr1 spine convention); the
+    cross-group cumulative, per-value totals and tie marks ride
+    windows over DISTINCT CENTS (value-domain-bounded; the global
+    strictly-less cumulative is the documented mw1/lm1
+    single-partition spine exception), then a k-row group aggregate
+    and a 1-row final. No join anywhere."""
+    v = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_returnflag").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .select(
+            F.col("l_returnflag").alias("g"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        )
+    )
+    spine = v.groupBy("g", "c").agg(F.count("*").cast("long").alias("cnt"))
+    sp = spine.select(
+        "g",
+        "c",
+        "cnt",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("c").rangeBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("less"),
+        F.sum("cnt").over(Window.partitionBy("c")).alias("tot_v"),
+        F.row_number()
+        .over(Window.partitionBy("c").orderBy("g"))
+        .alias("rn"),
+    )
+    dec = "decimal(38,0)"
+    grp = sp.groupBy("g").agg(
+        F.sum("cnt").cast(dec).alias("n_g"),
+        F.sum(
+            F.col("cnt")
+            * (2 * F.col("less") + F.col("tot_v") + 1)
+        )
+        .cast(dec)
+        .alias("q2_g"),
+        F.sum(
+            F.when(
+                F.col("rn") == 1,
+                F.col("tot_v") * F.col("tot_v") * F.col("tot_v")
+                - F.col("tot_v"),
+            ).otherwise(F.lit(0))
+        )
+        .cast(dec)
+        .alias("tiep"),
+    )
+    wall = Window.partitionBy()
+    tot = grp.select(
+        "g",
+        "n_g",
+        "q2_g",
+        F.sum("n_g").over(wall).cast(dec).alias("n"),
+        F.sum("tiep").over(wall).cast(dec).alias("tie"),
+    )
+    fin = tot.agg(
+        F.max("n").alias("n"),
+        F.max("tie").alias("tie"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(
+            F.expr(
+                "(3000000 * (q2_g - n_g * (n + 1))"
+                " * (q2_g - n_g * (n + 1)))"
+                " div (n_g * n * (n + 1))"
+            )
+        )
+        .cast(dec)
+        .alias("hu"),
+    )
+    return fin.filter(F.col("k") > 0).select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        (F.col("k") - 1).cast("long").alias("df"),
+        F.expr(
+            "CASE WHEN n * n * n - n - tie > 0 THEN"
+            " CAST((hu * (n * n * n - n))"
+            " div (n * n * n - n - tie) AS BIGINT) END"
+        ).alias("h_micro"),
+        F.expr(
+            f"CASE WHEN n * n * n - n - tie > 0"
+            f" AND ({_KRUSKAL_CRIT_CASE}) IS NOT NULL THEN"
+            f" (hu * (n * n * n - n)) div (n * n * n - n - tie)"
+            f" > ({_KRUSKAL_CRIT_CASE}) END"
+        ).alias("groups_differ"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dw1 — Durbin-Watson on the SES forecast residuals (round 13)
+# --------------------------------------------------------------------------
+
+#: rho1 shift: |sum e_t*e_{t-1}| <= sum e_t^2 by Cauchy-Schwarz, so a
+#: 2e6 shift (vs the generic 1e12 _OFF) keeps the shifted numerator
+#: non-negative while widening the overflow headroom to y ~ 1e9/day
+_DW_SHIFT = 2_000_000
+
+_DW1_SQL = f"""
+WITH {_SES_FC_CTES},
+err AS (
+  SELECT event_type, t, f - 1000000 * y_t AS e FROM fc
+),
+lagd AS (
+  SELECT event_type, e,
+         lag(e) OVER (PARTITION BY event_type ORDER BY t) AS ep
+  FROM err
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(e * e) AS HUGEINT) AS see,
+         CAST(sum(CASE WHEN ep IS NOT NULL
+                       THEN (e - ep) * (e - ep) ELSE 0 END)
+              AS HUGEINT) AS sdd,
+         CAST(sum(CASE WHEN ep IS NOT NULL THEN e * ep ELSE 0 END)
+              AS HUGEINT) AS sxp
+  FROM lagd GROUP BY 1
+)
+SELECT event_type,
+       n AS n_scored,
+       CASE WHEN n >= 2 AND see > 0 THEN
+         CAST((1000000 * sdd) // see AS BIGINT) END AS dw_micro,
+       CASE WHEN n >= 2 AND see > 0 THEN
+         CAST((1000000 * sxp + {_DW_SHIFT} * see) // see
+              - {_DW_SHIFT} AS BIGINT) END AS rho1_micro,
+       CASE WHEN n >= 2 AND see > 0 THEN sdd < 2 * see
+       END AS positive_autocorr
+FROM s
+"""
+
+
+@query("dw1_durbin_watson", oracle=_DW1_SQL)
+def dw1_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic (Durbin & Watson 1950) of the SES
+    walk-forward forecast residuals, per event type — the residual
+    INDEPENDENCE audit reg1's scorecard is missing: MAE/MSE/R^2 say
+    how big the errors are, DW says whether they are serially
+    correlated, i.e. whether the forecaster is leaving structure on
+    the table (DW << 2 = positive autocorrelation = the model lags
+    the series; alpha = 3/10 too small). Companion rho1 is the
+    exact lag-1 residual autocorrelation (non-centered), the number
+    DW approximates as 2*(1 - rho1).
+
+    Exactness: residuals e_t = f_micro - 1e6*y_t are exact integers
+    (the reg1 error convention); DW = sum(e_t - e_{{t-1}})^2 /
+    sum e_t^2 exits as one integral micro division of exact
+    DECIMAL(38,0) sums, rho1 as a shift-corrected one (|sxp| <= see
+    by Cauchy-Schwarz, so a 2e6 shift suffices and the product
+    2e6*see holds DECIMAL(38,0) to y ~ 1e9 events/day); the
+    positive-autocorrelation decision is the exact integer compare
+    sdd < 2*see (DW < 2), no critical-value table needed for the
+    direction flag. Zero residual variance or n < 2 yields NULL.
+
+    Scale shape: the ewma1/reg1 machinery — ONE corpus-sized (type,
+    date) counting groupBy, the broadcast 35-row power fan-out, then
+    a lag window and aggregate over the CALENDAR-BOUNDED residual
+    frame (<= ~35 rows/type). The 100 TB cost is the daily count."""
+    fc = _ses_forecast_frame(spark, sf_dir)
+    dec = "decimal(38,0)"
+    err = fc.select(
+        "event_type",
+        "t",
+        (F.col("f_micro") - F.lit(1000000).cast(dec) * F.col("y_t"))
+        .cast(dec)
+        .alias("e"),
+    )
+    lagd = err.select(
+        "event_type",
+        "e",
+        F.lag("e").over(
+            Window.partitionBy("event_type").orderBy("t")
+        ).alias("ep"),
+    )
+    s = lagd.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("e") * F.col("e")).cast(dec).alias("see"),
+        F.sum(
+            F.when(
+                F.col("ep").isNotNull(),
+                (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep")),
+            ).otherwise(F.lit(0))
+        )
+        .cast(dec)
+        .alias("sdd"),
+        F.sum(
+            F.when(F.col("ep").isNotNull(), F.col("e") * F.col("ep"))
+            .otherwise(F.lit(0))
+        )
+        .cast(dec)
+        .alias("sxp"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_scored"),
+        F.expr(
+            "CASE WHEN n >= 2 AND see > 0 THEN"
+            " CAST((1000000 * sdd) div see AS BIGINT) END"
+        ).alias("dw_micro"),
+        F.expr(
+            f"CASE WHEN n >= 2 AND see > 0 THEN"
+            f" CAST((1000000 * sxp + {_DW_SHIFT} * see) div see"
+            f" - {_DW_SHIFT} AS BIGINT) END"
+        ).alias("rho1_micro"),
+        F.expr(
+            "CASE WHEN n >= 2 AND see > 0 THEN sdd < 2 * see END"
+        ).alias("positive_autocorr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# runs1 — Wald-Wolfowitz runs test on residual signs (round 13)
+# --------------------------------------------------------------------------
+
+_RUNS_CRIT_MICRO = 3_841_459  # chi^2_{0.95, df=1} in micro
+
+_RUNS1_SQL = f"""
+WITH {_SES_FC_CTES},
+sg AS (
+  SELECT event_type, t,
+         CASE WHEN f > 1000000 * y_t THEN 1 ELSE -1 END AS s
+  FROM fc WHERE f <> 1000000 * y_t
+),
+lg AS (
+  SELECT event_type, s,
+         lag(s) OVER (PARTITION BY event_type ORDER BY t) AS sp
+  FROM sg
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (s = 1) AS BIGINT) AS n_pos,
+         CAST(count(*) FILTER (s = -1) AS BIGINT) AS n_neg,
+         CAST(1 + count(*) FILTER (sp IS NOT NULL AND s <> sp)
+              AS BIGINT) AS r
+  FROM lg GROUP BY 1
+)
+SELECT event_type, n AS n_signed, n_pos, n_neg, r AS n_runs,
+       CASE WHEN n_pos > 0 AND n_neg > 0 AND 2 * n_pos * n_neg > n THEN
+         CAST((1000000 * (n * (r - 1) - 2 * n_pos * n_neg)
+                        * (n * (r - 1) - 2 * n_pos * n_neg) * (n - 1))
+              // (2 * n_pos * n_neg * (2 * n_pos * n_neg - n))
+              AS BIGINT) END AS z2_micro,
+       CASE WHEN n_pos > 0 AND n_neg > 0 AND 2 * n_pos * n_neg > n THEN
+         1000000 * (n * (r - 1) - 2 * n_pos * n_neg)
+                 * (n * (r - 1) - 2 * n_pos * n_neg) * (n - 1)
+           > {_RUNS_CRIT_MICRO}
+             * (2 * n_pos * n_neg * (2 * n_pos * n_neg - n))
+       END AS nonrandom
+FROM agg
+"""
+
+
+@query("runs1_wald_wolfowitz", oracle=_RUNS1_SQL)
+def runs1_wald_wolfowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (1940) on the SIGNS of the SES
+    forecast residuals, per event type — the distribution-free
+    randomness audit completing dw1's magnitude view: DW measures
+    how strongly adjacent residuals co-move, the runs test decides
+    whether the over/under-forecast PATTERN itself is non-random
+    (too few runs = the forecast sits on one side for stretches —
+    bias; too many = oscillation — overshoot). Zero residuals are
+    dropped (the standard treatment); a type whose forecast is
+    exact every day has no signed days and is absent by
+    construction.
+
+    Exactness: signs compare exact integers (f_micro vs 1e6*y), the
+    run count is 1 + the number of sign changes off one lag window,
+    and the normal-approximation z^2 = (R - E[R])^2 / Var[R] with
+    E = 1 + 2*n1*n2/n, Var = 2*n1*n2*(2*n1*n2 - n)/(n^2*(n-1))
+    clears ALL denominators by cross-multiplication: z^2 =
+    (n*(R-1) - 2*n1*n2)^2 * (n-1) / (2*n1*n2*(2*n1*n2 - n)) — one
+    integral micro division, and the alpha gate vs the frozen
+    chi^2_1 critical is a pure integer compare. One-signed series
+    or degenerate variance (2*n1*n2 <= n) yields NULL, never a
+    fabricated decision. Magnitudes are calendar-bounded (n <= ~35)
+    — no overflow concern.
+
+    Scale shape: identical to dw1 — the daily counting groupBy is
+    the only corpus-sized op; sign, lag, and census live on the
+    calendar-bounded frame."""
+    fc = _ses_forecast_frame(spark, sf_dir)
+    dec = "decimal(38,0)"
+    sg = fc.filter(
+        F.col("f_micro") != F.lit(1000000).cast(dec) * F.col("y_t")
+    ).select(
+        "event_type",
+        "t",
+        F.when(
+            F.col("f_micro") > F.lit(1000000).cast(dec) * F.col("y_t"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("s"),
+    )
+    lg = sg.select(
+        "event_type",
+        "s",
+        F.lag("s").over(
+            Window.partitionBy("event_type").orderBy("t")
+        ).alias("sp"),
+    )
+    agg = lg.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count(F.when(F.col("s") == 1, 1)).cast("long").alias("n_pos"),
+        F.count(F.when(F.col("s") == -1, 1)).cast("long").alias("n_neg"),
+        (
+            1
+            + F.count(
+                F.when(
+                    F.col("sp").isNotNull() & (F.col("s") != F.col("sp")), 1
+                )
+            )
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    m = "(n * (r - 1) - 2 * n_pos * n_neg)"
+    var = "(2 * n_pos * n_neg * (2 * n_pos * n_neg - n))"
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_signed"),
+        "n_pos",
+        "n_neg",
+        F.col("r").alias("n_runs"),
+        F.expr(
+            f"CASE WHEN n_pos > 0 AND n_neg > 0"
+            f" AND 2 * n_pos * n_neg > n THEN"
+            f" CAST((1000000 * {m} * {m} * (n - 1)) div {var}"
+            f" AS BIGINT) END"
+        ).alias("z2_micro"),
+        F.expr(
+            f"CASE WHEN n_pos > 0 AND n_neg > 0"
+            f" AND 2 * n_pos * n_neg > n THEN"
+            f" 1000000 * {m} * {m} * (n - 1)"
+            f" > {_RUNS_CRIT_MICRO} * {var} END"
+        ).alias("nonrandom"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dm1 — Diebold-Mariano test: SES forecast vs naive baseline (round 13)
+# --------------------------------------------------------------------------
+
+_DM_CRIT_MICRO = 3_841_459  # chi^2_{0.95, df=1} in micro
+
+_DM1_SQL = f"""
+WITH {_SES_FC_CTES},
+ld AS (
+  SELECT event_type, t, y_t, f,
+         lag(y_t) OVER (PARTITION BY event_type ORDER BY t) AS y_prev
+  FROM fc
+),
+d AS (
+  SELECT event_type,
+         abs(f - 1000000 * y_t)
+           - abs(1000000 * y_prev - 1000000 * y_t) AS d
+  FROM ld WHERE y_prev IS NOT NULL
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d) AS HUGEINT) AS sd,
+         CAST(sum(d * d) AS HUGEINT) AS sd2
+  FROM d GROUP BY 1
+)
+SELECT event_type,
+       n AS n_scored,
+       CAST(sd // n AS BIGINT) AS mean_gap_micro,
+       CASE WHEN n >= 2 AND n * sd2 - sd * sd > 0 THEN
+         CAST((1000000 * (n - 1) * sd * sd) // (n * sd2 - sd * sd)
+              AS BIGINT) END AS t2_micro,
+       CASE WHEN n >= 2 AND n * sd2 - sd * sd > 0 THEN
+         sd < 0 AND 1000000 * (n - 1) * sd * sd
+                      > {_DM_CRIT_MICRO} * (n * sd2 - sd * sd)
+       END AS ses_beats_naive
+FROM s
+"""
+
+
+@query("dm1_diebold_mariano", oracle=_DM1_SQL)
+def dm1_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diebold-Mariano test (Diebold & Mariano 1995, lag-0 variance)
+    between the SES walk-forward forecast and the NAIVE baseline
+    (tomorrow = today) on absolute-error loss, per event type — the
+    go/no-go reg1's absolute scorecard cannot give: MAE says how big
+    the SES errors are, dm1 decides whether they are SIGNIFICANTLY
+    smaller than the zero-cost baseline's (if not, don't ship the
+    forecaster — ts4's MASE intuition turned into a test). Scored on
+    days t >= 2 where both forecasts exist, the same days for both
+    arms (paired by construction).
+
+    Exactness: both losses are exact integer micro units
+    (|f_micro - 1e6*y_t| vs 1e6*|y_{{t-1}} - y_t|), so the loss
+    differential d_t is an exact integer; the large-sample DM
+    statistic t^2 = (n-1)*(sum d)^2 / (n*sum d^2 - (sum d)^2) clears
+    every denominator by cross-multiplication, exits as one integral
+    micro division, and gates vs the frozen chi^2_1 critical with
+    the direction pinned (sd < 0 = SES losses smaller). Zero
+    differential variance yields NULL, never a fabricated decision.
+    DECIMAL(38,0): 1e6*n*(sum d)^2 <= 1e18*n^3*y^2 caps y at ~2e6
+    events/day on a 35-day spine (the reg1 convention).
+
+    Scale shape: dw1's exactly — the daily counting groupBy is the
+    only corpus-sized op; the naive arm is one lag window over the
+    calendar-bounded forecast frame."""
+    fc = _ses_forecast_frame(spark, sf_dir)
+    dec = "decimal(38,0)"
+    ld = fc.select(
+        "event_type",
+        "t",
+        "y_t",
+        "f_micro",
+        F.lag("y_t").over(
+            Window.partitionBy("event_type").orderBy("t")
+        ).alias("y_prev"),
+    )
+    mil = F.lit(1000000).cast(dec)
+    d = ld.filter(F.col("y_prev").isNotNull()).select(
+        "event_type",
+        (
+            F.abs(F.col("f_micro") - mil * F.col("y_t"))
+            - F.abs(mil * F.col("y_prev") - mil * F.col("y_t"))
+        )
+        .cast(dec)
+        .alias("d"),
+    )
+    s = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d").cast(dec).alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast(dec).alias("sd2"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_scored"),
+        F.expr("CAST(sd div n AS BIGINT)").alias("mean_gap_micro"),
+        F.expr(
+            "CASE WHEN n >= 2 AND n * sd2 - sd * sd > 0 THEN"
+            " CAST((1000000 * (n - 1) * sd * sd)"
+            " div (n * sd2 - sd * sd) AS BIGINT) END"
+        ).alias("t2_micro"),
+        F.expr(
+            f"CASE WHEN n >= 2 AND n * sd2 - sd * sd > 0 THEN"
+            f" sd < 0 AND 1000000 * (n - 1) * sd * sd"
+            f" > {_DM_CRIT_MICRO} * (n * sd2 - sd * sd) END"
+        ).alias("ses_beats_naive"),
+    )
+
+
+# --------------------------------------------------------------------------
+# cmh1 — Cochran-Mantel-Haenszel stratified association (round 13)
+# --------------------------------------------------------------------------
+
+_CMH_CRIT_MICRO = 3_841_459  # chi^2_{0.95, df=1} in micro
+
+_CMH1_SQL = f"""
+WITH scored AS (
+  SELECT source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tr,
+         CASE WHEN 50 * CAST(len(regexp_extract_all(lower(text),
+                            '\\b(the|a|of|to|and)\\b')) AS BIGINT)
+                > CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+              THEN 1 ELSE 0 END AS pr
+  FROM documents
+  WHERE lang IS NOT NULL AND text IS NOT NULL AND source IS NOT NULL
+),
+st AS (
+  SELECT source,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(tr) AS HUGEINT) AS r1,
+         CAST(sum(pr) AS HUGEINT) AS c1,
+         CAST(sum(tr * pr) AS HUGEINT) AS a
+  FROM scored GROUP BY 1
+),
+terms AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+         CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(sum(1000000 * a - (1000000 * r1 * c1) // n) AS HUGEINT)
+           AS s_micro,
+         CAST(sum(CASE WHEN n >= 2 THEN
+                    (1000000 * r1 * (n - r1) * c1 * (n - c1))
+                      // (n * n * (n - 1))
+                  ELSE 0 END) AS HUGEINT) AS v_micro
+  FROM st
+)
+SELECT n_strata, n_docs,
+       CAST(s_micro AS BIGINT) AS s_micro,
+       CAST(v_micro AS BIGINT) AS v_micro,
+       CASE WHEN v_micro > 0 THEN
+         CAST((greatest(abs(s_micro) - 500000, 0)
+               * greatest(abs(s_micro) - 500000, 0)) // v_micro
+              AS BIGINT) END AS cmh_micro,
+       CASE WHEN v_micro > 0 THEN
+         greatest(abs(s_micro) - 500000, 0)
+           * greatest(abs(s_micro) - 500000, 0)
+           > {_CMH_CRIT_MICRO} * v_micro END AS rule_tracks_truth
+FROM terms
+"""
+
+
+@query("cmh1_mantel_haenszel", oracle=_CMH1_SQL)
+def cmh1_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test (Mantel & Haenszel 1959,
+    continuity-corrected) of the association between TRUE English
+    and the cls1 stopword rule's prediction, STRATIFIED BY SOURCE —
+    the confounding-adjusted decision the pooled 2x2 cannot give:
+    sources differ in both language mix and prose style, so a pooled
+    association can be pure Simpson's-paradox artifact; CMH asks
+    whether the rule tracks truth WITHIN sources, pooled across
+    them. The stratified sibling of mcn1 (paired rules) and kappa1
+    (pooled agreement), closing the eval harness' confounding
+    column.
+
+    Exactness: per-stratum margins (n, r1, c1, a) are exact integers
+    off ONE (source) groupBy; each stratum's expected count
+    E = r1*c1/n and variance V = r1*(n-r1)*c1*(n-c1)/(n^2*(n-1))
+    are quantized to micro by integral division (identical floors in
+    both engines; single-doc strata contribute a - E = 0 exactly and
+    V = 0, so the n >= 2 filter on V loses nothing); the continuity
+    correction subtracts the exact half 500000 micro, clamped at 0
+    (the mcn1 Edwards clamp), and the statistic exits as one
+    integral division of micro^2 by micro. Zero pooled variance
+    (every stratum degenerate) yields NULL. DECIMAL(38,0): the V
+    numerator 1e6*n^4/16 caps strata at ~1e8 docs each (the mcc1
+    convention).
+
+    Scale shape: mcn1's exactly — ONE map-side-combinable (source)
+    groupBy over a per-row projection, then a 1-row final. No join,
+    no window, one corpus pass."""
+    txt = F.col("text")
+    hits = F.size(
+        F.regexp_extract_all(
+            F.lower(txt), F.lit(r"\b(the|a|of|to|and)\b"), 0
+        )
+    ).cast("long")
+    toks = F.size(F.regexp_extract_all(txt, F.lit(r"\S+"), 0)).cast("long")
+    scored = (
+        load(spark, sf_dir, "documents")
+        .filter(
+            F.col("lang").isNotNull()
+            & txt.isNotNull()
+            & F.col("source").isNotNull()
+        )
+        .select(
+            "source",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("tr"),
+            F.when(50 * hits > toks, 1).otherwise(0).alias("pr"),
+        )
+    )
+    dec = "decimal(38,0)"
+    st = scored.groupBy("source").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("tr").cast(dec).alias("r1"),
+        F.sum("pr").cast(dec).alias("c1"),
+        F.sum(F.col("tr") * F.col("pr")).cast(dec).alias("a"),
+    )
+    terms = st.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(
+            F.expr("1000000 * a - (1000000 * r1 * c1) div n")
+        )
+        .cast(dec)
+        .alias("s_micro"),
+        F.sum(
+            F.expr(
+                "CASE WHEN n >= 2 THEN"
+                " (1000000 * r1 * (n - r1) * c1 * (n - c1))"
+                " div (n * n * (n - 1)) ELSE 0 END"
+            )
+        )
+        .cast(dec)
+        .alias("v_micro"),
+    )
+    m = "greatest(abs(s_micro) - 500000, 0)"
+    return terms.select(
+        "n_strata",
+        "n_docs",
+        F.col("s_micro").cast("long").alias("s_micro"),
+        F.col("v_micro").cast("long").alias("v_micro"),
+        F.expr(
+            f"CASE WHEN v_micro > 0 THEN"
+            f" CAST(({m} * {m}) div v_micro AS BIGINT) END"
+        ).alias("cmh_micro"),
+        F.expr(
+            f"CASE WHEN v_micro > 0 THEN"
+            f" {m} * {m} > {_CMH_CRIT_MICRO} * v_micro END"
+        ).alias("rule_tracks_truth"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sen1 — Theil-Sen slope of daily traffic (round 13)
+# --------------------------------------------------------------------------
+
+_SEN1_SQL = f"""
+WITH d AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+daily AS (
+  SELECT event_type, day, CAST(count(*) AS BIGINT) AS y
+  FROM d GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         b.y - a.y AS dy,
+         b.day - a.day AS dx
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.day > a.day
+),
+ranked AS (
+  SELECT event_type, dy, dx,
+         CAST(row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE),
+                    dy, dx) AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+  FROM pairs
+)
+SELECT event_type,
+       m AS n_pairs,
+       CAST((1000000 * dy + {_OFF} * dx) // dx - {_OFF} AS BIGINT)
+         AS sen_slope_micro
+FROM ranked WHERE rk = (m + 1) // 2
+"""
+
+
+@query("sen1_theil_sen_slope", oracle=_SEN1_SQL)
+def sen1_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope estimator (Theil 1950, Sen 1968) of daily
+    traffic per event type — the MAGNITUDE companion mk1's
+    Mann-Kendall trend test is missing: mk1 decides WHETHER traffic
+    trends, sen1 says by HOW MUCH per day, robust to ~29% arbitrary
+    outliers (vs g13's least-squares slope, which one bad ingestion
+    day drags). The number capacity planning actually consumes.
+
+    Exactness: pairwise slopes are exact rationals dy/dx over the
+    OBSERVED-day pairs (days with zero events contribute no pair —
+    the standard treatment on irregular series); the median pair is
+    selected at rank (m+1)//2 under the IEEE-double slope order
+    (identical bits in both engines on identical integer inputs)
+    with a full (dy, dx) tiebreak, and the selected slope exits as
+    the OFF-shifted integral micro division of ITS exact integers —
+    so the output is an exact quantization of a real pair's slope,
+    not a float average. Lower median by convention (no half-pair
+    interpolation).
+
+    Scale shape: the daily counting groupBy is the only corpus-sized
+    op; the pair self-join and rank window live on the
+    CALENDAR-BOUNDED daily frame (<= ~35 rows/type -> <= ~600
+    pairs/type), the dw1/reg1 convention. The pair count is
+    quadratic in SPINE DAYS, never in rows."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count("*").cast("long").alias("y"))
+    a = daily.select(
+        F.col("event_type").alias("et"),
+        F.col("day").alias("day_a"),
+        F.col("y").alias("y_a"),
+    )
+    pairs = daily.join(
+        a,
+        (F.col("event_type") == F.col("et"))
+        & (F.col("day") > F.col("day_a")),
+    ).select(
+        "event_type",
+        (F.col("y") - F.col("y_a")).alias("dy"),
+        (F.col("day") - F.col("day_a")).alias("dx"),
+    )
+    byt = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "dy",
+        "dx",
+        F.row_number()
+        .over(
+            byt.orderBy(
+                F.col("dy").cast("double") / F.col("dx").cast("double"),
+                "dy",
+                "dx",
+            )
+        )
+        .alias("rk"),
+        F.count("*").over(byt).cast("long").alias("m"),
+    )
+    return ranked.filter(F.expr("rk = (m + 1) div 2")).select(
+        "event_type",
+        F.col("m").alias("n_pairs"),
+        F.expr(
+            f"CAST((1000000 * dy + {_OFF} * dx) div dx - {_OFF}"
+            " AS BIGINT)"
+        ).alias("sen_slope_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# lb1 — Ljung-Box portmanteau test on the SES residuals (round 13)
+# --------------------------------------------------------------------------
+
+_LB_MAX_LAG = 7
+
+#: chi^2_{0.95, df} micro literals, df = 1..7 (gof1 spine + df=7)
+_LB_CRIT_CASE = (
+    "CASE df WHEN 1 THEN 3841459 WHEN 2 THEN 5991465"
+    " WHEN 3 THEN 7814728 WHEN 4 THEN 9487729"
+    " WHEN 5 THEN 11070498 WHEN 6 THEN 12591587"
+    " WHEN 7 THEN 14067140 END"
+)
+
+_LB_SHIFT = 2_000_000  # |num_k| <= den by Cauchy-Schwarz
+
+#: per-lag shifted integral micro autocorrelation off the lag columns
+_LB_RK = (
+    "CASE WHEN den > 0 AND n > {k} THEN"
+    " (1000000 * num{k} + " + str(_LB_SHIFT) + " * den) // den"
+    " - " + str(_LB_SHIFT) + " END"
+)
+
+_LB_NUM_SQL = ",\n         ".join(
+    f"CAST(sum(CASE WHEN lk{k} IS NOT NULL"
+    f" THEN (n * e - s) * (n * lk{k} - s) ELSE 0 END) AS HUGEINT)"
+    f" AS num{k}"
+    for k in range(1, _LB_MAX_LAG + 1)
+)
+
+_LB_RK_SQL = ",\n       ".join(
+    _LB_RK.format(k=k) + f" AS rk{k}" for k in range(1, _LB_MAX_LAG + 1)
+)
+
+_LB_TERMS_SQL = "\n         + ".join(
+    f"CASE WHEN n > {k} THEN (n * (n + 2) * rk{k} * rk{k})"
+    f" // ((n - {k}) * 1000000) ELSE 0 END"
+    for k in range(1, _LB_MAX_LAG + 1)
+)
+
+_LB_LAGS_SQL = ",\n         ".join(
+    f"lag(e, {k}) OVER (PARTITION BY event_type ORDER BY t) AS lk{k}"
+    for k in range(1, _LB_MAX_LAG + 1)
+)
+
+_LB1_SQL = f"""
+WITH {_SES_FC_CTES},
+err AS (
+  SELECT event_type, t, f - 1000000 * y_t AS e FROM fc
+),
+ew1 AS (
+  SELECT event_type, t, e,
+         CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT) AS n,
+         CAST(sum(e) OVER (PARTITION BY event_type) AS HUGEINT) AS s,
+         {_LB_LAGS_SQL}
+  FROM err
+),
+ew AS (
+  SELECT *, CAST(sum((n * e - s) * (n * e - s))
+                 OVER (PARTITION BY event_type) AS HUGEINT) AS den
+  FROM ew1
+),
+agg AS (
+  SELECT event_type,
+         CAST(any_value(n) AS HUGEINT) AS n,
+         CAST(any_value(den) AS HUGEINT) AS den,
+         {_LB_NUM_SQL}
+  FROM ew GROUP BY 1
+),
+rk AS (
+  SELECT event_type, n, den,
+       {_LB_RK_SQL}
+  FROM agg
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(least(n - 1, {_LB_MAX_LAG}) AS BIGINT) AS df,
+       CASE WHEN den > 0 AND n >= 2 THEN
+         CAST({_LB_TERMS_SQL} AS BIGINT) END AS q_micro,
+       CASE WHEN den > 0 AND n >= 2
+             AND ({_LB_CRIT_CASE.replace("CASE df", "CASE least(n - 1, " + str(_LB_MAX_LAG) + ")")}) IS NOT NULL THEN
+         CAST({_LB_TERMS_SQL} AS BIGINT)
+           > ({_LB_CRIT_CASE.replace("CASE df", "CASE least(n - 1, " + str(_LB_MAX_LAG) + ")")})
+       END AS autocorrelated
+FROM rk
+"""
+
+
+@query("lb1_ljung_box", oracle=_LB1_SQL)
+def lb1_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (Ljung & Box 1978) over lags
+    1..{max_lag} of the SES walk-forward forecast residuals, per
+    event type — the MULTI-LAG whiteness decision completing the
+    residual-diagnostics suite: dw1 sees only lag 1, runs1 only the
+    sign pattern; lb1 pools a week of residual autocorrelation into
+    one chi-square decision (the standard post-fit adequacy gate for
+    any forecaster — a weekly seasonal leftover lives at lag 7 and
+    only this test sees it).
+
+    Exactness: mean-corrected autocovariances clear the /n by
+    scaling to (n*e_t - S), so num_k and den are exact DECIMAL(38,0)
+    sums (the acf1 convention on residuals instead of counts); each
+    r_k exits as a shift-corrected integral micro division (|num_k|
+    <= den by Cauchy-Schwarz, so the 2e6 shift suffices); the
+    per-lag Ljung-Box terms n*(n+2)*r_k^2/(n-k) are quantized by a
+    second integral division (identical floors both engines,
+    property-tested envelope in tests/test_nonparam_math.py), summed
+    into Q over the lags with a pair set (the residual frame is
+    DENSE in t, so df = min({max_lag}, n-1) in closed form); the
+    gate compares Q against the frozen chi^2_df CASE spine. Zero
+    residual variance or n < 2 yields NULL Q and NULL decision.
+
+    Scale shape: the dw1/reg1 machinery — the daily counting groupBy
+    is the only corpus-sized op; ALL {max_lag} lags are columns of
+    ONE ordered window over the calendar-bounded residual frame
+    (sharing the type-hash exchange with the wall totals — no
+    self-join, no lag literal fan-out; the r13 first cut self-joined
+    the frame and doubled the corpus scans, caught by the plan
+    gate), and the per-type aggregate carries all {max_lag}
+    numerators in one pass."""
+    fc = _ses_forecast_frame(spark, sf_dir)
+    dec = "decimal(38,0)"
+    err = fc.select(
+        "event_type",
+        "t",
+        (F.col("f_micro") - F.lit(1000000).cast(dec) * F.col("y_t"))
+        .cast(dec)
+        .alias("e"),
+    )
+    byt = Window.partitionBy("event_type")
+    ordw = byt.orderBy("t")
+    ew1 = err.select(
+        "event_type",
+        "t",
+        "e",
+        F.count("*").over(byt).cast(dec).alias("n"),
+        F.sum("e").over(byt).cast(dec).alias("s"),
+        *[
+            F.lag("e", k).over(ordw).alias(f"lk{k}")
+            for k in range(1, _LB_MAX_LAG + 1)
+        ],
+    )
+    ew = ew1.withColumn(
+        "den",
+        F.sum(
+            (F.col("n") * F.col("e") - F.col("s"))
+            * (F.col("n") * F.col("e") - F.col("s"))
+        )
+        .over(byt)
+        .cast(dec),
+    )
+    agg = ew.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("den").alias("den"),
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"lk{k}").isNotNull(),
+                    (F.col("n") * F.col("e") - F.col("s"))
+                    * (F.col("n") * F.col(f"lk{k}") - F.col("s")),
+                ).otherwise(F.lit(0))
+            )
+            .cast(dec)
+            .alias(f"num{k}")
+            for k in range(1, _LB_MAX_LAG + 1)
+        ],
+    )
+    rk = agg.select(
+        "event_type",
+        "n",
+        "den",
+        *[
+            F.expr(_LB_RK.format(k=k).replace("//", "div")).alias(f"rk{k}")
+            for k in range(1, _LB_MAX_LAG + 1)
+        ],
+    )
+    terms = _LB_TERMS_SQL.replace("//", "div")
+    crit = _LB_CRIT_CASE.replace(
+        "CASE df", f"CASE least(n - 1, {_LB_MAX_LAG})"
+    )
+    return rk.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(f"CAST(least(n - 1, {_LB_MAX_LAG}) AS BIGINT)").alias("df"),
+        F.expr(
+            f"CASE WHEN den > 0 AND n >= 2 THEN"
+            f" CAST({terms} AS BIGINT) END"
+        ).alias("q_micro"),
+        F.expr(
+            f"CASE WHEN den > 0 AND n >= 2 AND ({crit}) IS NOT NULL THEN"
+            f" CAST({terms} AS BIGINT) > ({crit}) END"
+        ).alias("autocorrelated"),
+    )
+
+
+lb1_ljung_box.__doc__ = lb1_ljung_box.__doc__.format(max_lag=_LB_MAX_LAG)
+
+
+# --------------------------------------------------------------------------
+# pettitt1 — Pettitt change-point test on daily traffic (round 13)
+# --------------------------------------------------------------------------
+
+#: ln(2/0.05) = ln(40) at 6dp, frozen (the llr1 micro-nat pin): the
+#: Pettitt approximation p = 2*exp(-6K^2/(D^3+D^2)) crosses 0.05
+#: exactly when 6K^2 >= ln(40)*(D^3+D^2)
+_PETTITT_LN40_MICRO = 3_688_879
+
+_PETTITT1_SQL = f"""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS d
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+daily AS (
+  SELECT event_type, d, CAST(count(*) AS BIGINT) AS y
+  FROM d GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+),
+spine AS (
+  SELECT b.event_type, CAST(u.g AS DATE) AS d,
+         CAST(date_diff('day', b.d0, CAST(u.g AS DATE)) AS BIGINT) AS r
+  FROM bounds b, UNNEST(generate_series(CAST(b.d0 AS TIMESTAMP),
+                                        CAST(b.d1 AS TIMESTAMP),
+                                        INTERVAL 1 DAY)) u(g)
+),
+dense AS (
+  SELECT s.event_type, s.r, COALESCE(dy.y, 0) AS y
+  FROM spine s LEFT JOIN daily dy USING (event_type, d)
+),
+v AS (
+  SELECT a.event_type, a.r,
+         CAST(sum(CASE WHEN a.y > b.y THEN 1
+                       WHEN a.y < b.y THEN -1 ELSE 0 END) AS BIGINT) AS vt,
+         CAST(any_value(dd.nd) AS BIGINT) AS nd
+  FROM dense a
+  JOIN dense b ON b.event_type = a.event_type AND b.r <> a.r
+  JOIN (SELECT event_type, count(*) AS nd FROM dense GROUP BY 1) dd
+    ON dd.event_type = a.event_type
+  GROUP BY 1, 2
+),
+u AS (
+  SELECT event_type, r, nd,
+         CAST(sum(vt) OVER (PARTITION BY event_type ORDER BY r
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS ut
+  FROM v
+),
+k AS (
+  SELECT event_type, r, nd, abs(ut) AS au, ut,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(ut) DESC, r) AS rn
+  FROM u WHERE r < nd - 1
+)
+SELECT event_type,
+       nd AS n_days,
+       au AS k_stat,
+       r AS change_day_offset,
+       CAST((6000000 * au * au) // (nd * nd * nd + nd * nd) AS BIGINT)
+         AS lambda_micro,
+       6000000 * au * au
+         > {_PETTITT_LN40_MICRO} * (nd * nd * nd + nd * nd)
+         AS level_shift
+FROM k WHERE rn = 1
+"""
+
+
+@query("pettitt1_change_point", oracle=_PETTITT1_SQL)
+def pettitt1_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt change-point test (Pettitt 1979) on each event type's
+    gap-filled daily count series — the nonparametric LEVEL-SHIFT
+    decision the monitoring family is missing: cpd1's CUSUM flags a
+    drift point but carries no significance, mk1 decides a MONOTONE
+    trend; Pettitt decides an abrupt shift (and locates its day)
+    robust to the count distribution, via the max over split points
+    of the Mann-Whitney-style statistic U_t = sum_{{i<=t,j>t}}
+    sign(y_i - y_j).
+
+    Exactness: signs compare exact integer counts on the dense
+    calendar spine (gap days are real zeros — the acf1/sea1
+    convention); V_t = sum_{{j != t}} sign(y_t - y_j) comes off the
+    bounded pair join, U_t is its running sum (the Pettitt
+    recursion, exact), K = max|U_t| with the earliest-day tiebreak.
+    The classic approximation p = 2*exp(-6K^2/(D^3+D^2)) crosses
+    alpha = 0.05 exactly when 6K^2 >= ln(40)*(D^3+D^2), so the gate
+    is a cross-multiplied integer compare against the frozen 6dp
+    micro-nat literal (the llr1 pin) — no exp is ever evaluated;
+    lambda_micro = 6K^2/(D^3+D^2) quantized is reported for the
+    reader. Single-day series have no split point and are absent by
+    construction.
+
+    Scale shape: the daily counting groupBy is the only corpus-sized
+    op; the sign pair join, running sum, and argmax live on the
+    CALENDAR-BOUNDED spine (<= ~35 rows/type -> <= ~1200 sign pairs,
+    the sen1 convention — quadratic in SPINE DAYS, never rows)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1")).alias("d"),
+        "d0",
+    ).select(
+        "event_type", "d", F.datediff("d", "d0").cast("long").alias("r")
+    )
+    dense = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "r", F.coalesce(F.col("y"), F.lit(0)).alias("y")
+    )
+    byt = Window.partitionBy("event_type")
+    dw = dense.select(
+        "event_type", "r", "y", F.count("*").over(byt).cast("long").alias("nd")
+    )
+    b = dense.select(
+        F.col("event_type").alias("bet"),
+        F.col("r").alias("br"),
+        F.col("y").alias("by"),
+    )
+    v = (
+        dw.join(
+            b,
+            (F.col("bet") == F.col("event_type"))
+            & (F.col("br") != F.col("r")),
+        )
+        .groupBy("event_type", "r")
+        .agg(
+            F.sum(
+                F.when(F.col("y") > F.col("by"), 1)
+                .when(F.col("y") < F.col("by"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("vt"),
+            F.max("nd").alias("nd"),
+        )
+    )
+    u = v.select(
+        "event_type",
+        "r",
+        "nd",
+        F.sum("vt")
+        .over(
+            byt.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long")
+        .alias("ut"),
+    )
+    k = (
+        u.filter(F.col("r") < F.col("nd") - 1)
+        .select(
+            "event_type",
+            "r",
+            "nd",
+            F.abs(F.col("ut")).alias("au"),
+            F.row_number()
+            .over(byt.orderBy(F.abs(F.col("ut")).desc(), "r"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return k.select(
+        "event_type",
+        F.col("nd").alias("n_days"),
+        F.col("au").alias("k_stat"),
+        F.col("r").alias("change_day_offset"),
+        F.expr(
+            "CAST((6000000 * au * au)"
+            " div (nd * nd * nd + nd * nd) AS BIGINT)"
+        ).alias("lambda_micro"),
+        F.expr(
+            f"6000000 * au * au"
+            f" > {_PETTITT_LN40_MICRO} * (nd * nd * nd + nd * nd)"
+        ).alias("level_shift"),
     )

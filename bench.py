@@ -517,6 +517,16 @@ HEADLINE = [
     # row yet — landed after the two-run r13 freeze window, row due
     # next round (the iqr1/gof2 precedent)
     "mcn1_mcnemar_rules",
+    "cochq1_cochran_q",
+    "cliffs1_cliffs_delta",
+    "kruskal1_kruskal_wallis",
+    "dw1_durbin_watson",
+    "runs1_wald_wolfowitz",
+    "dm1_diebold_mariano",
+    "cmh1_mantel_haenszel",
+    "sen1_theil_sen_slope",
+    "lb1_ljung_box",
+    "pettitt1_change_point",
 ]
 
 #: Frozen block capacity (see module docstring). r12: 219 headline

@@ -297,3 +297,119 @@ def test_iqr1_spine_windows_one_scan(spark):
     # top of the census pair — the r12 row-ranking plan had only two
     aggs = re.findall(r"\(\d+\) HashAggregate", p)
     assert len(aggs) >= 4, p
+
+
+def test_kruskal1_spine_windows_one_scan_no_join(spark):
+    """kruskal1's claim: ONE map-side-combinable (group, cents)
+    groupBy is the only corpus pass; the cross-group cumulative,
+    per-value totals, and tie marks ride windows over DISTINCT CENTS
+    (the iqr1/mw1 spine convention); the chi^2 critical is an inlined
+    CASE — no join anywhere."""
+    df = REGISTRY["kruskal1_kruskal_wallis"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert not re.findall(r"\(\d+\) \w*Join", p), p
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    spine = [s for s in specs if s.startswith("c#")]
+    walls = [s for s in specs if s.startswith("specifiedwindowframe")]
+    assert len(spine) == 3, specs  # cumulative, per-value total, rn
+    assert len(walls) == 2, specs  # N and tie totals over the k rows
+    # spine groupBy pair + group pair + final pair
+    assert len(re.findall(r"\(\d+\) \w*HashAggregate", p)) >= 6, p
+
+
+def test_cliffs1_mw1_shape_one_scan_no_join(spark):
+    """cliffs1's claim: mw1's exact shape — one value-key groupBy,
+    the strictly-less cumulative and half total as windows over the
+    value domain, one 1-row aggregate; no join."""
+    df = REGISTRY["cliffs1_cliffs_delta"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert not re.findall(r"\(\d+\) \w*Join", p), p
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert len(specs) == 2, specs  # n_chars cumulative + wall total
+
+
+def test_cochq1_shares_fleiss_shape_no_cartesian(spark):
+    """cochq1's claim: identical pipeline to fleiss1 (the shared
+    ``_detector_flag_sums``) — pair-sized detector relations,
+    doc-keyed joins, ONE 1-row aggregate; nothing all-pairs."""
+    df = REGISTRY["cochq1_cochran_q"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_dw1_runs1_single_bounded_lag_window(spark):
+    """dw1/runs1's claim: the reg1/ewma1 machinery (daily groupBy +
+    broadcast 35-row power fan-out) plus exactly ONE lag window over
+    the calendar-bounded residual frame, partitioned by event_type."""
+    for name in ("dw1_durbin_watson", "runs1_wald_wolfowitz"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        p = _plan(df)
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+        assert len(specs) == 1 and specs[0].startswith("event_type"), (
+            name,
+            specs,
+        )
+        assert "CartesianProduct" not in p, (name, p)
+
+
+def test_dm1_single_bounded_lag_window(spark):
+    """dm1's claim: the dw1 shape — the reg1/ewma1 daily machinery
+    plus exactly ONE lag window over the calendar-bounded forecast
+    frame; the naive arm never rescans the corpus."""
+    df = REGISTRY["dm1_diebold_mariano"].fn(spark, SF_DIR)
+    p = _plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert len(specs) == 1 and specs[0].startswith("event_type"), specs
+    assert "CartesianProduct" not in p, p
+
+
+def test_cmh1_single_pass_no_joins(spark):
+    """cmh1's claim: mcn1's shape — ONE map-side-combinable (source)
+    groupBy over a per-row projection, then a 1-row final; no join,
+    no window, one corpus scan."""
+    df = REGISTRY["cmh1_mantel_haenszel"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert "Window" not in p, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert not re.findall(r"\(\d+\) \w*Join", p), p
+
+
+def test_sen1_bounded_pair_join_broadcast(spark):
+    """sen1's claim: the pair self-join and rank window live on the
+    CALENDAR-BOUNDED daily aggregate (broadcast — never a shuffled
+    corpus join); windows partition by event_type."""
+    df = REGISTRY["sen1_theil_sen_slope"].fn(spark, SF_DIR)
+    p = _plan(df)
+    joins = re.findall(r"\(\d+\) (\w*Join\w*)", p)
+    assert joins == ["BroadcastHashJoin"], joins
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs and all(s.startswith("event_type") for s in specs), specs
+
+
+def test_lb1_lag_windows_share_exchange_no_selfjoin(spark):
+    """lb1's claim: all 7 lag columns ride ONE ordered window over
+    the calendar-bounded residual frame (sharing the type exchange
+    with the wall totals) — no self-join of the frame, no lag-literal
+    fan-out (the first cut self-joined and doubled the corpus scans:
+    8 -> 4, this gate pins the fix)."""
+    df = REGISTRY["lb1_ljung_box"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 4, p
+    assert "SortMergeJoin" not in p, p
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert all(s.startswith("event_type") for s in specs), specs
+
+
+def test_pettitt1_bounded_pair_join_spine_windows(spark):
+    """pettitt1's claim: the sign pair join, running sum, and argmax
+    live on the calendar-bounded dense spine — broadcast joins only,
+    windows partitioned by event_type."""
+    df = REGISTRY["pettitt1_change_point"].fn(spark, SF_DIR)
+    p = _plan(df)
+    joins = re.findall(r"\(\d+\) (\w*Join\w*)", p)
+    assert all(j.startswith("Broadcast") for j in joins), joins
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs and all(s.startswith("event_type") for s in specs), specs
