@@ -97,6 +97,17 @@ Mover-rule enforcement record (the dated notes the rule requires):
   groupBy). Real plan change, oracle-green at all SFs; its BENCH_REF
   row intentionally keeps the old plan's time until the next freeze
   so the flag records the regression-shaped delta honestly.
+- 2026-08-17 (r13, session 2): iqr1_tukey_fences flags at 1.46x/1.68x
+  on two canonical all-cool runs (0.88s -> ~1.3-1.5s) BY DESIGN: the
+  r13 value-spine rewrite trades sf0.1 wall for the measured
+  e=0.82 -> 0.16/decade scaling fix (SCALING.md r13 — 5.92s -> 2.17s
+  at 10x; the r12 row-ranking form was linear on |groups|=3 cores).
+  Same convention as gof1 above: the BENCH_REF row keeps the r12
+  plan's time so the delta stays visible until the next full freeze.
+  The 10 session-2 additions + mcn1 got REF rows via
+  freeze_bench_ref --add-missing (geometric mean of the two
+  2026-08-17 canonical runs, headline 284.2s / 318.9s, every block
+  box_state 0.82-0.92).
 
 Single cross-JVM runs on this box swing ~±5% run-to-run (measured
 with identical configs back-to-back); one-query conclusions need
