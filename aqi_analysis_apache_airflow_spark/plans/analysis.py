@@ -7669,3 +7669,418 @@ def pettitt1_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" > {_PETTITT_LN40_MICRO} * (nd * nd * nd + nd * nd)"
         ).alias("level_shift"),
     )
+
+
+# --------------------------------------------------------------------------
+# mhor1 — Mantel-Haenszel common odds ratio (round 13)
+# --------------------------------------------------------------------------
+
+_MHOR1_SQL = """
+WITH scored AS (
+  SELECT source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tr,
+         CASE WHEN 50 * CAST(len(regexp_extract_all(lower(text),
+                            '\\b(the|a|of|to|and)\\b')) AS BIGINT)
+                > CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+              THEN 1 ELSE 0 END AS pr
+  FROM documents
+  WHERE lang IS NOT NULL AND text IS NOT NULL AND source IS NOT NULL
+),
+st AS (
+  SELECT source,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(count(*) FILTER (tr = 1 AND pr = 1) AS HUGEINT) AS a,
+         CAST(count(*) FILTER (tr = 1 AND pr = 0) AS HUGEINT) AS b,
+         CAST(count(*) FILTER (tr = 0 AND pr = 1) AS HUGEINT) AS c,
+         CAST(count(*) FILTER (tr = 0 AND pr = 0) AS HUGEINT) AS d
+  FROM scored GROUP BY 1
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+         CAST(sum((1000000 * a * d) // n) AS HUGEINT) AS r_micro,
+         CAST(sum((1000000 * b * c) // n) AS HUGEINT) AS s_micro,
+         CAST(sum(a) AS HUGEINT) AS ta, CAST(sum(b) AS HUGEINT) AS tb,
+         CAST(sum(c) AS HUGEINT) AS tc, CAST(sum(d) AS HUGEINT) AS td
+  FROM st
+)
+SELECT n_strata,
+       CAST(r_micro AS BIGINT) AS r_micro,
+       CAST(s_micro AS BIGINT) AS s_micro,
+       CASE WHEN s_micro > 0 THEN
+         CAST((1000000 * r_micro) // s_micro AS BIGINT)
+       END AS or_mh_micro,
+       CASE WHEN tb * tc > 0 THEN
+         CAST((1000000 * ta * td) // (tb * tc) AS BIGINT)
+       END AS or_crude_micro,
+       CASE WHEN s_micro > 0 AND tb * tc > 0 THEN
+         CAST((1000000 * r_micro) // s_micro
+              - (1000000 * ta * td) // (tb * tc) AS BIGINT)
+       END AS confounding_gap_micro
+FROM s
+"""
+
+
+@query("mhor1_mh_common_or", oracle=_MHOR1_SQL)
+def mhor1_mh_common_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel common odds ratio (Mantel & Haenszel 1959) of
+    the true-English x cls1-rule association, stratified by source —
+    the EFFECT SIZE cmh1's significance test is missing (the
+    cliffs1/mw1 pairing applied to the stratified 2x2 family), plus
+    the CRUDE pooled odds ratio and their gap: when OR_MH and the
+    crude OR disagree, the pooled table is Simpson-confounded by
+    source composition, and the gap is the size of the artifact —
+    the number that tells a curation team whether per-source
+    analysis is mandatory or cosmetic.
+
+    Exactness: per-stratum cells are exact integers off ONE (source)
+    groupBy; the MH estimator sum(a*d/n)/sum(b*c/n) quantizes each
+    stratum term by integral micro division (identical floors both
+    engines — the cmh1 convention) and exits as one more; the crude
+    OR is one integral division of exact pooled products. Zero
+    discordant mass (sum b*c/n = 0, or pooled B*C = 0) yields NULL,
+    never an infinite ratio. DECIMAL(38,0): 1e6*a*d <= 1e6*n^2/4
+    caps strata at ~6e15 docs — no realistic bound; the crude
+    product 1e12*A*D caps the corpus at ~1e13.
+
+    Scale shape: mcn1/cmh1's exactly — ONE map-side-combinable
+    (source) groupBy over a per-row projection, then a 1-row final.
+    No join, no window, one corpus pass."""
+    txt = F.col("text")
+    hits = F.size(
+        F.regexp_extract_all(
+            F.lower(txt), F.lit(r"\b(the|a|of|to|and)\b"), 0
+        )
+    ).cast("long")
+    toks = F.size(F.regexp_extract_all(txt, F.lit(r"\S+"), 0)).cast("long")
+    scored = (
+        load(spark, sf_dir, "documents")
+        .filter(
+            F.col("lang").isNotNull()
+            & txt.isNotNull()
+            & F.col("source").isNotNull()
+        )
+        .select(
+            "source",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("tr"),
+            F.when(50 * hits > toks, 1).otherwise(0).alias("pr"),
+        )
+    )
+    dec = "decimal(38,0)"
+    st = scored.groupBy("source").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.count(F.when((F.col("tr") == 1) & (F.col("pr") == 1), 1))
+        .cast(dec)
+        .alias("a"),
+        F.count(F.when((F.col("tr") == 1) & (F.col("pr") == 0), 1))
+        .cast(dec)
+        .alias("b"),
+        F.count(F.when((F.col("tr") == 0) & (F.col("pr") == 1), 1))
+        .cast(dec)
+        .alias("c"),
+        F.count(F.when((F.col("tr") == 0) & (F.col("pr") == 0), 1))
+        .cast(dec)
+        .alias("d"),
+    )
+    s = st.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum(F.expr("(1000000 * a * d) div n")).cast(dec).alias("r_micro"),
+        F.sum(F.expr("(1000000 * b * c) div n")).cast(dec).alias("s_micro"),
+        F.sum("a").cast(dec).alias("ta"),
+        F.sum("b").cast(dec).alias("tb"),
+        F.sum("c").cast(dec).alias("tc"),
+        F.sum("d").cast(dec).alias("td"),
+    )
+    return s.select(
+        "n_strata",
+        F.col("r_micro").cast("long").alias("r_micro"),
+        F.col("s_micro").cast("long").alias("s_micro"),
+        F.expr(
+            "CASE WHEN s_micro > 0 THEN"
+            " CAST((1000000 * r_micro) div s_micro AS BIGINT) END"
+        ).alias("or_mh_micro"),
+        F.expr(
+            "CASE WHEN tb * tc > 0 THEN"
+            " CAST((1000000 * ta * td) div (tb * tc) AS BIGINT) END"
+        ).alias("or_crude_micro"),
+        F.expr(
+            "CASE WHEN s_micro > 0 AND tb * tc > 0 THEN"
+            " CAST((1000000 * r_micro) div s_micro"
+            " - (1000000 * ta * td) div (tb * tc) AS BIGINT) END"
+        ).alias("confounding_gap_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# di1 — disparate-impact (4/5ths rule) audit of the cls1 rule (round 13)
+# --------------------------------------------------------------------------
+
+_DI1_SQL = """
+WITH scored AS (
+  SELECT source,
+         CASE WHEN 50 * CAST(len(regexp_extract_all(lower(text),
+                            '\\b(the|a|of|to|and)\\b')) AS BIGINT)
+                > CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+              THEN 1 ELSE 0 END AS sel
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+st AS (
+  SELECT source,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(sel) AS HUGEINT) AS k
+  FROM scored GROUP BY 1
+),
+mx AS (
+  SELECT source, n, k,
+         first_value(k) OVER (ORDER BY k * 1000000 // n DESC, source)
+           AS k_ref,
+         first_value(n) OVER (ORDER BY k * 1000000 // n DESC, source)
+           AS n_ref,
+         first_value(source) OVER (ORDER BY k * 1000000 // n DESC, source)
+           AS ref_source
+  FROM st
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(k AS BIGINT) AS n_selected,
+       CAST((1000 * k) // n AS BIGINT) AS rate_permille,
+       ref_source,
+       CASE WHEN k_ref > 0 THEN
+         CAST((1000 * k * n_ref) // (k_ref * n) AS BIGINT)
+       END AS impact_permille,
+       CASE WHEN k_ref > 0 THEN
+         5 * k * n_ref < 4 * k_ref * n END AS adverse_impact
+FROM mx
+"""
+
+
+@query("di1_disparate_impact", oracle=_DI1_SQL)
+def di1_disparate_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disparate-impact audit of the cls1 selection rule across
+    sources under the four-fifths rule (US EEOC 1978 Uniform
+    Guidelines; Feldman et al. 2015 for the ML framing): a source
+    whose selection rate falls below 4/5 of the highest-rate
+    source's is adversely impacted — the standard first-pass
+    fairness screen for any gating classifier a curation pipeline
+    deploys (here: which sources does the cheap lang-id rule
+    systematically filter out?). Completes the governance family
+    (anon1/priv2/tcl1 audit the DATA; di1 audits a deployed RULE).
+
+    Exactness: per-source selection counts are exact integers off
+    ONE (source) groupBy; the reference group is the max-rate source
+    under the integral-micro rate order with the source tiebreak
+    (deterministic in both engines); the impact ratio exits as one
+    integral permille division, and the 4/5 flag clears both
+    denominators by cross-multiplication: rate_s/rate_ref < 4/5 <=>
+    5*k_s*n_ref < 4*k_ref*n_s — pure integers, no ratio ever
+    materialized. An all-zero reference (nobody selected anywhere)
+    yields NULL flags. 1e6-scale products cap at n ~ 1e15.
+
+    Scale shape: ONE map-side-combinable (source) groupBy; the
+    reference pick is a first_value window over the SOURCE-COUNT
+    relation (k rows). No join, one corpus pass."""
+    txt = F.col("text")
+    hits = F.size(
+        F.regexp_extract_all(
+            F.lower(txt), F.lit(r"\b(the|a|of|to|and)\b"), 0
+        )
+    ).cast("long")
+    toks = F.size(F.regexp_extract_all(txt, F.lit(r"\S+"), 0)).cast("long")
+    scored = (
+        load(spark, sf_dir, "documents")
+        .filter(txt.isNotNull() & F.col("source").isNotNull())
+        .select(
+            "source",
+            F.when(50 * hits > toks, 1).otherwise(0).alias("sel"),
+        )
+    )
+    dec = "decimal(38,0)"
+    st = scored.groupBy("source").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("sel").cast(dec).alias("k"),
+    )
+    w = Window.orderBy(
+        F.expr("k * 1000000 div n").desc(), F.col("source").asc()
+    )
+    mx = st.select(
+        "source",
+        "n",
+        "k",
+        F.first("k").over(w).alias("k_ref"),
+        F.first("n").over(w).alias("n_ref"),
+        F.first("source").over(w).alias("ref_source"),
+    )
+    return mx.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("k").cast("long").alias("n_selected"),
+        F.expr("CAST((1000 * k) div n AS BIGINT)").alias("rate_permille"),
+        "ref_source",
+        F.expr(
+            "CASE WHEN k_ref > 0 THEN"
+            " CAST((1000 * k * n_ref) div (k_ref * n) AS BIGINT) END"
+        ).alias("impact_permille"),
+        F.expr(
+            "CASE WHEN k_ref > 0 THEN"
+            " 5 * k * n_ref < 4 * k_ref * n END"
+        ).alias("adverse_impact"),
+    )
+
+
+# --------------------------------------------------------------------------
+# eo1 — equalized-odds audit of the cls1 rule per source (round 13)
+# --------------------------------------------------------------------------
+
+_EO_CRIT_MICRO = 3_841_459  # chi^2_{0.95, df=1} in micro
+
+#: two-proportion z^2, group vs rest, all denominators cleared:
+#: z^2 = (x1*m2 - x2*m1)^2 * (m1+m2) / (m1*m2*(x1+x2)*((m1+m2)-(x1+x2)))
+_EO_Z2 = (
+    "({x1} * {m2} - {x2} * {m1}) * ({x1} * {m2} - {x2} * {m1})"
+    " * ({m1} + {m2})"
+)
+_EO_DEN = "({m1} * {m2} * ({x1} + {x2}) * ({m1} + {m2} - {x1} - {x2}))"
+
+_EO1_SQL = f"""
+WITH scored AS (
+  SELECT source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tr,
+         CASE WHEN 50 * CAST(len(regexp_extract_all(lower(text),
+                            '\\b(the|a|of|to|and)\\b')) AS BIGINT)
+                > CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+              THEN 1 ELSE 0 END AS pr
+  FROM documents
+  WHERE lang IS NOT NULL AND text IS NOT NULL AND source IS NOT NULL
+),
+st AS (
+  SELECT source,
+         CAST(count(*) FILTER (tr = 1) AS HUGEINT) AS p,
+         CAST(count(*) FILTER (tr = 1 AND pr = 1) AS HUGEINT) AS tp,
+         CAST(count(*) FILTER (tr = 0) AS HUGEINT) AS ng,
+         CAST(count(*) FILTER (tr = 0 AND pr = 1) AS HUGEINT) AS fp
+  FROM scored GROUP BY 1
+),
+tot AS (
+  SELECT source, p, tp, ng, fp,
+         sum(p) OVER () - p AS rp, sum(tp) OVER () - tp AS rtp,
+         sum(ng) OVER () - ng AS rng, sum(fp) OVER () - fp AS rfp
+  FROM st
+)
+SELECT source,
+       CAST(p AS BIGINT) AS n_pos,
+       CAST(ng AS BIGINT) AS n_neg,
+       CASE WHEN p > 0 THEN CAST((1000 * tp) // p AS BIGINT)
+       END AS tpr_permille,
+       CASE WHEN ng > 0 THEN CAST((1000 * fp) // ng AS BIGINT)
+       END AS fpr_permille,
+       CASE WHEN p > 0 AND rp > 0 AND tp + rtp > 0
+             AND p + rp > tp + rtp THEN
+         1000000 * {_EO_Z2.format(x1="tp", m1="p", x2="rtp", m2="rp")}
+           > {_EO_CRIT_MICRO}
+             * {_EO_DEN.format(x1="tp", m1="p", x2="rtp", m2="rp")}
+       END AS tpr_differs,
+       CASE WHEN ng > 0 AND rng > 0 AND fp + rfp > 0
+             AND ng + rng > fp + rfp THEN
+         1000000 * {_EO_Z2.format(x1="fp", m1="ng", x2="rfp", m2="rng")}
+           > {_EO_CRIT_MICRO}
+             * {_EO_DEN.format(x1="fp", m1="ng", x2="rfp", m2="rng")}
+       END AS fpr_differs
+FROM tot
+"""
+
+
+@query("eo1_equalized_odds", oracle=_EO1_SQL)
+def eo1_equalized_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equalized-odds audit (Hardt, Price & Srebro 2016) of the cls1
+    lang-id rule per source: does any source's TRUE-POSITIVE rate or
+    FALSE-POSITIVE rate differ significantly from the rest of the
+    corpus? di1's four-fifths rule screens raw selection rates
+    (demographic parity); equalized odds is the error-rate criterion
+    — a rule can select every source at the same rate while being
+    WRONG about different sources in different directions, and only
+    the TPR/FPR decomposition sees it. Per source, each rate gets a
+    group-vs-rest two-proportion z-test (the ab1 machinery turned
+    into a leave-one-out audit).
+
+    Exactness: the four cells per source are exact integers off ONE
+    (source) groupBy; rest-of-corpus cells are wall-window totals
+    minus own (k-row relation, never a second pass); the z^2 =
+    (x1*m2 - x2*m1)^2*(m1+m2) / (m1*m2*(x1+x2)*(m1+m2-x1-x2)) form
+    clears every denominator, so both gates are cross-multiplied
+    integer compares vs the frozen chi^2_1 critical. Degenerate
+    margins (empty group/rest, all-positive or all-negative pooled
+    predictions) yield NULL, never a fabricated verdict.
+    DECIMAL(38,0): crit*m1*m2*(x1+x2)*(rest) <= 3.8e6*n^4 caps the
+    corpus at ~1e8 docs (the mcc1 convention — audit per shard past
+    that).
+
+    Scale shape: ONE map-side-combinable (source) groupBy; the
+    leave-one-out totals ride one wall window over the k-row source
+    relation. No join, one corpus pass."""
+    txt = F.col("text")
+    hits = F.size(
+        F.regexp_extract_all(
+            F.lower(txt), F.lit(r"\b(the|a|of|to|and)\b"), 0
+        )
+    ).cast("long")
+    toks = F.size(F.regexp_extract_all(txt, F.lit(r"\S+"), 0)).cast("long")
+    scored = (
+        load(spark, sf_dir, "documents")
+        .filter(
+            F.col("lang").isNotNull()
+            & txt.isNotNull()
+            & F.col("source").isNotNull()
+        )
+        .select(
+            "source",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("tr"),
+            F.when(50 * hits > toks, 1).otherwise(0).alias("pr"),
+        )
+    )
+    dec = "decimal(38,0)"
+    st = scored.groupBy("source").agg(
+        F.count(F.when(F.col("tr") == 1, 1)).cast(dec).alias("p"),
+        F.count(F.when((F.col("tr") == 1) & (F.col("pr") == 1), 1))
+        .cast(dec)
+        .alias("tp"),
+        F.count(F.when(F.col("tr") == 0, 1)).cast(dec).alias("ng"),
+        F.count(F.when((F.col("tr") == 0) & (F.col("pr") == 1), 1))
+        .cast(dec)
+        .alias("fp"),
+    )
+    wall = Window.partitionBy()
+    tot = st.select(
+        "source",
+        "p",
+        "tp",
+        "ng",
+        "fp",
+        (F.sum("p").over(wall) - F.col("p")).cast(dec).alias("rp"),
+        (F.sum("tp").over(wall) - F.col("tp")).cast(dec).alias("rtp"),
+        (F.sum("ng").over(wall) - F.col("ng")).cast(dec).alias("rng"),
+        (F.sum("fp").over(wall) - F.col("fp")).cast(dec).alias("rfp"),
+    )
+    z2_tpr = _EO_Z2.format(x1="tp", m1="p", x2="rtp", m2="rp")
+    den_tpr = _EO_DEN.format(x1="tp", m1="p", x2="rtp", m2="rp")
+    z2_fpr = _EO_Z2.format(x1="fp", m1="ng", x2="rfp", m2="rng")
+    den_fpr = _EO_DEN.format(x1="fp", m1="ng", x2="rfp", m2="rng")
+    return tot.select(
+        "source",
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("ng").cast("long").alias("n_neg"),
+        F.expr(
+            "CASE WHEN p > 0 THEN CAST((1000 * tp) div p AS BIGINT) END"
+        ).alias("tpr_permille"),
+        F.expr(
+            "CASE WHEN ng > 0 THEN CAST((1000 * fp) div ng AS BIGINT) END"
+        ).alias("fpr_permille"),
+        F.expr(
+            f"CASE WHEN p > 0 AND rp > 0 AND tp + rtp > 0"
+            f" AND p + rp > tp + rtp THEN"
+            f" 1000000 * {z2_tpr} > {_EO_CRIT_MICRO} * {den_tpr} END"
+        ).alias("tpr_differs"),
+        F.expr(
+            f"CASE WHEN ng > 0 AND rng > 0 AND fp + rfp > 0"
+            f" AND ng + rng > fp + rfp THEN"
+            f" 1000000 * {z2_fpr} > {_EO_CRIT_MICRO} * {den_fpr} END"
+        ).alias("fpr_differs"),
+    )

@@ -538,6 +538,9 @@ HEADLINE = [
     "sen1_theil_sen_slope",
     "lb1_ljung_box",
     "pettitt1_change_point",
+    "mhor1_mh_common_or",
+    "di1_disparate_impact",
+    "eo1_equalized_odds",
 ]
 
 #: Frozen block capacity (see module docstring). r12: 219 headline

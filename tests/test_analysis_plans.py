@@ -413,3 +413,25 @@ def test_pettitt1_bounded_pair_join_spine_windows(spark):
     assert all(j.startswith("Broadcast") for j in joins), joins
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
     assert specs and all(s.startswith("event_type") for s in specs), specs
+
+
+def test_mhor1_single_pass_no_joins(spark):
+    """mhor1's claim: mcn1/cmh1's shape — ONE (source) groupBy over a
+    per-row projection, 1-row final; no join, no window."""
+    df = REGISTRY["mhor1_mh_common_or"].fn(spark, SF_DIR)
+    p = _plan(df)
+    assert "Window" not in p, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert not re.findall(r"\(\d+\) \w*Join", p), p
+
+
+def test_di1_eo1_one_pass_k_row_windows(spark):
+    """di1/eo1's claim: ONE (source) groupBy is the only corpus pass;
+    the reference pick / leave-one-out totals are windows over the
+    k-row source relation; no join anywhere."""
+    for name in ("di1_disparate_impact", "eo1_equalized_odds"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        p = _plan(df)
+        assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, (name, p)
+        assert not re.findall(r"\(\d+\) \w*Join", p), (name, p)
+        assert "windowspecdefinition" in p, (name, p)

@@ -445,3 +445,76 @@ def test_pettitt_recursion_matches_bruteforce():
         gate = 6 * MICRO * k_bf * k_bf > 3_688_879 * (nd**3 + nd**2)
         if abs(p - 0.05) > 1e-9:
             assert gate == (p < 0.05), (y, p, gate)
+
+
+# -- mhor1 -----------------------------------------------------------------
+
+
+def test_mh_common_or_quantized_matches_float():
+    rng = random.Random(1959 * 2)
+    checked = 0
+    for _ in range(1500):
+        strata = []
+        for _ in range(rng.randint(1, 8)):
+            n = rng.randint(1, 40)
+            cells = [rng.randint(0, 1) for _ in range(2)]
+            a = rng.randint(0, n)
+            rem = n - a
+            b = rng.randint(0, rem)
+            rem -= b
+            c = rng.randint(0, rem)
+            d = rem - c
+            strata.append((n, a, b, c, d))
+        r_mic = sum((MICRO * a * d) // n for n, a, b, c, d in strata)
+        s_mic = sum((MICRO * b * c) // n for n, a, b, c, d in strata)
+        if s_mic <= 0:
+            continue
+        checked += 1
+        e = (MICRO * r_mic) // s_mic
+        r_f = sum(a * d / n for n, a, b, c, d in strata)
+        s_f = sum(b * c / n for n, a, b, c, d in strata)
+        f = r_f / s_f
+        # per-stratum floors shift r and s each by < #strata micro
+        rel = len(strata) / max(s_f * MICRO, 1)
+        tol = MICRO * f * (rel + len(strata) / max(r_f * MICRO, 1)) + 2
+        assert abs(e - MICRO * f) <= max(tol, 2), (strata, f, e)
+    assert checked > 1000
+
+
+# -- eo1 -------------------------------------------------------------------
+
+
+def test_two_proportion_z2_cleared_form_matches_float():
+    rng = random.Random(2016)
+    checked = 0
+    for _ in range(3000):
+        m1, m2 = rng.randint(1, 50), rng.randint(1, 50)
+        x1, x2 = rng.randint(0, m1), rng.randint(0, m2)
+        if x1 + x2 == 0 or x1 + x2 == m1 + m2:
+            continue
+        checked += 1
+        num = (x1 * m2 - x2 * m1) ** 2 * (m1 + m2)
+        den = m1 * m2 * (x1 + x2) * (m1 + m2 - x1 - x2)
+        p1, p2 = x1 / m1, x2 / m2
+        pp = (x1 + x2) / (m1 + m2)
+        z2 = (p1 - p2) ** 2 / (pp * (1 - pp) * (1 / m1 + 1 / m2))
+        assert abs(num / den - z2) <= 1e-9 * max(1.0, z2), (
+            (m1, x1, m2, x2),
+            num / den,
+            z2,
+        )
+    assert checked > 2500
+
+
+# -- di1 -------------------------------------------------------------------
+
+
+def test_four_fifths_cross_multiplication():
+    rng = random.Random(1978 * 2)
+    for _ in range(3000):
+        n1, n2 = rng.randint(1, 60), rng.randint(1, 60)
+        k1, k2 = rng.randint(0, n1), rng.randint(1, n2)  # ref selects >0
+        if 5 * k1 * n2 == 4 * k2 * n1:
+            continue  # exact 0.8 boundary: float division may land on
+            # either side, the integer compare is the ground truth
+        assert (5 * k1 * n2 < 4 * k2 * n1) == ((k1 / n1) / (k2 / n2) < 0.8)
