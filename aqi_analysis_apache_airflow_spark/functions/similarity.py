@@ -12,6 +12,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Optimization-round r13 note: a fixed-width unrolled element_at form
+# of the two dot folds below (64-/16-wide sums behind a size() CASE,
+# built as one parsed expression) was implemented and A/B-measured on
+# the sf0.1 probe×corpus scan, on the theory that Spark's higher-order
+# functions are CodegenFallback and the unroll would compile into
+# whole-stage codegen. It measured SLOWER (2-dot scan 6.9s → 7.6s,
+# 3-dot cosine 11.0s → 12.7s, interleaved same-JVM medians) — the
+# ~400-node decimal expression blows the codegen budget and falls back
+# to interpreted CASE evaluation — and was reverted. The real lever
+# for these scans is parallelism (see ``spread_small_scan``): the
+# bench corpus arrives as one row group and the whole scorer ran on
+# ONE task.
+
 
 def dot_decimal(a: Column, b: Column) -> Column:
     """Order-independent exact dot product: per-element double products
@@ -216,8 +229,11 @@ def ivf_assign(
     # zero-norm vectors are unindexable: they have no nearest centroid
     # (every cosine is undefined) and would raise ANSI DIVIDE_BY_ZERO
     # in the assignment — excluded by policy, documented here
-    emb = emb.filter(dot_fast(F.col(vec_col), F.col(vec_col)) > 0).repartition(
-        n_part
+    # repartition BEFORE the zero-norm filter: the filter itself is a
+    # per-row norm fold, and on a single-split input it would run on
+    # one task (r13 optimization; filter/repartition commute row-wise)
+    emb = emb.repartition(n_part).filter(
+        dot_fast(F.col(vec_col), F.col(vec_col)) > 0
     )
     centroid_ids = (
         emb.select(id_col)
@@ -233,20 +249,28 @@ def ivf_assign(
     cents_row = centroids.select(
         "centroid_id", "cvec", F.sqrt(dot_fast(F.col("cvec"), F.col("cvec"))).alias("cnorm")
     ).agg(F.collect_list(F.struct("centroid_id", "cvec", "cnorm")).alias("__cents"))
+    # r13 optimization: the row norm is PROJECTED once per row instead
+    # of being referenced inside the transform lambda — higher-order
+    # functions evaluate interpreted with no common-subexpression
+    # elimination, so the closed-over norm fold used to re-run once per
+    # centroid (×n_centroids per row). Same expression, same double,
+    # evaluated once.
     vnorm = F.sqrt(dot_fast(F.col(vec_col), F.col(vec_col)))
     best = F.array_max(
         F.transform(
             F.col("__cents"),
             lambda c: F.struct(
-                (dot_fast(F.col(vec_col), c["cvec"]) / (vnorm * c["cnorm"])).alias(
-                    "sim"
-                ),
+                (
+                    dot_fast(F.col(vec_col), c["cvec"])
+                    / (F.col("__vnorm") * c["cnorm"])
+                ).alias("sim"),
                 (-c["centroid_id"]).alias("neg_id"),
             ),
         )
     )
     assigned = (
-        emb.join(F.broadcast(cents_row))
+        emb.withColumn("__vnorm", vnorm)
+        .join(F.broadcast(cents_row))
         .select(id_col, vec_col, (-best["neg_id"]).alias("cluster"))
     )
     return centroids, assigned

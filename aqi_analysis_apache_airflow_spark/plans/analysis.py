@@ -37,7 +37,7 @@ from pyspark.sql.window import Window
 
 from ..functions.dedup import CE_HASH64_SQL, ce_hash64, tokens
 from ..functions.similarity import dot_decimal as _dot
-from .registry import load, query
+from .registry import load, load_spread, query
 
 # sign-safe integral division shift (the mk1 precedent): for den > 0,
 # (num + OFF*den) div den - OFF == floor(num/den) exactly for any sign
@@ -1630,7 +1630,7 @@ def mrr1_first_relevant_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth by definition — audit cadence, not a serving path
     (the serving path is sim_ivf/ivfd's partition-pruned index)."""
     emb0 = (
-        load(spark, sf_dir, "embeddings")
+        load_spread(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id").isNotNull() & F.col("label").isNotNull())
         .select(
             "vec_id",
@@ -5973,7 +5973,7 @@ def pperm1_paired_ranker_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution — is probe-sized (<= 100 rows x 20)."""
     pre = _PPERM_PREFIX
     emb0 = (
-        load(spark, sf_dir, "embeddings")
+        load_spread(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id").isNotNull() & F.col("label").isNotNull())
         .select(
             "vec_id",

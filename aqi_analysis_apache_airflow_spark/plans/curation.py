@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.dedup import CE_HASH64_SQL, ce_hash64, tokens
-from .registry import load, query
+from .registry import load, load_spread, query
 
 # --------------------------------------------------------------------------
 # document quality scoring (Gopher-style rule filters)
@@ -735,7 +735,7 @@ def knn1_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: corpus-side explode is narrow; the pair groupBy shuffles
     pairs×dim rows — the IVF-blocked variant (``sim_ivfm``'s index)
     bounds that to probed clusters; this is the exact baseline."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _KNN_N_QUERIES)
     corpus = emb.filter(F.col("vec_id") >= _KNN_N_QUERIES)
     long_prod = lambda a, b: F.round(
@@ -932,7 +932,7 @@ def _km1_fit(spark: SparkSession, sf_dir: str):
     second-nearest distances."""
     from pyspark.storagelevel import StorageLevel
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     qx = (
         emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
         .select(
@@ -2024,6 +2024,8 @@ def _dc3_sims_ivf(emb: DataFrame, probes: DataFrame) -> DataFrame:
         "cvec",
         F.sqrt(dot_fast(F.col("cvec"), F.col("cvec"))).alias("cnorm"),
     ).agg(F.collect_list(F.struct("centroid_id", "cvec", "cnorm")).alias("__cents"))
+    # r13: probe norm projected once per row (not closed over inside
+    # the lambda, where interpreted HOF eval re-runs it per centroid)
     qnorm = F.sqrt(dot_fast(F.col("qv"), F.col("qv")))
     ranked = F.array_sort(
         F.transform(
@@ -2031,7 +2033,7 @@ def _dc3_sims_ivf(emb: DataFrame, probes: DataFrame) -> DataFrame:
             lambda c: F.struct(
                 (
                     dot_fast(F.col("qv"), c["cvec"])
-                    / F.nullif(qnorm * c["cnorm"], F.lit(0.0))
+                    / F.nullif(F.col("__qnorm") * c["cnorm"], F.lit(0.0))
                 ).alias("sim"),
                 (-c["centroid_id"]).alias("neg_id"),
             ),
@@ -2046,6 +2048,7 @@ def _dc3_sims_ivf(emb: DataFrame, probes: DataFrame) -> DataFrame:
     n_take = F.least(F.size(ranked), F.lit(_DC3_IVF_NPROBE))
     probe_cells = (
         probes.filter(dot_fast(F.col("qv"), F.col("qv")) > 0)
+        .withColumn("__qnorm", qnorm)
         .join(F.broadcast(cents_row))
         .select(
             "eval_id",
@@ -2149,7 +2152,7 @@ def dc3_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_ivf's coarse quantizer — vectors sharing none of a probe's
     ``_DC3_IVF_NPROBE`` probed cells never form a pair). The
     registry/oracle path stays the exact default."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     probes = _dc3_probes(emb)
     prefilter = (
         str(spark.conf.get(_DC3_IVF_FLAG, "false")).lower() == "true"
@@ -3075,7 +3078,7 @@ def pq1_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import ce_hash64
     from ..functions.similarity import dot_decimal
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     vid = F.col("vec_id").cast("string")
     out = None
     for m in range(_PQ_M):
@@ -3708,7 +3711,7 @@ def emb4_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles."""
     from ..functions.similarity import brute_force_topk
 
-    full = load(spark, sf_dir, "embeddings")
+    full = load_spread(spark, sf_dir, "embeddings")
     emb = full.filter(F.col("vec_id") != 0)
     qv = full.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv")

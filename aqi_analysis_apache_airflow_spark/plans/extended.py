@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 
 from ..functions.dedup import CE_HASH64_SQL as _CEH
 from ..functions.dedup import ce_half_sql as _ce_half
-from .registry import load, query
+from .registry import load, load_spread, query
 
 # --------------------------------------------------------------------------
 # events: time windows (batch twins of the streaming surface)
@@ -270,7 +270,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a TakeOrdered (per-partition heap + driver merge), not a global
     sort. The decimal-summed dot product makes the score reproducible
     bit-for-bit at any parallelism."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     # query norm is a constant: compute it ONCE in the broadcast side
     # instead of re-folding the query vector for every corpus row.
     # Zero-norm vectors (on either side) are excluded by policy — the
@@ -2178,10 +2178,12 @@ def _md5_ivf_parts(spark: SparkSession, sf_dir: str, n_centroids: int = 16):
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # zero-norm vectors are unindexable — same decimal-norm test as
     # the oracle's enorm CTE (n2 > 0)
+    # repartition BEFORE the zero-norm filter (r13): the filter is a
+    # per-row decimal fold and would otherwise run on one task
     emb = (
         full.filter(F.col("vec_id") != 0)
-        .filter(dot_decimal(F.col("embedding"), F.col("embedding")) > 0)
         .repartition(n_part)
+        .filter(dot_decimal(F.col("embedding"), F.col("embedding")) > 0)
     )
     vid = F.col("vec_id").cast("string")
     cids = (
@@ -2205,6 +2207,11 @@ def _md5_ivf_parts(spark: SparkSession, sf_dir: str, n_centroids: int = 16):
             "cnorm"
         ),
     ).agg(F.collect_list(F.struct("centroid_id", "cvec", "cnorm")).alias("__cents"))
+    # r13 optimization: the row norm is PROJECTED once per row instead
+    # of being referenced inside the transform lambda — HOFs evaluate
+    # interpreted with no CSE, so the closed-over norm fold used to
+    # re-run once per centroid (×n_centroids per row). Same
+    # expression, same double, evaluated once.
     enorm = F.sqrt(
         dot_decimal(F.col("embedding"), F.col("embedding")).cast("double")
     )
@@ -2215,7 +2222,7 @@ def _md5_ivf_parts(spark: SparkSession, sf_dir: str, n_centroids: int = 16):
                 F.round(
                     -F.round(
                         dot_decimal(F.col("embedding"), c["cvec"]).cast("double")
-                        / (enorm * c["cnorm"]),
+                        / (F.col("__enorm") * c["cnorm"]),
                         6,
                     )
                     * 1000000
@@ -2226,8 +2233,10 @@ def _md5_ivf_parts(spark: SparkSession, sf_dir: str, n_centroids: int = 16):
             ),
         )
     )
-    assigned = emb.join(F.broadcast(cents_row)).select(
-        "vec_id", "embedding", best["centroid_id"].alias("cluster")
+    assigned = (
+        emb.withColumn("__enorm", enorm)
+        .join(F.broadcast(cents_row))
+        .select("vec_id", "embedding", best["centroid_id"].alias("cluster"))
     )
     # a zero-norm QUERY can rank nothing either — same guard as the
     # oracle's qn CTE
@@ -2462,7 +2471,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.similarity import brute_force_topk, ivf_topk
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     corpus = emb.filter(F.col("vec_id") != 0)
     # each 50-row top-k feeds two consumers (rank join + recall agg):
@@ -2579,7 +2588,7 @@ def rec1_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     corpus = (
-        load(spark, sf_dir, "embeddings")
+        load_spread(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") != 0)
         .filter(dot_decimal(F.col("embedding"), F.col("embedding")) > 0)
     )

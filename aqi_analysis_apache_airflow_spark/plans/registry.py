@@ -20,6 +20,7 @@ value-hash comparison is exact, not approximate:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -51,6 +52,35 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from ..sources.readers import load_table
 
     return load_table(spark, sf_dir, name)
+
+
+#: Default parquet split size — mirrors spark.sql.files.maxPartitionBytes,
+#: which this session never overrides.
+_MAX_SPLIT_BYTES = 128 * 1024 * 1024
+
+
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load`` plus a round-robin repartition to the session's shuffle
+    parallelism WHEN the table cannot give the scan enough natural
+    splits (optimization guide §2.5 input-skew remedy / §6 scan
+    parallelism; the exploded_shingles / _md5_ivf_parts precedent made
+    size-conditional). The bench corpus ships each table as ONE parquet
+    row group, so a per-row-CPU-heavy consumer (probe×corpus cosine
+    scorers, per-row fold pipelines) otherwise runs its whole map stage
+    on a single task regardless of core count. The repartition only
+    fires while the file's natural split count is below the session
+    parallelism, so at production scale (files ≫ maxPartitionBytes) it
+    vanishes and the scan keeps its natural splits — never an extra
+    corpus shuffle at 100 TB."""
+    df = load(spark, sf_dir, name)
+    try:
+        sz = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return df  # non-local storage: natural splits exist
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if -(-sz // _MAX_SPLIT_BYTES) < n_part:
+        return df.repartition(n_part)
+    return df
 
 
 #: DuckDB CTE aligning events.ts (stored as TIMESTAMP_NS in parquet) to

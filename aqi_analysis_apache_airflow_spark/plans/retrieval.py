@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.dedup import CE_HASH64_SQL, ce_hash64, tokens
-from .registry import load, query
+from .registry import load, load_spread, query
 
 # --------------------------------------------------------------------------
 # ret1 — BM25 ranked retrieval
@@ -888,7 +888,7 @@ def hn1_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.similarity import dot_decimal
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     # norms hoisted: sqrt(decimal self-dot) ONCE per vector (the
     # sim_ivfm pattern) instead of twice per (anchor, candidate) pair
     # — identical expression, identical bits, 1/3 the decimal folds;

@@ -33,7 +33,7 @@ from ..functions.graph import (
     pagerank,
 )
 from ..functions.similarity import cosine
-from .registry import load, query
+from .registry import load, load_spread, query
 from .retrieval import _BM25_CTES, bm25_doc_scores
 
 # --------------------------------------------------------------------------
@@ -121,7 +121,7 @@ def _ranked_arms(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
         )
         .select("doc_id", "lex_rank")
     )
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     sem = (
         emb.filter(F.col("vec_id") != 0)
@@ -962,7 +962,7 @@ def kcen1_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     k × (one corpus aggregate), independent of corpus width."""
     from pyspark.storagelevel import StorageLevel
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     qx = (
         emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
         .select(
@@ -1135,7 +1135,7 @@ def mmr1_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention)."""
     from pyspark.storagelevel import StorageLevel
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     pool = (
         emb.filter(F.col("vec_id") != 0)
@@ -1565,7 +1565,7 @@ def ndcg1_ann_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulated as DECIMAL (order-independent); the NDCG ratio is one
     IEEE division (nullif-guarded for the degenerate empty-exact
     case)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     base = emb.filter(F.col("vec_id") != 0).join(F.broadcast(qvec))
 
@@ -3884,7 +3884,7 @@ def pca1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the remaining cost is the mandated per-pair rounding, which a
     # sum-then-round matmul would not reproduce)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     partials = (
         emb.select("embedding")
         .repartition(n_part)
