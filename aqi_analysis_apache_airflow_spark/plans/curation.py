@@ -1855,7 +1855,7 @@ def dc1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic step; the shingle width k bounds memory per row."""
     from pyspark.storagelevel import StorageLevel
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     from ..functions.dedup import word_shingles
 
     # three consumers (benchmark set, per-doc totals, hit counts) —

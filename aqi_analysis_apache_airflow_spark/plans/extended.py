@@ -519,7 +519,7 @@ def d9_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import connected_components, ngram_jaccard_pairs
     from pyspark import StorageLevel
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
         docs, threshold=0.5, k=3, max_doc_freq=20
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1729,7 +1729,7 @@ def g3_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch variant for 100 TB — same plan shape, not oracle-exact, so
     the exact form is registered."""
     return (
-        load(spark, sf_dir, "lineitem")
+        load_spread(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
@@ -2778,7 +2778,7 @@ def cm1_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import ce_hash64, tokens
 
     toks = (
-        load(spark, sf_dir, "documents")
+        load_spread(spark, sf_dir, "documents")
         .select(F.explode(tokens(F.col("text"))).alias("tok"))
     )
 

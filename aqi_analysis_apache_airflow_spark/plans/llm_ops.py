@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.dedup import CE_HASH64_SQL, ce_hash64
-from .registry import load, query
+from .registry import load, load_spread, query
 
 #: per-lang keep rates in permille — the curation knob: oversample
 #: high-resource strata, downsample the rest. Deterministic per doc.
@@ -335,7 +335,7 @@ def split2_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import connected_components, ngram_jaccard_pairs
     from pyspark import StorageLevel
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
         docs, threshold=0.5, k=3, max_doc_freq=20
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -467,7 +467,7 @@ def sub1_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix-array approach."""
     from ..functions.dedup import tokens
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toked = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     sh = toked.select(
         "doc_id",
@@ -586,7 +586,7 @@ def sub2_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed exchange. Everything is exact integer arithmetic."""
     from ..functions.dedup import tokens
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toked = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     w = toked.select(
         "doc_id",

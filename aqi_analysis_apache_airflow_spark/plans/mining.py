@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.dedup import CE_HASH64_SQL, ce_hash64, tokens
-from .registry import EVENTS_US_CTE, load, query
+from .registry import EVENTS_US_CTE, load, load_spread, query
 
 # --------------------------------------------------------------------------
 # bpe1 — one BPE-training merge step (char-pair counting)
@@ -79,7 +79,7 @@ def bpe1_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     not pairs. Words of length 1 are filtered BEFORE the sequence:
     Spark's ``sequence(1, 0)`` counts *down* ([1, 0]) instead of
     returning empty, which would fabricate pairs."""
-    docs = load(spark, sf_dir, "documents").select("text")
+    docs = load_spread(spark, sf_dir, "documents").select("text")
     w = F.col("w")
     pairs = (
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
@@ -1066,7 +1066,7 @@ def cos1_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator together)."""
     from ..functions.dedup import word_shingles
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select(
         "doc_id",
         F.explode(word_shingles(F.col("text"), 3, distinct=False)).alias("w"),
@@ -2043,7 +2043,7 @@ def _bpe2_rounds(spark: SparkSession, sf_dir: str):
     """The shared BPE loop: returns (per-round winner DataFrames,
     per-round symbolized word tables [round 0 .. round R]) — bpe2
     surfaces the winners; bpe3 aggregates the word tables."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     w0 = (
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("w")

@@ -579,7 +579,7 @@ def lm2_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned on the token key). Per-doc means route the
     rounded probabilities through DECIMAL so partial-aggregation
     order never changes a bit."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
     n = F.size(t)
     length = F.greatest(n - 1, F.lit(0))
@@ -1156,7 +1156,7 @@ def _rh_chunk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rh1's per-(doc, chunk) table (span, gram count, order-free
     hash) — factored so rh2's dedup-payoff census replays the
     identical chunking instead of a drifting twin."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     from ..functions.dedup import word_shingles
 
     grams = docs.select(

@@ -707,7 +707,7 @@ def _winnow2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     docs = (
-        load(spark, sf_dir, "documents")
+        load_spread(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull())
         .select("doc_id", "text")
     )
@@ -2005,7 +2005,7 @@ def cp2_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (ent1's decimal identity, md5 cap ranks, winnow's
     packed-integer argmin); counts are BIGINTs."""
     base = (
-        load(spark, sf_dir, "documents")
+        load_spread(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull())
         .select("doc_id", "source", "text")
     )
@@ -2317,7 +2317,7 @@ def kmv1_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import word_shingles
 
     sh = (
-        load(spark, sf_dir, "documents")
+        load_spread(spark, sf_dir, "documents")
         .select(
             "source",
             F.explode(word_shingles(F.col("text"), 3)).alias("sh"),
@@ -3640,7 +3640,7 @@ def mem1_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.dedup import word_shingles
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
         F.explode(word_shingles(F.col("text"), _MEM_K)).alias("shingle"),
@@ -4191,7 +4191,7 @@ def phr1_phrase_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the final top-k is TakeOrderedAndProject. In an IR deployment
     the bigram stream would be a materialized positional index keyed
     by gram — this is the query-time half of that plan."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n = F.size(toks)
     length = F.greatest(n - 1, F.lit(0))
@@ -5167,7 +5167,7 @@ def drm1_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized, not token-sized; everything after runs on the
     n_sources-row table (broadcast-sized at any corpus scale, the
     lr1/mix1 convention)."""
-    docs = load(spark, sf_dir, "documents").filter(
+    docs = load_spread(spark, sf_dir, "documents").filter(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
     src = (
@@ -5404,7 +5404,7 @@ def qc4_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-local — no corpus-global state anywhere. The 100 TB form is
     identical; skew (one enormous doc) is bounded by the per-doc
     token count itself."""
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    docs = load_spread(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     base = docs.select(
         "doc_id",
         F.coalesce(F.size(tokens(F.col("text"))), F.lit(0))
@@ -5611,7 +5611,7 @@ def kn1_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared bounded, not corpus bounded); NT broadcasts as one row.
     The c12 ≥ {mc} floor bounds the surfaced rows the way every
     n-gram LM prunes its model."""
-    docs = load(spark, sf_dir, "documents").filter(
+    docs = load_spread(spark, sf_dir, "documents").filter(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
     arr = tokens(F.col("text"))
@@ -6047,7 +6047,7 @@ def sb1_self_bleu_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     final per-doc rollup. No pairwise document comparison anywhere:
     the leave-one-out reference count makes Self-BLEU O(corpus), not
     O(corpus²)."""
-    docs = load(spark, sf_dir, "documents").filter(
+    docs = load_spread(spark, sf_dir, "documents").filter(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
     arr = tokens(F.col("text"))
@@ -6149,7 +6149,7 @@ def ppmi1_sppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginals re-aggregate the compressed cell table, never the
     corpus. The oracle's positional self-join is equivalent row-wise
     (b.pos − a.pos ∈ [1, 2] ≡ the two offset zips)."""
-    docs = load(spark, sf_dir, "documents").filter(
+    docs = load_spread(spark, sf_dir, "documents").filter(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
     arr = tokens(F.col("text"))
@@ -6280,7 +6280,7 @@ def perm1_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     each partition to ≤ types·{_PERM_K} rows before the exchange; the
     observed arm is one more pass of the same shape; the final join
     touches types×{_PERM_K} rows. No sort, no window, no pairwise."""
-    ev = load(spark, sf_dir, "events").filter(
+    ev = load_spread(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & F.col("event_type").isNotNull()
     )
     base = ev.select(
@@ -7029,7 +7029,7 @@ def bh1_fdr_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. At 100 TB with bounded m the fan-out stays linear in the
     corpus."""
     base = (
-        load(spark, sf_dir, "documents")
+        load_spread(spark, sf_dir, "documents")
         .filter(
             F.col("source").isNotNull()
             & F.col("n_chars").isNotNull()
