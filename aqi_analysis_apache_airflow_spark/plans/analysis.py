@@ -2817,7 +2817,7 @@ def d13_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     here to stay oracle-comparable, the d2 convention."""
     from ..functions.dedup import word_shingles
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
     )
@@ -3800,7 +3800,7 @@ def prt1_operating_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows."""
     txt = F.col("text")
     scored = (
-        load(spark, sf_dir, "documents")
+        load_spread(spark, sf_dir, "documents")
         .filter(F.col("lang").isNotNull() & txt.isNotNull())
         .select(
             (F.col("lang") == "en").alias("truth"),

@@ -142,7 +142,7 @@ def qc2_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographic bigram tiebreak. At 100 TB the explode is narrow
     (no shuffle) and the groupBy/window both partition by doc_id, so
     the whole job is a single exchange."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
     toks = tokens(F.col("text"))
     n = F.size(toks)
     # zip_with over two shifted slices, not transform(sequence, ...) —
@@ -1855,7 +1855,7 @@ def dc1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic step; the shingle width k bounds memory per row."""
     from pyspark.storagelevel import StorageLevel
 
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents")
     from ..functions.dedup import word_shingles
 
     # three consumers (benchmark set, per-doc totals, hit counts) —

@@ -519,7 +519,7 @@ def d9_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import connected_components, ngram_jaccard_pairs
     from pyspark import StorageLevel
 
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
         docs, threshold=0.5, k=3, max_doc_freq=20
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1212,7 +1212,7 @@ def g8_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decimal-moments form is the reproducible way to ship
     statistics from a distributed engine. One aggregation pass, all
     five moments share the shuffle."""
-    li = load(spark, sf_dir, "lineitem")
+    li = load_spread(spark, sf_dir, "lineitem")
     q = F.col("l_quantity").cast("decimal(18,2)")
     p = F.col("l_extendedprice").cast("decimal(18,2)")
     s = li.groupBy("l_returnflag").agg(

@@ -335,7 +335,7 @@ def split2_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import connected_components, ngram_jaccard_pairs
     from pyspark import StorageLevel
 
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
         docs, threshold=0.5, k=3, max_doc_freq=20
     ).persist(StorageLevel.MEMORY_AND_DISK)

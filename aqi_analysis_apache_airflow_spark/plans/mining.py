@@ -1066,7 +1066,7 @@ def cos1_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator together)."""
     from ..functions.dedup import word_shingles
 
-    docs = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select(
         "doc_id",
         F.explode(word_shingles(F.col("text"), 3, distinct=False)).alias("w"),
@@ -2043,7 +2043,7 @@ def _bpe2_rounds(spark: SparkSession, sf_dir: str):
     """The shared BPE loop: returns (per-round winner DataFrames,
     per-round symbolized word tables [round 0 .. round R]) — bpe2
     surfaces the winners; bpe3 aggregates the word tables."""
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents")
     w0 = (
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("w")

@@ -16,7 +16,7 @@ from ..operators.dedupe import keep_first
 from ..operators.filters import anti_join, cdc_window, not_in
 from ..operators.joins import dim_join, full_outer_union_keys
 from ..operators.merge import merge_upsert
-from .registry import load, query
+from .registry import load, load_spread, query
 
 # --------------------------------------------------------------------------
 # §2.1 scans + §2.2 projections
@@ -442,7 +442,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped pricing summary — the flagship scan-heavy
     aggregate. All money sums in DECIMAL (exact, order-independent),
     surfaced as DOUBLE."""
-    li = load(spark, sf_dir, "lineitem").filter(
+    li = load_spread(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= "1998-09-02 00:00:00"
     )
     qty = F.col("l_quantity").cast("decimal(18,2)")
@@ -1207,7 +1207,7 @@ def g5_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE: all 2^k grouping-set combinations in one pass (Spark
     expands to a single Expand + aggregate — one shuffle, not 4)."""
     return (
-        load(spark, sf_dir, "lineitem")
+        load_spread(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n_items"),

@@ -579,7 +579,7 @@ def lm2_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned on the token key). Per-doc means route the
     rounded probabilities through DECIMAL so partial-aggregation
     order never changes a bit."""
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
     n = F.size(t)
     length = F.greatest(n - 1, F.lit(0))

@@ -614,7 +614,7 @@ def winnow1_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFram
     partitioning — Spark plans a single Exchange). Per-row double
     division for density; everything else exact integers."""
     docs = (
-        load(spark, sf_dir, "documents")
+        load_spread(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull())
         .select("doc_id", "text")
     )
@@ -707,7 +707,7 @@ def _winnow2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     docs = (
-        load_spread(spark, sf_dir, "documents")
+        load(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull())
         .select("doc_id", "text")
     )
@@ -2005,7 +2005,7 @@ def cp2_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (ent1's decimal identity, md5 cap ranks, winnow's
     packed-integer argmin); counts are BIGINTs."""
     base = (
-        load_spread(spark, sf_dir, "documents")
+        load(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull())
         .select("doc_id", "source", "text")
     )
@@ -3640,7 +3640,7 @@ def mem1_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.dedup import word_shingles
 
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
         F.explode(word_shingles(F.col("text"), _MEM_K)).alias("shingle"),
@@ -5167,7 +5167,7 @@ def drm1_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized, not token-sized; everything after runs on the
     n_sources-row table (broadcast-sized at any corpus scale, the
     lr1/mix1 convention)."""
-    docs = load_spread(spark, sf_dir, "documents").filter(
+    docs = load(spark, sf_dir, "documents").filter(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
     src = (
@@ -5611,7 +5611,7 @@ def kn1_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared bounded, not corpus bounded); NT broadcasts as one row.
     The c12 ≥ {mc} floor bounds the surfaced rows the way every
     n-gram LM prunes its model."""
-    docs = load_spread(spark, sf_dir, "documents").filter(
+    docs = load(spark, sf_dir, "documents").filter(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
     arr = tokens(F.col("text"))
@@ -6149,7 +6149,7 @@ def ppmi1_sppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginals re-aggregate the compressed cell table, never the
     corpus. The oracle's positional self-join is equivalent row-wise
     (b.pos − a.pos ∈ [1, 2] ≡ the two offset zips)."""
-    docs = load_spread(spark, sf_dir, "documents").filter(
+    docs = load(spark, sf_dir, "documents").filter(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
     arr = tokens(F.col("text"))
