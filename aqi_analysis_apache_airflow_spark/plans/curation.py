@@ -932,7 +932,7 @@ def _km1_fit(spark: SparkSession, sf_dir: str):
     second-nearest distances."""
     from pyspark.storagelevel import StorageLevel
 
-    emb = load_spread(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings")
     qx = (
         emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
         .select(

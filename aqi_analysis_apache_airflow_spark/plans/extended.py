@@ -2471,7 +2471,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.similarity import brute_force_topk, ivf_topk
 
-    emb = load_spread(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     corpus = emb.filter(F.col("vec_id") != 0)
     # each 50-row top-k feeds two consumers (rank join + recall agg):
@@ -2588,7 +2588,7 @@ def rec1_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     corpus = (
-        load_spread(spark, sf_dir, "embeddings")
+        load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") != 0)
         .filter(dot_decimal(F.col("embedding"), F.col("embedding")) > 0)
     )

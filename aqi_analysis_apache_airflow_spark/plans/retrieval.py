@@ -888,7 +888,7 @@ def hn1_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.similarity import dot_decimal
 
-    emb = load_spread(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings")
     # norms hoisted: sqrt(decimal self-dot) ONCE per vector (the
     # sim_ivfm pattern) instead of twice per (anchor, candidate) pair
     # — identical expression, identical bits, 1/3 the decimal folds;

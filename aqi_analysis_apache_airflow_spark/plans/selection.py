@@ -962,7 +962,7 @@ def kcen1_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     k × (one corpus aggregate), independent of corpus width."""
     from pyspark.storagelevel import StorageLevel
 
-    emb = load_spread(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings")
     qx = (
         emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
         .select(
@@ -1135,7 +1135,7 @@ def mmr1_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention)."""
     from pyspark.storagelevel import StorageLevel
 
-    emb = load_spread(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     pool = (
         emb.filter(F.col("vec_id") != 0)
@@ -3884,7 +3884,7 @@ def pca1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the remaining cost is the mandated per-pair rounding, which a
     # sum-then-round matmul would not reproduce)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    emb = load_spread(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings")
     partials = (
         emb.select("embedding")
         .repartition(n_part)
