@@ -108,6 +108,19 @@ Mover-rule enforcement record (the dated notes the rule requires):
   freeze_bench_ref --add-missing (geometric mean of the two
   2026-08-17 canonical runs, headline 284.2s / 318.9s, every block
   box_state 0.82-0.92).
+- 2026-08-18 (r13, optimization session): the gate run's movers
+  (gof1/iqr1 per the dated notes above; mg1, hn1, wmed1, place1,
+  gdpr1 at 1.5-1.7x) ride a measured CROSS-DAY drift the canary
+  cannot see: the 282-query untouched control population ran at
+  median 1.27x its 2026-08-17 medians on three all-cool canonical
+  runs (p75 1.37 — so a >1.5x flag is drift + one-block noise, and
+  the flagged five live in three different blocks), while the 36
+  optimization-touched queries ran at median 0.72x through the same
+  headwind (decomposition in OPTIMIZATION_r13.md). No untouched
+  query moved outside drift+noise; no code change warranted. Note
+  the canary's q1 reference is itself ~0.85x stale this round (q1
+  gained the load spread), so box_state reads ~15% optimistic until
+  the next REF freeze.
 
 Single cross-JVM runs on this box swing ~±5% run-to-run (measured
 with identical configs back-to-back); one-query conclusions need
