@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread_if_narrow
+
 TOKEN_RE = r"\S+"
 
 
@@ -111,11 +113,11 @@ def exploded_shingles(
     """(id, shingle) pairs. The shingle transform is the CPU-heavy part
     of every near-dup pipeline, so parallelize it across cores even
     when the input arrives as one split (the bench corpus is a single
-    row group — without this the whole explode runs on one task)."""
-    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    row group — without this the whole explode runs on one task; at
+    production scale the natural splits suffice and the repartition
+    vanishes — ``spread_if_narrow``)."""
     return (
-        docs.select(id_col, text_col)
-        .repartition(n_part)
+        spread_if_narrow(docs.select(id_col, text_col))
         .select(
             F.col(id_col),
             F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
@@ -268,14 +270,11 @@ def exact_jaccard_for_pairs(
         .union(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    sets = (
+    sets = spread_if_narrow(
         docs.join(cand_ids, id_col, "left_semi")
-        .repartition(n_part)
-        .select(
-            F.col(id_col),
-            word_shingles(F.col(text_col), k).alias("sh"),
-        )
+    ).select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), k).alias("sh"),
     )
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -796,10 +795,8 @@ def simhash_fingerprints(
     keeps the degenerate all-zeros fingerprint — every empty doc
     "matching" every other — out of the pair join.
     """
-    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     th = (
-        docs.select(id_col, text_col)
-        .repartition(n_part)
+        spread_if_narrow(docs.select(id_col, text_col))
         .select(
             F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
         )

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread_if_narrow
+
 # Optimization-round r13 note: a fixed-width unrolled element_at form
 # of the two dot folds below (64-/16-wide sums behind a size() CASE,
 # built as one parsed expression) was implemented and A/B-measured on
@@ -224,15 +226,15 @@ def ivf_assign(
     """
     # the per-row argmax over n_centroids dot products is the CPU-heavy
     # stage, and the corpus often arrives as one split — spread it
-    # across cores (same pattern as exploded_shingles / _md5_ivf_parts)
-    n_part = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # across cores while the natural splits cannot (size-conditional:
+    # at production scale the repartition vanishes — spread_if_narrow)
     # zero-norm vectors are unindexable: they have no nearest centroid
     # (every cosine is undefined) and would raise ANSI DIVIDE_BY_ZERO
     # in the assignment — excluded by policy, documented here
     # repartition BEFORE the zero-norm filter: the filter itself is a
     # per-row norm fold, and on a single-split input it would run on
     # one task (r13 optimization; filter/repartition commute row-wise)
-    emb = emb.repartition(n_part).filter(
+    emb = spread_if_narrow(emb).filter(
         dot_fast(F.col(vec_col), F.col(vec_col)) > 0
     )
     centroid_ids = (

@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 
 from ..functions.dedup import CE_HASH64_SQL as _CEH
 from ..functions.dedup import ce_half_sql as _ce_half
+from ..functions.spread import spread_if_narrow
 from .registry import load, load_spread, query
 
 # --------------------------------------------------------------------------
@@ -1842,6 +1843,10 @@ def g6_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the per-group final percentile merge, inherent to exact
     percentile — the sketches being verified are precisely the
     100 TB replacement for it."""
+    # UNCONDITIONAL repartition kept on purpose (not spread_if_narrow,
+    # r13): approx sketch states (HLL/percentile) merge in partition
+    # order, so the partition layout is pinned for run-to-run
+    # comparability rather than made size-adaptive.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     li = (
         load(spark, sf_dir, "lineitem")
@@ -2175,15 +2180,14 @@ def _md5_ivf_parts(spark: SparkSession, sf_dir: str, n_centroids: int = 16):
     # and the corpus often arrives as ONE split (single row group) —
     # spread it across cores or the whole assignment runs in one task
     # (measured 18s -> ~1s at sf0.1); same pattern as exploded_shingles
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # — size-conditional since r13: at scale the natural splits
+    # suffice and the repartition vanishes (spread_if_narrow)
     # zero-norm vectors are unindexable — same decimal-norm test as
     # the oracle's enorm CTE (n2 > 0)
     # repartition BEFORE the zero-norm filter (r13): the filter is a
     # per-row decimal fold and would otherwise run on one task
-    emb = (
-        full.filter(F.col("vec_id") != 0)
-        .repartition(n_part)
-        .filter(dot_decimal(F.col("embedding"), F.col("embedding")) > 0)
+    emb = spread_if_narrow(full.filter(F.col("vec_id") != 0)).filter(
+        dot_decimal(F.col("embedding"), F.col("embedding")) > 0
     )
     vid = F.col("vec_id").cast("string")
     cids = (
@@ -2873,14 +2877,9 @@ def ovr1_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import word_shingles
 
     docs = load(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sh = (
-        docs.select("source", "text")
-        .repartition(n_part)
-        .select(
-            "source",
-            F.explode(word_shingles(F.col("text"), 3)).alias("shingle"),
-        )
+    sh = spread_if_narrow(docs.select("source", "text")).select(
+        "source",
+        F.explode(word_shingles(F.col("text"), 3)).alias("shingle"),
     )
     grouped = (
         sh.groupBy("shingle")
@@ -2943,8 +2942,7 @@ def _snm_ranked(spark: SparkSession, docs: DataFrame) -> DataFrame:
         F.lit(""),
     )
     slim = (
-        docs.select("doc_id", "text")
-        .repartition(n_part)
+        spread_if_narrow(docs.select("doc_id", "text"))
         .select(
             "doc_id",
             key.alias("key"),
@@ -3137,12 +3135,10 @@ def d11_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import tokens
 
     docs = load(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     toks = tokens(F.col("text"))
     n_segs = (F.floor((F.size(toks) - 1) / 10) + 1).cast("int")
     segs = (
-        docs.select("doc_id", "text")
-        .repartition(n_part)
+        spread_if_narrow(docs.select("doc_id", "text"))
         .select(
             "doc_id",
             toks.alias("t"),

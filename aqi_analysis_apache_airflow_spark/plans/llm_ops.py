@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.dedup import CE_HASH64_SQL, ce_hash64
+from ..functions.spread import spread_if_narrow
 from .registry import load, load_spread, query
 
 #: per-lang keep rates in permille — the curation knob: oversample
@@ -818,11 +819,9 @@ def dsir1_importance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition before the explode: the per-occurrence md5 is the
     # CPU-heavy stage and the bench corpus arrives as ONE parquet
     # split — without this the whole hash pass runs on a single task
-    # (the exploded_shingles lesson)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # (the exploded_shingles lesson; size-conditional since r13)
     tok = (
-        docs.select("doc_id", is_t.alias("t"), "text")
-        .repartition(n_part)
+        spread_if_narrow(docs.select("doc_id", is_t.alias("t"), "text"))
         .select(
             "doc_id",
             "t",

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.dedup import CE_HASH64_SQL, ce_hash64, tokens
+from ..functions.spread import spread_if_narrow
 from .registry import load, load_spread, query
 
 # --------------------------------------------------------------------------
@@ -665,6 +666,10 @@ def mg1_misra_gries_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.when(F.col("l_orderkey") % 2 == 0, F.lit("hot")).otherwise(
         F.concat(F.lit("cold_"), (F.col("l_partkey") % 997).cast("string"))
     )
+    # UNCONDITIONAL repartition kept on purpose (not spread_if_narrow,
+    # r13): the per-PARTITION Misra-Gries summaries are the query
+    # definition — the partition layout is semantic here, not a
+    # parallelism knob.
     keyed = li.select(key.alias("k")).repartition(n_part)
 
     summ = mg_partition_summaries(keyed, _MG_CAPACITY)
@@ -898,10 +903,10 @@ def hn1_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot_decimal(F.col("embedding"), F.col("embedding")).cast("double")
     )
     # spread the corpus before the CPU-heavy per-pair fold: the bench
-    # parquet is one row group (the sim_ivfm lesson)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # parquet is one row group (the sim_ivfm lesson; size-conditional
+    # since r13 — at scale the natural splits suffice)
     norms = (
-        emb.repartition(n_part)
+        spread_if_narrow(emb)
         .select("vec_id", "embedding", "label", nrm.alias("nrm"))
         .filter(F.col("nrm") > 0)
     )

@@ -33,6 +33,7 @@ from ..functions.graph import (
     pagerank,
 )
 from ..functions.similarity import cosine
+from ..functions.spread import spread_if_narrow
 from .registry import load, load_spread, query
 from .retrieval import _BM25_CTES, bm25_doc_scores
 
@@ -3883,12 +3884,9 @@ def pca1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage is the only corpus-sized work (6.7s -> 3.9s at sf0.1;
     # the remaining cost is the mandated per-pair rounding, which a
     # sum-then-round matmul would not reproduce)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     emb = load(spark, sf_dir, "embeddings")
-    partials = (
-        emb.select("embedding")
-        .repartition(n_part)
-        .mapInPandas(pca_partial_gram(), "i long, j long, partial long")
+    partials = spread_if_narrow(emb.select("embedding")).mapInPandas(
+        pca_partial_gram(), "i long, j long, partial long"
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     m = (
