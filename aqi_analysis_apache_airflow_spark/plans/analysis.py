@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.materialize import pin
 from ..functions.dedup import CE_HASH64_SQL, ce_hash64, tokens
 from ..functions.similarity import dot_decimal as _dot
 from .registry import load, load_spread, query
@@ -466,8 +467,14 @@ def assort1_degree_assortativity(
         )
         .distinct()
     )
-    e = e0.unionAll(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # pin the doubled edge list (edge-bounded — the gr1/hits1 persist
+    # precedent): deg + the two degree joins reference it 4× and each
+    # reference replays the corpus join + distinct (guide §3.3; A/B
+    # tools/ab_r14_pin.json)
+    e = pin(
+        e0.unionAll(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     )
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("decimal(38,0)").alias("d")
@@ -2260,7 +2267,11 @@ def pacf1_partial_autocorrelation(
         F.explode(F.sequence("d0", "d1")).alias("d")
     ).select("d", F.row_number().over(Window.orderBy("d")).alias("t"))
     daily = ev.groupBy("d").agg(F.count("*").alias("c"))
-    dense = (
+    # pin the calendar-bounded dense series: it feeds tot + num0 +
+    # both lag self-join sides (~6 consumers), each of which would
+    # otherwise replay the corpus-sized date-counting groupBy
+    # (guide §3.3; A/B tools/ab_r14_pin.json)
+    dense = pin(
         spine.join(daily, "d", "left")
         .select(
             "t",
@@ -3228,18 +3239,29 @@ def markov2_stationary_distribution(
             F.lag("event_type").over(w).alias("prev_type"),
         )
     )
-    trans0 = (
+    trans0 = pin(
         seq.filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").cast("long").alias("c"))
     )
+    # pin both bounded relations (k² rows, k = event types): without
+    # the checkpoints the lazy 12-round chain duplicates the
+    # corpus-sized window+groupBy subtree ~98 times at explain level
+    # (340 Exchanges) and re-plans it per consumer — guide §3.3
+    # "materialising an intermediate truncates the plan". Values
+    # unchanged (same floor arithmetic); A/B 2026-08-18 in
+    # tools/ab_r14_pin.json.
     states = trans0.select(F.col("prev_type").alias("s")).distinct()
     closed = trans0.join(
         F.broadcast(states.withColumnRenamed("s", "next_type")), "next_type"
     )
-    trans = closed.join(
-        closed.groupBy("prev_type").agg(F.sum("c").cast("long").alias("r")),
-        "prev_type",
+    trans = pin(
+        closed.join(
+            closed.groupBy("prev_type").agg(
+                F.sum("c").cast("long").alias("r")
+            ),
+            "prev_type",
+        )
     )
     k = states.count()  # control-plane scalar: the uniform-init quantum
     if k == 0:

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.materialize import pin
 from ..functions.dedup import CE_HASH64_SQL, ce_hash64, tokens
 from .registry import load, load_spread, query
 
@@ -4391,7 +4392,10 @@ def acf1_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = daily.groupBy("event_type").agg(
         F.min("d").alias("d0"), F.max("d").alias("d1")
     )
-    dense = (
+    # pin the calendar-bounded dense series: its stats/pair consumers
+    # would otherwise each replay the corpus-sized (type, date)
+    # counting groupBy — guide §3.3 (A/B tools/ab_r14_pin.json)
+    dense = pin(
         bounds.select(
             "event_type", F.explode(F.sequence("d0", "d1")).alias("d")
         )
@@ -4686,7 +4690,10 @@ def mk1_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = daily.groupBy("event_type").agg(
         F.min("d").alias("d0"), F.max("d").alias("d1")
     )
-    dense = (
+    # pin the calendar-bounded dense series: its stats/pair consumers
+    # would otherwise each replay the corpus-sized (type, date)
+    # counting groupBy — guide §3.3 (A/B tools/ab_r14_pin.json)
+    dense = pin(
         bounds.select(
             "event_type", F.explode(F.sequence("d0", "d1")).alias("d")
         )

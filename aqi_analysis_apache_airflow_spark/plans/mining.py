@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.materialize import pin
 from ..functions.dedup import CE_HASH64_SQL, ce_hash64, tokens
 from .registry import EVENTS_US_CTE, load, load_spread, query
 
@@ -2053,7 +2054,14 @@ def _bpe2_rounds(spark: SparkSession, sf_dir: str):
         F.sequence(F.lit(1), F.length(F.col("w"))),
         lambda i: F.col("w").substr(i, F.lit(1)),
     )
-    cur = w0.select("freq", syms0.alias("syms"))
+    # pin every per-round word table (vocab-bounded) and per-round
+    # winner (1 row): bpe3 aggregates EACH round's table twice (symbol
+    # sum + distinct-symbol count) and each round chains off the
+    # previous, so unpinned tables replay the corpus token explode and
+    # the whole merge chain per consumer — the measured mechanism
+    # behind bpe2/bpe3's r13 spread losses (guide §3.3; A/B
+    # tools/ab_r14_pin.json)
+    cur = pin(w0.select("freq", syms0.alias("syms")))
     rounds = [cur]
     tops = []
     for rnd in range(1, _BPE2_ROUNDS + 1):
@@ -2063,7 +2071,7 @@ def _bpe2_rounds(spark: SparkSession, sf_dir: str):
             F.slice(F.col("syms"), 2, F.greatest(n - 1, F.lit(0))),
             lambda x, y: F.struct(x.alias("a"), y.alias("b")),
         )
-        top = (
+        top = pin(
             cur.select("freq", F.explode(pair_arr).alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").cast("long").alias("c"))
@@ -2092,8 +2100,10 @@ def _bpe2_rounds(spark: SparkSession, sf_dir: str):
                 ),
             ).otherwise(F.concat(acc, F.array(s))),
         )
-        cur = cur.join(F.broadcast(top), F.lit(True), "left_outer").select(
-            "freq", folded.alias("syms")
+        cur = pin(
+            cur.join(F.broadcast(top), F.lit(True), "left_outer").select(
+                "freq", folded.alias("syms")
+            )
         )
         rounds.append(cur)
     return tops, rounds

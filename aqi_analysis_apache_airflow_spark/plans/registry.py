@@ -20,7 +20,6 @@ value-hash comparison is exact, not approximate:
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -54,11 +53,6 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-#: Default parquet split size — mirrors spark.sql.files.maxPartitionBytes,
-#: which this session never overrides.
-_MAX_SPLIT_BYTES = 128 * 1024 * 1024
-
-
 def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``load`` plus a round-robin repartition to the session's shuffle
     parallelism WHEN the table cannot give the scan enough natural
@@ -71,16 +65,15 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     fires while the file's natural split count is below the session
     parallelism, so at production scale (files ≫ maxPartitionBytes) it
     vanishes and the scan keeps its natural splits — never an extra
-    corpus shuffle at 100 TB."""
-    df = load(spark, sf_dir, name)
-    try:
-        sz = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
-    except OSError:
-        return df  # non-local storage: natural splits exist
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if -(-sz // _MAX_SPLIT_BYTES) < n_part:
-        return df.repartition(n_part)
-    return df
+    corpus shuffle at 100 TB.
+
+    Delegates to :func:`...functions.spread.spread_if_narrow` — ONE
+    split estimate (conf-read quantum, row-group-bounded) and ONE
+    unknown-size arm (spread — conservative) for both helpers
+    (ADVICE r13 #1–#3 unification)."""
+    from ..functions.spread import spread_if_narrow
+
+    return spread_if_narrow(load(spark, sf_dir, name))
 
 
 #: DuckDB CTE aligning events.ts (stored as TIMESTAMP_NS in parquet) to

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.materialize import pin
 from ..functions.dedup import CE_HASH64_SQL, ce_hash64, tokens
 from ..functions.graph import (
     dim_broadcast_gate,
@@ -110,6 +111,12 @@ def _ranked_arms(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     semantic top-``_RRF_POOL`` against the vec_id=0 probe. Each arm
     reduces the corpus via TakeOrderedAndProject; the rank windows run
     on the pooled ≤50-row lists only."""
+    # NOT pinned (r14 A/B, tools/ab_r14_pin{,2}.json): checkpointing
+    # both arms measured a NET LOSS across the three consumers (rr1
+    # 1.06/1.19, rbo1 1.12/1.12, tau1 0.98/0.98) — the arms' corpus
+    # reductions are TakeOrdered heaps whose re-execution is cheaper
+    # than the per-arm checkpoint round-trip, and the single-reference
+    # consumers (rr1/rbo1) pay the checkpoint for nothing.
     lex = (
         bm25_doc_scores(spark, sf_dir)
         .orderBy(F.col("score").desc(), "doc_id")
@@ -2029,6 +2036,10 @@ def cp2_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
         )
     )
+    # NOT pinned (r14 A/B, tools/ab_r14_pin{,2,3,4}.json: 1.04/0.98/
+    # 0.93/1.02 — no consistent win): the winnow chain, anti-join and
+    # n_capped count do replay the entropy gate, but the replays are
+    # cheaper than checkpointing the text-carrying capped stage.
     capped = gate.withColumn("rk", rk).filter(F.col("rk") <= _CP2_CAP).drop("rk")
     wsel = _winnow_sel(capped.select("doc_id", "text"))
     fps = (
@@ -5178,11 +5189,16 @@ def drm1_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nll_micro").cast("long").alias("nll"),
         )
     )
-    ce = src.select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        F.expr("nll div n_tokens").alias("ce_micro"),
+    # pin the n_sources-row CE table: m/ex/tot/q/lv/rank all derive
+    # from it and each reference replays the ppx1 scoring corpus pass
+    # (guide §3.3; A/B tools/ab_r14_pin.json)
+    ce = pin(
+        src.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("nll div n_tokens").alias("ce_micro"),
+        )
     )
     m = ce.agg(F.min("ce_micro").alias("mn"))
     ex = ce.join(F.broadcast(m)).select(
@@ -5622,7 +5638,14 @@ def kn1_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
     big = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
-    c12 = big.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c"))
+    # pin the vocab²-bounded bigram-type table: c1/n1p/n1m/nt and the
+    # final join are FIVE consumers, each otherwise replaying the
+    # bigram explode + (w1,w2) aggregation — the measured mechanism
+    # behind kn1's r13 spread loss (guide §3.3; A/B
+    # tools/ab_r14_pin.json)
+    c12 = pin(
+        big.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c"))
+    )
     c1 = c12.groupBy("w1").agg(F.sum("c").cast("long").alias("c1"))
     n1p = c12.groupBy("w1").agg(F.count("*").cast("long").alias("n1p"))
     n1m = c12.groupBy("w2").agg(F.count("*").cast("long").alias("n1m"))
@@ -6165,7 +6188,12 @@ def ppmi1_sppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     co = docs.select(
         F.explode(F.concat(offset_pairs(1), offset_pairs(2))).alias("p")
     ).select("p.w1", "p.w2")
-    cxy = co.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c"))
+    # pin the vocab²-bounded co-occurrence table: marg (×2), dd and
+    # the output join all derive from it and would each replay the
+    # token-pair explode (guide §3.3; A/B tools/ab_r14_pin.json)
+    cxy = pin(
+        co.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c"))
+    )
     marg = (
         cxy.select(F.col("w1").alias("w"), "c")
         .unionAll(cxy.select(F.col("w2").alias("w"), "c"))

@@ -121,6 +121,20 @@ Mover-rule enforcement record (the dated notes the rule requires):
   the canary's q1 reference is itself ~0.85x stale this round (q1
   gained the load spread), so box_state reads ~15% optimistic until
   the next REF freeze.
+- 2026-08-18 (r14, optimization round 2): PERF_r13 flagged hits1 at
+  0.748x "regressed" — the same cross-day drift (hits1 was untouched
+  in r13; the 282-query control ran 1.27x that day). The r14 baseline
+  run on a healthy box (tools/bench_r14_baseline.json, all blocks
+  0.92-1.07) measures hits1 at 2.78s = 0.98x its frozen REF —
+  cleared, no code change warranted. The same run's movers15=2 were
+  exactly the dated gof1/iqr1 plan-trade rows above; both rows (and
+  the q1 canary reference) are refreshed by the r14 REF re-freeze.
+- 2026-08-18 (r14): BENCH_REF.json re-frozen as the per-query
+  geometric mean of the round's two post-change canonical runs
+  (freeze_bench_ref --refreeze; the methodology field carries both
+  run stamps), and _CANARY_REF_S updated from the same two runs —
+  closing the r13 note above (box_state no longer reads ~15%
+  optimistic against a stale q1 row).
 
 Single cross-JVM runs on this box swing ~±5% run-to-run (measured
 with identical configs back-to-back); one-query conclusions need

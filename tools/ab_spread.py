@@ -14,7 +14,13 @@ Usage:
 The patch is module-attribute level: every module in
 ``aqi_analysis_apache_airflow_spark.plans`` that imported
 ``load_spread`` gets the attribute swapped, so arm B reproduces the
-pre-change plan exactly (verified by the plan captures in plans/r13/).
+pre-change plan exactly FOR ``load_spread`` CALL SITES (verified by
+the plan captures in plans/r13/). It does NOT reach
+``spread_if_narrow`` helper sites or function-local imports — use
+``ab_toggle.py`` for those (ADVICE r13 #4).
+
+Within each pass the A/B order ALTERNATES (A,B / B,A / …) so a fixed
+ordering cannot bias the medians (ADVICE r13 #4).
 """
 
 from __future__ import annotations
@@ -83,9 +89,10 @@ def main() -> None:
         run(name, False)
     samples = {n: {"A": [], "B": []} for n in names}
     for p in range(passes):
+        first_a = p % 2 == 0  # alternate order per pass (ADVICE r13)
         for name in names:
-            samples[name]["A"].append(run(name, True))
-            samples[name]["B"].append(run(name, False))
+            for a in (first_a, not first_a):
+                samples[name]["A" if a else "B"].append(run(name, a))
     for name in names:
         a = statistics.median(samples[name]["A"])
         b = statistics.median(samples[name]["B"])

@@ -74,7 +74,66 @@ def add_missing(path_a: str, path_b: str) -> None:
     print(f"added {len(added)} rows -> BENCH_REF.json: {added}")
 
 
+def refreeze(path_a: str, path_b: str) -> None:
+    """Full replacement: every per-query row becomes the geometric
+    mean of two same-day canonical block-mode runs (the committed
+    multi-run convention; r14). Refuses hot runs like the single-run
+    path."""
+    runs = []
+    for p in (path_a, path_b):
+        with open(p) as fh:
+            d = json.load(fh)
+        if not d.get("canonical", True):
+            raise SystemExit(f"refuse: {p} is stamped non-canonical")
+        runs.append(d)
+    qa, qb = (_all_queries(d) for d in runs)
+    common = sorted(set(qa) & set(qb))
+    if not common:
+        raise SystemExit("no common queries between the two runs")
+    queries = {n: round(math.sqrt(qa[n] * qb[n]), 4) for n in common}
+    today = datetime.date.today().isoformat()
+    ref = {
+        "date": today,
+        "methodology": (
+            f"{today}: full re-freeze (--refreeze) — per-query "
+            "geometric mean of two same-day canonical fresh-JVM "
+            "block-mode runs (totals "
+            f"{runs[0].get('value')}s / {runs[1].get('value')}s); RAW "
+            "medians (box_state frozen as context, not divided out)"
+        ),
+        "sf": 0.1,
+        "block_box_states": {
+            "run_a": {
+                str(b["block"]): b.get("box_state")
+                for b in runs[0].get("blocks", [])
+            },
+            "run_b": {
+                str(b["block"]): b.get("box_state")
+                for b in runs[1].get("blocks", [])
+            },
+        },
+        "queries": queries,
+    }
+    with open(REF, "w") as fh:
+        json.dump(ref, fh, indent=1)
+    print(f"re-froze {len(queries)} reference medians -> BENCH_REF.json")
+    q1 = queries.get("q1_pricing_summary")
+    if q1:
+        print(
+            f"update bench.py _CANARY_REF_S to {q1} (currently frozen"
+            " from the pre-r13 plan)"
+        )
+
+
 def main() -> None:
+    if "--refreeze" in sys.argv:
+        i = sys.argv.index("--refreeze")
+        if len(sys.argv) < i + 3:
+            raise SystemExit(
+                "usage: freeze_bench_ref.py --refreeze A.json B.json"
+            )
+        refreeze(sys.argv[i + 1], sys.argv[i + 2])
+        return
     if "--add-missing" in sys.argv:
         i = sys.argv.index("--add-missing")
         if len(sys.argv) < i + 3:
