@@ -52,6 +52,27 @@ def pin(df: DataFrame, eager: bool = False) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+#: separate A/B switch for the persist→checkpoint SWAPS (arm B = the
+#: pre-r14 persist, not identity — the sites were already materialized)
+PIN_SWAP_ENABLED = True
+
+
+def pin_over_persist(df: DataFrame) -> DataFrame:
+    """localCheckpoint where the pre-r14 code PERSISTED a bounded
+    per-round relation. Persist materializes but does NOT truncate the
+    logical plan, so an unrolled greedy/BFS loop still grows a
+    duplicated-subtree tree that is re-analyzed every round (mmr1's
+    explain carried 404 scans / 5639 lines with persists in place).
+    The checkpoint keeps the materialization and also cuts the
+    lineage. With the flag off this IS the old persist — the A/B arm.
+    """
+    if not PIN_SWAP_ENABLED:
+        from pyspark.storagelevel import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df.localCheckpoint(eager=False)
+
+
 def pin_wide(df: DataFrame) -> DataFrame:
     """MEMORY_AND_DISK-persist an unbounded multi-consumer
     intermediate (mem1 precedent); identity when ``PIN_ENABLED`` is

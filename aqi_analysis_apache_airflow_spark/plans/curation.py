@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.materialize import pin
+from ..functions.materialize import pin, pin_over_persist
 from ..functions.dedup import CE_HASH64_SQL, ce_hash64, tokens
 from .registry import load, load_spread, query
 
@@ -963,7 +963,10 @@ def _km1_fit(spark: SparkSession, sf_dir: str):
             "vec_id", F.col("b.cid").alias("cid"), F.col("b.d2").alias("d2")
         )
         if i < _KM1_ITERS:
-            cent = (
+            # pin the k×dims-row centroid table: the next round's
+            # distance join re-derives the whole assignment chain
+            # otherwise (guide §3.3; A/B tools/ab_r14_km.json)
+            cent = pin(
                 qx.join(asg.select("vec_id", "cid"), "vec_id")
                 .groupBy("cid", "pos")
                 .agg(
@@ -1207,19 +1210,22 @@ def sp1_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frontier = visited.select("node")
     for depth in range(1, _SP_MAX_DEPTH + 1):
-        nxt = (
+        # r14: localCheckpoint (flag-swappable to the pre-r14 persist)
+        # for the per-round handover — persist materializes but keeps
+        # the whole union-chain lineage alive (386 scans at explain),
+        # re-analyzed every round (A/B tools/ab_r14_swap.json)
+        nxt = pin_over_persist(
             frontier.join(edges, frontier["node"] == edges["u"])
             .select(F.col("v").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         if nxt.isEmpty():
             nxt.unpersist()
             break
-        nv = visited.unionAll(
-            nxt.withColumn("dist", F.lit(depth))
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        nv = pin_over_persist(
+            visited.unionAll(nxt.withColumn("dist", F.lit(depth)))
+        )
         nv.count()  # materialize before releasing the parent cache
         visited.unpersist()
         visited = nv

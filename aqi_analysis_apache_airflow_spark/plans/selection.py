@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.materialize import pin
+from ..functions.materialize import pin, pin_over_persist
 from ..functions.dedup import CE_HASH64_SQL, ce_hash64, tokens
 from ..functions.graph import (
     dim_broadcast_gate,
@@ -1001,6 +1001,10 @@ def kcen1_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         # table AND the union's left arm both consume it, and without
         # the persist the shared subtree re-executes exponentially
         # (the kcore1 lesson; measured 5.6s -> ~2s at sf0.1)
+        # persist, NOT localCheckpoint (r14 A/B tools/ab_r14_swap{,2}
+        # .json: swap measured 1.10/1.13 LOSS — the 4-round chain is
+        # shallow enough that the checkpoint round-trip costs more
+        # than the lineage re-analysis it saves)
         cset = cset.unionAll(
             qx.join(F.broadcast(win), "vec_id").select(
                 F.col("vec_id").cast("long").alias("cid"),
@@ -1141,8 +1145,6 @@ def mmr1_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; every argmax tiebreaks on vec_id. The seed pick's
     redundancy is 0.0 (max over the empty set — the published
     convention)."""
-    from pyspark.storagelevel import StorageLevel
-
     emb = load(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     pool = (
@@ -1156,8 +1158,12 @@ def mmr1_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rel").isNotNull())
         .orderBy(F.col("rel").desc(), "vec_id")
         .limit(_MMR_POOL)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # r14: localCheckpoint (flag-swappable to the pre-r14 persist)
+    # instead of persist for the three materialized stages — persist
+    # kept the 404-scan/5639-line lineage alive through every greedy
+    # round's re-analysis (A/B tools/ab_r14_swap.json)
+    pool = pin_over_persist(pool)
     pa = pool.select(
         F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
     )
@@ -1167,8 +1173,8 @@ def mmr1_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pp = (
         pa.join(pb, F.col("va") != F.col("vb"))
         .select("va", "vb", cosine(F.col("ea"), F.col("eb")).alias("s"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pp = pin_over_persist(pp)
     sel = (
         pool.orderBy(F.col("rel").desc(), "vec_id")
         .limit(1)
@@ -1228,7 +1234,7 @@ def mmr1_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # nested lambdas at this depth. The in-plan join form stays:
         # ~1s/round scheduling floor at sf0.1, constant-bounded (pool
         # ≤20 rows) and independent of corpus size at 100 TB.
-        sel = sel.unionAll(win).persist(StorageLevel.MEMORY_AND_DISK)
+        sel = pin_over_persist(sel.unionAll(win))
     lamc = F.lit(_MMR_LAM)
     return sel.select(
         "vec_id",

@@ -76,10 +76,18 @@ def test_rr1_fusion_join_is_bounded(spark):
     assert "TakeOrderedAndProject" in p, p
 
 
-def test_mmr1_pool_is_take_ordered(spark):
+def test_mmr1_pool_is_take_ordered(spark, monkeypatch):
     """mmr1's claim: the only corpus-sized reduction is the pool's
     TakeOrderedAndProject; every greedy round joins broadcast
-    1-row/bounded sides."""
+    1-row/bounded sides. The r14 localCheckpoint materializations hide
+    that shape in the FINAL explain (the returned plan is a checkpoint
+    scan; the work happens in the per-round materializations), so the
+    gate pins the underlying algorithm with the swap flag off — the
+    exact pre-checkpoint plan, which the checkpoint arm executes
+    piecewise."""
+    from aqi_analysis_apache_airflow_spark.functions import materialize
+
+    monkeypatch.setattr(materialize, "PIN_SWAP_ENABLED", False)
     df = REGISTRY["mmr1_diversified_topk"].fn(spark, SF_DIR)
     p = _plan(df)
     assert "TakeOrderedAndProject" in p, p
